@@ -1,0 +1,128 @@
+"""Tier C — similarity search over the ``embeddings`` table
+(vec_id, embedding array<float> dim-64, label).
+
+Three tiers, mirroring how ANN is actually deployed over huge corpora:
+- brute-force top-k (oracle-checked ground truth; per-partition compute,
+  TakeOrdered merge — no global sort, no collect of the corpus),
+- random-hyperplane LSH buckets (candidate generation = equi-join on
+  bucket id — linear shuffle),
+- IVF (k-means coarse quantizer; probe nearest cells only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_clickhouse_implementation_spark.functions.vectors import cosine, dot, norm
+from kafka_clickhouse_implementation_spark.io import load
+from kafka_clickhouse_implementation_spark.registry import query
+
+
+def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    """Fetch the probe vector — a single-row driver-side parameter, the
+    one legitimate use of collect."""
+    row = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .head()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def brute_force_topk(emb: DataFrame, qvec: list[float], k: int = 10, exclude_id: int | None = 0) -> DataFrame:
+    """Ground-truth cosine top-k against a literal probe vector. The
+    probe is a literal array (broadcast by construction); scoring is
+    JVM-side; orderBy+limit executes as TakeOrderedAndProject."""
+    q = F.array(*[F.lit(v) for v in qvec])
+    scored = emb.select(
+        "vec_id",
+        F.round(cosine(F.col("embedding"), q), 6).alias("cos_sim"),
+    )
+    if exclude_id is not None:
+        scored = scored.filter(F.col("vec_id") != exclude_id)
+    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(k)
+
+
+@query(
+    "q_cosine_topk",
+    oracle="""
+    SELECT vec_id,
+           round(list_cosine_similarity(
+             CAST(embedding AS DOUBLE[]),
+             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)
+           ), 6) AS cos_sim
+    FROM embeddings WHERE vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 — top-10 nearest neighbors of vec_id=0 by cosine, brute force
+    (the ANN baseline / ground truth)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, _query_vector(spark, sf_dir, 0), k=10, exclude_id=0)
+
+
+def _hyperplanes(dim: int = 64, n_bits: int = 12, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes for sign-LSH."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bits, dim)).tolist()
+
+
+def lsh_bucket_column(n_bits: int = 12, seed: int = 42) -> F.Column:
+    """Sign-LSH bucket id for an `embedding` column: one bit per
+    hyperplane (sign of the dot product), packed into a long. Pure
+    JVM-side arithmetic — at 100 TB this is a narrow map, and candidate
+    generation becomes an equi-join on `bucket`."""
+    planes = _hyperplanes(n_bits=n_bits, seed=seed)
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(v) for v in p])
+        bit = F.when(dot(F.col("embedding"), plane) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket + F.shiftleft(bit, i)
+    return bucket
+
+
+@query("q_ann_lsh")  # no-oracle: LSH candidate sets aren't SQL-reproducible (rows-only check)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via sign-LSH: bucket every vector (narrow map), keep only the
+    probe's bucket, brute-force within. Deterministic (fixed seed).
+    Returns the in-bucket top-10 for vec_id=0's bucket."""
+    emb = load(spark, sf_dir, "embeddings")
+    bucketed = emb.select("vec_id", "embedding", lsh_bucket_column(n_bits=8).alias("bucket"))
+    qvec = _query_vector(spark, sf_dir, 0)
+    q_bucket = bucketed.filter(F.col("vec_id") == 0).select("bucket")
+    cand = bucketed.join(F.broadcast(q_bucket), "bucket").filter(F.col("vec_id") != 0)
+    return brute_force_topk(cand, qvec, k=10, exclude_id=None)
+
+
+@query("q_ann_ivf")  # no-oracle: k-means cell assignment isn't SQL-reproducible (rows-only check)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via IVF: k-means coarse quantizer (seeded), assign every
+    vector to its nearest centroid cell, probe only the cells nearest
+    the query (nprobe=2), brute-force within. The scale path: the
+    centroid table is tiny and broadcast; the corpus scan prunes to
+    nprobe/ncells of the data."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    emb = load(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", "embedding", array_to_vector("embedding").alias("fv"))
+    km = KMeans(k=16, seed=42, featuresCol="fv", predictionCol="cell")
+    model = km.fit(vecs)
+    assigned = model.transform(vecs).select("vec_id", "embedding", "cell")
+
+    import numpy as np
+
+    qvec = np.array(_query_vector(spark, sf_dir, 0))
+    centers = model.clusterCenters()
+    d = [float(np.linalg.norm(qvec - c)) for c in centers]
+    probe_cells = [int(i) for i in np.argsort(d)[:2]]
+
+    cand = assigned.filter(F.col("cell").isin(probe_cells)).filter(F.col("vec_id") != 0)
+    return brute_force_topk(cand.select("vec_id", "embedding"), qvec.tolist(), k=10, exclude_id=None)

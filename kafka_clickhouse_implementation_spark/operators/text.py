@@ -1,0 +1,140 @@
+"""Tier C — text analysis for training-data pipelines over `documents`
+(doc_id, text, lang, source, n_chars): term statistics, token counting,
+quality scoring, and heuristic language ID.
+
+Everything is built-in Spark SQL (split / explode / higher-order
+filter) — no Python in the hot path — so the plans are narrow maps plus
+one aggregation shuffle each, which is exactly what you want sweeping
+100 TB of text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_clickhouse_implementation_spark.io import load
+from kafka_clickhouse_implementation_spark.registry import query
+
+STOPWORDS = ("the", "a", "of", "and")
+
+
+@query(
+    "q_term_stats",
+    oracle="""
+    SELECT token, count(DISTINCT doc_id) AS doc_freq
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY 1 ORDER BY doc_freq DESC, token LIMIT 20
+    """,
+)
+def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 — document frequency of the top-20 tokens (tiebreak token asc)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
+@query(
+    "q_docs_by_lang",
+    oracle="""
+    SELECT lang, source, count(*) AS n,
+           round(avg(CAST(n_chars AS DOUBLE)), 2) AS avg_chars
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def q_docs_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 — corpus slice stats per (lang, source) — the partition-level
+    bookkeeping every multilingual corpus pipeline starts with."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 2).alias("avg_chars"),
+    )
+
+
+@query(
+    "q_token_count",
+    oracle="""
+    SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           round(avg(CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS avg_tokens,
+           CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer) — corpus-size accounting.
+    `size(split(...))` never materializes the token rows."""
+    docs = load(spark, sf_dir, "documents")
+    ntok = F.size(F.split("text", " "))
+    return docs.agg(
+        F.sum(ntok).cast("long").alias("total_tokens"),
+        F.round(F.avg(ntok.cast("double")), 4).alias("avg_tokens"),
+        F.max(ntok).cast("long").alias("max_tokens"),
+    )
+
+
+@query(
+    "q_quality_score",
+    oracle="""
+    SELECT lang,
+           round(avg(CAST(len(list_filter(string_split(text, ' '),
+                                          x -> x IN ('the', 'a', 'of', 'and'))) AS DOUBLE)
+                     / len(string_split(text, ' '))), 4) AS avg_stop_ratio,
+           round(avg(CAST(n_chars AS DOUBLE) / len(string_split(text, ' '))), 4)
+             AS avg_chars_per_tok,
+           CAST(sum(CASE WHEN len(string_split(text, ' ')) >= 20 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_long_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring — stopword ratio, chars-per-token, and a
+    min-length gate, the standard cheap heuristics for corpus filtering.
+    Higher-order `filter` keeps the stopword count inside codegen."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    ntok = F.size(toks)
+    nstop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return docs.groupBy("lang").agg(
+        F.round(F.avg(nstop.cast("double") / ntok), 4).alias("avg_stop_ratio"),
+        F.round(F.avg(F.col("n_chars").cast("double") / ntok), 4).alias("avg_chars_per_tok"),
+        F.sum(F.when(ntok >= 20, 1).otherwise(0)).alias("n_long_docs"),
+    )
+
+
+@query(
+    "q_lang_id",
+    oracle="""
+    SELECT lang,
+           CASE WHEN contains(text, ' der ') OR contains(text, ' und ') THEN 'de'
+                WHEN contains(text, ' el ') OR contains(text, ' la ') THEN 'es'
+                WHEN contains(text, ' le ') OR contains(text, ' et ') THEN 'fr'
+                WHEN contains(text, ' the ') OR contains(text, ' a ') THEN 'en'
+                ELSE 'unknown' END AS pred_lang,
+           count(*) AS n
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID — marker-word cascade (the n-gram-
+    heuristic family, deliberately SQL-replicable for the oracle).
+    Output is the (actual, predicted) confusion table."""
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    pred = (
+        F.when(t.contains(" der ") | t.contains(" und "), "de")
+        .when(t.contains(" el ") | t.contains(" la "), "es")
+        .when(t.contains(" le ") | t.contains(" et "), "fr")
+        .when(t.contains(" the ") | t.contains(" a "), "en")
+        .otherwise("unknown")
+    )
+    return (
+        docs.select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -1,0 +1,70 @@
+"""Declared-query registry — the contract surface the driver checks.
+
+Every operator from SURVEY.md §2 registers here via the ``@query``
+decorator, pairing a Spark callable ``(spark, sf_dir) -> DataFrame``
+with an equivalent DuckDB oracle SQL string (or ``None`` for
+non-SQL-expressible operators → driver does a rows-only check).
+
+Discipline (SURVEY §2 notes): identical column aliases on both sides;
+every float-emitting column ROUNDs identically on both sides; integer
+sums in the oracle are CAST to BIGINT (DuckDB sum(BIGINT) → HUGEINT,
+Spark sum(long) → long).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a declared query (and its DuckDB oracle, if any)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QueryFn]:
+    _load_operator_modules()
+    return dict(_QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    _load_operator_modules()
+    return dict(_ORACLES)
+
+
+_loaded = False
+
+
+def _load_operator_modules() -> None:
+    """Import every operator module exactly once so decorators run."""
+    global _loaded
+    if _loaded:
+        return
+    from kafka_clickhouse_implementation_spark.operators import (  # noqa: F401
+        dedup,
+        multimodal,
+        relational,
+        sessions,
+        similarity,
+        text,
+        tier_a,
+        udx,
+    )
+    from kafka_clickhouse_implementation_spark.streaming import pipeline  # noqa: F401
+
+    _loaded = True

@@ -1,0 +1,121 @@
+"""The streaming materialized-view pipeline — the heart of the reference
+(Part 2: queue → MV consumer → daily, kafka+clickhouse.md:183-243) as
+one Structured Streaming job.
+
+Two faithful layers:
+
+1. **Per-batch MV semantics** (``run_mv_pipeline``): ClickHouse MVs
+   trigger per *insert block* and append partial aggregates
+   (kafka+clickhouse.md:427, 447-449); readers re-aggregate
+   (kafka+clickhouse.md:240-243). Here: ``foreachBatch`` computes the
+   batch's (day, level) counts and appends them as rollup partials
+   (plans.layout.append_rollup_partials = the SummingMergeTree insert);
+   ``plans.layout.read_rollup`` is the reader. Stateless — no streaming
+   state store needed, restarts are exactly-once via checkpoint +
+   idempotent-by-re-aggregation sink (C10).
+
+2. **Stateful windowed aggregation** (``windowed_counts``): the Spark-
+   native alternative (SIGMOD'18 Structured Streaming design): tumbling
+   1-day window + watermark for late-data bounds (C6/C8), emitting
+   updates from the state store.
+
+Scale: per-batch partials are days×levels rows per trigger regardless of
+input volume; the stateful variant's state is bounded by watermark
+retention × key cardinality.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_clickhouse_implementation_spark.io import load
+from kafka_clickhouse_implementation_spark.plans.layout import append_rollup_partials, read_rollup
+from kafka_clickhouse_implementation_spark.registry import query
+from kafka_clickhouse_implementation_spark.sources.streams import file_stream, write_wire_format
+
+
+def decoded_events(stream: DataFrame) -> DataFrame:
+    """Wire rows → typed events: epoch-seconds → timestamp → day bucket
+    (toDate(toDateTime(timestamp)), kafka+clickhouse.md:226)."""
+    return stream.select(
+        F.to_timestamp(F.from_unixtime(F.col("timestamp"))).alias("event_ts"),
+        F.col("level"),
+        F.col("message"),
+    )
+
+
+def run_mv_pipeline(
+    spark: SparkSession,
+    wire_dir: str,
+    rollup_dir: str,
+    checkpoint_dir: str,
+    source_df: DataFrame | None = None,
+) -> None:
+    """Run the MV to completion over currently-available data
+    (Trigger.AvailableNow): every micro-batch appends its per-(day,
+    level) partial counts — the per-insert-block MV trigger."""
+    stream = source_df if source_df is not None else file_stream(spark, wire_dir)
+    events = decoded_events(stream)
+
+    def mv_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select(
+            F.to_date("event_ts").alias("day"), F.col("level")
+        )
+        append_rollup_partials(batch, rollup_dir)
+
+    (
+        events.writeStream.foreachBatch(mv_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def windowed_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """C6/C8 — stateful tumbling-window daily counts with a watermark
+    bounding late data (events later than `watermark` past the max seen
+    event time are dropped from state)."""
+    return (
+        events.withWatermark("event_ts", watermark)
+        .groupBy(F.window("event_ts", "1 day").alias("w"), F.col("level"))
+        .agg(F.count(F.lit(1)).alias("total"))
+        .select(F.to_date(F.col("w.start")).alias("day"), "level", "total")
+    )
+
+
+def deduped_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """C9 — stateful streaming dedup bounded by the watermark."""
+    return events.withWatermark("event_ts", watermark).dropDuplicatesWithinWatermark(
+        ["level", "event_ts"]
+    )
+
+
+@query("q_stream_mv_daily")  # no-oracle: streaming-only semantics; batch twin is q_mv_daily
+def q_stream_mv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1-S3 + S7/C6 + S6/A7 end-to-end, hermetically: replay the
+    `events` table through the JSONEachRow wire format (producer S1),
+    consume it as a typed file stream (S2/S3), run the per-batch MV
+    (S7), append SummingMergeTree-style partials (S6), and return the
+    read-time re-aggregation (A7). With a broker, swap file_stream for
+    kafka_stream — the pipeline body is unchanged."""
+    base = os.path.join(
+        tempfile.gettempdir(), "spark_graft_stream", os.path.basename(sf_dir.rstrip("/"))
+    )
+    wire_dir = os.path.join(base, "wire")
+    rollup_dir = os.path.join(base, "rollup")
+    checkpoint_dir = os.path.join(base, "ckpt")
+    # fresh run each invocation: replayability from offset 0
+    # ('auto.offset.reset': 'earliest', kafka+clickhouse.md:130)
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+
+    events = load(spark, sf_dir, "events")
+    write_wire_format(events, wire_dir)
+    run_mv_pipeline(spark, wire_dir, rollup_dir, checkpoint_dir)
+    return read_rollup(spark, rollup_dir)
