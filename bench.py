@@ -1,0 +1,86 @@
+"""Benchmark harness — runs the headline declared queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Each query is forced to full materialization (collect for small
+results — every headline query aggregates or limits, so nothing big
+crosses the driver). A JVM warm-up query runs first and is not counted.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kafka_clickhouse_implementation_spark.session import get_spark  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+# Headline set: the reference-parity core + the heaviest of each tier.
+HEADLINE = [
+    "q_mv_daily",
+    "q_level_totals",
+    "q_summing_reaggregate",
+    "q_opens_for_campaign",
+    "q_json_extract",
+    "q_partition_prune",
+    "q_pricing_summary",
+    "q_revenue_by_nation",
+    "q_join_orders_customer",
+    "q_window_rank",
+    "q_window_runsum",
+    "q_topk_spenders",
+    "q_agg_suite",
+    "q_rollup_day_type",
+    "q_udtf_tokenize",
+    "q_udaf_geomean",
+    "q_term_stats",
+    "q_dedup_docs",
+    "q_jaccard_pairs",
+    "q_cosine_topk",
+    "q_embedding_near_dup",
+    "q_sessionize",
+    "q_quality_score",
+    "q_stream_mv_daily",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("bench")
+
+    qs = entrymod.queries()
+    # JVM/codegen warm-up (not counted)
+    qs["q_mv_daily"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,68 @@
+"""Tests for the physical layout patterns (MergeTree / SummingMergeTree
+analogues in plans.layout)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from kafka_clickhouse_implementation_spark.plans.layout import (
+    append_rollup_partials,
+    compact_rollup,
+    read_rollup,
+    write_day_partitioned,
+)
+from kafka_clickhouse_implementation_spark.schemas import EVENTS_SCHEMA
+
+
+def _events(spark, n=50):
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + i % 5, i % 24), i % 7, ["click", "view"][i % 2], 1.0, None)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, schema=EVENTS_SCHEMA)
+
+
+def test_day_partitioned_write_prunes(spark, tmp_path):
+    path = str(tmp_path / "fact")
+    write_day_partitioned(_events(spark), path)
+    fact = spark.read.parquet(path)
+    one_day = fact.filter(F.col("event_date") == "20240103")
+    # partition pruning visible in the physical plan
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert one_day.count() == 10
+    assert "event_date" not in [f.name for f in one_day.schema.fields if f.name == "nonexistent"]
+    assert "PartitionFilters" in plan or "20240103" in plan
+
+
+def test_rollup_partials_reaggregate(spark, tmp_path):
+    """Two appended batches of partials must re-aggregate to the global
+    counts — the unmerged-SummingMergeTree reader contract."""
+    path = str(tmp_path / "rollup")
+    ev = _events(spark, 40)
+    d = ev.select("event_id", F.to_date("ts").alias("day"), F.col("event_type").alias("level"))
+    append_rollup_partials(d.filter(F.col("event_id") % 2 == 0).drop("event_id"), path)
+    append_rollup_partials(d.filter(F.col("event_id") % 2 == 1).drop("event_id"), path)
+    d = d.drop("event_id")
+    got = {(str(r["day"]), r["level"]): r["total"] for r in read_rollup(spark, path).collect()}
+    want = {
+        (str(r["day"]), r["level"]): r["n"]
+        for r in d.groupBy("day", "level").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
+
+
+def test_compact_rollup_preserves_totals(spark, tmp_path):
+    path = str(tmp_path / "rollup2")
+    ev = _events(spark, 30)
+    d = ev.select(F.to_date("ts").alias("day"), F.col("event_type").alias("level"))
+    append_rollup_partials(d, path)
+    append_rollup_partials(d, path)  # duplicate partials
+    before = {(str(r["day"]), r["level"]): r["total"] for r in read_rollup(spark, path).collect()}
+    compact_rollup(spark, path)
+    after = {(str(r["day"]), r["level"]): r["total"] for r in read_rollup(spark, path).collect()}
+    assert before == after
+    # compacted: one row per key on disk now
+    raw = spark.read.parquet(path)
+    assert raw.count() == raw.select("day", "level").distinct().count()

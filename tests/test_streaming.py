@@ -1,0 +1,139 @@
+"""Structured Streaming tests (SURVEY S1-S3, S7, C6-C10) — hermetic:
+file-source replay of the reference wire format, no broker needed."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from kafka_clickhouse_implementation_spark.operators.tier_a import daily_counts
+from kafka_clickhouse_implementation_spark.plans.layout import read_rollup
+from kafka_clickhouse_implementation_spark.schemas import EVENTS_SCHEMA, QUEUE_WIRE_SCHEMA
+from kafka_clickhouse_implementation_spark.sources.streams import file_stream, write_wire_format
+from kafka_clickhouse_implementation_spark.streaming.pipeline import (
+    decoded_events,
+    deduped_stream,
+    run_mv_pipeline,
+    windowed_counts,
+)
+
+
+def _events(spark, n=200):
+    rows = [
+        (
+            i,
+            dt.datetime(2024, 1, 1) + dt.timedelta(hours=i % 72),
+            i % 5,
+            ["click", "view", "error", "signup", "purchase"][i % 5],
+            1.0,
+            '{"k": %d}' % i,
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, schema=EVENTS_SCHEMA)
+
+
+def test_wire_format_roundtrip(spark, tmp_path):
+    """S1 producer → wire JSON → declared-schema decode == original."""
+    ev = _events(spark, 50)
+    wire_dir = str(tmp_path / "wire")
+    write_wire_format(ev, wire_dir)
+    back = spark.read.schema(QUEUE_WIRE_SCHEMA).json(wire_dir)
+    assert back.count() == 50
+    assert back.filter(F.col("level").isNull()).count() == 0
+    # epoch-seconds round back to the original timestamps
+    orig = {r["event_id"]: r["ts"] for r in ev.collect()}
+    decoded = back.select(F.to_timestamp(F.from_unixtime("timestamp")).alias("t")).collect()
+    assert {r["t"] for r in decoded} <= {t.replace(microsecond=0) for t in orig.values()}
+
+
+def test_mv_pipeline_matches_batch(spark, tmp_path):
+    """The streaming MV (per-batch partials + read-time re-agg) must
+    equal the batch daily_counts over the same data — the Direct-vs-MV
+    agreement claim (kafka+clickhouse.md:266-272)."""
+    ev = _events(spark, 200)
+    wire_dir, rollup_dir, ckpt = (str(tmp_path / d) for d in ("wire", "rollup", "ckpt"))
+    write_wire_format(ev, wire_dir)
+    run_mv_pipeline(spark, wire_dir, rollup_dir, ckpt)
+    got = {
+        (str(r["day"]), r["level"]): r["total"]
+        for r in read_rollup(spark, rollup_dir).collect()
+    }
+    # batch twin on second-truncated timestamps (wire format is epoch-sec)
+    want = {
+        (str(r["day"]), r["level"]): r["total"]
+        for r in daily_counts(
+            ev.withColumn("ts", F.to_timestamp(F.from_unixtime(F.unix_timestamp("ts"))))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_mv_pipeline_restart_is_exactly_once(spark, tmp_path):
+    """C10 — re-running with the same checkpoint must not double-count."""
+    ev = _events(spark, 100)
+    wire_dir, rollup_dir, ckpt = (str(tmp_path / d) for d in ("wire", "rollup", "ckpt"))
+    write_wire_format(ev, wire_dir)
+    run_mv_pipeline(spark, wire_dir, rollup_dir, ckpt)
+    first = sorted(
+        (str(r["day"]), r["level"], r["total"]) for r in read_rollup(spark, rollup_dir).collect()
+    )
+    # restart: same checkpoint, no new files → no new partials
+    run_mv_pipeline(spark, wire_dir, rollup_dir, ckpt)
+    second = sorted(
+        (str(r["day"]), r["level"], r["total"]) for r in read_rollup(spark, rollup_dir).collect()
+    )
+    assert first == second
+
+
+def test_windowed_counts_with_watermark(spark, tmp_path):
+    """C6/C8 — stateful tumbling-window counts over the file stream,
+    collected via a memory sink."""
+    ev = _events(spark, 120)
+    wire_dir = str(tmp_path / "wire")
+    write_wire_format(ev, wire_dir)
+    agg = windowed_counts(decoded_events(file_stream(spark, wire_dir)))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (str(r["day"]), r["level"]): r["total"]
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    want = {
+        (str(r["day"]), r["level"]): r["total"]
+        for r in daily_counts(
+            ev.withColumn("ts", F.to_timestamp(F.from_unixtime(F.unix_timestamp("ts"))))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_streaming_dedup(spark, tmp_path):
+    """C9 — dropDuplicatesWithinWatermark removes wire-level replays."""
+    ev = _events(spark, 40)
+    wire_dir = str(tmp_path / "wire")
+    # write the same events twice = duplicated messages on the topic
+    write_wire_format(ev, str(tmp_path / "wire/a".replace("/", "_")))
+    write_wire_format(ev, wire_dir + "/batch1")
+    write_wire_format(ev, wire_dir + "/batch2")
+    stream = spark.readStream.schema(QUEUE_WIRE_SCHEMA).json(wire_dir + "/*")
+    dd = deduped_stream(decoded_events(stream))
+    q = (
+        dd.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    q.awaitTermination()
+    n = spark.sql("SELECT count(*) AS n FROM dedup_out").head()["n"]
+    assert n == 40
