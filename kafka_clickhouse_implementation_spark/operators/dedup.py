@@ -171,14 +171,21 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band, bucket), then only candidates get exact verification."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
+    # Shingle (3-gram), not unigram: the minhash of a unigram set over a
+    # small vocabulary collides constantly, ballooning every LSH bucket
+    # toward all-pairs; shingles keep buckets selective.
     docs = load(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("tokens")
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, greatest(size(split(text, ' ')) - 3, 0)),"
+            " i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"
+        ).alias("tokens"),
     )
     tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 18, binary=True)
     feats = tf.transform(docs)
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=5, seed=42)
     model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, threshold=0.9, distCol="jaccard_dist")
+    pairs = model.approxSimilarityJoin(feats, feats, threshold=0.6, distCol="jaccard_dist")
     cand = pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
     return cand.agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
 

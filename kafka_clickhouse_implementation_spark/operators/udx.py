@@ -78,13 +78,17 @@ def q_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _tokenize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """UDTF: one document row in → one row per token out."""
+    """UDTF: one document row in → one row per token out (vectorized:
+    numpy repeat + single concatenation, no per-row Python loop)."""
+    import itertools
+
     for pdf in batches:
         toks = pdf["text"].str.split(" ")
+        lens = toks.str.len().to_numpy()
         yield pd.DataFrame(
             {
-                "doc_id": pdf["doc_id"].repeat(toks.str.len()),
-                "token": [t for lst in toks for t in lst],
+                "doc_id": np.repeat(pdf["doc_id"].to_numpy(), lens),
+                "token": list(itertools.chain.from_iterable(toks)),
             }
         )
 

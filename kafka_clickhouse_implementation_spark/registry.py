@@ -59,6 +59,7 @@ def _load_operator_modules() -> None:
         dedup,
         multimodal,
         relational,
+        relational_ext,
         sessions,
         similarity,
         text,
