@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafka_clickhouse_implementation_spark.functions.numeric import dsum
 from kafka_clickhouse_implementation_spark.io import load, register_views
 from kafka_clickhouse_implementation_spark.registry import query
 
@@ -124,7 +125,7 @@ def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_revenue_by_nation",
     oracle="""
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -147,7 +148,7 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
 
 
@@ -160,7 +161,7 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            round(min(l_quantity), 2) AS min_qty,
            round(max(l_quantity), 2) AS max_qty,
-           round(avg(l_quantity), 4) AS avg_qty,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_qty,
            count(DISTINCT l_partkey) AS distinct_parts
     FROM lineitem GROUP BY 1
     """,
@@ -173,7 +174,8 @@ def q_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.round(F.min("l_quantity"), 2).alias("min_qty"),
         F.round(F.max("l_quantity"), 2).alias("max_qty"),
-        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1)), 4).alias("avg_qty"),
         F.countDistinct("l_partkey").alias("distinct_parts"),
     )
 
@@ -182,13 +184,13 @@ def q_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 4) AS avg_qty,
-           round(avg(l_extendedprice), 4) AS avg_price,
-           round(avg(l_discount), 4) AS avg_disc,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_base_price,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_disc_price,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_charge,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -205,13 +207,19 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1)), 4).alias("avg_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1)), 4).alias("avg_price"),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1)), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -270,7 +278,7 @@ def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_topk_spenders",
     oracle="""
-    SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spent
+    SELECT o_custkey, round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_spent
     FROM orders GROUP BY 1
     ORDER BY total_spent DESC, o_custkey LIMIT 5
     """,
@@ -282,7 +290,7 @@ def q_topk_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     return (
         orders.groupBy("o_custkey")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spent"))
+        .agg(dsum(F.col("o_totalprice")).alias("total_spent"))
         .orderBy(F.col("total_spent").desc(), F.col("o_custkey"))
         .limit(5)
     )
@@ -480,7 +488,7 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_math_funcs",
     oracle="""
     SELECT c_mktsegment,
-           round(avg(abs(c_acctbal)), 2) AS avg_abs,
+           round(CAST(sum(CAST(abs(c_acctbal) AS DECIMAL(18,4))) AS DOUBLE) / count(*), 2) AS avg_abs,
            CAST(sum(CAST(floor(c_acctbal) AS BIGINT)) AS BIGINT) AS sum_floor,
            CAST(sum(CAST(ceil(c_acctbal) AS BIGINT)) AS BIGINT) AS sum_ceil,
            round(sqrt(avg(c_acctbal * c_acctbal)), 2) AS rms,
@@ -493,7 +501,8 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B19 — math function suite: abs/floor/ceil/sqrt/ln/modulo."""
     c = load(spark, sf_dir, "customer")
     return c.groupBy("c_mktsegment").agg(
-        F.round(F.avg(F.abs(F.col("c_acctbal"))), 2).alias("avg_abs"),
+        F.round(F.sum(F.abs(F.col("c_acctbal")).cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1)), 2).alias("avg_abs"),
         F.sum(F.floor(F.col("c_acctbal"))).alias("sum_floor"),
         F.sum(F.ceil(F.col("c_acctbal"))).alias("sum_ceil"),
         F.round(F.sqrt(F.avg(F.col("c_acctbal") * F.col("c_acctbal"))), 2).alias("rms"),

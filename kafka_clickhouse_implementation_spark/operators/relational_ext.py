@@ -16,6 +16,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_clickhouse_implementation_spark.functions.numeric import dsum
 from kafka_clickhouse_implementation_spark.io import load
 from kafka_clickhouse_implementation_spark.registry import query
 
@@ -84,10 +85,11 @@ def q_corr_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_cond_agg",
     oracle="""
     SELECT l_returnflag,
-           round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2)
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) FILTER (WHERE l_discount > 0.05) AS DOUBLE), 2)
              AS discounted_revenue,
            CAST(count(*) FILTER (WHERE l_quantity >= 25) AS BIGINT) AS n_bulk,
-           round(avg(l_extendedprice) FILTER (WHERE l_tax = 0), 4) AS avg_notax_price
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) FILTER (WHERE l_tax = 0) AS DOUBLE)
+                 / count(*) FILTER (WHERE l_tax = 0), 4) AS avg_notax_price
     FROM lineitem GROUP BY 1
     """,
 )
@@ -97,12 +99,13 @@ def q_cond_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(
-            F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))), 2
+            F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice")).cast("decimal(18,4)")).cast("double"), 2
         ).alias("discounted_revenue"),
         F.count(F.when(F.col("l_quantity") >= 25, 1)).alias("n_bulk"),
-        F.round(F.avg(F.when(F.col("l_tax") == 0, F.col("l_extendedprice"))), 4).alias(
-            "avg_notax_price"
-        ),
+        F.round(
+            F.sum(F.when(F.col("l_tax") == 0, F.col("l_extendedprice")).cast("decimal(18,4)")).cast("double")
+            / F.count(F.when(F.col("l_tax") == 0, 1)), 4
+        ).alias("avg_notax_price"),
     )
 
 
@@ -110,8 +113,8 @@ def q_cond_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_pivot",
     oracle="""
     SELECT l_returnflag,
-           round(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0), 2) AS O,
-           round(coalesce(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0), 2) AS F
+           round(CAST(coalesce(sum(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity END AS DECIMAL(18,4))), 0) AS DOUBLE), 2) AS O,
+           round(CAST(coalesce(sum(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity END AS DECIMAL(18,4))), 0) AS DOUBLE), 2) AS F
     FROM lineitem GROUP BY 1
     """,
 )
@@ -122,12 +125,12 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
-        .agg(F.sum("l_quantity"))
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")))
     )
     return out.select(
         "l_returnflag",
-        F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("O"),
-        F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("F"),
+        F.round(F.coalesce(F.col("O").cast("double"), F.lit(0.0)), 2).alias("O"),
+        F.round(F.coalesce(F.col("F").cast("double"), F.lit(0.0)), 2).alias("F"),
     )
 
 
@@ -241,7 +244,8 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_union_by_name",
     oracle="""
-    SELECT CAST(count(*) AS BIGINT) AS n_rows, round(sum(v), 2) AS total_bal
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(CAST(sum(CAST(v AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_bal
     FROM (
       SELECT c_custkey AS k, c_acctbal AS v FROM customer
       UNION ALL BY NAME
@@ -258,7 +262,7 @@ def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_acctbal").alias("v"), F.col("s_suppkey").alias("k")
     )
     u = c.unionByName(s)
-    return u.agg(F.count(F.lit(1)).alias("n_rows"), F.round(F.sum("v"), 2).alias("total_bal"))
+    return u.agg(F.count(F.lit(1)).alias("n_rows"), dsum(F.col("v")).alias("total_bal"))
 
 
 @query(
@@ -327,6 +331,90 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sliding_window",
+    oracle="""
+    SELECT ws_epoch, level, count(*) AS n FROM (
+      SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS ws_epoch,
+             event_type AS level
+      FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+      UNION ALL
+      SELECT CAST(floor((epoch(ts) - 300) / 600) * 600 + 300 AS BIGINT) AS ws_epoch,
+             event_type AS level
+      FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+    ) GROUP BY 1, 2
+    """,
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window counts (10-minute windows every 5 minutes) as a
+    batch query — each event lands in exactly two windows; Spark's
+    window() expands them inline (no self-join). Window starts emitted
+    as epoch seconds (engine-portable; no tz-typed timestamps). The
+    streaming twin is the same groupBy over readStream (C7)."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-02 00:00:00").cast("timestamp")
+    )
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"),
+            F.col("event_type").alias("level"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_timestamp(F.col("w.start")).alias("ws_epoch"), "level", "n")
+    )
+
+
+@query(
+    "q_salted_agg",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation pattern, oracle-checked for transparency: a hot
+    grouping key is salted (key, hash%16), partially aggregated per
+    salt, then re-aggregated — two small shuffles instead of one skewed
+    one. Result is provably identical to the direct groupBy (that's the
+    oracle). At 100 TB this is the manual fallback when AQE skew
+    handling can't split a single hot aggregation key."""
+    ev = load(spark, sf_dir, "events")
+    salted = (
+        ev.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+        .groupBy("event_type", "salt")
+        .agg(F.count(F.lit(1)).alias("pn"), F.sum(F.col("value").cast("decimal(18,4)")).alias("pv"))
+    )
+    return (
+        salted.groupBy("event_type")
+        .agg(F.sum("pn").alias("n"), F.round(F.sum("pv").cast("double"), 2).alias("total_value"))
+    )
+
+
+@query(
+    "q_map_funcs",
+    oracle="""
+    SELECT key, count(*) AS n
+    FROM (SELECT unnest(json_keys(props)) AS key FROM events)
+    GROUP BY 1
+    """,
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed decode of the JSON props payload (the reference's
+    stringified metadata object, kafka+clickhouse.md:152) → map_keys →
+    explode → key frequency."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.explode(
+                F.map_keys(F.from_json("props", "map<string,string>"))
+            ).alias("key")
+        )
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
     "q_range_join",
     oracle="""
     WITH buckets(name, lo, hi) AS (
@@ -334,7 +422,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              ('mid', 20.0, 60.0), ('large', 60.0, 1e9)
     )
     SELECT b.name, CAST(count(*) AS BIGINT) AS n,
-           round(sum(e.value), 2) AS total_value
+           round(CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value
     FROM events e JOIN buckets b ON e.value >= b.lo AND e.value < b.hi
     GROUP BY 1
     """,
@@ -354,5 +442,5 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.groupBy("name").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        dsum(F.col("value")).alias("total_value"),
     )

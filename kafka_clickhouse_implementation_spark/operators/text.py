@@ -108,6 +108,56 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_token_count_bpe",
+    oracle="""
+    SELECT CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT)
+             AS total_subtokens,
+           round(avg(CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS DOUBLE)), 4)
+             AS avg_subtokens
+    FROM documents
+    """,
+)
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting: split into letter-runs, digit-runs,
+    and single punctuation marks — the pre-tokenization pass a BPE
+    tokenizer applies before merges. regexp stays JVM-side."""
+    docs = load(spark, sf_dir, "documents")
+    ntok = F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0)))
+    return docs.agg(
+        F.sum(ntok).cast("long").alias("total_subtokens"),
+        F.round(F.avg(ntok.cast("double")), 4).alias("avg_subtokens"),
+    )
+
+
+@query(
+    "q_rolling_hash",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ' '),
+                              t -> CAST(length(t) * 7 + ascii(t) AS BIGINT))),
+             (acc, x) -> (acc * 131 + x) % 1000000007
+           ) AS roll_hash
+    FROM documents WHERE doc_id < 25
+    """,
+)
+def q_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint (base 131, modulo a
+    prime) over the token stream — order-sensitive, unlike the md5
+    fingerprint, so reordered documents hash differently. Pure
+    higher-order `aggregate`, no UDF."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 25)
+    tok_vals = F.transform(
+        F.split("text", " "), lambda t: (F.length(t) * 7 + F.ascii(t)).cast("long")
+    )
+    roll = F.aggregate(
+        tok_vals, F.lit(0).cast("long"), lambda acc, x: (acc * 131 + x) % 1000000007
+    )
+    return docs.select("doc_id", roll.alias("roll_hash"))
+
+
+@query(
     "q_lang_id",
     oracle="""
     SELECT lang,

@@ -64,6 +64,7 @@ def _load_operator_modules() -> None:
         similarity,
         text,
         tier_a,
+        tpch,
         udx,
     )
     from kafka_clickhouse_implementation_spark.streaming import pipeline  # noqa: F401
