@@ -1,0 +1,81 @@
+"""Physical-plan invariants — the scale contract, asserted, not hoped:
+filters push to scans, dims broadcast, top-k never globally sorts,
+bucketed joins don't shuffle."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_clickhouse_implementation_spark.plans.bucketing import bucketed_join, write_bucketed
+from kafka_clickhouse_implementation_spark.registry import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """q_opens_for_campaign's equality filters must appear as scan-level
+    DataFilters (pushed to parquet), not post-scan Filter only."""
+    df = all_queries()["q_opens_for_campaign"](spark, SF)
+    plan = _plan(df)
+    scan_lines = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert any("user_id" in l and "click" in l for l in scan_lines), plan
+
+
+def test_column_pruning(spark):
+    """A two-column projection must not read all six event columns."""
+    df = all_queries()["q_mv_daily"](spark, SF)
+    plan = _plan(df)
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "value" not in scan and "props" not in scan, scan
+
+
+def test_dim_join_broadcasts(spark):
+    plan = _plan(all_queries()["q_join_broadcast_nation"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_topk_is_take_ordered_not_global_sort(spark):
+    plan = _plan(all_queries()["q_topk_spenders"](spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q6_partial_aggregation(spark):
+    """Q6 must partial-aggregate before any exchange (map-side combine)."""
+    plan = _plan(all_queries()["q_tpch_q6"](spark, SF))
+    assert "partial_sum" in plan, plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Same-bucketed tables joined on the bucket key: no Exchange under
+    the join — the write-time shuffle amortizes across joins."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        lineitem = spark.read.parquet(f"{SF}/lineitem.parquet").withColumnRenamed(
+            "l_orderkey", "o_orderkey"
+        )
+        write_bucketed(orders, "t_orders_b", ("o_orderkey",), 8)
+        write_bucketed(lineitem, "t_lineitem_b", ("o_orderkey",), 8)
+        j = bucketed_join(spark, "t_orders_b", "t_lineitem_b", on=["o_orderkey"])
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        # and the join actually works
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_semi_join_prunes_payload(spark):
+    """Left-semi join must not carry right-side payload columns."""
+    plan = _plan(all_queries()["q_semi_anti"](spark, SF))
+    assert "LeftSemi" in plan, plan

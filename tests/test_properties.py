@@ -1,0 +1,72 @@
+"""Property-based tests (hypothesis): engine operators vs independent
+pure-Python models on randomized inputs."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from kafka_clickhouse_implementation_spark.operators.sessions import sessionize
+from kafka_clickhouse_implementation_spark.schemas import EVENTS_SCHEMA
+
+TOKEN = st.text(alphabet="abcdefgh", min_size=1, max_size=6)
+
+
+def _py_rolling_hash(tokens: list[str]) -> int:
+    h = 0
+    for t in tokens:
+        h = (h * 131 + len(t) * 7 + ord(t[0])) % 1000000007
+    return h
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(TOKEN, min_size=1, max_size=12))
+def test_rolling_hash_matches_python_model(tokens):
+    # model only — the Spark twin is asserted once below on a batch
+    h = _py_rolling_hash(tokens)
+    assert 0 <= h < 1000000007
+
+
+def test_rolling_hash_spark_vs_python(spark):
+    import random
+
+    random.seed(7)
+    docs = [
+        (i, " ".join(random.choice("ab cd efg hi jkl".split()) for _ in range(random.randint(1, 20))))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    tok_vals = F.transform(
+        F.split("text", " "), lambda t: (F.length(t) * 7 + F.ascii(t)).cast("long")
+    )
+    roll = F.aggregate(tok_vals, F.lit(0).cast("long"), lambda a, x: (a * 131 + x) % 1000000007)
+    got = {r["doc_id"]: r["h"] for r in df.select("doc_id", roll.alias("h")).collect()}
+    want = {i: _py_rolling_hash(t.split(" ")) for i, t in docs}
+    assert got == want
+
+
+def _py_sessions(times: list[int], gap_s: int = 1800) -> int:
+    n = 0
+    prev = None
+    for t in sorted(times):
+        if prev is None or t - prev > gap_s:
+            n += 1
+        prev = t
+    return n
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=200_000), min_size=1, max_size=30, unique=True)
+)
+def test_sessionize_matches_python_model_prop(spark, times):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=t), 1, "click", 1.0, None)
+        for i, t in enumerate(times)
+    ]
+    ev = spark.createDataFrame(rows, schema=EVENTS_SCHEMA)
+    got = sessionize(ev).agg(F.max("session_id").alias("m")).head()["m"]
+    assert got == _py_sessions(times)

@@ -116,6 +116,38 @@ def test_windowed_counts_with_watermark(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_session_window(spark, tmp_path):
+    """C7 — native session_window aggregation over the stream: events
+    closer than 30 minutes merge into one session per level."""
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base, 1, "click", 1.0, None),
+        (2, base + dt.timedelta(minutes=5), 1, "click", 1.0, None),
+        (3, base + dt.timedelta(minutes=90), 1, "click", 1.0, None),
+    ]
+    ev = spark.createDataFrame(rows, schema=EVENTS_SCHEMA)
+    wire_dir = str(tmp_path / "wire")
+    write_wire_format(ev, wire_dir)
+    stream = decoded_events(file_stream(spark, wire_dir))
+    agg = (
+        stream.withWatermark("event_ts", "1 hour")
+        .groupBy(F.session_window("event_ts", "30 minutes").alias("w"), F.col("level"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("level", "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .start()
+    )
+    q.awaitTermination()
+    ns = sorted(r["n"] for r in spark.sql("SELECT * FROM sess_out").collect())
+    assert ns == [1, 2]  # two sessions: {e1,e2} and {e3}
+
+
 def test_streaming_dedup(spark, tmp_path):
     """C9 — dropDuplicatesWithinWatermark removes wire-level replays."""
     ev = _events(spark, 40)
