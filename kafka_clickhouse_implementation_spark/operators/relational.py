@@ -383,6 +383,85 @@ def q_window_runsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_window_analytics",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           round(percent_rank() OVER w, 6) AS prank,
+           first_value(event_id) OVER w AS first_ev,
+           last_value(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND UNBOUNDED FOLLOWING) AS last_ev
+    FROM events WHERE user_id IN (4, 5)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window analytics suite: ntile/percent_rank/first_value/last_value
+    (last_value over the full-partition frame — the default running
+    frame is a classic correctness trap)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.filter(F.col("user_id").isin(4, 5)).select(
+        "user_id",
+        "event_id",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.first("event_id").over(w).alias("first_ev"),
+        F.last("event_id").over(wfull).alias("last_ev"),
+    )
+
+
+@query(
+    "q_regex_funcs",
+    oracle="""
+    SELECT CAST(sum(CASE WHEN regexp_matches(c_name, '00+42$') THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_suffix_42,
+           count(DISTINCT regexp_extract(c_name, '([0-9]+)', 1)) AS n_distinct_ids,
+           min(regexp_replace(c_name, '[0-9]+', '#')) AS min_masked
+    FROM customer
+    """,
+)
+def q_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex suite: match / extract / replace, all JVM-side."""
+    c = load(spark, sf_dir, "customer")
+    return c.agg(
+        F.sum(F.when(F.col("c_name").rlike("00+42$"), 1).otherwise(0)).alias("n_suffix_42"),
+        F.countDistinct(F.regexp_extract("c_name", "([0-9]+)", 1)).alias("n_distinct_ids"),
+        F.min(F.regexp_replace("c_name", "[0-9]+", "#")).alias("min_masked"),
+    )
+
+
+@query(
+    "q_null_funcs",
+    oracle="""
+    SELECT coalesce(NULLIF(event_type, 'error'), 'was_error') AS et,
+           count(*) AS n,
+           CAST(sum(CASE WHEN value IS NOT NULL AND isnan(value) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nan
+    FROM events GROUP BY 1
+    """,
+)
+def q_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling suite: nullif/coalesce/isnan."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.coalesce(F.nullif(F.col("event_type"), F.lit("error")), F.lit("was_error")).alias("et"),
+            "value",
+        )
+        .groupBy("et")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("value").isNotNull() & F.isnan("value"), 1).otherwise(0)
+            ).alias("n_nan"),
+        )
+    )
+
+
 # --- set ops / conditional / scalar functions ------------------------------
 
 
