@@ -81,6 +81,84 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_tpch_q14_shape",
+    oracle="""
+    SELECT round(
+             100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+                                   THEN l_extendedprice * (1 - l_discount) END
+                              AS DECIMAL(18,4))) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+             4) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    """,
+)
+def q_tpch_q14_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): conditional-sum ratio over a
+    fact⋈dim join. Part (2k rows) broadcasts; one aggregation pass
+    computes both numerator and denominator."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(promo.cast("decimal(18,4)")).cast("double")
+                / F.sum(rev.cast("decimal(18,4)")).cast("double"),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "q_tpch_q18_shape",
+    oracle="""
+    SELECT c_custkey, o_orderkey,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150
+    )
+    GROUP BY c_custkey, o_orderkey
+    ORDER BY total_qty DESC, o_orderkey LIMIT 20
+    """,
+)
+def q_tpch_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume orders): IN over a grouped-HAVING
+    subquery (planned as an aggregate + semi join), then re-join and
+    top-20. The HAVING pre-filter shrinks the join input before any
+    wide shuffle."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "o_orderkey")
+        .agg(dsum(F.col("l_quantity")).alias("total_qty"))
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+@query(
     "q_tpch_q10_shape",
     oracle="""
     SELECT c_custkey, c_name,
