@@ -95,6 +95,60 @@ def deduped_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def enriched_stream(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    (broadcast) dimension snapshot — the streaming analogue of
+    ClickHouse dictionary lookups. The dim is re-resolved per batch, so
+    slowly-changing dimensions pick up updates without restarts."""
+    from pyspark.sql import functions as F2
+
+    return events.join(F2.broadcast(dim), on=on, how="left")
+
+
+def stream_stream_join(
+    left: DataFrame, right: DataFrame, watermark: str = "1 hour", within: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream inner join with watermarked state: rows pair only
+    within the `within` interval, letting the state store evict both
+    sides past the watermark. State is bounded by rate × (watermark +
+    within), not stream length."""
+    l = left.withWatermark("event_ts", watermark).alias("l")
+    r = right.withWatermark("event_ts", watermark).alias("r")
+    return l.join(
+        r,
+        F.expr(
+            f"""
+            l.level = r.level AND
+            r.event_ts BETWEEN l.event_ts AND l.event_ts + INTERVAL {within}
+            """
+        ),
+    )
+
+
+def decoded_events_permissive(spark: SparkSession, wire_dir: str) -> DataFrame:
+    """Wire decode that tolerates malformed messages — the reference's
+    consumer error-check path (skip bad messages, keep consuming,
+    kafka+clickhouse.md:139-141): corrupt JSON lines land in
+    `_corrupt_record` instead of failing the batch; callers filter or
+    route them to a dead-letter sink."""
+    from pyspark.sql import types as T
+
+    schema_with_corrupt = T.StructType(
+        [
+            T.StructField("timestamp", T.LongType(), True),
+            T.StructField("level", T.StringType(), True),
+            T.StructField("message", T.StringType(), True),
+            T.StructField("_corrupt_record", T.StringType(), True),
+        ]
+    )
+    return (
+        spark.readStream.schema(schema_with_corrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(wire_dir)
+    )
+
+
 @query("q_stream_mv_daily")  # no-oracle: streaming-only semantics; batch twin is q_mv_daily
 def q_stream_mv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1-S3 + S7/C6 + S6/A7 end-to-end, hermetically: replay the

@@ -13,8 +13,11 @@ from kafka_clickhouse_implementation_spark.schemas import EVENTS_SCHEMA, QUEUE_W
 from kafka_clickhouse_implementation_spark.sources.streams import file_stream, write_wire_format
 from kafka_clickhouse_implementation_spark.streaming.pipeline import (
     decoded_events,
+    decoded_events_permissive,
     deduped_stream,
+    enriched_stream,
     run_mv_pipeline,
+    stream_stream_join,
     windowed_counts,
 )
 
@@ -146,6 +149,79 @@ def test_streaming_session_window(spark, tmp_path):
     q.awaitTermination()
     ns = sorted(r["n"] for r in spark.sql("SELECT * FROM sess_out").collect())
     assert ns == [1, 2]  # two sessions: {e1,e2} and {e3}
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    """Each micro-batch joins the broadcast dim snapshot (dictionary-
+    lookup analogue)."""
+    ev = _events(spark, 50)
+    wire_dir = str(tmp_path / "wire")
+    write_wire_format(ev, wire_dir)
+    dim = spark.createDataFrame(
+        [("click", "interaction"), ("view", "interaction"), ("error", "fault"),
+         ("signup", "conversion"), ("purchase", "conversion")],
+        ["level", "category"],
+    )
+    out = enriched_stream(decoded_events(file_stream(spark, wire_dir)), dim, on="level")
+    q = (
+        out.groupBy("category").count()
+        .writeStream.format("memory").queryName("enriched")
+        .outputMode("complete").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_enr")).start()
+    )
+    q.awaitTermination()
+    got = {r["category"]: r["count"] for r in spark.sql("SELECT * FROM enriched").collect()}
+    assert sum(got.values()) == 50 and set(got) <= {"interaction", "fault", "conversion"}
+
+
+def test_stream_stream_join_within_interval(spark, tmp_path):
+    """Watermarked stream-stream join pairs rows of the same level
+    within 30 minutes (state evicted past the watermark)."""
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left_rows = [(1, base, 1, "click", 1.0, None)]
+    right_rows = [
+        (2, base + dt.timedelta(minutes=10), 1, "click", 1.0, None),   # within
+        (3, base + dt.timedelta(hours=3), 1, "click", 1.0, None),      # outside
+    ]
+    lw, rw = str(tmp_path / "lw"), str(tmp_path / "rw")
+    write_wire_format(spark.createDataFrame(left_rows, schema=EVENTS_SCHEMA), lw)
+    write_wire_format(spark.createDataFrame(right_rows, schema=EVENTS_SCHEMA), rw)
+    j = stream_stream_join(
+        decoded_events(file_stream(spark, lw)),
+        decoded_events(file_stream(spark, rw)),
+    )
+    q = (
+        j.select(F.col("l.event_ts").alias("lt"), F.col("r.event_ts").alias("rt"))
+        .writeStream.format("memory").queryName("ssj")
+        .outputMode("append").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj")).start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM ssj").collect()
+    assert len(rows) == 1  # only the within-interval pair
+
+def test_corrupt_wire_records_quarantined(spark, tmp_path):
+    """Malformed wire messages must not fail the batch — they land in
+    _corrupt_record (the reference consumer's skip-bad-message path)."""
+    wire_dir = str(tmp_path / "wire")
+    import os
+    os.makedirs(wire_dir)
+    with open(os.path.join(wire_dir, "part-0.json"), "w") as f:
+        f.write('{"timestamp": 1704067200, "level": "click", "message": "{}"}\n')
+        f.write("this is not json\n")
+        f.write('{"timestamp": 1704067260, "level": "view", "message": "{}"}\n')
+    stream = decoded_events_permissive(spark, wire_dir)
+    q = (
+        stream.writeStream.format("memory").queryName("permissive")
+        .outputMode("append").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_perm")).start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM permissive").collect()
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(good) == 2 and len(bad) == 1
+    assert bad[0]["level"] is None
 
 
 def test_streaming_dedup(spark, tmp_path):
