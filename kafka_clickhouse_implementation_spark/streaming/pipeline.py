@@ -163,13 +163,16 @@ def q_stream_mv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     wire_dir = os.path.join(base, "wire")
     rollup_dir = os.path.join(base, "rollup")
     checkpoint_dir = os.path.join(base, "ckpt")
-    # fresh run each invocation: replayability from offset 0
-    # ('auto.offset.reset': 'earliest', kafka+clickhouse.md:130)
+    # fresh rollup/offsets each invocation: replayability from offset 0
+    # ('auto.offset.reset': 'earliest', kafka+clickhouse.md:130). The
+    # wire replay itself is immutable per sf_dir and reused.
     import shutil
 
-    shutil.rmtree(base, ignore_errors=True)
+    shutil.rmtree(rollup_dir, ignore_errors=True)
+    shutil.rmtree(checkpoint_dir, ignore_errors=True)
 
-    events = load(spark, sf_dir, "events")
-    write_wire_format(events, wire_dir)
+    if not os.path.exists(os.path.join(wire_dir, "_SUCCESS")):
+        events = load(spark, sf_dir, "events")
+        write_wire_format(events, wire_dir)
     run_mv_pipeline(spark, wire_dir, rollup_dir, checkpoint_dir)
     return read_rollup(spark, rollup_dir)
