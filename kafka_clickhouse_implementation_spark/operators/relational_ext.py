@@ -415,6 +415,68 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_gap_fill",
+    oracle="""
+    WITH days AS (
+      SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+    ),
+    counts AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events WHERE event_type = 'purchase' AND user_id < 5
+      GROUP BY 1
+    )
+    SELECT d.day, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+    FROM days d LEFT JOIN counts c ON d.day = c.day
+    """,
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse `ORDER BY ... WITH FILL` parity: a dense daily time
+    axis generated with sequence() + explode, left-joined to the sparse
+    counts, gaps filled with 0. The axis side is tiny and broadcast —
+    gap filling never rescans the fact table."""
+    ev = load(spark, sf_dir, "events")
+    counts = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("user_id") < 5))
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-01-30").cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day")
+    )
+    return (
+        F.broadcast(days)
+        .join(counts, "day", "left")
+        .select("day", F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("n"))
+    )
+
+
+@query(
+    "q_systematic_sample",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+           round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sample_value
+    FROM events WHERE event_id % 100 = 0
+    """,
+)
+def q_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 1% systematic sample (key-modulo). TABLESAMPLE is
+    engine-random and unreproducible across engines; modulo sampling is
+    the reproducible, pushdown-friendly scale alternative."""
+    ev = load(spark, sf_dir, "events")
+    return ev.filter(F.col("event_id") % 100 == 0).agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        dsum(F.col("value")).alias("sample_value"),
+    )
+
+
+@query(
     "q_range_join",
     oracle="""
     WITH buckets(name, lo, hi) AS (

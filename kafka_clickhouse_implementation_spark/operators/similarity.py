@@ -101,6 +101,89 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(cand, qvec, k=10, exclude_id=None)
 
 
+@query("q_ann_recall")  # no-oracle: evaluates the ANN paths against brute force
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-evaluation: recall@10 of the sign-LSH candidate path against
+    brute-force ground truth over 20 probe vectors — the quality metric
+    you track when tuning n_bits/nprobe at scale. Fully distributed:
+    the probe matrix is broadcast, every (probe, corpus) similarity is
+    scored in one vectorized mapInPandas pass, top-10s come from one
+    window rank; no per-probe driver loop.
+
+    Note: the synthetic embeddings are isotropic Gaussian — the
+    theoretical worst case for LSH (no locality to exploit), so
+    absolute recall here is low by construction; on real clustered
+    embeddings the same pipeline reports usefully high recall, and a
+    regression in this metric flags a broken bucketer either way."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    n_bits = 6
+    bucketed = emb.select("vec_id", "embedding", lsh_bucket_column(n_bits=n_bits).alias("bucket"))
+
+    probe_rows = (
+        bucketed.orderBy("vec_id").limit(20).select("vec_id", "embedding", "bucket").collect()
+    )
+    p_ids = np.array([r["vec_id"] for r in probe_rows], dtype=np.int64)
+    p_mat = np.array([r["embedding"] for r in probe_rows], dtype=np.float64)
+    p_mat = p_mat / np.linalg.norm(p_mat, axis=1, keepdims=True)
+    p_buckets = {r["vec_id"]: r["bucket"] for r in probe_rows}
+    sc = spark.sparkContext
+    b_pids, b_pmat = sc.broadcast(p_ids), sc.broadcast(p_mat)
+
+    def score_all(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            m = np.stack(pdf["embedding"].map(lambda a: np.asarray(a, dtype=np.float64)))
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = b_pmat.value @ m.T  # (probes, batch)
+            npb, nb = sims.shape
+            yield pd.DataFrame(
+                {
+                    "probe_id": np.repeat(b_pids.value, nb),
+                    "vec_id": np.tile(pdf["vec_id"].to_numpy(), npb),
+                    "sim": sims.ravel(),
+                    "bucket": np.tile(pdf["bucket"].to_numpy(), npb),
+                }
+            )
+
+    scored = bucketed.mapInPandas(
+        score_all, schema="probe_id long, vec_id long, sim double, bucket long"
+    ).filter(F.col("probe_id") != F.col("vec_id"))
+
+    w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    truth = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 10)
+
+    # multi-probe LSH: search the probe's own bucket plus every bucket
+    # at Hamming distance 1 — the standard recall lever that costs
+    # (n_bits+1)× candidates instead of more hash tables
+    probe_buckets = [
+        (int(pid), int(b) ^ (1 << i)) for pid, b in p_buckets.items() for i in range(n_bits)
+    ] + [(int(pid), int(b)) for pid, b in p_buckets.items()]
+    probe_bucket_df = spark.createDataFrame(
+        sorted(set(probe_buckets)), "probe_id long, bucket long"
+    )
+    in_bucket = scored.join(F.broadcast(probe_bucket_df), ["probe_id", "bucket"])
+    got = in_bucket.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 10)
+
+    hits = truth.join(got, ["probe_id", "vec_id"], "left_semi")
+    all_probes = spark.createDataFrame([(int(p),) for p in p_ids], "probe_id long")
+    per_probe = (
+        all_probes.join(
+            hits.groupBy("probe_id").agg(F.count(F.lit(1)).alias("nh")), "probe_id", "left"
+        )
+        .select("probe_id", (F.coalesce(F.col("nh"), F.lit(0)) / 10.0).alias("recall"))
+    )
+    return per_probe.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.round(F.avg("recall"), 4).alias("mean_recall_at_10"),
+        F.round(F.min("recall"), 4).alias("min_recall_at_10"),
+    )
+
+
 @query("q_ann_ivf")  # no-oracle: k-means cell assignment isn't SQL-reproducible (rows-only check)
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via IVF: k-means coarse quantizer (seeded), assign every
