@@ -44,6 +44,41 @@ def q_argmax_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_argmin_first_event",
+    oracle="""
+    SELECT user_id, first_event_id FROM (
+      SELECT user_id, event_id AS first_event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events WHERE user_id < 15
+    ) WHERE rn = 1
+    """,
+)
+def q_argmin_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse `argMin` parity: each user's first event id by time —
+    min_by over a (ts, id) struct, one aggregation pass (no window
+    shuffle + filter)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("user_id") < 15)
+        .groupBy("user_id")
+        .agg(F.min_by("event_id", F.struct("ts", "event_id")).alias("first_event_id"))
+    )
+
+
+@query("q_approx_percentiles")  # no-oracle: t-digest estimates differ across engines
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-pass fixed-memory percentile sketch — the 100 TB path
+    (exact percentiles need a global sort); rows-only check, the exact
+    twin q_percentiles is the oracle-checked ground truth."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        F.approx_percentile("o_totalprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000).alias(
+            "approx_p"
+        )
+    )
+
+
+@query(
     "q_percentiles",
     oracle="""
     SELECT round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
