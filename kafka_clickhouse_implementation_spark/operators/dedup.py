@@ -131,7 +131,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.filter(F.col("doc_id") < 30).select(
         "doc_id", F.split("text", " ").alias("t")
     )
-    shingles = toks.select(
+    shingles = toks.filter(F.size("t") >= 3).select(
         "doc_id",
         F.explode(
             F.expr("transform(sequence(0, size(t) - 3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))")
