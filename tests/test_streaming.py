@@ -151,6 +151,37 @@ def test_streaming_session_window(spark, tmp_path):
     assert ns == [1, 2]  # two sessions: {e1,e2} and {e3}
 
 
+def test_rate_source_shapes_to_wire_schema(spark, tmp_path):
+    """The synthetic rate source must emit the declared wire schema."""
+    from kafka_clickhouse_implementation_spark.sources.streams import rate_stream
+
+    s = rate_stream(spark, rows_per_second=100)
+    assert [f.name for f in s.schema.fields] == ["timestamp", "level", "message"]
+    q = (
+        s.writeStream.format("memory").queryName("rate_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_rate"))
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 30
+        n = 0
+        while time.time() < deadline:
+            n = spark.sql("SELECT count(*) AS n FROM rate_out").head()["n"]
+            if n > 0:
+                break
+            time.sleep(1)
+        assert n > 0
+        levels = {
+            r["level"] for r in spark.sql("SELECT DISTINCT level FROM rate_out").collect()
+        }
+        assert levels <= {"click", "error", "purchase", "signup", "view"}
+    finally:
+        q.stop()
+
+
 def test_stream_static_enrichment(spark, tmp_path):
     """Each micro-batch joins the broadcast dim snapshot (dictionary-
     lookup analogue)."""
