@@ -68,7 +68,11 @@ def rate_stream(spark: SparkSession, rows_per_second: int = 1000) -> DataFrame:
     )
 
 
-def get_stream(spark: SparkSession, source: str, **kw) -> DataFrame:
+def get_stream(spark: SparkSession, source: str | None = None, **kw) -> DataFrame:
+    if source is None:
+        from kafka_clickhouse_implementation_spark.config import STREAM_SOURCE
+
+        source = STREAM_SOURCE
     if source == "kafka":
         return kafka_stream(spark, **kw)
     if source == "file":
