@@ -81,6 +81,121 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_tpch_q13_shape",
+    oracle="""
+    SELECT c_count, count(*) AS custdist FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def q_tpch_q13_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): a group-by of a group-by —
+    order counts per customer, then the histogram of those counts.
+    Second aggregation input is already tiny (one row per customer)."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q_tpch_q17_shape",
+    oracle="""
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 2)
+             AS avg_yearly
+    FROM lineitem l1 JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#2'
+      AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+    """,
+)
+def q_tpch_q17_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity orders): correlated scalar aggregate
+    subquery — planned as a per-partkey average joined back to the
+    fact, so the 'correlation' is one extra aggregation + equi-join,
+    not a per-row subquery execution. (l_quantity is integral, so the
+    0.2×avg threshold is float-exact and engine-portable.)"""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2").select("p_partkey")
+    avg_q = li.groupBy("l_partkey").agg((0.2 * F.avg("l_quantity")).alias("thresh"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(avg_q, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("thresh"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double") / 7.0, 2
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "q_tpch_q19_shape",
+    oracle="""
+    SELECT round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2)
+             AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_type = 'PROMO'    AND l_quantity BETWEEN 1 AND 20)
+       OR (p_type = 'STANDARD' AND l_quantity BETWEEN 10 AND 30)
+    """,
+)
+def q_tpch_q19_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): disjunctive mixed-table
+    predicates — the join condition can't prune either side alone, so
+    the filter evaluates post-join inside codegen; part still
+    broadcasts."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    cond = (
+        (F.col("p_type") == "PROMO") & F.col("l_quantity").between(1, 20)
+    ) | ((F.col("p_type") == "STANDARD") & F.col("l_quantity").between(10, 30))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@query(
+    "q_tpch_q22_shape",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS numcust,
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 2) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY 1
+    """,
+)
+def q_tpch_q22_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): scalar-subquery threshold +
+    NOT IN anti join — rich customers with no recent (2000+) orders."""
+    c = load(spark, sf_dir, "customer")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("t"))
+    rich = c.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("t")).drop("t")
+    never_ordered = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return never_ordered.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        dsum(F.col("c_acctbal")).alias("totacctbal"),
+    )
+
+
+@query(
     "q_tpch_q15_shape",
     oracle="""
     WITH revenue AS (
