@@ -81,6 +81,148 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_tpch_q8_shape",
+    oracle="""
+    WITH all_volumes AS (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region   ON cn.n_regionkey = r_regionkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    )
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+    FROM all_volumes GROUP BY o_year
+    """,
+)
+def q_tpch_q8_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): 8-way join with nation joined
+    twice under different roles, then a conditional share ratio per
+    year. Decimal volumes keep the ratio order-independent."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region"))
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    volumes = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == r.r_regionkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.cast("decimal(18,4)").alias("volume"),
+            "supp_nation",
+        )
+    )
+    return volumes.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_1", F.col("volume"))).cast("double")
+            / F.sum("volume").cast("double"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "q_tpch_q16_shape",
+    oracle="""
+    SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#2'
+      AND p_size IN (1, 4, 7)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%11%')
+    GROUP BY 1, 2
+    """,
+)
+def q_tpch_q16_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship) shape: attribute filters,
+    a NOT-IN supplier exclusion (anti join), distinct-supplier counts
+    per attribute group. lineitem stands in for partsupp as the
+    part↔supplier bridge."""
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#2") & F.col("p_size").isin(1, 4, 7)
+    ).select("p_partkey", "p_brand", "p_type")
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    excluded = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_name").like("%11%"))
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(excluded), "l_suppkey", "left_anti")
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q_tpch_q21_shape",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON l1.l_suppkey = s_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name LIMIT 10
+    """,
+)
+def q_tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (waiting suppliers) shape: EXISTS + NOT-EXISTS
+    self-joins on the fact — the sole-returning-supplier-on-
+    multi-supplier-orders pattern (returnflag stands in for the absent
+    receipt/commit dates)."""
+    from kafka_clickhouse_implementation_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT s_name, count(*) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON l1.l_suppkey = s_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name LIMIT 10
+        """
+    )
+
+
+@query(
     "q_tpch_q13_shape",
     oracle="""
     SELECT c_count, count(*) AS custdist FROM (
