@@ -108,6 +108,52 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_tfidf_top_terms",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents WHERE doc_id < 10)
+      GROUP BY 1, 2
+    ),
+    df AS (
+      SELECT tok, count(DISTINCT doc_id) AS df
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY 1
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, tok, round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+    FROM tf JOIN df USING (tok) CROSS JOIN n
+    ORDER BY tfidf DESC, doc_id, tok LIMIT 25
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF scoring: per-(doc, term) frequency × ln(N/df), top-25
+    terms corpus-wide (tiebroken). The df table is tiny (vocabulary-
+    sized) and broadcast onto the tf relation — at 100 TB the join
+    moves vocabulary, never the corpus."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = (
+        toks.filter(F.col("doc_id") < 10)
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    return (
+        tf.join(F.broadcast(df), "tok")
+        .select(
+            "doc_id",
+            "tok",
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4).alias("tfidf"),
+        )
+        .orderBy(F.col("tfidf").desc(), "doc_id", "tok")
+        .limit(25)
+    )
+
+
+@query(
     "q_token_count_bpe",
     oracle="""
     SELECT CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT)
