@@ -173,7 +173,7 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_cube",
     oracle="""
     SELECT event_type, d, count(*) AS n
-    FROM (SELECT event_type, day(CAST(ts AS DATE)) AS d FROM events)
+    FROM (SELECT event_type, CAST(day(CAST(ts AS DATE)) AS INTEGER) AS d FROM events)
     GROUP BY CUBE(event_type, d)
     """,
 )

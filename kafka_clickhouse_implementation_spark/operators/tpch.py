@@ -37,7 +37,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     o = load(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1996-03-15 00:00:00").cast("timestamp")
-    )
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1996-03-15 00:00:00").cast("timestamp")
     )

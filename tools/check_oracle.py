@@ -44,6 +44,39 @@ def table_hash(cols: list[str], rows: list[tuple]) -> str:
     return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
 
 
+# normalize engine type names to a comparable vocabulary
+_SPARK_T = {
+    "bigint": "i64", "int": "i32", "smallint": "i16", "tinyint": "i8",
+    "double": "f64", "float": "f32", "string": "str", "date": "date",
+    "timestamp": "ts", "boolean": "bool", "binary": "bin",
+}
+_DUCK_T = {
+    "BIGINT": "i64", "INTEGER": "i32", "SMALLINT": "i16", "TINYINT": "i8",
+    "DOUBLE": "f64", "FLOAT": "f32", "VARCHAR": "str", "STRING": "str",
+    "DATE": "date", "TIMESTAMP": "ts", "Timestamp": "ts",
+    "DATETIME": "ts", "BOOLEAN": "bool", "BLOB": "bin", "HUGEINT": "i128",
+    "NUMBER": "num", "DECIMAL": "dec",
+}
+
+
+def spark_schema_norm(df) -> dict[str, str]:
+    out = {}
+    for f in df.schema.fields:
+        t = f.dataType.simpleString()
+        out[f.name] = _SPARK_T.get(t, t)
+    return out
+
+
+def duck_schema_norm(cols: list[str], types: list) -> dict[str, str]:
+    out = {}
+    for c, t in zip(cols, types):
+        ts = str(t)
+        if ts.startswith("DECIMAL"):
+            ts = "DECIMAL"
+        out[c] = _DUCK_T.get(ts, ts)
+    return out
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -73,9 +106,10 @@ def main() -> int:
             n_rowsonly += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            rel = con.sql(oracles[name])
+            dcols = list(rel.columns)
+            dtypes = list(rel.types)
+            drows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
@@ -83,6 +117,11 @@ def main() -> int:
         problems = []
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+        else:
+            sty, dty = spark_schema_norm(sdf), duck_schema_norm(dcols, dtypes)
+            mismatch = {c: (sty[c], dty[c]) for c in sty if sty[c] != dty.get(c)}
+            if mismatch:
+                problems.append(f"dtypes {mismatch}")
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
         if not problems:
