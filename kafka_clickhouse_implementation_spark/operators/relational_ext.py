@@ -450,6 +450,46 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_histogram",
+    oracle="""
+    SELECT CAST(floor(value / 10.0) * 10 AS BIGINT) AS bin_lo, count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (ClickHouse histogram() parity, fixed
+    bins): floor-bucket + count, one aggregation pass."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select((F.floor(F.col("value") / 10.0) * 10).cast("long").alias("bin_lo"))
+        .groupBy("bin_lo")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q_weekly_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,
+           event_type AS level, count(*) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly rollup via date_trunc (both engines start weeks on
+    Monday) — the coarser-grain sibling of the daily MV."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.date_trunc("week", F.col("ts")).cast("date").alias("week_start"),
+            F.col("event_type").alias("level"),
+        )
+        .groupBy("week_start", "level")
+        .agg(F.count(F.lit(1)).alias("total"))
+    )
+
+
+@query(
     "q_gap_fill",
     oracle="""
     WITH days AS (
