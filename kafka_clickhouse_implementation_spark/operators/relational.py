@@ -125,7 +125,7 @@ def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_revenue_by_nation",
     oracle="""
     SELECT n_name,
-           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -161,7 +161,7 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            round(min(l_quantity), 2) AS min_qty,
            round(max(l_quantity), 2) AS max_qty,
-           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_qty,
+           (CAST(round(sum(CAST(l_quantity AS DECIMAL(28,8))), 4) AS DOUBLE) / count(*)) AS avg_qty,
            count(DISTINCT l_partkey) AS distinct_parts
     FROM lineitem GROUP BY 1
     """,
@@ -174,54 +174,9 @@ def q_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.round(F.min("l_quantity"), 2).alias("min_qty"),
         F.round(F.max("l_quantity"), 2).alias("max_qty"),
-        F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
-                / F.count(F.lit(1)), 4).alias("avg_qty"),
+        (F.round(F.sum(F.col("l_quantity").cast("decimal(28,8)")), 4).cast("double")
+         / F.count(F.lit(1))).alias("avg_qty"),
         F.countDistinct("l_partkey").alias("distinct_parts"),
-    )
-
-
-@query(
-    "q_pricing_summary",
-    oracle="""
-    SELECT l_returnflag, l_linestatus,
-           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_base_price,
-           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_disc_price,
-           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_charge,
-           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_qty,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_price,
-           round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_disc,
-           count(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-    GROUP BY 1, 2
-    """,
-)
-def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B7 — TPC-H Q1: the classic multi-measure scan-agg. One scan, all
-    measures in a single partial+final aggregation; the shipdate filter
-    pushes down to the parquet scan (PushedFilters)."""
-    li = load(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            dsum(F.col("l_quantity")).alias("sum_qty"),
-            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
-            dsum(disc_price).alias("sum_disc_price"),
-            dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
-            F.round(
-                F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
-                / F.count(F.lit(1)), 4).alias("avg_qty"),
-            F.round(
-                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
-                / F.count(F.lit(1)), 4).alias("avg_price"),
-            F.round(
-                F.sum(F.col("l_discount").cast("decimal(18,4)")).cast("double")
-                / F.count(F.lit(1)), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
     )
 
 
@@ -278,7 +233,7 @@ def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_topk_spenders",
     oracle="""
-    SELECT o_custkey, round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_spent
+    SELECT o_custkey, CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,8))), 2) AS DOUBLE) AS total_spent
     FROM orders GROUP BY 1
     ORDER BY total_spent DESC, o_custkey LIMIT 5
     """,
@@ -567,7 +522,7 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_math_funcs",
     oracle="""
     SELECT c_mktsegment,
-           round(CAST(sum(CAST(abs(c_acctbal) AS DECIMAL(18,4))) AS DOUBLE) / count(*), 2) AS avg_abs,
+           (CAST(round(sum(CAST(abs(c_acctbal) AS DECIMAL(28,8))), 4) AS DOUBLE) / count(*)) AS avg_abs,
            CAST(sum(CAST(floor(c_acctbal) AS BIGINT)) AS BIGINT) AS sum_floor,
            CAST(sum(CAST(ceil(c_acctbal) AS BIGINT)) AS BIGINT) AS sum_ceil,
            round(sqrt(avg(c_acctbal * c_acctbal)), 2) AS rms,
@@ -580,8 +535,8 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B19 — math function suite: abs/floor/ceil/sqrt/ln/modulo."""
     c = load(spark, sf_dir, "customer")
     return c.groupBy("c_mktsegment").agg(
-        F.round(F.sum(F.abs(F.col("c_acctbal")).cast("decimal(18,4)")).cast("double")
-                / F.count(F.lit(1)), 2).alias("avg_abs"),
+        (F.round(F.sum(F.abs(F.col("c_acctbal")).cast("decimal(28,8)")), 4).cast("double")
+         / F.count(F.lit(1))).alias("avg_abs"),
         F.sum(F.floor(F.col("c_acctbal"))).alias("sum_floor"),
         F.sum(F.ceil(F.col("c_acctbal"))).alias("sum_ceil"),
         F.round(F.sqrt(F.avg(F.col("c_acctbal") * F.col("c_acctbal"))), 2).alias("rms"),

@@ -120,11 +120,10 @@ def q_corr_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_cond_agg",
     oracle="""
     SELECT l_returnflag,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) FILTER (WHERE l_discount > 0.05) AS DOUBLE), 2)
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,8))) FILTER (WHERE l_discount > 0.05), 2) AS DOUBLE)
              AS discounted_revenue,
            CAST(count(*) FILTER (WHERE l_quantity >= 25) AS BIGINT) AS n_bulk,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) FILTER (WHERE l_tax = 0) AS DOUBLE)
-                 / count(*) FILTER (WHERE l_tax = 0), 4) AS avg_notax_price
+           (CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,8))) FILTER (WHERE l_tax = 0), 4) AS DOUBLE) / count(*) FILTER (WHERE l_tax = 0)) AS avg_notax_price
     FROM lineitem GROUP BY 1
     """,
 )
@@ -134,12 +133,12 @@ def q_cond_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(
-            F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice")).cast("decimal(18,4)")).cast("double"), 2
-        ).alias("discounted_revenue"),
+            F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice")).cast("decimal(28,8)")), 2
+        ).cast("double").alias("discounted_revenue"),
         F.count(F.when(F.col("l_quantity") >= 25, 1)).alias("n_bulk"),
-        F.round(
-            F.sum(F.when(F.col("l_tax") == 0, F.col("l_extendedprice")).cast("decimal(18,4)")).cast("double")
-            / F.count(F.when(F.col("l_tax") == 0, 1)), 4
+        (
+            F.round(F.sum(F.when(F.col("l_tax") == 0, F.col("l_extendedprice")).cast("decimal(28,8)")), 4).cast("double")
+            / F.count(F.when(F.col("l_tax") == 0, 1))
         ).alias("avg_notax_price"),
     )
 
@@ -148,8 +147,8 @@ def q_cond_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_pivot",
     oracle="""
     SELECT l_returnflag,
-           round(CAST(coalesce(sum(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity END AS DECIMAL(18,4))), 0) AS DOUBLE), 2) AS O,
-           round(CAST(coalesce(sum(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity END AS DECIMAL(18,4))), 0) AS DOUBLE), 2) AS F
+           CAST(round(coalesce(sum(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity END AS DECIMAL(28,8))), 0), 2) AS DOUBLE) AS O,
+           CAST(round(coalesce(sum(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity END AS DECIMAL(28,8))), 0), 2) AS DOUBLE) AS F
     FROM lineitem GROUP BY 1
     """,
 )
@@ -160,12 +159,12 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")))
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,8)")))
     )
     return out.select(
         "l_returnflag",
-        F.round(F.coalesce(F.col("O").cast("double"), F.lit(0.0)), 2).alias("O"),
-        F.round(F.coalesce(F.col("F").cast("double"), F.lit(0.0)), 2).alias("F"),
+        F.round(F.coalesce(F.col("O"), F.lit(0)), 2).cast("double").alias("O"),
+        F.round(F.coalesce(F.col("F"), F.lit(0)), 2).cast("double").alias("F"),
     )
 
 
@@ -280,7 +279,7 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_union_by_name",
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
-           round(CAST(sum(CAST(v AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_bal
+           CAST(round(sum(CAST(v AS DECIMAL(28,8))), 2) AS DOUBLE) AS total_bal
     FROM (
       SELECT c_custkey AS k, c_acctbal AS v FROM customer
       UNION ALL BY NAME
@@ -402,7 +401,7 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_salted_agg",
     oracle="""
     SELECT event_type, count(*) AS n,
-           round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value
+           CAST(round(sum(CAST(value AS DECIMAL(28,8))), 2) AS DOUBLE) AS total_value
     FROM events GROUP BY 1
     """,
 )
@@ -417,11 +416,11 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     salted = (
         ev.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
         .groupBy("event_type", "salt")
-        .agg(F.count(F.lit(1)).alias("pn"), F.sum(F.col("value").cast("decimal(18,4)")).alias("pv"))
+        .agg(F.count(F.lit(1)).alias("pn"), F.sum(F.col("value").cast("decimal(28,8)")).alias("pv"))
     )
     return (
         salted.groupBy("event_type")
-        .agg(F.sum("pn").alias("n"), F.round(F.sum("pv").cast("double"), 2).alias("total_value"))
+        .agg(F.sum("pn").alias("n"), F.round(F.sum("pv"), 2).cast("double").alias("total_value"))
     )
 
 
@@ -536,7 +535,7 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_systematic_sample",
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n_sampled,
-           round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sample_value
+           CAST(round(sum(CAST(value AS DECIMAL(28,8))), 2) AS DOUBLE) AS sample_value
     FROM events WHERE event_id % 100 = 0
     """,
 )
@@ -559,7 +558,7 @@ def q_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
              ('mid', 20.0, 60.0), ('large', 60.0, 1e9)
     )
     SELECT b.name, CAST(count(*) AS BIGINT) AS n,
-           round(CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value
+           CAST(round(sum(CAST(e.value AS DECIMAL(28,8))), 2) AS DOUBLE) AS total_value
     FROM events e JOIN buckets b ON e.value >= b.lo AND e.value < b.hi
     GROUP BY 1
     """,

@@ -14,10 +14,55 @@ from kafka_clickhouse_implementation_spark.registry import query
 
 
 @query(
+    "q_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(28,8))), 2) AS DOUBLE) AS sum_qty,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,8))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,8))), 2) AS DOUBLE) AS sum_charge,
+           (CAST(round(sum(CAST(l_quantity AS DECIMAL(28,8))), 4) AS DOUBLE) / count(*)) AS avg_qty,
+           (CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,8))), 4) AS DOUBLE) / count(*)) AS avg_price,
+           (CAST(round(sum(CAST(l_discount AS DECIMAL(28,8))), 4) AS DOUBLE) / count(*)) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY 1, 2
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7 — TPC-H Q1: the classic multi-measure scan-agg. One scan, all
+    measures in a single partial+final aggregation; the shipdate filter
+    pushes down to the parquet scan (PushedFilters). Sums quantize in
+    DECIMAL and round in decimal space (functions/numeric.py) so the
+    result is order-independent AND engine-portable at .xx5 boundaries
+    (the round-1 driver hash fail)."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            (F.round(F.sum(F.col("l_quantity").cast("decimal(28,8)")), 4).cast("double")
+             / F.count(F.lit(1))).alias("avg_qty"),
+            (F.round(F.sum(F.col("l_extendedprice").cast("decimal(28,8)")), 4).cast("double")
+             / F.count(F.lit(1))).alias("avg_price"),
+            (F.round(F.sum(F.col("l_discount").cast("decimal(28,8)")), 4).cast("double")
+             / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
     "q_tpch_q3",
     oracle="""
     SELECT l_orderkey,
-           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue,
            o_orderdate, o_orderpriority
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -55,7 +100,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_tpch_q6",
     oracle="""
-    SELECT round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+    SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -85,7 +130,7 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH all_volumes AS (
       SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
-             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS volume,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8)) AS volume,
              sn.n_name AS supp_nation
       FROM lineitem
       JOIN part     ON p_partkey = l_partkey
@@ -98,8 +143,8 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE r_name = 'ASIA' AND p_type = 'PROMO'
     )
     SELECT o_year,
-           round(CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume END) AS DOUBLE)
-                 / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+           (CAST(round(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume END), 4) AS DOUBLE)
+            / CAST(round(sum(volume), 4) AS DOUBLE)) AS mkt_share
     FROM all_volumes GROUP BY o_year
     """,
 )
@@ -129,15 +174,14 @@ def q_tpch_q8_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("cn_region") == r.r_regionkey)
         .select(
             F.year("o_orderdate").alias("o_year"),
-            vol.cast("decimal(18,4)").alias("volume"),
+            vol.cast("decimal(28,8)").alias("volume"),
             "supp_nation",
         )
     )
     return volumes.groupBy("o_year").agg(
-        F.round(
-            F.sum(F.when(F.col("supp_nation") == "NATION_1", F.col("volume"))).cast("double")
-            / F.sum("volume").cast("double"),
-            6,
+        (
+            F.round(F.sum(F.when(F.col("supp_nation") == "NATION_1", F.col("volume"))), 4).cast("double")
+            / F.round(F.sum("volume"), 4).cast("double")
         ).alias("mkt_share")
     )
 
@@ -249,7 +293,7 @@ def q_tpch_q13_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_tpch_q17_shape",
     oracle="""
-    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 2)
+    SELECT (CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,8))), 4) AS DOUBLE) / 7.0)
              AS avg_yearly
     FROM lineitem l1 JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#2'
@@ -271,8 +315,8 @@ def q_tpch_q17_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(avg_q, "l_partkey")
         .filter(F.col("l_quantity") < F.col("thresh"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double") / 7.0, 2
+            (
+                F.round(F.sum(F.col("l_extendedprice").cast("decimal(28,8)")), 4).cast("double") / 7.0
             ).alias("avg_yearly")
         )
     )
@@ -281,7 +325,7 @@ def q_tpch_q17_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_tpch_q19_shape",
     oracle="""
-    SELECT round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2)
+    SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE)
              AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_type = 'PROMO'    AND l_quantity BETWEEN 1 AND 20)
@@ -311,7 +355,7 @@ def q_tpch_q19_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q22_shape",
     oracle="""
     SELECT c_mktsegment, count(*) AS numcust,
-           round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 2) AS totacctbal
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(28,8))), 2) AS DOUBLE) AS totacctbal
     FROM customer
     WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
       AND c_custkey NOT IN (SELECT o_custkey FROM orders
@@ -342,7 +386,7 @@ def q_tpch_q22_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2)
+             CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE)
                AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -365,7 +409,7 @@ def q_tpch_q15_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         WITH revenue AS (
           SELECT l_suppkey AS supplier_no,
-                 round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2)
+                 CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE)
                    AS total_revenue
           FROM lineitem
           WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -384,7 +428,7 @@ def q_tpch_q15_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
            CAST(year(l_shipdate) AS INTEGER) AS l_year,
-           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2)
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE)
              AS revenue
     FROM lineitem
     JOIN supplier ON l_suppkey = s_suppkey
@@ -491,12 +535,12 @@ def q_tpch_q12_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_tpch_q14_shape",
     oracle="""
-    SELECT round(
-             100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+    SELECT (
+             100.0 * CAST(round(sum(CAST(CASE WHEN p_type = 'PROMO'
                                    THEN l_extendedprice * (1 - l_discount) END
-                              AS DECIMAL(18,4))) AS DOUBLE)
-             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE),
-             4) AS promo_revenue_pct
+                              AS DECIMAL(28,8))), 4) AS DOUBLE)
+             / CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))), 4) AS DOUBLE)
+           ) AS promo_revenue_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -516,11 +560,10 @@ def q_tpch_q14_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
-            F.round(
+            (
                 100.0
-                * F.sum(promo.cast("decimal(18,4)")).cast("double")
-                / F.sum(rev.cast("decimal(18,4)")).cast("double"),
-                4,
+                * F.round(F.sum(promo.cast("decimal(28,8)")), 4).cast("double")
+                / F.round(F.sum(rev.cast("decimal(28,8)")), 4).cast("double")
             ).alias("promo_revenue_pct")
         )
     )
@@ -530,7 +573,7 @@ def q_tpch_q14_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q18_shape",
     oracle="""
     SELECT c_custkey, o_orderkey,
-           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_qty
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(28,8))), 2) AS DOUBLE) AS total_qty
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON o_orderkey = l_orderkey
@@ -570,7 +613,7 @@ def q_tpch_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q10_shape",
     oracle="""
     SELECT c_custkey, c_name,
-           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue,
            n_name
     FROM customer
     JOIN orders   ON c_custkey = o_custkey

@@ -30,7 +30,10 @@ def norm_cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.9g}"
+        # Full round-trip precision: two floats normalize equal iff they
+        # are bit-identical. %.9g previously masked a real driver hash
+        # fail (286569301.9 vs .89 both -> 286569302).
+        return repr(v)
     if isinstance(v, datetime.datetime):
         return v.isoformat()
     if isinstance(v, datetime.date):
