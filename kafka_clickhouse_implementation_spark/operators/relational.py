@@ -101,7 +101,8 @@ def q_left_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       (SELECT count(*) FROM customer
         WHERE c_custkey IN (SELECT o_custkey FROM orders)) AS n_with_orders,
       (SELECT count(*) FROM customer
-        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS n_without_orders
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey))
+          AS n_without_orders
     """,
 )
 def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:

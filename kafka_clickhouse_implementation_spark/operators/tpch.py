@@ -193,7 +193,8 @@ def q_tpch_q8_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM part JOIN lineitem ON p_partkey = l_partkey
     WHERE p_brand <> 'Brand#2'
       AND p_size IN (1, 4, 7)
-      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%11%')
+      AND NOT EXISTS (SELECT 1 FROM supplier
+                      WHERE s_suppkey = l_suppkey AND s_name LIKE '%11%')
     GROUP BY 1, 2
     """,
 )
@@ -358,8 +359,9 @@ def q_tpch_q19_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(round(sum(CAST(c_acctbal AS DECIMAL(28,8))), 2) AS DOUBLE) AS totacctbal
     FROM customer
     WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
-      AND c_custkey NOT IN (SELECT o_custkey FROM orders
-                            WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
     GROUP BY 1
     """,
 )

@@ -66,15 +66,24 @@ def near_dedup(docs: DataFrame, threshold: float = 0.85, num_tables: int = 5) ->
 
 
 def clean_corpus(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Full pipeline; returns (cleaned_docs, stats_df)."""
+    """Full pipeline; returns (cleaned_docs, stats_df).
+
+    Each intermediate stage is cached before any count so the funnel
+    costs one evaluation per stage, not four re-computations of the
+    whole prefix: materializing `cleaned` populates the `gated` and
+    `exact` caches as a side effect, and their counts then read the
+    cache. (The LSH fit inside near_dedup is itself an action over
+    `exact`, which is exactly why `exact` is cached.)"""
     spark = docs.sparkSession
-    n_raw = docs.count()
-    gated = quality_filter(docs)
-    n_gated = gated.count()
-    exact = exact_dedup(gated)
-    n_exact = exact.count()
-    cleaned = near_dedup(exact)
+    gated = quality_filter(docs).cache()
+    exact = exact_dedup(gated).cache()
+    cleaned = near_dedup(exact).cache()
     n_clean = cleaned.count()
+    n_raw = docs.count()
+    n_gated = gated.count()
+    n_exact = exact.count()
+    gated.unpersist()
+    exact.unpersist()
     stats = spark.createDataFrame(
         [(n_raw, n_gated, n_exact, n_clean)],
         "n_raw long, n_after_quality long, n_after_exact_dedup long, n_after_near_dedup long",

@@ -26,6 +26,8 @@ read-time re-agg is O(rollup), never O(raw).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -62,10 +64,11 @@ def read_day_partitioned(spark: SparkSession, path: str) -> DataFrame:
 
 
 def append_rollup_partials(batch_df: DataFrame, path: str, day_col: str = "day", level_col: str = "level") -> None:
-    """Append one micro-batch's partial counts (the MV body,
+    """Append one insert-block's partial counts (the MV body,
     kafka+clickhouse.md:221-229): per-(day, level) count of the *batch*,
     not a global aggregate — exactly ClickHouse's per-insert-block MV
-    trigger semantics."""
+    trigger semantics. For the streaming foreachBatch sink use
+    ``write_rollup_batch`` instead — blind appends are not retry-safe."""
     (
         batch_df.groupBy(day_col, level_col)
         .agg(F.count(F.lit(1)).alias("total"))
@@ -74,24 +77,65 @@ def append_rollup_partials(batch_df: DataFrame, path: str, day_col: str = "day",
     )
 
 
+def write_rollup_batch(
+    batch_df: DataFrame,
+    path: str,
+    batch_id: int,
+    day_col: str = "day",
+    level_col: str = "level",
+) -> None:
+    """Idempotent per-batch MV sink — the standard foreachBatch
+    exactly-once pattern: each batch's partials land in a
+    batch_id-keyed subdirectory with overwrite mode, so a batch retried
+    after a crash between the write and the checkpoint commit REPLACES
+    its previous (possibly partial) output instead of double-appending
+    it. ``read_rollup`` picks the subdirectories up recursively."""
+    (
+        batch_df.groupBy(day_col, level_col)
+        .agg(F.count(F.lit(1)).alias("total"))
+        .write.mode("overwrite")
+        .parquet(f"{path.rstrip('/')}/batch-{batch_id:010d}")
+    )
+
+
 def read_rollup(spark: SparkSession, path: str) -> DataFrame:
     """Read-time re-aggregation — the SummingMergeTree reader contract
     (sum over possibly-unmerged partials, kafka+clickhouse.md:240-243,
-    464-468)."""
+    464-468). recursiveFileLookup tolerates any mix of flat partial
+    files, per-batch subdirectories, and compacted output."""
     return (
-        spark.read.parquet(path)
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(path)
         .groupBy("day", "level")
         .agg(F.sum("total").alias("total"))
     )
 
 
+def _atomic_swap_dirs(path: str, tmp: str) -> None:
+    """Replace `path` with `tmp` via rename — never delete the source
+    while a plan might still re-read it. Local-fs rename is atomic; on
+    HDFS this maps to FileSystem.rename, on object stores to a manifest
+    commit (e.g. a table format's atomic metadata swap)."""
+    import shutil
+
+    old = path.rstrip("/") + "__compact_old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def compact_rollup(spark: SparkSession, path: str) -> None:
     """Background-merge analogue: rewrite the partials as fully-merged
     sums (kafka+clickhouse.md:396-401). Optional; readers are correct
-    without it, it just bounds the partials file count."""
+    without it, it just bounds the partials file count.
+
+    The merged output is written to a temporary sibling directory and
+    swapped in via rename — overwriting the path the plan reads from
+    (the previous design) relied on cache(), and cached blocks are not
+    fault-tolerant: an executor loss mid-overwrite would recompute from
+    already-deleted files."""
     merged = read_rollup(spark, path)
-    # Materialize before overwrite — the plan reads the same path.
-    merged.cache()
-    merged.count()
-    merged.write.mode("overwrite").parquet(path)
-    merged.unpersist()
+    tmp = path.rstrip("/") + "__compact_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    _atomic_swap_dirs(path, tmp)

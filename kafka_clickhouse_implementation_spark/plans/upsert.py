@@ -45,9 +45,15 @@ def read_latest(
 def compact_versions(
     spark: SparkSession, path: str, key_cols: tuple[str, ...], version_col: str
 ) -> None:
-    """Background-merge analogue: materialize the winners and rewrite."""
+    """Background-merge analogue: materialize the winners and rewrite.
+
+    Writes to a temporary sibling and renames it over the old path —
+    never overwrites the directory its own plan reads from (cache() is
+    not fault-tolerant; an executor loss mid-overwrite would recompute
+    from already-deleted files)."""
+    from kafka_clickhouse_implementation_spark.plans.layout import _atomic_swap_dirs
+
     latest = read_latest(spark, path, key_cols, version_col)
-    latest.cache()
-    latest.count()
-    latest.write.mode("overwrite").parquet(path)
-    latest.unpersist()
+    tmp = path.rstrip("/") + "__compact_tmp"
+    latest.write.mode("overwrite").parquet(tmp)
+    _atomic_swap_dirs(path, tmp)

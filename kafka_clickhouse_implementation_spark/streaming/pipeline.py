@@ -9,10 +9,11 @@ Two faithful layers:
    (kafka+clickhouse.md:427, 447-449); readers re-aggregate
    (kafka+clickhouse.md:240-243). Here: ``foreachBatch`` computes the
    batch's (day, level) counts and appends them as rollup partials
-   (plans.layout.append_rollup_partials = the SummingMergeTree insert);
+   (plans.layout.write_rollup_batch = the SummingMergeTree insert);
    ``plans.layout.read_rollup`` is the reader. Stateless — no streaming
-   state store needed, restarts are exactly-once via checkpoint +
-   idempotent-by-re-aggregation sink (C10).
+   state store needed, restarts are exactly-once via checkpoint + a
+   batch_id-keyed idempotent sink: a retried batch overwrites its own
+   subdirectory instead of appending twice (C10).
 
 2. **Stateful windowed aggregation** (``windowed_counts``): the Spark-
    native alternative (SIGMOD'18 Structured Streaming design): tumbling
@@ -33,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_clickhouse_implementation_spark.io import load
-from kafka_clickhouse_implementation_spark.plans.layout import append_rollup_partials, read_rollup
+from kafka_clickhouse_implementation_spark.plans.layout import read_rollup, write_rollup_batch
 from kafka_clickhouse_implementation_spark.registry import query
 from kafka_clickhouse_implementation_spark.sources.streams import file_stream, write_wire_format
 
@@ -65,7 +66,10 @@ def run_mv_pipeline(
         batch = batch_df.select(
             F.to_date("event_ts").alias("day"), F.col("level")
         )
-        append_rollup_partials(batch, rollup_dir)
+        # batch_id-keyed overwrite: a batch retried after a crash
+        # between write and checkpoint commit replaces, not duplicates,
+        # its partials — true exactly-once, not just clean-restart-once.
+        write_rollup_batch(batch, rollup_dir, batch_id)
 
     (
         events.writeStream.foreachBatch(mv_batch)

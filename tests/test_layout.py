@@ -12,6 +12,7 @@ from kafka_clickhouse_implementation_spark.plans.layout import (
     compact_rollup,
     read_rollup,
     write_day_partitioned,
+    write_rollup_batch,
 )
 from kafka_clickhouse_implementation_spark.schemas import EVENTS_SCHEMA
 
@@ -48,6 +49,44 @@ def test_rollup_partials_reaggregate(spark, tmp_path):
     got = {(str(r["day"]), r["level"]): r["total"] for r in read_rollup(spark, path).collect()}
     want = {
         (str(r["day"]), r["level"]): r["n"]
+        for r in d.groupBy("day", "level").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
+
+
+def test_rollup_batch_retry_is_idempotent(spark, tmp_path):
+    """foreachBatch retry semantics: re-writing the same batch_id must
+    REPLACE its partials (overwrite into the batch-keyed subdir), not
+    double-count them — the mid-batch-crash exactly-once contract."""
+    path = str(tmp_path / "rollup3")
+    ev = _events(spark, 40)
+    d = ev.select("event_id", F.to_date("ts").alias("day"), F.col("event_type").alias("level"))
+    b0 = d.filter(F.col("event_id") % 2 == 0).drop("event_id")
+    b1 = d.filter(F.col("event_id") % 2 == 1).drop("event_id")
+    write_rollup_batch(b0, path, 0)
+    write_rollup_batch(b1, path, 1)
+    write_rollup_batch(b1, path, 1)  # the crash-retry of batch 1
+    got = {(str(r["day"]), r["level"]): r["total"] for r in read_rollup(spark, path).collect()}
+    want = {
+        (str(r["day"]), r["level"]): r["n"]
+        for r in d.groupBy("day", "level").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
+
+
+def test_compact_rollup_mixes_with_batch_dirs(spark, tmp_path):
+    """Compaction must coexist with later per-batch subdirectories:
+    compact, then stream two more batches, and the reader still sums
+    everything (recursiveFileLookup over flat + nested files)."""
+    path = str(tmp_path / "rollup4")
+    ev = _events(spark, 30)
+    d = ev.select(F.to_date("ts").alias("day"), F.col("event_type").alias("level"))
+    write_rollup_batch(d, path, 0)
+    compact_rollup(spark, path)
+    write_rollup_batch(d, path, 1)
+    got = {(str(r["day"]), r["level"]): r["total"] for r in read_rollup(spark, path).collect()}
+    want = {
+        (str(r["day"]), r["level"]): 2 * r["n"]
         for r in d.groupBy("day", "level").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == want
