@@ -73,6 +73,8 @@ def _load_operator_modules() -> None:
     from kafka_clickhouse_implementation_spark.operators import multimodal  # noqa: F401
     from kafka_clickhouse_implementation_spark.operators import relational  # noqa: F401
     from kafka_clickhouse_implementation_spark.operators import relational_ext  # noqa: F401
+    from kafka_clickhouse_implementation_spark.operators import components  # noqa: F401
+    from kafka_clickhouse_implementation_spark.operators import embeddings_ext  # noqa: F401
     from kafka_clickhouse_implementation_spark.pipelines import corpus  # noqa: F401
     from kafka_clickhouse_implementation_spark.streaming import pipeline  # noqa: F401
 

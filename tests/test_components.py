@@ -1,0 +1,26 @@
+"""Connected-components operator: crafted graph shapes."""
+
+from __future__ import annotations
+
+from kafka_clickhouse_implementation_spark.operators.components import (
+    connected_components,
+)
+
+
+def test_chain_star_and_pair(spark):
+    # chain 1-2-3-4, star 10-{11,12,13}, pair 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13), (20, 21)],
+        "src long, dst long",
+    )
+    got = {r["id"]: r["comp"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
+
+
+def test_min_label_is_order_independent(spark):
+    # same graph, edges reversed and shuffled — identical components
+    edges = spark.createDataFrame(
+        [(9, 3), (3, 7), (7, 1), (5, 6)], "src long, dst long"
+    )
+    got = {r["id"]: r["comp"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 3: 1, 7: 1, 9: 1, 5: 5, 6: 5}

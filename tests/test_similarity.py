@@ -1,0 +1,55 @@
+"""ANN quality-floor assertions (VERDICT r1 #7): the LSH and IVF
+candidate paths are seeded and the testdata is fixed, so their recall
+against brute-force ground truth is deterministic — a regression in the
+bucketer/quantizer (wrong hyperplane signs, broken cell pruning, a
+candidate join that drops rows) fails these floors loudly instead of
+silently degrading retrieval quality.
+
+The synthetic embeddings are isotropic Gaussian — the theoretical worst
+case for locality hashing — so the absolute numbers are low by
+construction (documented in similarity.py); the floors are set just
+under the observed deterministic values."""
+
+from __future__ import annotations
+
+from kafka_clickhouse_implementation_spark.operators.similarity import (
+    q_ann_ivf,
+    q_ann_lsh,
+    q_ann_recall,
+    q_cosine_topk,
+)
+
+
+def test_lsh_recall_floor(spark, sf_dir):
+    row = q_ann_recall(spark, sf_dir).head()
+    assert row["n_probes"] == 20
+    # observed deterministic values at sf0.001: mean 0.235, min 0.1
+    assert row["mean_recall_at_10"] >= 0.2
+    assert row["min_recall_at_10"] >= 0.05
+
+
+def test_ann_paths_overlap_ground_truth(spark, sf_dir):
+    truth = {r["vec_id"] for r in q_cosine_topk(spark, sf_dir).collect()}
+    ivf = {r["vec_id"] for r in q_ann_ivf(spark, sf_dir).collect()}
+    lsh = {r["vec_id"] for r in q_ann_lsh(spark, sf_dir).collect()}
+    assert len(truth) == 10
+    # observed deterministic overlaps: ivf 2, lsh 1
+    assert len(truth & ivf) >= 1
+    assert len(truth & lsh) >= 1
+
+
+def test_ann_candidates_are_pruned(spark, sf_dir):
+    """The ANN value proposition is pruning: the LSH path must score a
+    strict subset of the corpus, not fall back to brute force."""
+    from kafka_clickhouse_implementation_spark.io import load
+    from kafka_clickhouse_implementation_spark.operators.similarity import (
+        lsh_bucket_column,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.count()
+    bucketed = emb.select("vec_id", lsh_bucket_column(n_bits=8).alias("bucket"))
+    q_bucket = bucketed.filter(F.col("vec_id") == 0).select("bucket")
+    n_cand = bucketed.join(F.broadcast(q_bucket), "bucket").count()
+    assert 0 < n_cand < n / 2
