@@ -153,7 +153,19 @@ def decoded_events_permissive(spark: SparkSession, wire_dir: str) -> DataFrame:
     )
 
 
-@query("q_stream_mv_daily")  # no-oracle: streaming-only semantics; batch twin is q_mv_daily
+@query(
+    "q_stream_mv_daily",
+    # The full stream replay is deterministic end-to-end (wire encode →
+    # micro-batches → per-batch partials → read-time re-agg), and its
+    # contract is exact equality with the batch MV — so the batch
+    # oracle applies verbatim and the driver hash-checks the entire
+    # streaming pipeline, not just a row count.
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day, event_type AS level,
+           count(*) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
 def q_stream_mv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1-S3 + S7/C6 + S6/A7 end-to-end, hermetically: replay the
     `events` table through the JSONEachRow wire format (producer S1),

@@ -79,3 +79,30 @@ def test_semi_join_prunes_payload(spark):
     """Left-semi join must not carry right-side payload columns."""
     plan = _plan(all_queries()["q_semi_anti"](spark, SF))
     assert "LeftSemi" in plan, plan
+
+
+def test_embedding_near_dup_is_cogrouped_not_collected(spark):
+    """The exact all-pairs near-dup must be the distributed block-pair
+    shape: a cogrouped Pandas product partitioned on (blk_a, blk_b) —
+    never a cartesian join, and never a driver-side collect+broadcast
+    (the round-1 design this replaced)."""
+    plan = _plan(all_queries()["q_embedding_near_dup"](spark, SF))
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "hashpartitioning(blk_a" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # both sides stay column-pruned to (vec_id, embedding)
+    assert plan.count("ReadSchema: struct<vec_id:bigint,embedding:array<float>>") == 2
+
+
+def test_connected_components_rounds_are_joins_not_crossjoins(spark):
+    """Each CC iteration must be an equi-join + aggregate over the edge
+    relation; a regression to a cross join would be quadratic."""
+    from kafka_clickhouse_implementation_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    plan = _plan(connected_components(edges, max_iter=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
