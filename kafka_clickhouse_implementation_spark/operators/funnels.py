@@ -1,0 +1,295 @@
+"""Tier C extension — ClickHouse-style behavioral analytics over the
+event stream: funnel levels (``windowFunnel``), cohort retention
+(``retention``), ordered-sequence matching (``sequenceMatch``), per-day
+type breakdowns (``sumMap``), and top event paths.
+
+The reference's dashboard tier (kafka+clickhouse.md:221-243) stops at
+daily GROUP-BY counts; these are the next queries a campaign-analytics
+user of that stack reaches for, and ClickHouse ships them as dedicated
+aggregate functions. Here each is a deterministic composition of
+built-in Spark ops — window functions and hash aggregations, zero
+Python in the hot path — with an exactly-equivalent DuckDB oracle.
+
+Scale notes (100 TB):
+- Funnel/retention/sequence state is per-user and tiny (a few
+  timestamps or one letter string per user); the only wide exchange is
+  the hash partition on ``user_id``. The chained window expressions all
+  share one partitioning, so Spark plans ONE shuffle for all three
+  funnel stages (asserted in tests/test_plans.py).
+- ``q_sequence_match`` materializes one letter per event into a
+  per-user string — O(events/user) memory inside an aggregate buffer,
+  fine for clickstream cardinalities (even 1e5 events/user is a 100 KB
+  string). For adversarial skew, cap with a windowed top-N first.
+- All outputs are grouped summaries (levels, cohort counts, day × type)
+  — result sizes independent of input scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_clickhouse_implementation_spark.io import load
+from kafka_clickhouse_implementation_spark.registry import query
+
+# Funnel window: a conversion chain view -> click -> purchase only
+# counts if it completes within 6 hours of the first view.
+FUNNEL_WINDOW_US = 6 * 3600 * 1_000_000
+
+
+def funnel_levels(events: DataFrame, window_us: int = FUNNEL_WINDOW_US) -> DataFrame:
+    """First-touch funnel level per user (deterministic ``windowFunnel``
+    variant): t1 = first 'view', t2 = first 'click' after t1, t3 = first
+    'purchase' after t2; level = longest prefix whose last stage lands
+    within ``window_us`` of t1.
+
+    Three chained window-min expressions over the same ``user_id``
+    partitioning — Catalyst plans a single Exchange for all three.
+    """
+    us = "unix_micros(ts)"
+    w1 = events.selectExpr(
+        "user_id",
+        "event_type",
+        f"{us} AS e_us",
+        f"min(CASE WHEN event_type = 'view' THEN {us} END)"
+        " OVER (PARTITION BY user_id) AS t1",
+    )
+    w2 = w1.selectExpr(
+        "*",
+        "min(CASE WHEN event_type = 'click' AND e_us > t1 THEN e_us END)"
+        " OVER (PARTITION BY user_id) AS t2",
+    )
+    w3 = w2.selectExpr(
+        "*",
+        "min(CASE WHEN event_type = 'purchase' AND e_us > t2 THEN e_us END)"
+        " OVER (PARTITION BY user_id) AS t3",
+    )
+    per_user = w3.groupBy("user_id").agg(
+        F.min("t1").alias("t1"), F.min("t2").alias("t2"), F.min("t3").alias("t3")
+    )
+    return per_user.selectExpr(
+        "user_id",
+        f"""CAST(CASE WHEN t1 IS NULL THEN 0
+                 WHEN t3 IS NOT NULL AND t3 - t1 <= {window_us} THEN 3
+                 WHEN t2 IS NOT NULL AND t2 - t1 <= {window_us} THEN 2
+                 ELSE 1 END AS INT) AS funnel_level""",
+    )
+
+
+_FUNNEL_ORACLE = f"""
+WITH w1 AS (
+  SELECT user_id, event_type, epoch_us(ts) AS e_us,
+         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+           OVER (PARTITION BY user_id) AS t1
+  FROM events
+), w2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND e_us > t1 THEN e_us END)
+              OVER (PARTITION BY user_id) AS t2
+  FROM w1
+), w3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND e_us > t2 THEN e_us END)
+              OVER (PARTITION BY user_id) AS t3
+  FROM w2
+), per_user AS (
+  SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3
+  FROM w3 GROUP BY user_id
+), lv AS (
+  SELECT CAST(CASE WHEN t1 IS NULL THEN 0
+              WHEN t3 IS NOT NULL AND t3 - t1 <= {FUNNEL_WINDOW_US} THEN 3
+              WHEN t2 IS NOT NULL AND t2 - t1 <= {FUNNEL_WINDOW_US} THEN 2
+              ELSE 1 END AS INT) AS funnel_level
+  FROM per_user
+)
+SELECT funnel_level, CAST(count(*) AS BIGINT) AS n_users
+FROM lv GROUP BY funnel_level
+"""
+
+
+@query("q_window_funnel", oracle=_FUNNEL_ORACLE)
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``windowFunnel`` parity: users per funnel level for
+    view -> click -> purchase within a 6-hour window."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        funnel_levels(ev)
+        .groupBy("funnel_level")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+@query(
+    "q_retention",
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+    ), active AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), per_user AS (
+      SELECT f.user_id,
+             max(CASE WHEN a.d = f.d0 + 1 THEN 1 ELSE 0 END) AS r1,
+             max(CASE WHEN a.d = f.d0 + 7 THEN 1 ELSE 0 END) AS r7
+      FROM first_day f JOIN active a USING (user_id)
+      GROUP BY f.user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS cohort_users,
+           CAST(sum(r1) AS BIGINT) AS retained_d1,
+           CAST(sum(r7) AS BIGINT) AS retained_d7
+    FROM per_user
+    """,
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``retention`` parity: of all users (cohorted by first
+    active day), how many were active again exactly 1 and 7 days later.
+
+    Two aggregations on the same ``user_id`` key (first-day + distinct
+    active days), then a user-keyed join — every exchange hashes the
+    same small key, and per-user state is two bits.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    first_day = ev.groupBy("user_id").agg(F.min("d").alias("d0"))
+    active = ev.distinct()
+    per_user = (
+        first_day.join(active, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("d") == F.date_add("d0", 1), 1).otherwise(0)
+            ).alias("r1"),
+            F.max(
+                F.when(F.col("d") == F.date_add("d0", 7), 1).otherwise(0)
+            ).alias("r7"),
+        )
+    )
+    return per_user.agg(
+        F.count("*").alias("cohort_users"),
+        F.sum("r1").alias("retained_d1"),
+        F.sum("r7").alias("retained_d7"),
+    )
+
+
+@query(
+    "q_sequence_match",
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT regexp_matches(seq, 'v.*c.*p') AS matched,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM seqs GROUP BY matched
+    """,
+)
+def q_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceMatch('(?1).*(?2).*(?3)')`` parity: encode
+    each user's time-ordered event stream as a letter string (v/c/p/s/e)
+    and count users whose stream matches view-then-click-then-purchase.
+
+    The per-user string is built with sort_array(collect_list(struct))
+    — an order-insensitive aggregate made deterministic by sorting on
+    (ts, event_id) inside the buffer, so it needs no window pre-sort and
+    stays a single hash aggregation.
+    """
+    ev = load(spark, sf_dir, "events")
+    seqs = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                "ts", "event_id", F.expr("substr(event_type, 1, 1)").alias("ch")
+                            )
+                        )
+                    ),
+                    lambda x: x["ch"],
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    return (
+        seqs.select(F.col("seq").rlike("v.*c.*p").alias("matched"))
+        .groupBy("matched")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+@query(
+    "q_sum_map",
+    oracle="""
+    WITH per AS (
+      SELECT CAST(ts AS DATE) AS day, event_type, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    )
+    SELECT day,
+           list(event_type ORDER BY event_type) AS type_keys,
+           list(cnt ORDER BY event_type) AS type_counts
+    FROM per GROUP BY day
+    """,
+)
+def q_sum_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sumMap`` parity: per day, the event-type breakdown
+    as aligned sorted key/count arrays (ClickHouse returns sorted map
+    keys; we emit the two parallel arrays it decomposes into).
+
+    Two-level aggregation: the wide count happens at (day, type)
+    granularity (map-side partials), then the tiny per-day array
+    assembly touches only #days x #types rows.
+    """
+    ev = load(spark, sf_dir, "events")
+    per = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count("*").alias("cnt"))
+    assembled = per.groupBy("day").agg(
+        F.sort_array(F.collect_list(F.struct("event_type", "cnt"))).alias("kv")
+    )
+    return assembled.select(
+        "day",
+        F.transform("kv", lambda x: x["event_type"]).alias("type_keys"),
+        F.transform("kv", lambda x: x["cnt"]).alias("type_counts"),
+    )
+
+
+@query(
+    "q_event_paths",
+    oracle="""
+    WITH hops AS (
+      SELECT user_id, event_type,
+             lag(event_type, 2) OVER w AS p2,
+             lag(event_type, 1) OVER w AS p1
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT p2 || '>' || p1 || '>' || event_type AS path,
+           CAST(count(*) AS BIGINT) AS n
+    FROM hops WHERE p2 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path LIMIT 10
+    """,
+)
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 three-step event paths (the 'what do users do next'
+    dashboard query): lag-window trigrams per user, then a count.
+
+    One window shuffle on user_id, one agg shuffle on path (paths have
+    at most |types|^3 = 125 distinct values here — broadcast-tiny), and
+    TakeOrdered for the limit.
+    """
+    ev = load(spark, sf_dir, "events")
+    hops = ev.selectExpr(
+        "user_id",
+        "event_type",
+        "lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p2",
+        "lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p1",
+    )
+    return (
+        hops.filter(F.col("p2").isNotNull())
+        .select(F.concat_ws(">", "p2", "p1", "event_type").alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(10)
+    )

@@ -1,0 +1,87 @@
+"""Funnel/retention/sequence analytics — semantic unit checks on a
+hand-built event log plus the plan invariant backing the module's
+single-shuffle claim."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from kafka_clickhouse_implementation_spark.operators.funnels import (
+    FUNNEL_WINDOW_US,
+    funnel_levels,
+)
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(i, T0 + dt.timedelta(minutes=m), u, t, 0.0, "{}") for i, (u, m, t) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+
+
+def test_funnel_levels_semantics(spark):
+    ev = _events(
+        spark,
+        [
+            # user 1: full chain within window -> level 3
+            (1, 0, "view"), (1, 10, "click"), (1, 20, "purchase"),
+            # user 2: view then click, purchase BEFORE the click -> level 2
+            (2, 0, "view"), (2, 5, "purchase"), (2, 10, "click"),
+            # user 3: view only -> level 1
+            (3, 0, "view"), (3, 10, "error"),
+            # user 4: no view at all -> level 0
+            (4, 0, "click"), (4, 10, "purchase"),
+            # user 5: chain completes but outside the 6h window -> level 2
+            (5, 0, "view"), (5, 10, "click"), (5, 6 * 60 + 30, "purchase"),
+        ],
+    )
+    got = {r.user_id: r.funnel_level for r in funnel_levels(ev).collect()}
+    assert got == {1: 3, 2: 2, 3: 1, 4: 0, 5: 2}
+
+
+def test_funnel_level_window_boundary(spark):
+    # purchase at exactly t1 + window counts (<=, matching the oracle)
+    ev = _events(spark, [(1, 0, "view"), (1, 10, "click"), (1, 360, "purchase")])
+    assert FUNNEL_WINDOW_US == 360 * 60 * 1_000_000
+    got = funnel_levels(ev).collect()
+    assert got[0].funnel_level == 3
+
+
+def test_funnel_plans_one_shuffle_for_chained_windows(spark):
+    """The three chained window-mins share one user_id partitioning:
+    exactly one Exchange before the per-user aggregation."""
+    ev = _events(spark, [(1, 0, "view")])
+    plan = funnel_levels(ev)._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    # one for the window stage; the groupBy("user_id") after it reuses
+    # the same partitioning, so no second wide exchange
+    assert n_exchanges == 1, plan
+
+
+def test_sequence_match_order_determinism(spark):
+    from kafka_clickhouse_implementation_spark.operators.funnels import q_sequence_match  # noqa: F401
+    # ties on ts broken by event_id: two events at the same minute
+    ev = _events(spark, [(1, 0, "view"), (1, 0, "click"), (1, 5, "purchase")])
+    seq = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct("ts", "event_id", F.expr("substr(event_type,1,1)").alias("ch"))
+                        )
+                    ),
+                    lambda x: x["ch"],
+                ),
+                "",
+            ).alias("seq")
+        )
+        .collect()[0]
+        .seq
+    )
+    assert seq == "vcp"

@@ -62,22 +62,28 @@ _DUCK_T = {
 }
 
 
+def _norm_spark_type(ts: str) -> str:
+    # array<string> -> str[]  (recursive, element types stay strict)
+    if ts.startswith("array<") and ts.endswith(">"):
+        return _norm_spark_type(ts[6:-1]) + "[]"
+    return _SPARK_T.get(ts, ts)
+
+
+def _norm_duck_type(ts: str) -> str:
+    # VARCHAR[] -> str[]  (recursive, element types stay strict)
+    if ts.endswith("[]"):
+        return _norm_duck_type(ts[:-2]) + "[]"
+    if ts.startswith("DECIMAL"):
+        ts = "DECIMAL"
+    return _DUCK_T.get(ts, ts)
+
+
 def spark_schema_norm(df) -> dict[str, str]:
-    out = {}
-    for f in df.schema.fields:
-        t = f.dataType.simpleString()
-        out[f.name] = _SPARK_T.get(t, t)
-    return out
+    return {f.name: _norm_spark_type(f.dataType.simpleString()) for f in df.schema.fields}
 
 
 def duck_schema_norm(cols: list[str], types: list) -> dict[str, str]:
-    out = {}
-    for c, t in zip(cols, types):
-        ts = str(t)
-        if ts.startswith("DECIMAL"):
-            ts = "DECIMAL"
-        out[c] = _DUCK_T.get(ts, ts)
-    return out
+    return {c: _norm_duck_type(str(t)) for c, t in zip(cols, types)}
 
 
 def main() -> int:
