@@ -1,0 +1,201 @@
+"""Tier C extension — corpus-engineering operators a training-data
+pipeline needs beyond operators/text.py: deterministic stratified
+sampling, n-gram statistics, inverted-index construction, Zipf
+frequency analysis, and PII redaction accounting.
+
+Everything is built-in Spark expressions (higher-order functions,
+windows, regexes) with exact DuckDB oracles — zero Python in the hot
+path, so whole-stage codegen covers every operator here.
+
+Scale notes (100 TB):
+- Sampling is a pure narrow map (hash of the key column) — no shuffle,
+  no RNG state, reproducible across retries/partitionings, and the
+  sampled fraction is exact-in-expectation per stratum without a
+  per-stratum pass.
+- Bigram/Zipf counts shuffle only (ngram, partial_count) pairs after
+  map-side combine — traffic is O(vocab), not O(corpus).
+- The inverted index is the one genuinely output-heavy op (postings ~
+  corpus size); it shuffles (token, doc_id) pairs once and builds each
+  posting list inside a single hash aggregation. At 100 TB you'd write
+  it bucketed by token; the per-token state here is already the
+  posting-list shape that layout needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_clickhouse_implementation_spark.io import load
+from kafka_clickhouse_implementation_spark.registry import query
+
+# Knuth's multiplicative hash constant: spreads sequential ids
+# uniformly; both engines compute it in exact int64 arithmetic.
+_MIX = 2654435761
+_SAMPLE_PERMILLE = 200  # keep ~20% of each stratum
+
+
+@query(
+    "q_stratified_sample",
+    oracle=f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN (doc_id * {_MIX}) % 1000 < {_SAMPLE_PERMILLE}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+    FROM documents GROUP BY lang
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~20% per-language sample via a multiplicative hash
+    of doc_id — reproducible under retries and repartitioning, unlike
+    ``df.sample`` (seeded per-partition, so partition layout changes
+    the sample). The filter is a narrow map; only the audit counts
+    aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    keep = (F.col("doc_id") * F.lit(_MIX)) % 1000 < _SAMPLE_PERMILLE
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(keep, 1).otherwise(0)).alias("n_sampled"),
+    )
+
+
+@query(
+    "q_bigram_counts",
+    oracle="""
+    WITH toks AS (
+      SELECT string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+      SELECT unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i + 1])) AS bigram
+      FROM toks
+    )
+    SELECT bigram, CAST(count(*) AS BIGINT) AS n
+    FROM grams GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+    """,
+)
+def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 word bigrams across the corpus. Bigrams are generated
+    JVM-side with transform-over-sequence (no UDF, no self-join);
+    counting gets map-side partial aggregation, and the top-20 is
+    TakeOrdered — no global sort."""
+    docs = load(spark, sf_dir, "documents")
+    grams = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(split(text, ' ')) - 2),"
+                " i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i + 1]))"
+            )
+        ).alias("bigram")
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(20)
+    )
+
+
+@query(
+    "q_inverted_index",
+    oracle="""
+    WITH posting AS (
+      SELECT DISTINCT t.token, d.doc_id
+      FROM documents d, unnest(string_split(d.text, ' ')) AS t(token)
+      WHERE d.doc_id < 200
+    )
+    SELECT token,
+           CAST(count(*) AS BIGINT) AS doc_freq,
+           list(doc_id ORDER BY doc_id) AS postings
+    FROM posting GROUP BY token
+    """,
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """token -> sorted posting list + document frequency (the retrieval
+    index build). One shuffle of distinct (token, doc_id) pairs; each
+    posting list is assembled inside a single hash aggregation
+    (sort_array(collect_set) — order-insensitive buffer, deterministic
+    output). Bounded to doc_id < 200 to keep oracle outputs reviewable;
+    the plan shape is corpus-size independent."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    posting = docs.select(
+        F.explode(F.split("text", " ")).alias("token"), "doc_id"
+    ).distinct()
+    return posting.groupBy("token").agg(
+        F.count("*").alias("doc_freq"),
+        F.sort_array(F.collect_set("doc_id")).alias("postings"),
+    )
+
+
+@query(
+    "q_zipf_rank",
+    oracle="""
+    WITH counts AS (
+      SELECT t.token, CAST(count(*) AS BIGINT) AS n
+      FROM documents d, unnest(string_split(d.text, ' ')) AS t(token)
+      GROUP BY t.token
+    ), ranked AS (
+      SELECT token, n,
+             CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rnk,
+             CAST(sum(n) OVER (ORDER BY n DESC, token
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(sum(n) OVER () AS BIGINT) AS total
+      FROM counts
+    )
+    SELECT token, n, rnk,
+           CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
+    FROM ranked
+    """,
+)
+def q_zipf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token frequency table with Zipf rank and cumulative coverage
+    share — the 'how much of the corpus do the top-k tokens cover'
+    curve used to pick tokenizer vocabularies. Integer counts and one
+    final IEEE division keep both engines bit-identical. The rank
+    window is a single-partition sort over vocab-sized data (fine:
+    O(vocab), not O(corpus))."""
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    ranked = counts.selectExpr(
+        "token",
+        "n",
+        "CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rnk",
+        "CAST(sum(n) OVER (ORDER BY n DESC, token ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum",
+        "CAST(sum(n) OVER () AS BIGINT) AS total",
+    )
+    return ranked.select(
+        "token",
+        "n",
+        "rnk",
+        (F.col("cum").cast("double") / F.col("total").cast("double")).alias("cum_share"),
+    )
+
+
+@query(
+    "q_pii_mask",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(length(props)
+                    - length(regexp_replace(props, '[0-9]', '', 'g'))) AS BIGINT)
+             AS digits_redacted,
+           CAST(count(DISTINCT regexp_replace(props, '[0-9]+', '#', 'g')) AS BIGINT)
+             AS distinct_masked_forms
+    FROM events GROUP BY event_type
+    """,
+)
+def q_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction accounting for a PII-scrub pass: per event type, how
+    many digit characters a ``[0-9]+ -> #`` mask removes from the JSON
+    props, and how many distinct masked shapes remain. Pure narrow
+    regex maps feeding one aggregation — the scrub itself would be the
+    same regexp_replace projected into the rewrite path."""
+    ev = load(spark, sf_dir, "events")
+    digits = F.length("props") - F.length(F.regexp_replace("props", "[0-9]", ""))
+    masked = F.regexp_replace("props", "[0-9]+", "#")
+    return ev.groupBy("event_type").agg(
+        F.sum(digits).alias("digits_redacted"),
+        F.count_distinct(masked).alias("distinct_masked_forms"),
+    )
