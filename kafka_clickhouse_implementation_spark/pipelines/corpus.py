@@ -91,6 +91,48 @@ def clean_corpus(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     return cleaned, stats
 
 
+@query(
+    "q_corpus_funnel",
+    oracle="""
+    WITH flagged AS (
+      SELECT text,
+             len(string_split(text, ' ')) AS ntok,
+             len(list_filter(string_split(text, ' '),
+                             t -> t IN ('the', 'a', 'of', 'and'))) AS nstop
+      FROM documents
+    ), ok AS (
+      SELECT text, (ntok >= 10 AND nstop / ntok <= 0.5) AS passed FROM flagged
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_raw,
+           CAST(sum(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT) AS n_after_quality,
+           CAST(count(DISTINCT CASE WHEN passed THEN md5(text) END) AS BIGINT)
+             AS n_after_exact_dedup
+    FROM ok
+    """,
+)
+def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked twin of the deterministic corpus-clean stages
+    (raw -> quality gate -> exact dedup), computed as ONE scan with
+    flag aggregation instead of per-stage counts — the shape you'd use
+    to audit a 100 TB clean without re-evaluating the pipeline prefix.
+    The LSH near-dup stage stays in q_corpus_clean (rows-only): its
+    candidate generation isn't SQL-expressible."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    ntok = F.size(toks)
+    nstop = F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and")))
+    flagged = docs.select(
+        "text", ((ntok >= 10) & (nstop / ntok <= 0.5)).alias("passed")
+    )
+    return flagged.agg(
+        F.count("*").alias("n_raw"),
+        F.sum(F.when(F.col("passed"), 1).otherwise(0)).alias("n_after_quality"),
+        F.count_distinct(
+            F.when(F.col("passed"), F.md5(F.col("text").cast("binary")))
+        ).alias("n_after_exact_dedup"),
+    )
+
+
 @query("q_corpus_clean")  # no-oracle: composition includes LSH candidate generation
 def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed cleaning pipeline's funnel stats over `documents`."""

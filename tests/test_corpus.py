@@ -52,3 +52,20 @@ def test_clean_corpus_funnel(spark):
     assert s["n_after_exact_dedup"] == 3
     assert s["n_after_near_dedup"] <= 3
     assert cleaned.count() == s["n_after_near_dedup"]
+
+
+def test_funnel_twin_matches_pipeline_counts(spark, tmp_path):
+    """q_corpus_funnel (single-scan flag agg) must agree with the
+    pipeline's own per-stage counts on the deterministic stages."""
+    docs = _docs(spark)
+    docs.write.parquet(f"{tmp_path}/documents.parquet")
+    from kafka_clickhouse_implementation_spark.registry import all_queries
+
+    row = all_queries()["q_corpus_funnel"](spark, str(tmp_path)).head()
+    _, stats = clean_corpus(docs)
+    s = stats.head()
+    assert (row["n_raw"], row["n_after_quality"], row["n_after_exact_dedup"]) == (
+        s["n_raw"],
+        s["n_after_quality"],
+        s["n_after_exact_dedup"],
+    )
