@@ -48,6 +48,9 @@ HEADLINE = [
     "q_sessionize",
     "q_quality_score",
     "q_stream_mv_daily",
+    # round 2 additions: behavioral analytics + corpus engineering
+    "q_window_funnel",
+    "q_bigram_counts",
 ]
 
 

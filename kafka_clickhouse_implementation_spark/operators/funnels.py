@@ -255,6 +255,50 @@ def q_sum_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_delta_sum",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(value AS DECIMAL(18,2))
+               - lag(CAST(value AS DECIMAL(18,2)))
+                   OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+               AS delta
+      FROM events
+    )
+    SELECT event_type,
+           CAST(round(sum(CASE WHEN delta > 0 THEN delta END), 2) AS DOUBLE)
+             AS delta_sum,
+           CAST(count(CASE WHEN delta > 0 THEN 1 END) AS BIGINT) AS n_increases
+    FROM d GROUP BY event_type
+    """,
+)
+def q_delta_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``deltaSum`` parity: per event type, the total of
+    positive value deltas along each user's time-ordered series (the
+    monotonic-counter-rate aggregation). Values are cast to
+    DECIMAL(18,2) BEFORE differencing so the lag-subtract and the sum
+    are exact and order-independent (functions/numeric.py discipline);
+    one window shuffle on (user_id, event_type), then a tiny agg."""
+    ev = load(spark, sf_dir, "events")
+    dv = F.col("value").cast("decimal(18,2)")
+    d = ev.select(
+        "event_type",
+        (
+            dv
+            - F.expr(
+                "lag(CAST(value AS DECIMAL(18,2))) OVER"
+                " (PARTITION BY user_id, event_type ORDER BY ts, event_id)"
+            )
+        ).alias("delta"),
+    )
+    pos = F.when(F.col("delta") > 0, F.col("delta"))
+    return d.groupBy("event_type").agg(
+        F.round(F.sum(pos), 2).cast("double").alias("delta_sum"),
+        F.count(F.when(F.col("delta") > 0, 1)).alias("n_increases"),
+    )
+
+
+@query(
     "q_event_paths",
     oracle="""
     WITH hops AS (
