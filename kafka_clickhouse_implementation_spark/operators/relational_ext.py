@@ -580,3 +580,40 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dsum(F.col("value")).alias("total_value"),
     )
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT)
+             AS gid,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,8))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), (o_orderpriority))
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS + grouping() ids (B8 went through
+    rollup/cube; this is the third, hand-picked-lattice form — what a
+    dashboard materializes when it needs exactly these marginals and
+    not the full cube). Spark expands it into one Expand + single
+    aggregation pass: each input row fans out only to its 3 target
+    sets, so the shuffle is 3x rows, not 2^k."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT)
+                 AS gid,
+               count(*) AS n,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,8))), 2) AS DOUBLE)
+                 AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority))
+        """
+    )
