@@ -617,3 +617,26 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (o_orderstatus), (o_orderpriority))
         """
     )
+
+
+@query(
+    "q_bit_aggs",
+    oracle="""
+    SELECT event_type,
+           CAST(bit_and(user_id) AS BIGINT) AS mask_and,
+           CAST(bit_or(user_id) AS BIGINT) AS mask_or,
+           CAST(bit_xor(user_id) AS BIGINT) AS mask_xor
+    FROM events GROUP BY event_type
+    """,
+)
+def q_bit_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse groupBitAnd/Or/Xor parity: bitwise aggregation over
+    integer ids — exact, associative, order-independent (the same
+    property that makes them perfect map-side partials). Used in
+    practice for permission-mask folding and parity checksums."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("bit_and(user_id)").alias("mask_and"),
+        F.expr("bit_or(user_id)").alias("mask_or"),
+        F.expr("bit_xor(user_id)").alias("mask_xor"),
+    )

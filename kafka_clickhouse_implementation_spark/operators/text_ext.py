@@ -79,13 +79,13 @@ def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     counting gets map-side partial aggregation, and the top-20 is
     TakeOrdered — no global sort."""
     docs = load(spark, sf_dir, "documents")
-    grams = docs.select(
-        F.explode(
-            F.expr(
-                "transform(sequence(0, size(split(text, ' ')) - 2),"
-                " i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i + 1]))"
-            )
-        ).alias("bigram")
+    grams = (
+        docs.select(F.split("text", " ").alias("t"))
+        .select(
+            F.explode(
+                F.expr("transform(sequence(0, size(t) - 2), i -> concat_ws(' ', t[i], t[i + 1]))")
+            ).alias("bigram")
+        )
     )
     return (
         grams.groupBy("bigram")
