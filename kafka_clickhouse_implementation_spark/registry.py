@@ -47,6 +47,7 @@ _MODULE_RANK = [
     "kafka_clickhouse_implementation_spark.operators.text_ext",
     "kafka_clickhouse_implementation_spark.pipelines.corpus",
     "kafka_clickhouse_implementation_spark.streaming.pipeline",
+    "kafka_clickhouse_implementation_spark.streaming.funnel",
 ]
 
 
@@ -120,5 +121,6 @@ def _load_operator_modules() -> None:
     from kafka_clickhouse_implementation_spark.operators import text_ext  # noqa: F401
     from kafka_clickhouse_implementation_spark.pipelines import corpus  # noqa: F401
     from kafka_clickhouse_implementation_spark.streaming import pipeline  # noqa: F401
+    from kafka_clickhouse_implementation_spark.streaming import funnel  # noqa: F401
 
     _loaded = True

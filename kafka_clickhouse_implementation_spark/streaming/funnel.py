@@ -1,0 +1,153 @@
+"""Stateful streaming funnel — the incremental twin of
+operators/funnels.funnel_levels, maintained per-user across
+micro-batches with ``applyInPandasWithState``.
+
+This is the operator class ClickHouse's ``windowFunnel`` cannot do
+incrementally (it re-scans on every query); here the funnel chain
+(first view -> first later click -> first later purchase) is a 3-long
+state tuple per user, updated as events stream in and emitted in
+update mode. Funnel level is monotone non-decreasing over a user's
+stream (stage timestamps only ever get set), so the latest emission per
+user IS the current level — consumers can upsert by user_id.
+
+Semantics contract (tested): when each user's events arrive in
+timestamp order (within-batch disorder is fine — batches are sorted in
+the operator), the drained stream's final levels equal the batch
+``funnel_levels`` result exactly.
+
+Scale: state is 24 bytes/user + store overhead, partitioned by the
+groupBy(user_id) hash — no global structure, no re-scan; watermark/TTL
+plugs into GroupStateTimeout if abandoned funnels should expire.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from kafka_clickhouse_implementation_spark.operators.funnels import FUNNEL_WINDOW_US
+
+_UNSET = 0  # event times are positive epoch-micros, 0 is safely "unset"
+
+
+def _level(t1: int, t2: int, t3: int, window_us: int) -> int:
+    if t1 == _UNSET:
+        return 0
+    if t3 != _UNSET and t3 - t1 <= window_us:
+        return 3
+    if t2 != _UNSET and t2 - t1 <= window_us:
+        return 2
+    return 1
+
+
+def _make_update(window_us: int):
+    def update(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        t1, t2, t3 = state.get if state.exists else (_UNSET, _UNSET, _UNSET)
+        pdf = pd.concat(list(batches), ignore_index=True)
+        pdf = pdf.sort_values(["e_us", "event_id"])
+        # the same chain as the batch operator's min/min-after/min-after:
+        # in arrival order, the first qualifying event IS that min.
+        for e_us, et in zip(pdf["e_us"], pdf["event_type"]):
+            if et == "view" and t1 == _UNSET:
+                t1 = int(e_us)
+            elif et == "click" and t1 != _UNSET and t2 == _UNSET and e_us > t1:
+                t2 = int(e_us)
+            elif et == "purchase" and t2 != _UNSET and t3 == _UNSET and e_us > t2:
+                t3 = int(e_us)
+        state.update((t1, t2, t3))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "funnel_level": [_level(t1, t2, t3, window_us)]}
+        )
+
+    return update
+
+
+def streaming_funnel_levels(
+    events: DataFrame, window_us: int = FUNNEL_WINDOW_US
+) -> DataFrame:
+    """Streaming (user_id, funnel_level) updates. ``events`` needs
+    user_id, event_id, event_type, and a ``ts`` timestamp column."""
+    ev = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("e_us"),
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _make_update(window_us),
+        outputStructType="user_id long, funnel_level int",
+        stateStructType="t1 long, t2 long, t3 long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+from kafka_clickhouse_implementation_spark.io import load  # noqa: E402
+from kafka_clickhouse_implementation_spark.operators.funnels import _FUNNEL_ORACLE  # noqa: E402
+from kafka_clickhouse_implementation_spark.registry import query  # noqa: E402
+
+
+@query(
+    "q_stream_funnel",
+    # The stateful replay's final levels equal the batch operator by
+    # construction (tested multi-batch in tests/test_funnels.py), so
+    # the batch funnel oracle hash-checks the streaming state machine.
+    oracle=_FUNNEL_ORACLE,
+)
+def q_stream_funnel(spark, sf_dir: str):
+    """Hermetic stateful-streaming funnel: replay `events` as a
+    ts-sorted JSON wire, drain it through streaming_funnel_levels
+    (AvailableNow), and aggregate the final per-user levels. All
+    plumbing stays distributed — the wire is written by Spark
+    (range-partitioned on ts so file order == time order) and the
+    state store holds 3 longs per user."""
+    import os
+    import shutil
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(), "spark_graft_stream",
+        os.path.basename(sf_dir.rstrip("/")) + "_funnel",
+    )
+    wire_dir = os.path.join(base, "wire")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    if not os.path.exists(os.path.join(wire_dir, "_SUCCESS")):
+        ev = load(spark, sf_dir, "events")
+        (
+            ev.select("user_id", "event_id", "event_type", "ts")
+            .repartitionByRange(4, "ts", "event_id")
+            .sortWithinPartitions("ts", "event_id")
+            .write.mode("overwrite")
+            .json(wire_dir)
+        )
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, event_type string, ts timestamp")
+        .json(wire_dir)
+    )
+    out = streaming_funnel_levels(stream)
+    name = "stream_funnel_out"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    final = spark.sql(
+        f"SELECT user_id, max(funnel_level) AS funnel_level FROM {name} GROUP BY user_id"
+    )
+    return (
+        final.groupBy("funnel_level")
+        .count()
+        .select("funnel_level", F.col("count").alias("n_users"))
+    )

@@ -85,3 +85,67 @@ def test_sequence_match_order_determinism(spark):
         .seq
     )
     assert seq == "vcp"
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    """Drain the real events table (sf0.001) through the stateful
+    streaming funnel in multiple ts-ordered micro-batches; final
+    per-user levels must equal the batch operator exactly."""
+    from kafka_clickhouse_implementation_spark.io import load
+    from kafka_clickhouse_implementation_spark.streaming.funnel import (
+        streaming_funnel_levels,
+    )
+
+    ev = load(spark, "/root/testdata/sf0.001", "events").filter(F.col("user_id") < 40)
+    batch = {r.user_id: r.funnel_level for r in funnel_levels(ev).collect()}
+
+    # ts-ordered wire files -> 4 micro-batches (mtimes forced increasing
+    # so the file source processes them in time order)
+    import json
+    import os
+
+    wire = tmp_path / "wire"
+    wire.mkdir()
+    rows_sorted = (
+        ev.select("user_id", "event_id", "event_type", "ts")
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    chunk = (len(rows_sorted) + 3) // 4
+    for i in range(4):
+        path = wire / f"part-{i}.json"
+        with open(path, "w") as f:
+            for r in rows_sorted[i * chunk : (i + 1) * chunk]:
+                f.write(
+                    json.dumps(
+                        {
+                            "user_id": r.user_id,
+                            "event_id": r.event_id,
+                            "event_type": r.event_type,
+                            "ts": r.ts.isoformat(sep=" "),
+                        }
+                    )
+                    + "\n"
+                )
+        os.utime(path, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+    wire = str(wire)
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .json(wire)
+    )
+    out = streaming_funnel_levels(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # level is monotone per user, so the max emission is the final state
+    rows = spark.sql(
+        "SELECT user_id, max(funnel_level) AS lvl FROM funnel_out GROUP BY user_id"
+    ).collect()
+    got = {r.user_id: r.lvl for r in rows}
+    assert got == batch
