@@ -337,3 +337,42 @@ def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "path")
         .limit(10)
     )
+
+
+@query(
+    "q_sequence_count",
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(sum(len(regexp_extract_all(seq, 'v[^p]*p'))) AS BIGINT)
+             AS n_chains,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM seqs
+    """,
+)
+def q_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceCount`` parity: non-overlapping
+    view-...-purchase chains per user (regex left-to-right scan counts
+    exactly the non-overlapping matches), summed over all users. Same
+    single hash aggregation as q_sequence_match plus a regexp_count."""
+    ev = load(spark, sf_dir, "events")
+    seqs = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct("ts", "event_id", F.expr("substr(event_type, 1, 1)").alias("ch"))
+                    )
+                ),
+                lambda x: x["ch"],
+            ),
+            "",
+        ).alias("seq")
+    )
+    return seqs.agg(
+        F.sum(F.expr("regexp_count(seq, 'v[^p]*p')")).alias("n_chains"),
+        F.count("*").alias("n_users"),
+    )

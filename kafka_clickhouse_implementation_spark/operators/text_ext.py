@@ -199,3 +199,36 @@ def q_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(digits).alias("digits_redacted"),
         F.count_distinct(masked).alias("distinct_masked_forms"),
     )
+
+
+@query(
+    "q_edit_distance",
+    oracle="""
+    WITH heads AS (
+      SELECT doc_id, substr(text, 1, 40) AS head FROM documents WHERE doc_id < 15
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist
+    FROM heads a JOIN heads b ON a.doc_id < b.doc_id
+    """,
+)
+def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy matching by Levenshtein distance (exact integers — no
+    float portability questions) over 40-char document heads. The demo is an O(n^2) block on 15 docs; the
+    scale path is the same predicate applied to LSH/blocking candidates
+    (dedup.py), never the full corpus."""
+    heads = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 15)
+        .select("doc_id", F.substring("text", 1, 40).alias("head"))
+    )
+    a = heads.alias("a")
+    b = heads.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.head"), F.col("b.head")).cast("long").alias("edit_dist"),
+        )
+    )
