@@ -1,0 +1,165 @@
+"""Portable MinHash + LSH near-duplicate detection — fully
+deterministic and engine-agnostic, so the WHOLE pipeline (shingle ->
+signature -> banding -> candidate join -> exact verify) is
+differentially hash-checked against DuckDB, unlike the Spark-ML
+MinHashLSH variant (dedup.py) whose hash family is engine-private and
+therefore rows-only.
+
+The trick: a MinHash permutation only needs a total order on hashed
+shingles, so ``min(md5(seed || ':' || shingle))`` with LEXICOGRAPHIC
+string order is a valid minwise family — and md5 is identical in every
+engine. 16 signature rows, 4 bands x 4 rows: P[candidate] = 1-(1-J^4)^4
+(~0.98 at J=0.8, ~0.03 at J=0.3), the standard S-curve.
+
+Scale notes (100 TB):
+- Everything is explode -> hash -> min-aggregate -> equi-join: the
+  shuffles carry (doc_id, 32-byte digest) pairs, never document bodies.
+- Candidate generation is the (band, bucket) self-equi-join — linear in
+  bucket occupancy, the same shape as approxSimilarityJoin's join.
+- Exact verification touches candidate pairs only (intersection via a
+  shingle equi-join restricted to candidates).
+- The 16x shingle explosion is the classic MinHash CPU cost; at scale
+  you'd fold it with a higher-order aggregate (as q_simhash does) —
+  kept explicit here because the oracle must mirror each step.
+
+Reference behavior anchor: the near-dup tier extends the reference's
+dedup-free ingest (kafka+clickhouse.md:92-103 stores raw events; any
+corpus layer above it needs this exact pipeline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_clickhouse_implementation_spark.io import load
+from kafka_clickhouse_implementation_spark.registry import query
+
+N_HASHES = 16
+BAND_ROWS = 4
+JACCARD_T = 0.8
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    """Distinct 3-word shingles per doc (docs with >= 3 tokens)."""
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(F.size("t") >= 3)
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")
+        ).alias("s"),
+    ).distinct()
+
+
+def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs from 4x4 LSH banding over the
+    16-function portable MinHash signature."""
+    sh = _shingles(docs)
+    hi = (
+        sh.select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("i"), "s")
+        .select(
+            "doc_id",
+            "i",
+            F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("s"))).alias("h"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.min("h").alias("mh"))
+    )
+    bands = (
+        hi.withColumn("band", F.expr("i div 4"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("i", "mh"))), lambda x: x["mh"]
+                    ),
+                )
+            ).alias("bh")
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM toks WHERE len(t) >= 3
+), hi AS (
+  SELECT doc_id, seeds.i AS i, min(md5(CAST(seeds.i AS VARCHAR) || ':' || s)) AS mh
+  FROM sh, (SELECT unnest(range(0, {N_HASHES})) AS i) seeds
+  GROUP BY doc_id, seeds.i
+), bands AS (
+  SELECT doc_id, i // {BAND_ROWS} AS band,
+         md5(string_agg(mh, '|' ORDER BY i)) AS bh
+  FROM hi GROUP BY doc_id, i // {BAND_ROWS}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_int
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.n_int AS DOUBLE) / CAST(za.n + zb.n - i.n_int AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE CAST(i.n_int AS DOUBLE) / CAST(za.n + zb.n - i.n_int AS DOUBLE) >= {JACCARD_T}
+"""
+
+
+@query("q_minhash_portable", oracle=_ORACLE)
+def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end hash-checked MinHash-LSH near-dup: portable md5-min
+    signatures -> 4x4 banding -> candidate equi-join -> exact Jaccard
+    verify (>= 0.8) on candidates only. The one IEEE division per pair
+    is exact-identical across engines (bigint inputs)."""
+    docs = load(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    cand = minhash_candidate_pairs(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_int"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_int").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_int")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= JACCARD_T)

@@ -45,6 +45,7 @@ _MODULE_RANK = [
     "kafka_clickhouse_implementation_spark.operators.embeddings_ext",
     "kafka_clickhouse_implementation_spark.operators.funnels",
     "kafka_clickhouse_implementation_spark.operators.text_ext",
+    "kafka_clickhouse_implementation_spark.operators.minhash_portable",
     "kafka_clickhouse_implementation_spark.pipelines.corpus",
     "kafka_clickhouse_implementation_spark.streaming.pipeline",
     "kafka_clickhouse_implementation_spark.streaming.funnel",
@@ -119,6 +120,7 @@ def _load_operator_modules() -> None:
     from kafka_clickhouse_implementation_spark.operators import embeddings_ext  # noqa: F401
     from kafka_clickhouse_implementation_spark.operators import funnels  # noqa: F401
     from kafka_clickhouse_implementation_spark.operators import text_ext  # noqa: F401
+    from kafka_clickhouse_implementation_spark.operators import minhash_portable  # noqa: F401
     from kafka_clickhouse_implementation_spark.pipelines import corpus  # noqa: F401
     from kafka_clickhouse_implementation_spark.streaming import pipeline  # noqa: F401
     from kafka_clickhouse_implementation_spark.streaming import funnel  # noqa: F401

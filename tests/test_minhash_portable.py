@@ -1,0 +1,61 @@
+"""Portable MinHash-LSH: recall against exact ground truth, and the
+banding S-curve's determinism across runs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_clickhouse_implementation_spark.io import load
+from kafka_clickhouse_implementation_spark.operators.minhash_portable import (
+    JACCARD_T,
+    _shingles,
+    minhash_candidate_pairs,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _exact_pairs(spark, docs):
+    sh = _shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        sa.join(sb, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_int"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return {
+        (r.doc_a, r.doc_b)
+        for r in inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .withColumn("j", F.col("n_int") / (F.col("na") + F.col("nb") - F.col("n_int")))
+        .filter(F.col("j") >= JACCARD_T)
+        .collect()
+    }
+
+
+def test_lsh_recall_against_exact_ground_truth(spark):
+    """P[candidate | J>=0.8] ~ 0.98 with 4x4 banding; require >= 0.8
+    recall on the real corpus slice (deterministic, so no flake)."""
+    docs = load(spark, SF, "documents")
+    truth = _exact_pairs(spark, docs)
+    assert truth, "ground truth empty — test corpus changed?"
+    found = {
+        (r.doc_a, r.doc_b) for r in minhash_candidate_pairs(docs).collect()
+    }
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.8, (recall, len(truth))
+
+
+def test_candidates_deterministic_across_runs(spark):
+    docs = load(spark, SF, "documents")
+    one = {(r.doc_a, r.doc_b) for r in minhash_candidate_pairs(docs).collect()}
+    two = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_candidate_pairs(docs.repartition(13)).collect()
+    }
+    assert one == two
