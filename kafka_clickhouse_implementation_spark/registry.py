@@ -49,6 +49,7 @@ _MODULE_RANK = [
     "kafka_clickhouse_implementation_spark.pipelines.corpus",
     "kafka_clickhouse_implementation_spark.streaming.pipeline",
     "kafka_clickhouse_implementation_spark.streaming.funnel",
+    "kafka_clickhouse_implementation_spark.streaming.retention",
 ]
 
 
@@ -124,5 +125,6 @@ def _load_operator_modules() -> None:
     from kafka_clickhouse_implementation_spark.pipelines import corpus  # noqa: F401
     from kafka_clickhouse_implementation_spark.streaming import pipeline  # noqa: F401
     from kafka_clickhouse_implementation_spark.streaming import funnel  # noqa: F401
+    from kafka_clickhouse_implementation_spark.streaming import retention  # noqa: F401
 
     _loaded = True

@@ -22,6 +22,7 @@ plugs into GroupStateTimeout if abandoned funnels should expire.
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Iterator
 
 import pandas as pd
@@ -94,6 +95,48 @@ from kafka_clickhouse_implementation_spark.operators.funnels import _FUNNEL_ORAC
 from kafka_clickhouse_implementation_spark.registry import query  # noqa: E402
 
 
+WIRE_SCHEMA = "user_id long, event_id long, event_type string, ts timestamp"
+
+
+def ordered_event_wire(spark, sf_dir: str) -> tuple[str, str]:
+    """Spark-written ts-sorted JSON replay of `events` (no driver
+    collect; range-partitioned so file order == time order). Returns
+    (wire_dir, base_dir); the wire is immutable per sf_dir and shared
+    by every stateful replay query."""
+    import os
+
+    base = os.path.join(
+        tempfile.gettempdir(), "spark_graft_stream",
+        os.path.basename(sf_dir.rstrip("/")) + "_stateful",
+    )
+    wire_dir = os.path.join(base, "wire")
+    if not os.path.exists(os.path.join(wire_dir, "_SUCCESS")):
+        ev = load(spark, sf_dir, "events")
+        (
+            ev.select("user_id", "event_id", "event_type", "ts")
+            .repartitionByRange(4, "ts", "event_id")
+            .sortWithinPartitions("ts", "event_id")
+            .write.mode("overwrite")
+            .json(wire_dir)
+        )
+    return wire_dir, base
+
+
+def _drain(spark, out, name: str, ckpt: str):
+    import shutil
+
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+
 @query(
     "q_stream_funnel",
     # The stateful replay's final levels equal the batch operator by
@@ -104,45 +147,16 @@ from kafka_clickhouse_implementation_spark.registry import query  # noqa: E402
 def q_stream_funnel(spark, sf_dir: str):
     """Hermetic stateful-streaming funnel: replay `events` as a
     ts-sorted JSON wire, drain it through streaming_funnel_levels
-    (AvailableNow), and aggregate the final per-user levels. All
-    plumbing stays distributed — the wire is written by Spark
-    (range-partitioned on ts so file order == time order) and the
-    state store holds 3 longs per user."""
+    (AvailableNow), and aggregate the final per-user levels. State is
+    3 longs per user."""
     import os
-    import shutil
-    import tempfile
 
-    base = os.path.join(
-        tempfile.gettempdir(), "spark_graft_stream",
-        os.path.basename(sf_dir.rstrip("/")) + "_funnel",
-    )
-    wire_dir = os.path.join(base, "wire")
-    ckpt = os.path.join(base, "ckpt")
-    shutil.rmtree(ckpt, ignore_errors=True)
-    if not os.path.exists(os.path.join(wire_dir, "_SUCCESS")):
-        ev = load(spark, sf_dir, "events")
-        (
-            ev.select("user_id", "event_id", "event_type", "ts")
-            .repartitionByRange(4, "ts", "event_id")
-            .sortWithinPartitions("ts", "event_id")
-            .write.mode("overwrite")
-            .json(wire_dir)
-        )
-    stream = (
-        spark.readStream.schema("user_id long, event_id long, event_type string, ts timestamp")
-        .json(wire_dir)
-    )
+    wire_dir, base = ordered_event_wire(spark, sf_dir)
+    ckpt = os.path.join(base, "ckpt_funnel")
+    stream = spark.readStream.schema(WIRE_SCHEMA).json(wire_dir)
     out = streaming_funnel_levels(stream)
     name = "stream_funnel_out"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    _drain(spark, out, name, ckpt)
     final = spark.sql(
         f"SELECT user_id, max(funnel_level) AS funnel_level FROM {name} GROUP BY user_id"
     )

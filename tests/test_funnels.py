@@ -87,32 +87,21 @@ def test_sequence_match_order_determinism(spark):
     assert seq == "vcp"
 
 
-def test_streaming_funnel_matches_batch(spark, tmp_path):
-    """Drain the real events table (sf0.001) through the stateful
-    streaming funnel in multiple ts-ordered micro-batches; final
-    per-user levels must equal the batch operator exactly."""
-    from kafka_clickhouse_implementation_spark.io import load
-    from kafka_clickhouse_implementation_spark.streaming.funnel import (
-        streaming_funnel_levels,
-    )
-
-    ev = load(spark, "/root/testdata/sf0.001", "events").filter(F.col("user_id") < 40)
-    batch = {r.user_id: r.funnel_level for r in funnel_levels(ev).collect()}
-
-    # ts-ordered wire files -> 4 micro-batches (mtimes forced increasing
-    # so the file source processes them in time order)
+def _ordered_wire_chunks(ev, tmp_path, n_chunks=4):
+    """ts-ordered wire files -> n micro-batches (mtimes forced
+    increasing so the file source processes them in time order)."""
     import json
     import os
 
     wire = tmp_path / "wire"
-    wire.mkdir()
+    wire.mkdir(exist_ok=True)
     rows_sorted = (
         ev.select("user_id", "event_id", "event_type", "ts")
         .orderBy("ts", "event_id")
         .collect()
     )
-    chunk = (len(rows_sorted) + 3) // 4
-    for i in range(4):
+    chunk = (len(rows_sorted) + n_chunks - 1) // n_chunks
+    for i in range(n_chunks):
         path = wire / f"part-{i}.json"
         with open(path, "w") as f:
             for r in rows_sorted[i * chunk : (i + 1) * chunk]:
@@ -128,7 +117,22 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
                     + "\n"
                 )
         os.utime(path, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
-    wire = str(wire)
+    return str(wire)
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    """Drain the real events table (sf0.001) through the stateful
+    streaming funnel in multiple ts-ordered micro-batches; final
+    per-user levels must equal the batch operator exactly."""
+    from kafka_clickhouse_implementation_spark.io import load
+    from kafka_clickhouse_implementation_spark.streaming.funnel import (
+        streaming_funnel_levels,
+    )
+
+    ev = load(spark, "/root/testdata/sf0.001", "events").filter(F.col("user_id") < 40)
+    batch = {r.user_id: r.funnel_level for r in funnel_levels(ev).collect()}
+
+    wire = _ordered_wire_chunks(ev, tmp_path)
     stream = (
         spark.readStream.schema("user_id long, event_id long, event_type string, ts timestamp")
         .option("maxFilesPerTrigger", "1")
@@ -148,4 +152,47 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
         "SELECT user_id, max(funnel_level) AS lvl FROM funnel_out GROUP BY user_id"
     ).collect()
     got = {r.user_id: r.lvl for r in rows}
+    assert got == batch
+
+
+def test_streaming_retention_matches_batch(spark, tmp_path):
+    """Same multi-batch contract for the stateful retention twin."""
+    from kafka_clickhouse_implementation_spark.io import load
+    from kafka_clickhouse_implementation_spark.streaming.retention import (
+        streaming_retention,
+    )
+
+    ev = load(spark, "/root/testdata/sf0.001", "events").filter(F.col("user_id") < 40)
+    d = ev.select("user_id", F.to_date("ts").alias("d"))
+    first = d.groupBy("user_id").agg(F.min("d").alias("d0"))
+    batch = {
+        r.user_id: (r.r1, r.r7)
+        for r in first.join(d.distinct(), "user_id")
+        .groupBy("user_id", "d0")
+        .agg(
+            F.max(F.when(F.col("d") == F.date_add("d0", 1), 1).otherwise(0)).alias("r1"),
+            F.max(F.when(F.col("d") == F.date_add("d0", 7), 1).otherwise(0)).alias("r7"),
+        )
+        .collect()
+    }
+
+    wire = _ordered_wire_chunks(ev, tmp_path)
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .json(wire)
+    )
+    q = (
+        streaming_retention(stream)
+        .writeStream.format("memory")
+        .queryName("retention_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT user_id, max(r1) AS r1, max(r7) AS r7 FROM retention_out GROUP BY user_id"
+    ).collect()
+    got = {r.user_id: (r.r1, r.r7) for r in rows}
     assert got == batch
