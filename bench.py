@@ -51,6 +51,7 @@ HEADLINE = [
     # round 2 additions: behavioral analytics + corpus engineering
     "q_window_funnel",
     "q_bigram_counts",
+    "q_minhash_portable",
 ]
 
 

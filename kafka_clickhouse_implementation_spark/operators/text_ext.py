@@ -232,3 +232,47 @@ def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein(F.col("a.head"), F.col("b.head")).cast("long").alias("edit_dist"),
         )
     )
+
+
+def _mg_partial(max_counters: int):
+    """Per-partition Misra-Gries/space-saving summary over a `token`
+    column: add each Arrow batch's value_counts, then if over budget
+    subtract the (budget+1)-th largest count and drop non-positives.
+    Classic mergeable-summary guarantee: per-summary undercount is at
+    most (items seen)/(budget+1), and summaries merge by addition."""
+    import pandas as pd
+
+    def f(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok, cnt in pdf["token"].value_counts().items():
+                counters[tok] = counters.get(tok, 0) + int(cnt)
+            if len(counters) > max_counters:
+                vals = sorted(counters.values(), reverse=True)
+                sub = vals[max_counters]
+                counters = {t: c - sub for t, c in counters.items() if c > sub}
+        yield pd.DataFrame(
+            {"token": list(counters.keys()), "est": list(counters.values())}
+        )
+
+    return f
+
+
+@query("q_heavy_hitters")  # rows-only: estimates depend on partition layout;
+# the exact twin is q_term_stats, and the MG bound is pytest-asserted
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``topK`` analogue: top-10 tokens by a mergeable
+    Misra-Gries sketch — per-partition summaries via mapInPandas
+    (narrow, Arrow-batched), merged by a tiny additive groupBy. The
+    shuffle carries O(partitions x counters) rows regardless of corpus
+    size — the fixed-memory path when exact counting's vocab-sized
+    shuffle is itself too big (e.g. unbounded n-gram keys at 100 TB)."""
+    docs = load(spark, sf_dir, "documents")
+    tokens = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    sketch = tokens.mapInPandas(_mg_partial(64), "token string, est long")
+    return (
+        sketch.groupBy("token")
+        .agg(F.sum("est").alias("est"))
+        .orderBy(F.desc("est"), "token")
+        .limit(10)
+    )
