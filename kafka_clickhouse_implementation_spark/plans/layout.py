@@ -139,3 +139,28 @@ def compact_rollup(spark: SparkSession, path: str) -> None:
     tmp = path.rstrip("/") + "__compact_tmp"
     merged.write.mode("overwrite").parquet(tmp)
     _atomic_swap_dirs(path, tmp)
+
+
+def expire_partitions(path: str, keep_from, partition_col: str = "event_date") -> list[str]:
+    """TTL retention for the day-partitioned fact table (ClickHouse
+    ``TTL event_time + INTERVAL n DAY DELETE`` analogue): drop whole
+    partition directories with ``<partition_col>`` lexicographically
+    below ``keep_from`` (yyyyMMdd strings order correctly).
+
+    This is the reason the fact table is day-partitioned at 100 TB:
+    retention is an O(#expired-partitions) directory delete — no scan,
+    no rewrite, no tombstone compaction. Returns the dropped partition
+    values (for the audit log a production system would write).
+    """
+    import shutil
+
+    keep_from = str(keep_from)  # Spark reads yyyyMMdd partition values back as ints
+    dropped = []
+    prefix = partition_col + "="
+    for name in sorted(os.listdir(path)):
+        if not name.startswith(prefix):
+            continue
+        if name[len(prefix):] < keep_from:
+            shutil.rmtree(os.path.join(path, name))
+            dropped.append(name[len(prefix):])
+    return dropped

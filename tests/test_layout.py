@@ -105,3 +105,31 @@ def test_compact_rollup_preserves_totals(spark, tmp_path):
     # compacted: one row per key on disk now
     raw = spark.read.parquet(path)
     assert raw.count() == raw.select("day", "level").distinct().count()
+
+
+def test_expire_partitions_is_partition_level_ttl(spark, tmp_path):
+    """Dropping expired days must remove exactly the old partitions and
+    leave survivors byte-identical (no rewrite), and the pruned scan
+    must still work."""
+    from kafka_clickhouse_implementation_spark.io import load
+    from kafka_clickhouse_implementation_spark.plans.layout import (
+        expire_partitions,
+        read_day_partitioned,
+        write_day_partitioned,
+    )
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    path = str(tmp_path / "fact")
+    write_day_partitioned(ev, path)
+
+    before = read_day_partitioned(spark, path)
+    days = sorted(r.event_date for r in before.select("event_date").distinct().collect())
+    cutoff = days[5]
+    expected_keep = before.filter(F.col("event_date") >= cutoff).count()
+
+    dropped = expire_partitions(path, keep_from=cutoff)
+    assert dropped == [str(d) for d in days[:5]]
+
+    after = read_day_partitioned(spark, path)
+    assert after.count() == expected_keep
+    assert sorted(r.event_date for r in after.select("event_date").distinct().collect()) == days[5:]
