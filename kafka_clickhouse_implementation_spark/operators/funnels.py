@@ -169,6 +169,26 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_event_seq(events: DataFrame) -> DataFrame:
+    """Per-user letter string of the time-ordered event stream
+    (v/c/p/s/e), built inside ONE hash aggregation: the collect_list
+    buffer is order-insensitive, made deterministic by sorting on
+    (ts, event_id) before joining the letters."""
+    return events.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct("ts", "event_id", F.expr("substr(event_type, 1, 1)").alias("ch"))
+                    )
+                ),
+                lambda x: x["ch"],
+            ),
+            "",
+        ).alias("seq")
+    )
+
+
 @query(
     "q_sequence_match",
     oracle="""
@@ -193,26 +213,8 @@ def q_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays a single hash aggregation.
     """
     ev = load(spark, sf_dir, "events")
-    seqs = (
-        ev.groupBy("user_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.sort_array(
-                        F.collect_list(
-                            F.struct(
-                                "ts", "event_id", F.expr("substr(event_type, 1, 1)").alias("ch")
-                            )
-                        )
-                    ),
-                    lambda x: x["ch"],
-                ),
-                "",
-            ).alias("seq")
-        )
-    )
     return (
-        seqs.select(F.col("seq").rlike("v.*c.*p").alias("matched"))
+        user_event_seq(ev).select(F.col("seq").rlike("v.*c.*p").alias("matched"))
         .groupBy("matched")
         .agg(F.count("*").alias("n_users"))
     )
@@ -359,20 +361,7 @@ def q_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the non-overlapping matches), summed over all users. Same
     single hash aggregation as q_sequence_match plus a regexp_count."""
     ev = load(spark, sf_dir, "events")
-    seqs = ev.groupBy("user_id").agg(
-        F.array_join(
-            F.transform(
-                F.sort_array(
-                    F.collect_list(
-                        F.struct("ts", "event_id", F.expr("substr(event_type, 1, 1)").alias("ch"))
-                    )
-                ),
-                lambda x: x["ch"],
-            ),
-            "",
-        ).alias("seq")
-    )
-    return seqs.agg(
+    return user_event_seq(ev).agg(
         F.sum(F.expr("regexp_count(seq, 'v[^p]*p')")).alias("n_chains"),
         F.count("*").alias("n_users"),
     )

@@ -51,10 +51,13 @@ def _shingles(docs: DataFrame) -> DataFrame:
     ).distinct()
 
 
-def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
+def minhash_candidate_pairs(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
     """(doc_a, doc_b) candidate pairs from 4x4 LSH banding over the
-    16-function portable MinHash signature."""
-    sh = _shingles(docs)
+    16-function portable MinHash signature. Pass a precomputed
+    ``_shingles`` frame to share the (expensive) shingle subtree with
+    the verify stage."""
+    if sh is None:
+        sh = _shingles(docs)
     hi = (
         sh.select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("i"), "s")
         .select(
@@ -66,7 +69,7 @@ def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
         .agg(F.min("h").alias("mh"))
     )
     bands = (
-        hi.withColumn("band", F.expr("i div 4"))
+        hi.withColumn("band", F.expr(f"i div {BAND_ROWS}"))
         .groupBy("doc_id", "band")
         .agg(
             F.md5(
@@ -138,7 +141,7 @@ def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exact-identical across engines (bigint inputs)."""
     docs = load(spark, sf_dir, "documents")
     sh = _shingles(docs)
-    cand = minhash_candidate_pairs(docs)
+    cand = minhash_candidate_pairs(docs, sh=sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "s")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "s")

@@ -29,9 +29,13 @@ from pyspark.sql import functions as F
 from kafka_clickhouse_implementation_spark.io import load
 from kafka_clickhouse_implementation_spark.registry import query
 
-# Knuth's multiplicative hash constant: spreads sequential ids
-# uniformly; both engines compute it in exact int64 arithmetic.
+# Knuth's multiplicative hash constant. The id is reduced mod a prime
+# FIRST so the product stays < 2^63 for any int64 doc_id — Spark would
+# silently wrap on overflow (negative remainder -> row never sampled)
+# while DuckDB raises, so the guard is a correctness requirement, not
+# style.
 _MIX = 2654435761
+_MOD_PRIME = 1_000_003
 _SAMPLE_PERMILLE = 200  # keep ~20% of each stratum
 
 
@@ -40,7 +44,7 @@ _SAMPLE_PERMILLE = 200  # keep ~20% of each stratum
     oracle=f"""
     SELECT lang,
            CAST(count(*) AS BIGINT) AS n_total,
-           CAST(sum(CASE WHEN (doc_id * {_MIX}) % 1000 < {_SAMPLE_PERMILLE}
+           CAST(sum(CASE WHEN ((doc_id % {_MOD_PRIME}) * {_MIX}) % 1000 < {_SAMPLE_PERMILLE}
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
     FROM documents GROUP BY lang
     """,
@@ -52,7 +56,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sample). The filter is a narrow map; only the audit counts
     aggregate."""
     docs = load(spark, sf_dir, "documents")
-    keep = (F.col("doc_id") * F.lit(_MIX)) % 1000 < _SAMPLE_PERMILLE
+    keep = ((F.col("doc_id") % _MOD_PRIME) * F.lit(_MIX)) % 1000 < _SAMPLE_PERMILLE
     return docs.groupBy("lang").agg(
         F.count("*").alias("n_total"),
         F.sum(F.when(keep, 1).otherwise(0)).alias("n_sampled"),
@@ -81,6 +85,8 @@ def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     grams = (
         docs.select(F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= 2)  # guard: sequence(0, -1) on 1-token docs
+        # would descend and emit phantom bigrams the oracle's range() never does
         .select(
             F.explode(
                 F.expr("transform(sequence(0, size(t) - 2), i -> concat_ws(' ', t[i], t[i + 1]))")

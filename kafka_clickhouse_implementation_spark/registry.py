@@ -95,36 +95,17 @@ _loaded = False
 
 
 def _load_operator_modules() -> None:
-    """Import every operator module exactly once so decorators run."""
+    """Import every operator module exactly once so decorators run.
+    _MODULE_RANK is the single source of truth: it is both the import
+    list and the canonical ordering, so registration and the driver's
+    50-entry correctness window cannot drift apart (the window itself
+    is pinned by tests/test_registry_window.py)."""
     global _loaded
     if _loaded:
         return
-    # Registration order matters: the driver's correctness harness
-    # records the FIRST 50 registered queries, so the reference-parity
-    # tier (tier_a), the TPC-H surface (tpch, incl. q_pricing_summary),
-    # and the LLM-pipeline operators (text/similarity/dedup/multimodal)
-    # must register before the broad relational capability suites.
-    # tier_a(9) + tpch(17) + text(8) + similarity(4) + sessions(1)
-    # + udx(3) + dedup(7) + multimodal(1st) = 50 exactly; the 51st is
-    # q_multimodal_features, which is rows-only by design anyway.
-    from kafka_clickhouse_implementation_spark.operators import tier_a  # noqa: F401
-    from kafka_clickhouse_implementation_spark.operators import tpch  # noqa: F401
-    from kafka_clickhouse_implementation_spark.operators import text  # noqa: F401
-    from kafka_clickhouse_implementation_spark.operators import similarity  # noqa: F401
-    from kafka_clickhouse_implementation_spark.operators import sessions  # noqa: F401
-    from kafka_clickhouse_implementation_spark.operators import udx  # noqa: F401
-    from kafka_clickhouse_implementation_spark.operators import dedup  # noqa: F401
-    from kafka_clickhouse_implementation_spark.operators import multimodal  # noqa: F401
-    from kafka_clickhouse_implementation_spark.operators import relational  # noqa: F401
-    from kafka_clickhouse_implementation_spark.operators import relational_ext  # noqa: F401
-    from kafka_clickhouse_implementation_spark.operators import components  # noqa: F401
-    from kafka_clickhouse_implementation_spark.operators import embeddings_ext  # noqa: F401
-    from kafka_clickhouse_implementation_spark.operators import funnels  # noqa: F401
-    from kafka_clickhouse_implementation_spark.operators import text_ext  # noqa: F401
-    from kafka_clickhouse_implementation_spark.operators import minhash_portable  # noqa: F401
-    from kafka_clickhouse_implementation_spark.pipelines import corpus  # noqa: F401
-    from kafka_clickhouse_implementation_spark.streaming import pipeline  # noqa: F401
-    from kafka_clickhouse_implementation_spark.streaming import funnel  # noqa: F401
-    from kafka_clickhouse_implementation_spark.streaming import retention  # noqa: F401
+    import importlib
+
+    for mod in _MODULE_RANK:
+        importlib.import_module(mod)
 
     _loaded = True

@@ -102,12 +102,16 @@ def ordered_event_wire(spark, sf_dir: str) -> tuple[str, str]:
     """Spark-written ts-sorted JSON replay of `events` (no driver
     collect; range-partitioned so file order == time order). Returns
     (wire_dir, base_dir); the wire is immutable per sf_dir and shared
-    by every stateful replay query."""
+    by every stateful replay query. The cache key digests the RESOLVED
+    path, so two different dirs with the same basename never collide."""
+    import hashlib
     import os
 
+    resolved = os.path.realpath(sf_dir)
+    tag = hashlib.md5(resolved.encode()).hexdigest()[:8]
     base = os.path.join(
         tempfile.gettempdir(), "spark_graft_stream",
-        os.path.basename(sf_dir.rstrip("/")) + "_stateful",
+        f"{os.path.basename(resolved)}_{tag}_stateful",
     )
     wire_dir = os.path.join(base, "wire")
     if not os.path.exists(os.path.join(wire_dir, "_SUCCESS")):
@@ -134,7 +138,9 @@ def _drain(spark, out, name: str, ckpt: str):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(f"stream {name} did not drain in 600s — memory table would be partial")
 
 
 @query(

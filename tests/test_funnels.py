@@ -63,28 +63,11 @@ def test_funnel_plans_one_shuffle_for_chained_windows(spark):
 
 
 def test_sequence_match_order_determinism(spark):
-    from kafka_clickhouse_implementation_spark.operators.funnels import q_sequence_match  # noqa: F401
+    from kafka_clickhouse_implementation_spark.operators.funnels import user_event_seq
+
     # ties on ts broken by event_id: two events at the same minute
     ev = _events(spark, [(1, 0, "view"), (1, 0, "click"), (1, 5, "purchase")])
-    seq = (
-        ev.groupBy("user_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.sort_array(
-                        F.collect_list(
-                            F.struct("ts", "event_id", F.expr("substr(event_type,1,1)").alias("ch"))
-                        )
-                    ),
-                    lambda x: x["ch"],
-                ),
-                "",
-            ).alias("seq")
-        )
-        .collect()[0]
-        .seq
-    )
-    assert seq == "vcp"
+    assert user_event_seq(ev).collect()[0].seq == "vcp"
 
 
 def _ordered_wire_chunks(ev, tmp_path, n_chunks=4):
