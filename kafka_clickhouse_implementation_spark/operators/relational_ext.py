@@ -640,3 +640,23 @@ def q_bit_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("bit_or(user_id)").alias("mask_or"),
         F.expr("bit_xor(user_id)").alias("mask_xor"),
     )
+
+
+@query("q_hll_sketch_union")  # rows-only: DataSketches HLL estimates have no
+# DuckDB twin; the error bound vs the exact count is pytest-asserted
+def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Spark 3.5+ DataSketches HLL):
+    one sketch per day, unioned at query time — the 100 TB pattern
+    where per-partition sketches are PERSISTED (a few KB each) and any
+    date-range distinct count is a sketch merge, never a re-scan.
+    Register-max union is order-insensitive, so the estimate is
+    deterministic for fixed input. Exact oracle-checked twin:
+    q_distinct_users."""
+    ev = load(spark, sf_dir, "events")
+    per_day = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    return per_day.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("est_users"),
+        F.count("*").alias("n_days"),
+    )

@@ -67,3 +67,17 @@ def test_heavy_hitters_mg_guarantee(spark):
     top5_true = sorted(true_counts, key=lambda t: (-true_counts[t], t))[:5]
     top10_sketch = sorted(merged, key=lambda t: (-merged[t], t))[:10]
     assert set(top5_true) <= set(top10_sketch)
+
+
+def test_hll_union_estimate_within_bound(spark):
+    """Unioned per-day HLL sketches must estimate global distinct users
+    within 5% of the exact count (lgK=12 default -> ~1.6% RSE)."""
+    from kafka_clickhouse_implementation_spark.io import load
+    from kafka_clickhouse_implementation_spark.registry import all_queries
+
+    est = all_queries()["q_hll_sketch_union"](spark, SF).head().est_users
+    ev = load(spark, SF, "events")
+    from pyspark.sql import functions as F
+
+    exact = ev.select(F.count_distinct("user_id").alias("n")).head().n
+    assert abs(est - exact) / exact <= 0.05, (est, exact)
