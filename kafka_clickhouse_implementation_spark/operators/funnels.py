@@ -365,3 +365,38 @@ def q_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("regexp_count(seq, 'v[^p]*p')")).alias("n_chains"),
         F.count("*").alias("n_users"),
     )
+
+
+@query(
+    "q_sliding_counts",
+    oracle="""
+    WITH e AS (
+      SELECT epoch_us(ts) AS t, event_type FROM events
+      WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+    ), w AS (
+      SELECT event_type,
+             unnest([(t // 300000000) * 300000000 - 300000000,
+                     (t // 300000000) * 300000000]) AS win_start
+      FROM e
+    )
+    SELECT make_timestamp(win_start) AS window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM w WHERE win_start >= 0
+    GROUP BY win_start, event_type
+    """,
+)
+def q_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 batch twin with a full oracle: sliding-window counts (10-min
+    windows, 5-min slide) over day one. Spark's native F.window
+    enumerates the two windows per event JVM-side; the oracle unnests
+    the same two window starts arithmetically — exact equality, which
+    pins the window-assignment semantics the streaming variant
+    inherits."""
+    ev = load(spark, sf_dir, "events").filter(F.col("ts") < "2024-01-02 00:00:00")
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
