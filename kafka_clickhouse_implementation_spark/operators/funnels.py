@@ -400,3 +400,43 @@ def q_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n")
     )
+
+
+
+@query(
+    "q_session_bounds",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+                  WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1
+                  ELSE 0 END AS new_sess
+      FROM events WHERE user_id < 10
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def q_session_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 session twin, strengthened: full session windows (start, end,
+    event count) per user — the batch equivalent of
+    ``session_window(ts, '30 minutes')``, derived from the same
+    lag+cumsum construction the oracle replays. One window shuffle on
+    user_id; the bounds aggregation reuses that partitioning."""
+    from kafka_clickhouse_implementation_spark.operators.sessions import sessionize
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    s = sessionize(ev)
+    return s.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+    )
