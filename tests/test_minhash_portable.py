@@ -59,3 +59,18 @@ def test_candidates_deterministic_across_runs(spark):
         for r in minhash_candidate_pairs(docs.repartition(13)).collect()
     }
     assert one == two
+
+
+def test_minhash_plan_has_no_cartesian_and_prunes(spark):
+    """Candidate generation must be the (band, bucket) equi-join —
+    never a cross product — and every documents scan must read only
+    (doc_id, text)."""
+    from kafka_clickhouse_implementation_spark.registry import all_queries
+
+    df = all_queries()["q_minhash_portable"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for line in plan.splitlines():
+        if "FileScan parquet" in line and "documents" in line:
+            assert "ReadSchema: struct<doc_id:bigint,text:string>" in line, line
