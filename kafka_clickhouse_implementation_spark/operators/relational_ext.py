@@ -660,3 +660,64 @@ def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("est_users"),
         F.count("*").alias("n_days"),
     )
+
+
+@query(
+    "q_scd2_join",
+    oracle="""
+    WITH dim AS (
+      SELECT p_partkey, v.v AS version,
+             DATE '1995-01-01' + INTERVAL (v.v * 900) DAY AS valid_from,
+             DATE '1995-01-01' + INTERVAL ((v.v + 1) * 900) DAY AS valid_to,
+             CAST(CAST(p_retailprice AS DECIMAL(18,2)) + v.v * 5
+                  AS DECIMAL(18,2)) AS price
+      FROM part, (SELECT unnest(range(0, 3)) AS v) v
+    )
+    SELECT CAST(d.version AS INT) AS version,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(round(sum(CAST(d.price AS DECIMAL(28,8)) * l.l_quantity), 2)
+                AS DOUBLE) AS priced_revenue
+    FROM lineitem l
+    JOIN dim d ON d.p_partkey = l.l_partkey
+              AND CAST(l.l_shipdate AS DATE) >= d.valid_from
+              AND CAST(l.l_shipdate AS DATE) < d.valid_to
+    GROUP BY d.version
+    """,
+)
+def q_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-Type-2 point-in-time join: each fact row joins the ONE
+    dimension version whose validity interval contains its event date
+    (the as-of-correct price, not today's). The versioned dim is
+    synthesized deterministically from `part` (3 versions x 900 days,
+    +5% price per version) so both engines build the identical table.
+
+    Scale shape: dim is broadcast (versions x parts is still dim-sized);
+    the interval predicate rides along the partkey equi-join as a
+    post-join filter, so there is no range-join blowup — the standard
+    SCD2 pattern. Decimal discipline for the price math throughout."""
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    dim = part.select(
+        "p_partkey",
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("version"),
+        F.col("p_retailprice").cast("decimal(18,2)").alias("base_price"),
+    ).select(
+        "p_partkey",
+        "version",
+        F.expr("date_add(DATE '1995-01-01', version * 900)").alias("valid_from"),
+        F.expr("date_add(DATE '1995-01-01', (version + 1) * 900)").alias("valid_to"),
+        (F.col("base_price") + F.col("version") * 5)
+        .cast("decimal(18,2)").alias("price"),
+    )
+    j = li.join(
+        F.broadcast(dim),
+        (li.l_partkey == dim.p_partkey)
+        & (F.to_date(li.l_shipdate) >= dim.valid_from)
+        & (F.to_date(li.l_shipdate) < dim.valid_to),
+    )
+    return j.groupBy("version").agg(
+        F.count("*").alias("n_lines"),
+        F.round(
+            F.sum(F.col("price").cast("decimal(28,8)") * F.col("l_quantity")), 2
+        ).cast("double").alias("priced_revenue"),
+    )
