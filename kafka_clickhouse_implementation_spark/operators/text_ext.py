@@ -282,3 +282,77 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("est"), "token")
         .limit(10)
     )
+
+
+@query(
+    "q_collocations",
+    oracle="""
+    WITH toks AS (
+      SELECT string_split(text, ' ') AS t FROM documents
+    ), uni AS (
+      SELECT unnest(t) AS w FROM toks
+    ), uni_counts AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n FROM uni GROUP BY w
+    ), total AS (
+      SELECT CAST(sum(n) AS BIGINT) AS big_n FROM uni_counts
+    ), grams AS (
+      SELECT unnest(list_transform(range(1, len(t)),
+                                   i -> [t[i], t[i + 1]])) AS bg
+      FROM toks WHERE len(t) >= 2
+    ), bg_counts AS (
+      SELECT bg[1] AS w1, bg[2] AS w2, CAST(count(*) AS BIGINT) AS n_ab
+      FROM grams GROUP BY bg[1], bg[2]
+    )
+    SELECT b.w1, b.w2, b.n_ab,
+           CAST(b.n_ab * t.big_n AS DOUBLE)
+             / CAST(a.n * c.n AS DOUBLE) AS lift
+    FROM bg_counts b
+    JOIN uni_counts a ON a.w = b.w1
+    JOIN uni_counts c ON c.w = b.w2
+    CROSS JOIN total t
+    WHERE b.n_ab >= 20
+    ORDER BY lift DESC, b.w1, b.w2 LIMIT 20
+    """,
+)
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by lift: P(w1 w2) / (P(w1) P(w2)) computed as
+    one integer cross-product ratio — (n_ab * N) / (n_a * n_b) — so the
+    only float op is a single IEEE division of exact int64 products
+    (no logs: transcendental functions are NOT bit-portable across
+    engines). Unigram/bigram counts are map-side-combined aggregations;
+    the lift join touches vocab-sized tables only; top-20 is
+    TakeOrdered."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(F.split("text", " ").alias("t"))
+    uni = t.select(F.explode("t").alias("w")).groupBy("w").agg(F.count("*").alias("n"))
+    big_n = uni.agg(F.sum("n").alias("big_n"))
+    grams = (
+        t.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i+1] AS w2))")
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 20)
+    )
+    a = uni.select(F.col("w").alias("w1"), F.col("n").alias("n_a"))
+    c = uni.select(F.col("w").alias("w2"), F.col("n").alias("n_b"))
+    return (
+        grams.join(F.broadcast(a), "w1")
+        .join(F.broadcast(c), "w2")
+        .crossJoin(F.broadcast(big_n))
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            (
+                (F.col("n_ab") * F.col("big_n")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "w1", "w2")
+        .limit(20)
+    )
