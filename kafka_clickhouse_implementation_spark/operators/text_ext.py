@@ -356,3 +356,93 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "w1", "w2")
         .limit(20)
     )
+
+
+# Context-window chunking: 40-token chunks, stride 30 (10-token overlap)
+_CHUNK, _STRIDE = 40, 30
+
+
+@query(
+    "q_doc_chunks",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 50
+    ), chunks AS (
+      SELECT doc_id, c.c AS chunk_idx,
+             list_slice(t, c.c * {_STRIDE} + 1,
+                        least(c.c * {_STRIDE} + {_CHUNK}, len(t))) AS ck
+      FROM toks,
+           (SELECT unnest(range(0, 64)) AS c) c
+      WHERE c.c * {_STRIDE} < len(t)
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(len(ck) AS INT) AS n_tokens,
+           md5(array_to_string(ck, ' ')) AS chunk_hash
+    FROM chunks
+    """,
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking for training data: 40-token chunks with
+    a 10-token overlap (stride 30) — every chunk identified by an
+    md5 of its reassembled text so the split is value-checked, not just
+    counted. Pure higher-order slicing (narrow map); chunk explosion is
+    bounded by ceil(len/stride) per doc."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    t = docs.select("doc_id", F.split("text", " ").alias("t"))
+    chunks = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(size(t) / {_STRIDE}) AS INT) - 1),"
+                f" c -> struct(c AS chunk_idx, slice(t, c * {_STRIDE} + 1,"
+                f" least({_CHUNK}, size(t) - c * {_STRIDE})) AS ck))"
+            )
+        ).alias("x"),
+    ).select("doc_id", "x.chunk_idx", "x.ck")
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size("ck").cast("int").alias("n_tokens"),
+        F.md5(F.array_join("ck", " ").cast("binary")).alias("chunk_hash"),
+    )
+
+
+_PACK_BUDGET = 2048  # tokens per packed training sequence
+
+
+@query(
+    "q_token_packing",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+    ), placed AS (
+      SELECT doc_id, n_tok,
+             CAST((sum(n_tok) OVER (ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n_tok)
+                  // {_PACK_BUDGET} AS BIGINT) AS bin_id
+      FROM sized
+    )
+    SELECT bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM placed GROUP BY bin_id
+    """,
+)
+def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining: assign docs (in stable doc_id
+    order) to ~2048-token bins by cumulative-sum binning — bin_id =
+    (running_total_before_me) div budget. One window pass over
+    (doc_id, n_tok) pairs, never the text; the global ordering window
+    is O(#docs) metadata, and at 100 TB you'd pre-bucket by a doc_id
+    range so each bucket packs independently."""
+    docs = load(spark, sf_dir, "documents")
+    sized = docs.select("doc_id", F.size(F.split("text", " ")).alias("n_tok"))
+    placed = sized.selectExpr(
+        "doc_id",
+        "n_tok",
+        f"CAST((sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok)"
+        f" div {_PACK_BUDGET} AS BIGINT) AS bin_id",
+    )
+    return placed.groupBy("bin_id").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    )
