@@ -24,12 +24,43 @@ _ORACLES: dict[str, str] = {}
 _ORIGIN: dict[str, tuple[str, int]] = {}  # name -> (defining module, registration seq)
 _SEQ = 0
 
-# Canonical module order for the driver-facing listing. The driver's
-# correctness harness records the FIRST 50 registered queries, so this
-# ranking — not Python import order, which tests can perturb by
-# importing an operator module directly — decides what lands inside
-# the checked window. Modules absent from this list sort last,
-# alphabetically.
+# Round-3 curated correctness window. The driver's harness records the
+# FIRST 50 registered queries each round, so this explicit list — not
+# module import order — decides what gets a hard-signal driver row.
+# Round 1 checked tier_a/tpch-adjacent slots, round 2 re-curated to the
+# reference-parity + LLM tier (45 green / 5 rows-only / 0 fail); round 3
+# rotates in the 43 queries that have NEVER had a driver row (everything
+# registered after slot 50: relational_ext round-2 additions, components,
+# embeddings_ext, funnels, text_ext, minhash_portable, corpus, streaming
+# twins), keeping 7 already-green sentinels for regression cover.
+# Queries not listed here sort after the window, by _MODULE_RANK.
+_WINDOW_50 = [
+    # sentinels (7) — green in r1/r2, kept for regression cover
+    "q_mv_daily", "q_summing_reaggregate", "q_partition_prune",
+    "q_pricing_summary", "q_cosine_topk", "q_sessionize",
+    "q_embedding_near_dup",
+    # relational_ext round-2 additions (14)
+    "q_collect_tokens", "q_asof_join", "q_sliding_window", "q_salted_agg",
+    "q_map_funcs", "q_histogram", "q_weekly_rollup", "q_gap_fill",
+    "q_systematic_sample", "q_range_join", "q_grouping_sets", "q_bit_aggs",
+    "q_hll_sketch_union", "q_scd2_join",
+    # components (1), embeddings_ext (2)
+    "q_near_dup_components", "q_embedding_norms", "q_embedding_quantize",
+    # funnels (9)
+    "q_window_funnel", "q_retention", "q_sequence_match", "q_sum_map",
+    "q_delta_sum", "q_event_paths", "q_sequence_count", "q_sliding_counts",
+    "q_session_bounds",
+    # text_ext (10)
+    "q_stratified_sample", "q_bigram_counts", "q_inverted_index",
+    "q_zipf_rank", "q_pii_mask", "q_edit_distance", "q_heavy_hitters",
+    "q_collocations", "q_doc_chunks", "q_token_packing",
+    # minhash_portable (2), corpus (2), streaming twins (3)
+    "q_minhash_portable", "q_simhash_portable", "q_corpus_funnel",
+    "q_corpus_clean", "q_stream_mv_daily", "q_stream_funnel",
+    "q_stream_retention",
+]
+
+# Canonical module order for queries OUTSIDE the curated window above.
 _MODULE_RANK = [
     "kafka_clickhouse_implementation_spark.operators.tier_a",
     "kafka_clickhouse_implementation_spark.operators.tpch",
@@ -70,7 +101,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-def _canonical_order(name: str) -> tuple[int, str, int]:
+def _canonical_order(name: str) -> tuple[int, int, str, int]:
+    try:
+        return (0, _WINDOW_50.index(name), "", 0)
+    except ValueError:
+        pass
     mod, seq = _ORIGIN[name]
     try:
         rank = _MODULE_RANK.index(mod)
@@ -78,7 +113,7 @@ def _canonical_order(name: str) -> tuple[int, str, int]:
         rank = len(_MODULE_RANK)
     # Within a module, decorators run top-to-bottom, so the global seq
     # is monotonic within each module no matter when it was imported.
-    return (rank, mod, seq)
+    return (1, rank, mod, seq)
 
 
 def all_queries() -> dict[str, QueryFn]:

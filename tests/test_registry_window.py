@@ -1,52 +1,70 @@
 """Registry-window guard: the driver's correctness harness records only
-the FIRST 50 registered queries, and round 2 curated that window to
-exactly cover reference parity (tier_a), TPC-H, and the LLM-pipeline
-tier. Appending a query to an in-window module silently pushes the last
-window entry out — this test makes that fail loudly instead.
+the FIRST 50 registered queries. Round 3 re-curated the window to the 43
+queries that never had a driver CORRECTNESS row in rounds 1-2 (funnels,
+text_ext, components, embeddings_ext, minhash_portable, the round-2
+relational_ext additions, corpus, and the streaming twins) plus 7
+already-green sentinels for regression cover. Appending a query to the
+curated list's modules no longer shifts the window (the window is an
+explicit name list in registry._WINDOW_50), but this test still pins the
+exact 50 so any registry change that perturbs the driver's view fails
+loudly.
 
-If you intentionally re-curate the window, update WINDOW_50 here and
-say so in the commit message."""
+If you intentionally re-curate the window, update registry._WINDOW_50
+AND this pin together, and say so in the commit message."""
 
 from __future__ import annotations
 
-from kafka_clickhouse_implementation_spark.registry import all_oracles, all_queries
+from kafka_clickhouse_implementation_spark.registry import (
+    _WINDOW_50,
+    all_oracles,
+    all_queries,
+)
 
 WINDOW_50 = [
-    # tier_a (9) — the reference's literal query surface
-    "q_mv_daily", "q_level_totals", "q_summing_reaggregate",
-    "q_opens_for_campaign", "q_ingest_roundtrip", "q_partition_prune",
-    "q_json_extract", "q_enum_encode", "q_default_coalesce",
-    # tpch (17) — Q1 + the 16 shapes
-    "q_pricing_summary", "q_tpch_q3", "q_tpch_q6", "q_tpch_q8_shape",
-    "q_tpch_q16_shape", "q_tpch_q21_shape", "q_tpch_q13_shape",
-    "q_tpch_q17_shape", "q_tpch_q19_shape", "q_tpch_q22_shape",
-    "q_tpch_q15_shape", "q_tpch_q7_shape", "q_tpch_q4_shape",
-    "q_tpch_q12_shape", "q_tpch_q14_shape", "q_tpch_q18_shape",
-    "q_tpch_q10_shape",
-    # text (8)
-    "q_term_stats", "q_docs_by_lang", "q_token_count", "q_quality_score",
-    "q_tfidf_top_terms", "q_token_count_bpe", "q_rolling_hash", "q_lang_id",
-    # similarity (4)
-    "q_cosine_topk", "q_ann_lsh", "q_ann_recall", "q_ann_ivf",
-    # sessions (1), udx (3)
-    "q_sessionize", "q_udf_domain", "q_udaf_geomean", "q_udtf_tokenize",
-    # dedup (7)
-    "q_dedup_docs", "q_jaccard_pairs", "q_ngram_jaccard", "q_fingerprint",
-    "q_minhash_lsh", "q_simhash", "q_embedding_near_dup",
-    # multimodal (1st of 2)
-    "q_multimodal_bytes",
+    # sentinels (7) — green in r1/r2, kept for regression cover
+    "q_mv_daily", "q_summing_reaggregate", "q_partition_prune",
+    "q_pricing_summary", "q_cosine_topk", "q_sessionize",
+    "q_embedding_near_dup",
+    # relational_ext round-2 additions (14)
+    "q_collect_tokens", "q_asof_join", "q_sliding_window", "q_salted_agg",
+    "q_map_funcs", "q_histogram", "q_weekly_rollup", "q_gap_fill",
+    "q_systematic_sample", "q_range_join", "q_grouping_sets", "q_bit_aggs",
+    "q_hll_sketch_union", "q_scd2_join",
+    # components (1), embeddings_ext (2)
+    "q_near_dup_components", "q_embedding_norms", "q_embedding_quantize",
+    # funnels (9)
+    "q_window_funnel", "q_retention", "q_sequence_match", "q_sum_map",
+    "q_delta_sum", "q_event_paths", "q_sequence_count", "q_sliding_counts",
+    "q_session_bounds",
+    # text_ext (10)
+    "q_stratified_sample", "q_bigram_counts", "q_inverted_index",
+    "q_zipf_rank", "q_pii_mask", "q_edit_distance", "q_heavy_hitters",
+    "q_collocations", "q_doc_chunks", "q_token_packing",
+    # minhash_portable (2), corpus (2), streaming twins (3)
+    "q_minhash_portable", "q_simhash_portable", "q_corpus_funnel",
+    "q_corpus_clean", "q_stream_mv_daily", "q_stream_funnel",
+    "q_stream_retention",
 ]
 
 
 def test_first_50_registrations_are_the_curated_window():
     assert list(all_queries())[:50] == WINDOW_50
+    assert _WINDOW_50 == WINDOW_50
+
+
+def test_window_is_exactly_50_known_names():
+    qs = all_queries()
+    assert len(WINDOW_50) == 50
+    assert len(set(WINDOW_50)) == 50
+    missing = [q for q in WINDOW_50 if q not in qs]
+    assert missing == []
 
 
 def test_window_oracle_coverage():
-    """Within the window, only the sketch-randomized queries may be
-    rows-only — everything else must carry a DuckDB oracle."""
+    """Within the window, only the sketch-randomized / non-SQL queries
+    may be rows-only — everything else must carry a DuckDB oracle."""
     oracles = all_oracles()
-    rows_only_by_design = {"q_minhash_lsh", "q_simhash", "q_ann_lsh", "q_ann_recall", "q_ann_ivf"}
+    rows_only_by_design = {"q_hll_sketch_union", "q_heavy_hitters", "q_corpus_clean"}
     missing = [q for q in WINDOW_50 if q not in oracles and q not in rows_only_by_design]
     assert missing == []
 
