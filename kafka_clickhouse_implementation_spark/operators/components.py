@@ -9,17 +9,15 @@ only 3 while the cluster {1,2,3} should keep exactly one). This module
 closes that gap with a deterministic min-label connected-components
 operator, oracle-checked against a DuckDB recursive CTE.
 
-Scale design: min-label propagation converges in O(graph diameter)
-rounds; each round is one equi-join + one partial-aggregated groupBy on
-the edge relation — no driver-side graph, no collect. Near-dup graphs
-are overwhelmingly star/chain-shaped (diameter is tiny), so the round
-count stays single-digit in practice; `localCheckpoint` truncates the
-lineage each round so plans don't nest. For adversarial long-chain
-graphs at 100 TB the same loop body upgrades to the alternating
-large-star/small-star algorithm (Kiveris et al., "Connected Components
-in MapReduce and Beyond"), which converges in O(log n) rounds — the
-per-round dataflow (join edges to labels, aggregate min) is identical,
-so nothing about this layout changes.
+Scale design: the alternating large-star/small-star algorithm (Kiveris
+et al., "Connected Components in MapReduce and Beyond", public paper)
+converges in O(log n) rounds even on adversarial long-chain graphs —
+unlike plain min-label propagation, whose O(diameter) rounds a
+1000-link similarity chain would stretch to 1000. Each half-round is
+one min-aggregate plus one equi-join over the edge relation — no
+driver-side graph, no collect; `localCheckpoint` truncates lineage each
+round so plans don't nest. Non-convergence within the round budget
+RAISES instead of returning silently-wrong labels.
 """
 
 from __future__ import annotations
@@ -35,48 +33,91 @@ from kafka_clickhouse_implementation_spark.operators.dedup import (
 from kafka_clickhouse_implementation_spark.registry import query
 
 
+def _large_star(pairs: DataFrame) -> DataFrame:
+    """Large-star: every node u connects its LARGER neighbors to
+    m(u) = min(Γ(u) ∪ {u}). Input/output: canonical (lo, hi) pairs."""
+    sym = pairs.select(F.col("lo").alias("u"), F.col("hi").alias("v")).union(
+        pairs.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+    )
+    m = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("u", "mn").alias("m"))
+    )
+    return (
+        sym.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.least("v", "m").alias("lo"), F.greatest("v", "m").alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+
+
+def _small_star(pairs: DataFrame) -> DataFrame:
+    """Small-star: orient each edge toward its larger endpoint; every
+    node u connects its smaller neighbors (and itself) to their min."""
+    orient = pairs.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+    m = orient.groupBy("u").agg(F.min("v").alias("m"))
+    with_m = orient.join(m, "u")
+    return (
+        with_m.select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .union(with_m.select(F.col("u").alias("a"), F.col("m").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi"))
+        .distinct()
+    )
+
+
 def connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
 ) -> DataFrame:
-    """Minimum-reachable-label connected components over an undirected
-    edge list. Returns (id, component) where component is the smallest
-    node id reachable from `id`. Deterministic for any edge order.
+    """Connected components over an undirected edge list via alternating
+    large-star / small-star rounds (Kiveris et al., 2014). Returns
+    (id, comp) where comp is the smallest node id in the component.
+    Deterministic for any edge order; O(log n) rounds.
 
-    Each iteration: every node takes the min of its own label and its
-    neighbors' labels. Terminates when a full round changes nothing
-    (checked with one count per round — the driver holds only the loop
-    counter, never the graph)."""
-    sym = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))).distinct()
-    nodes = sym.select(F.col("a").alias("id")).distinct()
-    lbl = nodes.select("id", F.col("id").alias("comp")).localCheckpoint()
+    Convergence is detected by edge-set fixpoint (at a fixpoint the
+    graph is a forest of min-centered stars, which both operations map
+    to themselves); the driver holds only per-round counts, never the
+    graph. Raises RuntimeError if `max_iter` rounds don't converge —
+    silently returning partially-propagated labels would corrupt every
+    downstream keep-one dedup decision."""
+    nodes = (
+        edges.select(F.col(src).alias("id"))
+        .union(edges.select(F.col(dst).alias("id")))
+        .distinct()
+    )
+    e = (
+        edges.select(
+            F.least(src, dst).alias("lo"), F.greatest(src, dst).alias("hi")
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_e = e.count()
     for _ in range(max_iter):
-        nbr_min = (
-            sym.join(lbl, sym["b"] == lbl["id"])
-            .groupBy("a")
-            .agg(F.min("comp").alias("nbr_comp"))
+        new_e = _small_star(_large_star(e)).localCheckpoint()
+        n_new = new_e.count()
+        unchanged = (
+            n_new == n_e and new_e.join(e, ["lo", "hi"]).count() == n_new
         )
-        new_lbl = (
-            lbl.join(nbr_min, lbl["id"] == nbr_min["a"], "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
-                ).alias("comp"),
-            )
-            .localCheckpoint()
-        )
-        n_changed = (
-            new_lbl.alias("n")
-            .join(lbl.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        lbl = new_lbl
-        if n_changed == 0:
+        e, n_e = new_e, n_new
+        if unchanged:
             break
-    return lbl
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "large-star/small-star rounds — labels would be incorrect"
+        )
+    # fixpoint graph is min-centered stars: comp(u) = min(u, neighbors)
+    sym = e.select(F.col("lo").alias("id"), F.col("hi").alias("v")).union(
+        e.select(F.col("hi").alias("id"), F.col("lo").alias("v"))
+    )
+    nbr = sym.groupBy("id").agg(F.min("v").alias("mn"))
+    return nodes.join(nbr, "id", "left").select(
+        "id", F.least("id", F.coalesce("mn", "id")).alias("comp")
+    )
 
 
 @query(

@@ -689,7 +689,7 @@ def q_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension version whose validity interval contains its event date
     (the as-of-correct price, not today's). The versioned dim is
     synthesized deterministically from `part` (3 versions x 900 days,
-    +5% price per version) so both engines build the identical table.
+    +5 absolute per version) so both engines build the identical table.
 
     Scale shape: dim is broadcast (versions x parts is still dim-sized);
     the interval predicate rides along the partkey equi-join as a

@@ -156,23 +156,29 @@ def q_zipf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token frequency table with Zipf rank and cumulative coverage
     share — the 'how much of the corpus do the top-k tokens cover'
     curve used to pick tokenizer vocabularies. Integer counts and one
-    final IEEE division keep both engines bit-identical. The rank
-    window is a single-partition sort over vocab-sized data (fine:
-    O(vocab), not O(corpus))."""
+    final IEEE division keep both engines bit-identical.
+
+    Rank and running sum are DISTRIBUTED (plans/prefix.ranged_prefix):
+    range-partitioned sort on (n DESC, token) + per-partition offsets —
+    no unpartitioned WindowExec, so a 100 TB sub-word vocabulary (easily
+    10^8+ keys) never funnels through one task. ``total`` is a scalar
+    aggregate broadcast, not a whole-relation window."""
+    from kafka_clickhouse_implementation_spark.plans.prefix import ranged_prefix
+
     docs = load(spark, sf_dir, "documents")
     counts = (
         docs.select(F.explode(F.split("text", " ")).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("n"))
     )
-    ranked = counts.selectExpr(
-        "token",
-        "n",
-        "CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rnk",
-        "CAST(sum(n) OVER (ORDER BY n DESC, token ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum",
-        "CAST(sum(n) OVER () AS BIGINT) AS total",
+    ranked = ranged_prefix(
+        counts,
+        [F.col("n").desc(), F.col("token")],
+        sum_cols={"cum": "n"},
+        rn_col="rnk",
     )
-    return ranked.select(
+    total = counts.agg(F.sum("n").alias("total"))
+    return ranked.crossJoin(F.broadcast(total)).select(
         "token",
         "n",
         "rnk",
@@ -367,13 +373,17 @@ _CHUNK, _STRIDE = 40, 30
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 50
+    ), idx AS (
+      -- chunk count derived from each doc's own length (ceil(len/stride)),
+      -- never a hard-coded bound a long document could overflow
+      SELECT doc_id, t,
+             unnest(range(0, CAST(ceil(len(t) / {_STRIDE}.0) AS BIGINT))) AS c
+      FROM toks
     ), chunks AS (
-      SELECT doc_id, c.c AS chunk_idx,
-             list_slice(t, c.c * {_STRIDE} + 1,
-                        least(c.c * {_STRIDE} + {_CHUNK}, len(t))) AS ck
-      FROM toks,
-           (SELECT unnest(range(0, 64)) AS c) c
-      WHERE c.c * {_STRIDE} < len(t)
+      SELECT doc_id, c AS chunk_idx,
+             list_slice(t, c * {_STRIDE} + 1,
+                        least(c * {_STRIDE} + {_CHUNK}, len(t))) AS ck
+      FROM idx
     )
     SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
            CAST(len(ck) AS INT) AS n_tokens,
@@ -431,17 +441,22 @@ _PACK_BUDGET = 2048  # tokens per packed training sequence
 def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for pretraining: assign docs (in stable doc_id
     order) to ~2048-token bins by cumulative-sum binning — bin_id =
-    (running_total_before_me) div budget. One window pass over
-    (doc_id, n_tok) pairs, never the text; the global ordering window
-    is O(#docs) metadata, and at 100 TB you'd pre-bucket by a doc_id
-    range so each bucket packs independently."""
+    (running_total_before_me) div budget, over (doc_id, n_tok) pairs,
+    never the text.
+
+    The global cumulative sum is DISTRIBUTED (plans/prefix.ranged_prefix:
+    range shuffle on doc_id + partitioned window + per-partition base
+    offsets), which decomposes the prefix sum EXACTLY — bin boundaries
+    are identical to the single-window formulation the oracle states, so
+    the oracle is unchanged while no unpartitioned WindowExec remains."""
+    from kafka_clickhouse_implementation_spark.plans.prefix import ranged_prefix
+
     docs = load(spark, sf_dir, "documents")
     sized = docs.select("doc_id", F.size(F.split("text", " ")).alias("n_tok"))
-    placed = sized.selectExpr(
-        "doc_id",
+    placed = ranged_prefix(sized, [F.col("doc_id")], sum_cols={"cum": "n_tok"})
+    placed = placed.select(
         "n_tok",
-        f"CAST((sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok)"
-        f" div {_PACK_BUDGET} AS BIGINT) AS bin_id",
+        F.expr(f"CAST((cum - n_tok) div {_PACK_BUDGET} AS BIGINT)").alias("bin_id"),
     )
     return placed.groupBy("bin_id").agg(
         F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens")

@@ -115,13 +115,24 @@ def _atomic_swap_dirs(path: str, tmp: str) -> None:
     """Replace `path` with `tmp` via rename — never delete the source
     while a plan might still re-read it. Local-fs rename is atomic; on
     HDFS this maps to FileSystem.rename, on object stores to a manifest
-    commit (e.g. a table format's atomic metadata swap)."""
+    commit (e.g. a table format's atomic metadata swap).
+
+    NOT a single atomic swap: it is two renames, and a crash between
+    them leaves `path` missing with the data parked at `__compact_old`
+    — so the old dir is kept until the swap-in succeeds (the except
+    path rolls it back), and a fresh run self-heals a leftover old dir.
+    A concurrent reader can still observe the brief missing-path gap;
+    single-writer semantics (see compact_rollup) are the contract."""
     import shutil
 
     old = path.rstrip("/") + "__compact_old"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except BaseException:
+        os.rename(old, path)  # roll back so the rollup never disappears
+        raise
     shutil.rmtree(old, ignore_errors=True)
 
 
@@ -134,7 +145,15 @@ def compact_rollup(spark: SparkSession, path: str) -> None:
     swapped in via rename — overwriting the path the plan reads from
     (the previous design) relied on cache(), and cached blocks are not
     fault-tolerant: an executor loss mid-overwrite would recompute from
-    already-deleted files."""
+    already-deleted files.
+
+    Concurrency contract: compaction must NOT run while a streaming
+    batch that may still be RETRIED is writing — folding a batch subdir
+    whose checkpoint has not committed would break write_rollup_batch's
+    idempotence (the retried batch would re-add already-compacted
+    partials). Run it from the single writer between committed batches
+    (e.g. in foreachBatch after the sink write), never from a second
+    process."""
     merged = read_rollup(spark, path)
     tmp = path.rstrip("/") + "__compact_tmp"
     merged.write.mode("overwrite").parquet(tmp)

@@ -95,7 +95,12 @@ from kafka_clickhouse_implementation_spark.operators.funnels import _FUNNEL_ORAC
 from kafka_clickhouse_implementation_spark.registry import query  # noqa: E402
 
 
-WIRE_SCHEMA = "user_id long, event_id long, event_type string, ts timestamp"
+# The wire carries event time as epoch-MICROS in a long (`e_us`), not a
+# timestamp string: Spark's default JSON timestampFormat truncates to
+# milliseconds, which would silently desync the strict `>` comparisons in
+# the funnel state machine from the full-microsecond batch/DuckDB oracle
+# whenever two events share a millisecond. Integers round-trip exactly.
+WIRE_SCHEMA = "user_id long, event_id long, event_type string, e_us long"
 
 
 def ordered_event_wire(spark, sf_dir: str) -> tuple[str, str]:
@@ -103,7 +108,8 @@ def ordered_event_wire(spark, sf_dir: str) -> tuple[str, str]:
     collect; range-partitioned so file order == time order). Returns
     (wire_dir, base_dir); the wire is immutable per sf_dir and shared
     by every stateful replay query. The cache key digests the RESOLVED
-    path, so two different dirs with the same basename never collide."""
+    path, so two different dirs with the same basename never collide.
+    (`_stateful2` suffix = wire format v2, micros-as-long.)"""
     import hashlib
     import os
 
@@ -111,19 +117,35 @@ def ordered_event_wire(spark, sf_dir: str) -> tuple[str, str]:
     tag = hashlib.md5(resolved.encode()).hexdigest()[:8]
     base = os.path.join(
         tempfile.gettempdir(), "spark_graft_stream",
-        f"{os.path.basename(resolved)}_{tag}_stateful",
+        f"{os.path.basename(resolved)}_{tag}_stateful2",
     )
     wire_dir = os.path.join(base, "wire")
     if not os.path.exists(os.path.join(wire_dir, "_SUCCESS")):
         ev = load(spark, sf_dir, "events")
         (
-            ev.select("user_id", "event_id", "event_type", "ts")
-            .repartitionByRange(4, "ts", "event_id")
-            .sortWithinPartitions("ts", "event_id")
+            ev.select(
+                "user_id", "event_id", "event_type",
+                F.unix_micros("ts").alias("e_us"),
+            )
+            .repartitionByRange(4, "e_us", "event_id")
+            .sortWithinPartitions("e_us", "event_id")
             .write.mode("overwrite")
             .json(wire_dir)
         )
     return wire_dir, base
+
+
+def wire_stream(spark, wire_dir: str) -> DataFrame:
+    """readStream over the wire, with `ts` reconstructed exactly from
+    the micros long (shared by every stateful replay query)."""
+    return (
+        spark.readStream.schema(WIRE_SCHEMA)
+        .json(wire_dir)
+        .select(
+            "user_id", "event_id", "event_type",
+            F.timestamp_micros("e_us").alias("ts"),
+        )
+    )
 
 
 def _drain(spark, out, name: str, ckpt: str):
@@ -159,7 +181,7 @@ def q_stream_funnel(spark, sf_dir: str):
 
     wire_dir, base = ordered_event_wire(spark, sf_dir)
     ckpt = os.path.join(base, "ckpt_funnel")
-    stream = spark.readStream.schema(WIRE_SCHEMA).json(wire_dir)
+    stream = wire_stream(spark, wire_dir)
     out = streaming_funnel_levels(stream)
     name = "stream_funnel_out"
     _drain(spark, out, name, ckpt)

@@ -23,9 +23,9 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from kafka_clickhouse_implementation_spark.registry import query
 from kafka_clickhouse_implementation_spark.streaming.funnel import (
-    WIRE_SCHEMA,
     _drain,
     ordered_event_wire,
+    wire_stream,
 )
 
 _US_PER_DAY = 86_400_000_000
@@ -93,7 +93,7 @@ def q_stream_retention(spark, sf_dir: str):
     the final per-user flags into cohort counts."""
     wire_dir, base = ordered_event_wire(spark, sf_dir)
     ckpt = os.path.join(base, "ckpt_retention")
-    stream = spark.readStream.schema(WIRE_SCHEMA).json(wire_dir)
+    stream = wire_stream(spark, wire_dir)
     name = "stream_retention_out"
     _drain(spark, streaming_retention(stream), name, ckpt)
     final = spark.sql(

@@ -24,3 +24,26 @@ def test_min_label_is_order_independent(spark):
     )
     got = {r["id"]: r["comp"] for r in connected_components(edges).collect()}
     assert got == {1: 1, 3: 1, 7: 1, 9: 1, 5: 5, 6: 5}
+
+
+def test_adversarial_long_chain_converges_in_log_rounds(spark):
+    """A 1000-node path graph is the worst case for plain min-label
+    propagation (O(diameter) = 1000 rounds); large-star/small-star must
+    collapse it within a ≤20-round budget."""
+    n = 1000
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    got = connected_components(edges, max_iter=20).collect()
+    assert len(got) == n
+    assert all(r["comp"] == 0 for r in got)
+
+
+def test_nonconvergence_raises_instead_of_wrong_labels(spark):
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(99)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=1)

@@ -108,6 +108,20 @@ def test_connected_components_rounds_are_joins_not_crossjoins(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_prefix_sum_windows_are_partitioned(spark):
+    """Round-2 perf-weak fix: q_token_packing / q_zipf_rank global
+    cumulative sums are distributed via plans/prefix.ranged_prefix, so
+    every WindowExec must carry the physical-partition-id partition spec
+    — a bare windowspecdefinition would be the single-task 'No Partition
+    Defined' cliff this replaced."""
+    for q in ("q_token_packing", "q_zipf_rank"):
+        plan = _plan(all_queries()[q](spark, SF))
+        win_lines = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+        assert win_lines, (q, plan)
+        for l in win_lines:
+            assert "__prefix_pid" in l, (q, l)
+
+
 def test_aqe_splits_skewed_join_partition(spark):
     """100x-survival evidence for skewed facts: with AQE skew handling
     on (session.py defaults), a hot join key gets split at runtime —

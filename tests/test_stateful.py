@@ -54,6 +54,30 @@ def test_running_level_counts_state(spark, tmp_path):
     assert final == {"click": 30, "view": 30}
 
 
+def test_event_wire_preserves_microseconds(spark):
+    """The shared stateful-replay wire must round-trip event times at
+    FULL microsecond precision (Spark's default JSON timestampFormat
+    truncates to millis, which would desync the strict-> funnel state
+    machine from the batch/DuckDB oracle for same-millisecond events)."""
+    from kafka_clickhouse_implementation_spark.io import load
+    from kafka_clickhouse_implementation_spark.streaming.funnel import (
+        WIRE_SCHEMA,
+        ordered_event_wire,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    wire_dir, _ = ordered_event_wire(spark, sf)
+    back = spark.read.schema(WIRE_SCHEMA).json(wire_dir).select("event_id", "e_us")
+    src = load(spark, sf, "events").select(
+        "event_id", F.unix_micros("ts").alias("src_us")
+    )
+    joined = back.join(src, "event_id")
+    assert joined.count() == src.count()
+    assert joined.filter(F.col("e_us") != F.col("src_us")).count() == 0
+    # the check is vacuous unless sub-millisecond precision actually occurs
+    assert src.filter(F.col("src_us") % 1000 != 0).count() > 0
+
+
 def test_parquet_sink_appends(spark, tmp_path):
     path = str(tmp_path / "sink")
     sink = parquet_sink(path)
