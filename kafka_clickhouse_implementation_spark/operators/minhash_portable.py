@@ -18,9 +18,14 @@ Scale notes (100 TB):
   bucket occupancy, the same shape as approxSimilarityJoin's join.
 - Exact verification touches candidate pairs only (intersection via a
   shingle equi-join restricted to candidates).
-- The 16x shingle explosion is the classic MinHash CPU cost; at scale
-  you'd fold it with a higher-order aggregate (as q_simhash does) —
-  kept explicit here because the oracle must mirror each step.
+- The 16x shingle explosion is the classic MinHash CPU cost. Folding it
+  into one higher-order ``transform(sequence(0,15), i -> md5(...))`` per
+  shingle was tried and MEASURED 4x SLOWER (A/B at sf0.1, r3): Spark
+  evaluates lambda bodies of higher-order functions interpreted, while
+  explode + md5 + partial min stays inside whole-stage codegen — so the
+  explode IS the fast path here. The explosion never shuffles 16x rows
+  anyway: partial min aggregation combines map-side, and the exchange
+  carries one (doc_id, i, digest) row per (doc, seed).
 
 Reference behavior anchor: the near-dup tier extends the reference's
 dedup-free ingest (kafka+clickhouse.md:92-103 stores raw events; any

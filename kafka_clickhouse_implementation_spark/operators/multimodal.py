@@ -2,11 +2,18 @@
 ``binary`` columns with typed metadata, processed by Arrow-batched
 ``mapInPandas`` pipelines.
 
-The container has no image/audio codecs, so the *decode* step is a
-clearly-marked stub (``NotImplementedError``) plus a deterministic fake
-feature extractor; the Spark-side plumbing — binary schema, batch
-iteration, UDF signatures, partitioning — is real and oracle/pytest
-tested. Swapping the stub for PIL/ffmpeg is a one-function change.
+Decode is REAL for the uncompressed container formats a pure-Python
+parser can handle without codec libraries: BMP (24-bpp uncompressed),
+binary PPM (P6), and PCM WAV — header parse + pixel/sample extraction
+with struct/numpy (see ``parse_bmp``/``parse_ppm``/``parse_wav`` and
+the matching encoders). Compressed codecs (JPEG/MP3/H.264) remain
+clearly-marked ``NotImplementedError`` stubs; ``decode_image``
+dispatches on magic bytes, so swapping a stub for PIL/ffmpeg is a
+one-function change. The Spark-side plumbing — binary schema, batch
+iteration, UDF signatures, partitioning — is identical either way, and
+``q_multimodal_decode`` closes the loop end-to-end: encode real files
+from doc_id arithmetic, decode them with the real parsers, and DuckDB
+recomputes the expected dimensions and value sums symbolically.
 
 Scale notes: binary payloads ride in Arrow record batches; keep
 ``spark.sql.files.maxPartitionBytes`` sized so one batch of media fits
@@ -39,14 +46,143 @@ ASSET_SCHEMA = T.StructType(
 )
 
 
-def decode_image(payload: bytes) -> "object":
-    """Real decode would be PIL.Image.open(io.BytesIO(payload)).
-    STUB: codec libraries are not available in this environment."""
-    raise NotImplementedError("image decode requires PIL/opencv — not available; see module docstring")
+def parse_bmp(payload: bytes) -> dict:
+    """Decode an uncompressed 24-bpp BMP (pure Python/struct — the
+    format is just two little-endian headers plus bottom-up BGR rows
+    padded to 4 bytes). Returns width, height, and the pixel channel
+    values flattened row-major top-down as R,G,B triples."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    width, raw_height = struct.unpack_from("<ii", payload, 18)
+    _planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only uncompressed 24-bpp BMP is parsed without codec libs")
+    top_down = raw_height < 0  # negative height = rows stored top-down
+    height = abs(raw_height)
+    row_stride = (width * 3 + 3) & ~3
+    vals: list[int] = []
+    for y in range(height):  # emit top-down regardless of storage order
+        stored_y = y if top_down else height - 1 - y
+        row = data_off + stored_y * row_stride
+        for x in range(width):
+            b, g, r = payload[row + 3 * x : row + 3 * x + 3]
+            vals.extend((r, g, b))
+    return {"format": "bmp", "width": width, "height": height, "values": vals}
 
 
-def decode_audio(payload: bytes) -> "object":
-    raise NotImplementedError("audio decode requires soundfile/ffmpeg — not available")
+def parse_ppm(payload: bytes) -> dict:
+    """Decode binary PPM (P6): ASCII header tokens (magic, width,
+    height, maxval — '#' comments allowed), then raw RGB bytes."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    tokens: list[int] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment to end of line
+            while payload[i : i + 1] not in (b"\n", b""):
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    width, height, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    vals = list(payload[i : i + 3 * width * height])
+    return {"format": "ppm", "width": width, "height": height, "values": vals}
+
+
+def parse_wav(payload: bytes) -> dict:
+    """Decode a PCM WAV: RIFF/WAVE container, 'fmt ' chunk (audio
+    format, channels, sample rate, bits/sample), 'data' chunk of
+    little-endian PCM16 samples."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, channels, rate, _byte_rate, _align, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise NotImplementedError("only 16-bit PCM WAV is parsed without codec libs")
+    n = len(data) // 2
+    samples = list(struct.unpack(f"<{n}h", data[: 2 * n]))
+    return {
+        "format": "wav", "channels": channels, "sample_rate": rate,
+        "n_samples": n // channels, "values": samples,
+    }
+
+
+def encode_bmp(width: int, height: int, rgb_vals: list[int]) -> bytes:
+    """Minimal uncompressed 24-bpp BMP writer (round-trip twin of
+    parse_bmp): rgb_vals is row-major top-down R,G,B triples."""
+    import struct
+
+    row_stride = (width * 3 + 3) & ~3
+    data = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for x in range(width):
+            i = 3 * (y * width + x)
+            r, g, b = rgb_vals[i : i + 3]
+            row += bytes((b, g, r))
+        row += b"\x00" * (row_stride - len(row))
+        data += row
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + info + bytes(data)
+
+
+def encode_ppm(width: int, height: int, rgb_vals: list[int]) -> bytes:
+    return f"P6\n{width} {height}\n255\n".encode() + bytes(rgb_vals)
+
+
+def encode_wav(samples: list[int], rate: int = 8000, channels: int = 1) -> bytes:
+    import struct
+
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def decode_image(payload: bytes) -> dict:
+    """Dispatch on magic bytes: BMP and P6 PPM decode for real (pure
+    Python); compressed formats stay honestly stubbed until PIL/opencv
+    exists in the environment."""
+    if payload[:2] == b"BM":
+        return parse_bmp(payload)
+    if payload[:2] == b"P6":
+        return parse_ppm(payload)
+    raise NotImplementedError("compressed image decode requires PIL/opencv — not available; see module docstring")
+
+
+def decode_audio(payload: bytes) -> dict:
+    """PCM WAV decodes for real; compressed audio stays stubbed."""
+    if payload[:4] == b"RIFF":
+        return parse_wav(payload)
+    raise NotImplementedError("compressed audio decode requires soundfile/ffmpeg — not available")
 
 
 def sample_video_frames(payload: bytes, every_n: int = 30) -> "object":
@@ -114,6 +250,77 @@ def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(run, schema="doc_id long, n_bytes long, fp string")
+
+
+# Deterministic synthetic assets for the oracle-checked decode query:
+# every byte/sample is pure doc_id arithmetic, so DuckDB can recompute
+# the expected decode output symbolically while Spark actually encodes
+# real BMP/PPM/WAV files and parses them back with the real parsers.
+_MM_W, _MM_H = 4, 2  # 24 channel values per image
+_MM_NS = 16  # wav samples
+
+
+def _mm_pixels(doc_id: int) -> list[int]:
+    return [(doc_id * 7 + 3 * i) % 256 for i in range(3 * _MM_W * _MM_H)]
+
+
+def _mm_samples(doc_id: int) -> list[int]:
+    return [((doc_id * 131 + i * 17) % 65536) - 32768 for i in range(_MM_NS)]
+
+
+@query(
+    "q_multimodal_decode",
+    oracle=f"""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' ELSE 'wav' END AS fmt,
+           CAST(CASE WHEN doc_id % 3 < 2 THEN {_MM_W} END AS INT) AS width,
+           CAST(CASE WHEN doc_id % 3 < 2 THEN {_MM_H} END AS INT) AS height,
+           CAST(CASE WHEN doc_id % 3 < 2 THEN {3 * _MM_W * _MM_H}
+                     ELSE {_MM_NS} END AS BIGINT) AS n_vals,
+           CAST(CASE WHEN doc_id % 3 < 2
+                     THEN list_sum(list_transform(range(0, {3 * _MM_W * _MM_H}),
+                                                  i -> (doc_id * 7 + 3 * i) % 256))
+                     ELSE list_sum(list_transform(range(0, {_MM_NS}),
+                                   i -> ((doc_id * 131 + i * 17) % 65536) - 32768))
+                END AS BIGINT) AS val_sum
+    FROM documents WHERE doc_id < 30
+    """,
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL encode→decode round trip, value-checked by the oracle: each
+    doc synthesizes a genuine BMP / P6 PPM / PCM-WAV file (by doc_id mod
+    3) whose pixels/samples are doc_id arithmetic, then the pure-Python
+    parsers decode the bytes back and report dimensions and the value
+    sum. DuckDB recomputes the expectation symbolically — any header,
+    stride, padding, byte-order, or row-order bug in either codec path
+    breaks the hash. All work rides the same Arrow-batched mapInPandas
+    plumbing production decode would use."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 30).select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "fmt": [], "width": [], "height": [], "n_vals": [], "val_sum": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                kind = doc_id % 3
+                if kind == 0:
+                    dec = decode_image(encode_bmp(_MM_W, _MM_H, _mm_pixels(doc_id)))
+                elif kind == 1:
+                    dec = decode_image(encode_ppm(_MM_W, _MM_H, _mm_pixels(doc_id)))
+                else:
+                    dec = decode_audio(encode_wav(_mm_samples(doc_id)))
+                out["doc_id"].append(doc_id)
+                out["fmt"].append(dec["format"])
+                out["width"].append(dec.get("width"))
+                out["height"].append(dec.get("height"))
+                out["n_vals"].append(len(dec["values"]))
+                out["val_sum"].append(sum(dec["values"]))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, fmt string, width int, height int, n_vals long, val_sum long",
+    )
 
 
 @query("q_multimodal_features")  # no-oracle: sha256-derived fake features aren't SQL-expressible

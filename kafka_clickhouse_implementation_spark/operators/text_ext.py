@@ -255,17 +255,16 @@ def _mg_partial(max_counters: int):
     import pandas as pd
 
     def f(batches):
-        counters: dict[str, int] = {}
+        counters = pd.Series(dtype="int64")
         for pdf in batches:
-            for tok, cnt in pdf["token"].value_counts().items():
-                counters[tok] = counters.get(tok, 0) + int(cnt)
+            # vectorized: one aligned add per Arrow batch, no per-token
+            # Python loop (Series.add stays in numpy for the hot path)
+            counters = counters.add(pdf["token"].value_counts(), fill_value=0)
             if len(counters) > max_counters:
-                vals = sorted(counters.values(), reverse=True)
-                sub = vals[max_counters]
-                counters = {t: c - sub for t, c in counters.items() if c > sub}
-        yield pd.DataFrame(
-            {"token": list(counters.keys()), "est": list(counters.values())}
-        )
+                sub = counters.nlargest(max_counters + 1).iloc[-1]
+                counters = counters[counters > sub] - sub
+        counters = counters.astype("int64")
+        yield pd.DataFrame({"token": counters.index, "est": counters.values})
 
     return f
 

@@ -130,16 +130,49 @@ def test_registry_complete():
         assert name in qs, name
 
 
+def test_multimodal_codecs_roundtrip_known_values():
+    """Value-asserted decode: hand-built BMP/PPM/WAV bytes parse back to
+    exact known dimensions and channel/sample values."""
+    from kafka_clickhouse_implementation_spark.operators.multimodal import (
+        encode_bmp, encode_ppm, encode_wav,
+        parse_bmp, parse_ppm, parse_wav,
+    )
+
+    # 2x2 image, distinct per-channel values to catch BGR/RGB swaps and
+    # bottom-up/top-down row confusion
+    rgb = [255, 0, 0,  0, 255, 0,  0, 0, 255,  10, 20, 30]
+    bmp = parse_bmp(encode_bmp(2, 2, rgb))
+    assert (bmp["width"], bmp["height"]) == (2, 2)
+    assert bmp["values"] == rgb
+    # odd width exercises the 4-byte row padding path (3 px * 3 = 9 -> stride 12)
+    rgb3 = list(range(27))
+    assert parse_bmp(encode_bmp(3, 3, rgb3))["values"] == rgb3
+
+    ppm = parse_ppm(encode_ppm(2, 2, rgb))
+    assert (ppm["width"], ppm["height"], ppm["values"]) == (2, 2, rgb)
+
+    samples = [0, 1, -1, 32767, -32768, 12345]
+    wav = parse_wav(encode_wav(samples, rate=8000))
+    assert wav["sample_rate"] == 8000
+    assert wav["channels"] == 1
+    assert wav["n_samples"] == 6
+    assert wav["values"] == samples
+
+
 def test_multimodal_stub_and_features(spark):
     from kafka_clickhouse_implementation_spark.operators.multimodal import (
         decode_image,
         extract_features,
         fake_features,
+        parse_bmp,
     )
     import pytest
 
+    # compressed formats remain honestly stubbed; corrupt input raises
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+    with pytest.raises(ValueError):
+        parse_bmp(b"XX not a bitmap")
 
     # deterministic fake features
     assert fake_features(b"abc") == fake_features(b"abc")
