@@ -1,0 +1,179 @@
+"""Round-3 relational widening: exact distribution statistics (interpolated
+quartiles), deterministic mode, pivot/unpivot reshaping, and cumulative
+first-seen distinct counting on the distributed-prefix library.
+
+Float discipline notes (see functions/numeric.py + verify skill):
+- Interpolated quantiles at q ∈ {.25, .5, .75} over INTEGER-VALUED data
+  are engine-portable: the interpolation fraction is an exact binary
+  fraction and lo + f·(hi−lo) stays an exact small rational, so Spark's
+  ``percentile`` and DuckDB's ``quantile_cont`` emit identical doubles.
+  Arbitrary q (e.g. 0.37) or non-integer data would NOT be safe.
+- Everything else here is integer counting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_clickhouse_implementation_spark.io import load
+from kafka_clickhouse_implementation_spark.registry import query
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "q_quartiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.5)  AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quartiles of order quantity per return flag
+    (ClickHouse ``quantileExact``-family analogue). ``percentile`` is
+    an exact partial aggregate: each partition ships a value histogram,
+    never raw rows, then the final interpolation runs once per group —
+    portable here because quarter fractions over integers are exact
+    (module docstring)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25D)").alias("p25"),
+        F.expr("percentile(l_quantity, 0.5D)").alias("p50"),
+        F.expr("percentile(l_quantity, 0.75D)").alias("p75"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "q_mode_by_type",
+    oracle="""
+    WITH counts AS (
+      SELECT event_type, user_id % 100 AS bucket, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), ranked AS (
+      SELECT event_type, bucket, n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, bucket) AS rn
+      FROM counts
+    )
+    SELECT event_type, bucket AS mode_bucket, n AS mode_n
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_mode_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode (most frequent user bucket per event type,
+    ties broken by smallest bucket — ClickHouse ``topK(1)`` exact twin).
+    Two partial-aggregated exchanges; the rank window is partitioned by
+    event_type, never global."""
+    ev = load(spark, sf_dir, "events")
+    counts = (
+        ev.select("event_type", (F.col("user_id") % 100).alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"), "bucket")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("bucket").alias("mode_bucket"),
+            F.col("n").alias("mode_n"),
+        )
+    )
+
+
+@query(
+    "q_pivot_events",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+    FROM events GROUP BY 1
+    """,
+)
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: daily event counts fanned out to one column per event type
+    (ClickHouse ``sumIf``-per-type reports). The explicit value list
+    keeps the plan a single pass — Spark needs no extra distinct-scan to
+    discover the columns, and the output schema is stable for the
+    driver's schema check."""
+    ev = load(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type"
+    )
+    pv = ev.groupBy("day").pivot("event_type", _EVENT_TYPES).count().na.fill(0)
+    return pv.select(
+        "day", *[F.col(t).cast("long").alias(t) for t in _EVENT_TYPES]
+    )
+
+
+@query(
+    "q_unpivot_measures",
+    oracle="""
+    WITH agg AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'n_rows' AS measure, n_rows AS val FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'n_orders' AS measure, n_orders AS val FROM agg
+    """,
+)
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt: wide per-group measures to (group, measure, val)
+    long form — the inverse reshape of q_pivot_events, via the native
+    ``unpivot`` operator (a narrow generate, no shuffle beyond the
+    aggregation)."""
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("l_orderkey").alias("n_orders"),
+    )
+    return agg.unpivot(
+        ids=["l_returnflag"],
+        values=["n_rows", "n_orders"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+
+
+@query(
+    "q_first_seen_cumulative",
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id
+    ), per_day AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS new_users
+      FROM first_day GROUP BY day
+    )
+    SELECT day, new_users,
+           CAST(sum(new_users) OVER (ORDER BY day
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+    FROM per_day
+    """,
+)
+def q_first_seen_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-user accounting: users first seen per day and the cumulative
+    distinct-user curve. The cumulative sum runs on
+    plans/prefix.ranged_prefix — the same distributed prefix-sum library
+    as q_token_packing/q_zipf_rank, so even a years-long day spine never
+    funnels through one window task (the oracle may use a plain window;
+    DuckDB is single-node by definition)."""
+    from kafka_clickhouse_implementation_spark.plans.prefix import ranged_prefix
+
+    ev = load(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("day"))
+    per_day = first_day.groupBy("day").agg(F.count("*").alias("new_users"))
+    return ranged_prefix(
+        per_day, [F.col("day")], sum_cols={"cum_users": "new_users"}
+    ).select("day", "new_users", "cum_users")

@@ -81,6 +81,9 @@ _MODULE_RANK = [
     "kafka_clickhouse_implementation_spark.streaming.pipeline",
     "kafka_clickhouse_implementation_spark.streaming.funnel",
     "kafka_clickhouse_implementation_spark.streaming.retention",
+    "kafka_clickhouse_implementation_spark.streaming.sessions",
+    "kafka_clickhouse_implementation_spark.operators.sketches",
+    "kafka_clickhouse_implementation_spark.operators.relational_ext2",
 ]
 
 

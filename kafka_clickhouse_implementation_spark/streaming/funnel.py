@@ -148,14 +148,14 @@ def wire_stream(spark, wire_dir: str) -> DataFrame:
     )
 
 
-def _drain(spark, out, name: str, ckpt: str):
+def _drain(spark, out, name: str, ckpt: str, mode: str = "update"):
     import shutil
 
     shutil.rmtree(ckpt, ignore_errors=True)
     q = (
         out.writeStream.format("memory")
         .queryName(name)
-        .outputMode("update")
+        .outputMode(mode)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()

@@ -1,0 +1,92 @@
+"""Native Structured-Streaming session windows (SURVEY C7's streaming
+half) — ``F.session_window`` gap-merging inside the state store, the
+operator ClickHouse has no incremental analogue for (its sessionization
+re-scans with window functions per query; reference context
+kafka+clickhouse.md:240-243 re-reads the raw table for every answer).
+
+Semantics: a session is a maximal run of a user's events where
+consecutive gaps are < 30 minutes (an event landing exactly on the gap
+boundary starts a new session — session windows are half-open
+``[start, last_event + gap)``). The DuckDB oracle states the same rule
+with lag/cumulative-sum arithmetic in microseconds.
+
+Output mode: session-window aggregations reject update mode (a session
+merge retires old keys, which update sinks can't express), so the
+hermetic replay drains in COMPLETE mode — the memory sink then holds
+exactly the final merged sessions, including the tail sessions a
+watermark would never close. Production over an unbounded stream would
+use watermark + append (each session emitted once on close, state
+evicted); the operator body is identical.
+
+Scale: state is one (start, end, count) per OPEN session per user,
+hash-partitioned by user_id; the gap merge is in-store, no shuffle
+beyond the groupBy exchange.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafka_clickhouse_implementation_spark.registry import query
+from kafka_clickhouse_implementation_spark.streaming.funnel import (
+    _drain,
+    ordered_event_wire,
+    wire_stream,
+)
+
+SESSION_GAP = "30 minutes"
+
+
+def streaming_sessions(events: DataFrame, gap: str = SESSION_GAP) -> DataFrame:
+    """Per-(user, session) event counts maintained incrementally by the
+    native session-window state store. ``events`` needs user_id and a
+    ``ts`` timestamp column."""
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "q_stream_sessions",
+    # Gap rule restated in exact integer microseconds; >= because the
+    # half-open session window excludes an event exactly gap after the
+    # previous one. Every event belongs to exactly one session, so
+    # n_events doubles as a conservation check on the state machine.
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+                  WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000 THEN 1
+                  ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM g GROUP BY user_id
+    """,
+)
+def q_stream_sessions(spark, sf_dir: str) -> DataFrame:
+    """Hermetic native-session-window replay: drain the shared ts-sorted
+    event wire through ``streaming_sessions`` and reduce the final
+    maximal session intervals to per-user (n_sessions, n_events) —
+    hash-checked against the batch gap-rule oracle."""
+    wire_dir, base = ordered_event_wire(spark, sf_dir)
+    ckpt = os.path.join(base, "ckpt_sessions")
+    stream = wire_stream(spark, wire_dir)
+    name = "stream_sessions_out"
+    _drain(spark, streaming_sessions(stream), name, ckpt, mode="complete")
+    return spark.sql(
+        f"""
+        SELECT user_id,
+               count(*) AS n_sessions,
+               sum(n) AS n_events
+        FROM {name}
+        GROUP BY user_id
+        """
+    )
