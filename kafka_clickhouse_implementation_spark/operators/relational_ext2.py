@@ -49,6 +49,30 @@ def q_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_approx_quartiles")  # rows-only: approx_percentile's KLL-family
+# sketch is engine-private; the exact twin q_quartiles is the oracle-
+# checked counterpart, and the error bound is pytest-asserted.
+def q_approx_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quartiles (ClickHouse ``quantileTDigest`` family):
+    ``approx_percentile`` keeps a bounded-size mergeable sketch per
+    group — the 100 TB path when C38's exact value histogram is itself
+    too wide (e.g. high-cardinality float measures). accuracy=10000
+    bounds rank error at 1/10000."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_quantity, array(0.25D, 0.5D, 0.75D), 10000)"
+        ).alias("qs"),
+        F.count("*").alias("n"),
+    ).select(
+        "l_returnflag",
+        F.col("qs")[0].alias("p25"),
+        F.col("qs")[1].alias("p50"),
+        F.col("qs")[2].alias("p75"),
+        "n",
+    )
+
+
 @query(
     "q_mode_by_type",
     oracle="""

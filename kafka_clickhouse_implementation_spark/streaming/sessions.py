@@ -51,6 +51,55 @@ def streaming_sessions(events: DataFrame, gap: str = SESSION_GAP) -> DataFrame:
 
 
 @query(
+    "q_stream_join",
+    # Inner time-interval join over a finite ordered replay is exactly
+    # the batch interval self-join, so the oracle states it directly.
+    oracle="""
+    SELECT v.user_id, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM events v JOIN events p
+      ON p.user_id = v.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    GROUP BY v.user_id
+    """,
+)
+def q_stream_join(spark, sf_dir: str) -> DataFrame:
+    """Hermetic STREAM-STREAM join (SURVEY streaming tier): the view
+    stream inner-joins the purchase stream on user_id within a
+    30-minute interval — the Structured Streaming two-sided state-store
+    join, drained over the shared wire and hash-checked against the
+    equivalent batch interval join.
+
+    The replay omits watermarks so the finite drain is exactly the
+    batch join (state is bounded by the replay size); an unbounded
+    production stream adds ``withWatermark`` on both sides so the state
+    store evicts rows older than watermark + interval — the join body
+    is unchanged (streaming/pipeline.stream_stream_join carries that
+    variant)."""
+    wire_dir, base = ordered_event_wire(spark, sf_dir)
+    ckpt = os.path.join(base, "ckpt_join")
+    ev = wire_stream(spark, wire_dir)
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    joined = v.join(
+        p,
+        F.expr(
+            "v_user = p_user AND p_ts >= v_ts"
+            " AND p_ts <= v_ts + INTERVAL 30 MINUTES"
+        ),
+    )
+    name = "stream_join_out"
+    _drain(spark, joined, name, ckpt, mode="append")
+    return spark.sql(
+        f"SELECT v_user AS user_id, count(*) AS n_pairs FROM {name} GROUP BY v_user"
+    )
+
+
+@query(
     "q_stream_sessions",
     # Gap rule restated in exact integer microseconds; >= because the
     # half-open session window excludes an event exactly gap after the
