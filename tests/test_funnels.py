@@ -138,6 +138,57 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
     assert got == batch
 
 
+def test_streaming_sessions_merge_across_batches(spark, tmp_path):
+    """Native session windows must MERGE a session that spans
+    micro-batches: one user with events 10 minutes apart split across
+    two files is one session; a >30-minute gap in a later file opens a
+    second. Complete-mode drain exposes the final state."""
+    import datetime as dt
+
+    from kafka_clickhouse_implementation_spark.streaming.sessions import (
+        streaming_sessions,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # session 1: 12:00, 12:10 (file A), 12:20, 12:25 (file B)
+        (1, 1, "view", t0),
+        (1, 2, "click", t0 + dt.timedelta(minutes=10)),
+        (1, 3, "view", t0 + dt.timedelta(minutes=20)),
+        (1, 4, "view", t0 + dt.timedelta(minutes=25)),
+        # session 2: 13:30 (file C, 65 min after last)
+        (1, 5, "purchase", t0 + dt.timedelta(minutes=90)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts timestamp"
+    )
+    wire = _ordered_wire_chunks(ev, tmp_path, n_chunks=3)
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .json(wire)
+    )
+    q = (
+        streaming_sessions(stream)
+        .writeStream.format("memory")
+        .queryName("sess_merge_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["w"]["start"], r["w"]["end"], r["n"])
+        for r in spark.sql("SELECT * FROM sess_merge_out").collect()
+    )
+    assert len(got) == 2
+    s1_start, s1_end, s1_n = got[0]
+    assert s1_start == t0 and s1_n == 4
+    assert s1_end == t0 + dt.timedelta(minutes=55)  # last event + 30 min gap
+    s2_start, s2_end, s2_n = got[1]
+    assert s2_start == t0 + dt.timedelta(minutes=90) and s2_n == 1
+
+
 def test_streaming_retention_matches_batch(spark, tmp_path):
     """Same multi-batch contract for the stateful retention twin."""
     from kafka_clickhouse_implementation_spark.io import load

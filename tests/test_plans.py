@@ -122,6 +122,13 @@ def test_prefix_sum_windows_are_partitioned(spark):
             assert "__prefix_pid" in l, (q, l)
 
 
+def test_kmv_bottom_k_is_take_ordered(spark):
+    """The KMV sketch's bottom-k must be TakeOrdered (per-partition
+    heads + merge), never a global sort of the digest space."""
+    plan = _plan(all_queries()["q_kmv_sketch"](spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_aqe_splits_skewed_join_partition(spark):
     """100x-survival evidence for skewed facts: with AQE skew handling
     on (session.py defaults), a hot join key gets split at runtime —
