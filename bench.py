@@ -52,6 +52,11 @@ HEADLINE = [
     "q_window_funnel",
     "q_bigram_counts",
     "q_minhash_portable",
+    # round 3 additions: distribution stats + portable sketch + the
+    # de-weaked distributed-prefix ops
+    "q_quartiles",
+    "q_kmv_sketch",
+    "q_token_packing",
 ]
 
 
