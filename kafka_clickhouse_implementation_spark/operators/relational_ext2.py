@@ -172,6 +172,54 @@ def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_qualify_latest",
+    oracle="""
+    SELECT user_id, event_id, event_type
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def q_qualify_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY-semantics parity (ClickHouse and DuckDB both speak the
+    keyword; open-source Spark expresses the same predicate as a
+    row_number filter, which Catalyst rewrites to WindowGroupLimit —
+    per-group early stop before the exchange): the latest event per
+    user, i.e. the ReplacingMergeTree-FINAL read. Window partitioned by
+    user_id, never global; deterministic tie-break on event_id."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+@query(
+    "q_limit_by",
+    oracle="""
+    SELECT event_type, event_id, value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY event_type
+                               ORDER BY value DESC, event_id) <= 2
+    """,
+)
+def q_limit_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``LIMIT 2 BY event_type`` — top-2 rows per group,
+    deterministic tie-break on event_id. Expressed as a rank predicate
+    so Spark's WindowGroupLimit keeps only 2 rows per group on the map
+    side before the window exchange."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("event_type", "event_id", "value")
+    )
+
+
+@query(
     "q_first_seen_cumulative",
     oracle="""
     WITH first_day AS (
