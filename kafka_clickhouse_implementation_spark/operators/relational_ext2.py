@@ -18,8 +18,10 @@ from pyspark.sql import functions as F
 
 from kafka_clickhouse_implementation_spark.io import load
 from kafka_clickhouse_implementation_spark.registry import query
+from kafka_clickhouse_implementation_spark.schemas import EVENT_TYPES
 
-_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+# the schema's closed domain, in deterministic column order for PIVOT
+_EVENT_TYPES = sorted(EVENT_TYPES)
 
 
 @query(

@@ -177,7 +177,9 @@ def q_zipf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum_cols={"cum": "n"},
         rn_col="rnk",
     )
-    total = counts.agg(F.sum("n").alias("total"))
+    # total from the checkpointed prefix output — aggregating `counts`
+    # directly would re-tokenize the whole corpus a second time
+    total = ranked.agg(F.sum("n").alias("total"))
     return ranked.crossJoin(F.broadcast(total)).select(
         "token",
         "n",

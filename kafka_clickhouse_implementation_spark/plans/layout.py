@@ -118,21 +118,30 @@ def _atomic_swap_dirs(path: str, tmp: str) -> None:
     commit (e.g. a table format's atomic metadata swap).
 
     NOT a single atomic swap: it is two renames, and a crash between
-    them leaves `path` missing with the data parked at `__compact_old`
-    — so the old dir is kept until the swap-in succeeds (the except
-    path rolls it back), and a fresh run self-heals a leftover old dir.
-    A concurrent reader can still observe the brief missing-path gap;
-    single-writer semantics (see compact_rollup) are the contract."""
+    them leaves `path` missing with the data parked at `__compact_old`.
+    Crash recovery lives in `compact_rollup`: it restores a parked old
+    dir when `path` is missing, and FOLDS a leftover old dir into the
+    next merge when `path` was recreated meanwhile — so the remnant is
+    never deleted before its rows are incorporated. A concurrent reader
+    can still observe the brief missing-path gap; single-writer
+    semantics (see compact_rollup) are the contract."""
     import shutil
 
     old = path.rstrip("/") + "__compact_old"
+    # any leftover old dir was already restored or folded into `tmp` by
+    # compact_rollup, so clearing it here cannot drop unmerged rows
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
     try:
         os.rename(tmp, path)
-    except BaseException:
-        os.rename(old, path)  # roll back so the rollup never disappears
-        raise
+    except BaseException as swap_err:
+        try:
+            os.rename(old, path)  # roll back so the rollup never disappears
+        except OSError as rollback_err:
+            raise RuntimeError(
+                f"compaction swap failed AND rollback failed; data parked at {old}"
+            ) from rollback_err
+        raise swap_err
     shutil.rmtree(old, ignore_errors=True)
 
 
@@ -153,8 +162,29 @@ def compact_rollup(spark: SparkSession, path: str) -> None:
     idempotence (the retried batch would re-add already-compacted
     partials). Run it from the single writer between committed batches
     (e.g. in foreachBatch after the sink write), never from a second
-    process."""
+    process.
+
+    Crash recovery for the two-rename swap: if a previous run died
+    between the renames, either `path` is missing (data parked at the
+    old dir — restore it by rename) or the writer has since recreated
+    `path` with new partials (fold the parked rows into this merge, and
+    only then let the swap drop the remnant). Either way no committed
+    row is ever lost."""
+    old = path.rstrip("/") + "__compact_old"
+    if os.path.exists(old) and not os.path.exists(path):
+        os.rename(old, path)  # crash before swap-in completed: restore
     merged = read_rollup(spark, path)
+    if os.path.exists(old):
+        # remnant of an interrupted swap whose path was since recreated:
+        # incorporate its rows before the swap deletes the directory
+        parked = (
+            spark.read.option("recursiveFileLookup", "true").parquet(old)
+        )
+        merged = (
+            merged.unionByName(parked)
+            .groupBy("day", "level")
+            .agg(F.sum("total").alias("total"))
+        )
     tmp = path.rstrip("/") + "__compact_tmp"
     merged.write.mode("overwrite").parquet(tmp)
     _atomic_swap_dirs(path, tmp)

@@ -107,6 +107,48 @@ def test_compact_rollup_preserves_totals(spark, tmp_path):
     assert raw.count() == raw.select("day", "level").distinct().count()
 
 
+def test_compact_rollup_restores_parked_dir_after_crash(spark, tmp_path):
+    """Crash simulation: death between the swap's two renames leaves the
+    rollup parked at __compact_old and `path` missing — the next
+    compaction must restore it, losing nothing."""
+    import os
+
+    path = str(tmp_path / "rollup3")
+    d = _events(spark, 30).select(
+        F.to_date("ts").alias("day"), F.col("event_type").alias("level")
+    )
+    append_rollup_partials(d, path)
+    before = {(str(r["day"]), r["level"]): r["total"] for r in read_rollup(spark, path).collect()}
+    os.rename(path, path + "__compact_old")  # the mid-swap crash state
+    compact_rollup(spark, path)
+    after = {(str(r["day"]), r["level"]): r["total"] for r in read_rollup(spark, path).collect()}
+    assert before == after
+
+
+def test_compact_rollup_folds_parked_dir_when_path_recreated(spark, tmp_path):
+    """Crash simulation, worse case: after the mid-swap crash the single
+    writer already recreated `path` with NEW partials before the next
+    compaction ran. The parked pre-crash rows must be folded into the
+    merge, not discarded."""
+    import os
+
+    path = str(tmp_path / "rollup4")
+    d = _events(spark, 30).select(
+        F.to_date("ts").alias("day"), F.col("event_type").alias("level")
+    )
+    append_rollup_partials(d, path)
+    os.rename(path, path + "__compact_old")  # mid-swap crash
+    append_rollup_partials(d, path)  # writer resumed: fresh partials
+    compact_rollup(spark, path)
+    got = {(str(r["day"]), r["level"]): r["total"] for r in read_rollup(spark, path).collect()}
+    want = {
+        (str(r["day"]), r["level"]): 2 * r["total"]
+        for r in d.groupBy("day", "level").agg(F.count("*").alias("total")).collect()
+    }
+    assert got == want
+    assert not os.path.exists(path + "__compact_old")
+
+
 def test_expire_partitions_is_partition_level_ttl(spark, tmp_path):
     """Dropping expired days must remove exactly the old partitions and
     leave survivors byte-identical (no rewrite), and the pruned scan
