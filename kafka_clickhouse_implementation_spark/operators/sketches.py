@@ -102,3 +102,63 @@ def q_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kth.crossJoin(F.broadcast(exact)).selectExpr(
         "kth_hash", "k_kept", f"{_EST_SQL} AS est_distinct", "exact_distinct"
     )
+
+
+def _bigrams(docs: DataFrame) -> DataFrame:
+    return (
+        docs.select(F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> concat_ws(' ', t[i], t[i + 1]))"
+                )
+            ).alias("bg")
+        )
+        .distinct()
+    )
+
+
+@query(
+    "q_kmv_union",
+    # The oracle is the WHOLE-corpus bottom-k: bottom_k(bottom_k(A) ∪
+    # bottom_k(B)) == bottom_k(A ∪ B) exactly (any digest in the global
+    # bottom-k is necessarily in its own slice's bottom-k), so the
+    # merge-of-partials path must reproduce the direct sketch
+    # bit-for-bit — the driver hash proves the mergeability law, not
+    # just a row count.
+    oracle=f"""
+    WITH toks AS (
+      SELECT string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+      SELECT DISTINCT unnest(list_transform(range(1, len(t)),
+                                            i -> t[i] || ' ' || t[i + 1])) AS bg
+      FROM toks WHERE len(t) >= 2
+    ), bottom AS (
+      SELECT md5(bg) AS h FROM grams ORDER BY h LIMIT {K}
+    )
+    SELECT max(h) AS kth_hash, CAST(count(*) AS BIGINT) AS k_kept
+    FROM bottom
+    """,
+)
+def q_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV MERGE law, value-checked: sketch two disjoint corpus slices
+    independently (doc_id parity), union the two bottom-k digest sets,
+    re-truncate — the result must equal the direct whole-corpus sketch
+    exactly. This is the property that makes the sketch a partial
+    aggregate at 100 TB: per-partition bottom-k sets merge without
+    ever revisiting the data."""
+    docs = load(spark, sf_dir, "documents")
+    parts = []
+    for parity in (0, 1):
+        slice_grams = _bigrams(docs.filter(F.col("doc_id") % 2 == parity))
+        parts.append(
+            slice_grams.select(F.md5(F.col("bg").cast("binary")).alias("h"))
+            .orderBy("h")
+            .limit(K)
+        )
+    merged = parts[0].union(parts[1]).distinct().orderBy("h").limit(K)
+    return merged.agg(
+        F.max("h").alias("kth_hash"), F.count("*").cast("long").alias("k_kept")
+    )
