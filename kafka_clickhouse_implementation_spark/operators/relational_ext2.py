@@ -222,6 +222,35 @@ def q_limit_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_window_distribution",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(ntile(4) OVER w AS INT) AS quartile_bucket,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM events
+    WHERE user_id < 5
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    """,
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / percent_rank / cume_dist)
+    per user — portable because both emit exact small-integer ratios
+    through one IEEE division ((rank-1)/(n-1), rows≤cur/n) over an
+    unambiguous integer ordering. Windows partitioned by user_id,
+    never global."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.ntile(4).over(w).alias("quartile_bucket"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@query(
     "q_first_seen_cumulative",
     oracle="""
     WITH first_day AS (

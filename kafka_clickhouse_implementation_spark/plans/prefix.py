@@ -16,8 +16,16 @@ inside ``RDD.zipWithIndex``) is:
 Exactness requires the order key to be a total order (unique overall);
 both call sites here use unique keys (doc_id; (n DESC, token)). The
 ranged intermediate is localCheckpoint-ed so the offset pass and the
-output pass see the identical partition assignment even under
-recomputation or AQE replanning.
+output pass see the identical partition assignment even under AQE
+replanning.
+
+Fault model at cluster scale: localCheckpoint blocks are not
+fault-tolerant — losing an executor after materialization fails the
+job (lineage is truncated, recompute is impossible), which is
+FAIL-STOP, never silently inconsistent offsets; the retry recomputes
+both passes from the source. A long-running production pipeline would
+swap in `spark.sparkContext.setCheckpointDir` + `checkpoint()` for
+replicated blocks at the cost of a persisted copy.
 """
 
 from __future__ import annotations
