@@ -129,6 +129,38 @@ def test_kmv_bottom_k_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """100x-survival evidence for selective fact-dim joins: Spark's
+    runtime bloom-filter injection plants a might_contain predicate on
+    the FACT side built from the filtered dim side, so most fact rows
+    die at the scan instead of crossing the shuffle. Size thresholds
+    are shrunk so sf-scale data trips the same code path a 100 TB scan
+    would (the application side must normally exceed 10 GB)."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        sel = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+        j = li.join(sel, li.l_orderkey == sel.o_orderkey)
+        plan = _plan(j)
+        assert "might_contain" in plan, plan
+        assert j.count() > 0
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_aqe_splits_skewed_join_partition(spark):
     """100x-survival evidence for skewed facts: with AQE skew handling
     on (session.py defaults), a hot join key gets split at runtime —
