@@ -292,6 +292,37 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_top_weighted",
+    oracle="""
+    WITH toks AS (
+      SELECT n_chars, unnest(string_split(text, ' ')) AS token FROM documents
+    )
+    SELECT token,
+           CAST(sum(n_chars) AS BIGINT) AS weight,
+           CAST(count(*) AS BIGINT) AS n
+    FROM toks GROUP BY token
+    ORDER BY weight DESC, token LIMIT 10
+    """,
+)
+def q_top_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``topKWeighted`` exact twin: top tokens by summed
+    weight (each occurrence contributes its document's n_chars) rather
+    than plain frequency. Map-side-combined integer weight sums,
+    TakeOrdered top-10 — the sketched variant at 100 TB is C29's
+    Misra-Gries with the same weight column fed to the decrement."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "n_chars", F.explode(F.split("text", " ")).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.sum("n_chars").alias("weight"), F.count("*").alias("n"))
+        .orderBy(F.desc("weight"), "token")
+        .limit(10)
+    )
+
+
+@query(
     "q_collocations",
     oracle="""
     WITH toks AS (

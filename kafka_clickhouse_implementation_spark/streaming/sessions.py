@@ -51,6 +51,38 @@ def streaming_sessions(events: DataFrame, gap: str = SESSION_GAP) -> DataFrame:
 
 
 @query(
+    "q_stream_dedup",
+    # After exact-duplicate injection (the wire unioned with itself)
+    # and watermarked streaming dedup on event_id, the surviving rows
+    # are exactly the original events — so plain batch counts per type
+    # hash-check the dedup state machine.
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_stream_dedup(spark, sf_dir: str) -> DataFrame:
+    """Hermetic streaming dedup (SURVEY C9, now driver-checked): the
+    wire replayed TWICE (self-union — every event arrives as an exact
+    duplicate) through ``dropDuplicatesWithinWatermark`` on event_id;
+    the drained append stream must collapse back to the original
+    per-type counts. State is one event_id per event within the
+    watermark horizon, evicted as the watermark passes — the reason
+    this scales where an unbounded ``dropDuplicates`` would not."""
+    wire_dir, base = ordered_event_wire(spark, sf_dir)
+    ckpt = os.path.join(base, "ckpt_dedup")
+    doubled = wire_stream(spark, wire_dir).union(wire_stream(spark, wire_dir))
+    deduped = doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    name = "stream_dedup_out"
+    _drain(spark, deduped, name, ckpt, mode="append")
+    return spark.sql(
+        f"SELECT event_type, count(*) AS n FROM {name} GROUP BY event_type"
+    )
+
+
+@query(
     "q_stream_join",
     # Inner time-interval join over a finite ordered replay is exactly
     # the batch interval self-join, so the oracle states it directly.
