@@ -90,3 +90,42 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(quant).alias("q_min"),
         F.array_max(quant).alias("q_max"),
     )
+
+
+_TRUNC_DIM = 8
+
+
+@query(
+    "q_embedding_truncate",
+    oracle=f"""
+    WITH sliced AS (
+      SELECT vec_id,
+             CAST(embedding AS DOUBLE[]) AS e,
+             list_slice(CAST(embedding AS DOUBLE[]), 1, {_TRUNC_DIM}) AS t
+      FROM embeddings WHERE vec_id < 20
+    )
+    SELECT vec_id,
+           sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS full_norm,
+           sqrt(list_aggregate(list_transform(t, x -> x * x), 'sum')) AS trunc_norm,
+           list_aggregate(list_transform(t, x -> x * x), 'sum')
+             / list_aggregate(list_transform(e, x -> x * x), 'sum') AS energy_kept
+    FROM sliced
+    """,
+)
+def q_embedding_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension truncation audit: keep the first
+    {dim} lanes and report how much L2 energy survives — the
+    retrieval-vs-storage tradeoff check run before truncating a corpus
+    of embeddings. Per-row higher-order folds are order-deterministic
+    (same left-to-right sum in both engines), so norms and the energy
+    ratio are bit-identical; a narrow map, no shuffle at all."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    t = F.slice(e, 1, _TRUNC_DIM)
+    sq = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x)  # noqa: E731
+    return emb.select(
+        "vec_id",
+        F.sqrt(sq(e)).alias("full_norm"),
+        F.sqrt(sq(t)).alias("trunc_norm"),
+        (sq(t) / sq(e)).alias("energy_kept"),
+    )
