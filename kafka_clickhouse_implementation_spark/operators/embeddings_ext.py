@@ -114,7 +114,7 @@ _TRUNC_DIM = 8
 )
 def q_embedding_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka-style dimension truncation audit: keep the first
-    {dim} lanes and report how much L2 energy survives — the
+    8 lanes and report how much L2 energy survives — the
     retrieval-vs-storage tradeoff check run before truncating a corpus
     of embeddings. Per-row higher-order folds are order-deterministic
     (same left-to-right sum in both engines), so norms and the energy

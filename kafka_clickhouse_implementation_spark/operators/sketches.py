@@ -49,10 +49,10 @@ _EST_SQL = (
     f"CAST({(K - 1) * _TWO_52} AS DOUBLE) / CAST({_nibble_value_sql('kth_hash')} AS DOUBLE)"
 )
 
-
-@query(
-    "q_kmv_sketch",
-    oracle=f"""
+# Shared DuckDB prelude: distinct corpus bigrams -> md5 digests ->
+# bottom-k. One constant so the sketch and its merge-law twin can never
+# silently diverge in tokenization.
+_BOTTOM_K_CTE = f"""
     WITH toks AS (
       SELECT string_split(text, ' ') AS t FROM documents
     ), grams AS (
@@ -61,50 +61,13 @@ _EST_SQL = (
       FROM toks WHERE len(t) >= 2
     ), bottom AS (
       SELECT md5(bg) AS h FROM grams ORDER BY h LIMIT {K}
-    ), kth AS (
-      SELECT max(h) AS kth_hash, CAST(count(*) AS BIGINT) AS k_kept FROM bottom
-    ), exact AS (
-      SELECT CAST(count(*) AS BIGINT) AS exact_distinct FROM grams
-    )
-    SELECT kth_hash, k_kept, {_EST_SQL} AS est_distinct, exact_distinct
-    FROM kth CROSS JOIN exact
-    """,
-)
-def q_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KMV bottom-k distinct sketch over corpus bigrams, value-checked
-    end-to-end: the k-th retained digest AND the derived estimate must
-    match DuckDB bit-for-bit, alongside the exact distinct count the
-    estimate approximates. Plan: distinct bigrams (map-side combined),
-    md5, TakeOrdered k (never a global sort), one-row finish."""
-    docs = load(spark, sf_dir, "documents")
-    grams = (
-        docs.select(F.split("text", " ").alias("t"))
-        .filter(F.size("t") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(t) - 2),"
-                    " i -> concat_ws(' ', t[i], t[i + 1]))"
-                )
-            ).alias("bg")
-        )
-        .distinct()
-    )
-    bottom = (
-        grams.select(F.md5(F.col("bg").cast("binary")).alias("h"))
-        .orderBy("h")
-        .limit(K)
-    )
-    kth = bottom.agg(
-        F.max("h").alias("kth_hash"), F.count("*").cast("long").alias("k_kept")
-    )
-    exact = grams.agg(F.count("*").alias("exact_distinct"))
-    return kth.crossJoin(F.broadcast(exact)).selectExpr(
-        "kth_hash", "k_kept", f"{_EST_SQL} AS est_distinct", "exact_distinct"
-    )
+    )"""
 
 
 def _bigrams(docs: DataFrame) -> DataFrame:
+    """Distinct corpus bigrams — the Spark twin of _BOTTOM_K_CTE's
+    `grams`, shared by the sketch and the merge-law query so they
+    always tokenize identically."""
     return (
         docs.select(F.split("text", " ").alias("t"))
         .filter(F.size("t") >= 2)
@@ -121,6 +84,39 @@ def _bigrams(docs: DataFrame) -> DataFrame:
 
 
 @query(
+    "q_kmv_sketch",
+    oracle=f"""{_BOTTOM_K_CTE}, kth AS (
+      SELECT max(h) AS kth_hash, CAST(count(*) AS BIGINT) AS k_kept FROM bottom
+    ), exact AS (
+      SELECT CAST(count(*) AS BIGINT) AS exact_distinct FROM grams
+    )
+    SELECT kth_hash, k_kept, {_EST_SQL} AS est_distinct, exact_distinct
+    FROM kth CROSS JOIN exact
+    """,
+)
+def q_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k distinct sketch over corpus bigrams, value-checked
+    end-to-end: the k-th retained digest AND the derived estimate must
+    match DuckDB bit-for-bit, alongside the exact distinct count the
+    estimate approximates. Plan: distinct bigrams (map-side combined),
+    md5, TakeOrdered k (never a global sort), one-row finish."""
+    docs = load(spark, sf_dir, "documents")
+    grams = _bigrams(docs)
+    bottom = (
+        grams.select(F.md5(F.col("bg").cast("binary")).alias("h"))
+        .orderBy("h")
+        .limit(K)
+    )
+    kth = bottom.agg(
+        F.max("h").alias("kth_hash"), F.count("*").cast("long").alias("k_kept")
+    )
+    exact = grams.agg(F.count("*").alias("exact_distinct"))
+    return kth.crossJoin(F.broadcast(exact)).selectExpr(
+        "kth_hash", "k_kept", f"{_EST_SQL} AS est_distinct", "exact_distinct"
+    )
+
+
+@query(
     "q_kmv_union",
     # The oracle is the WHOLE-corpus bottom-k: bottom_k(bottom_k(A) ∪
     # bottom_k(B)) == bottom_k(A ∪ B) exactly (any digest in the global
@@ -128,16 +124,7 @@ def _bigrams(docs: DataFrame) -> DataFrame:
     # merge-of-partials path must reproduce the direct sketch
     # bit-for-bit — the driver hash proves the mergeability law, not
     # just a row count.
-    oracle=f"""
-    WITH toks AS (
-      SELECT string_split(text, ' ') AS t FROM documents
-    ), grams AS (
-      SELECT DISTINCT unnest(list_transform(range(1, len(t)),
-                                            i -> t[i] || ' ' || t[i + 1])) AS bg
-      FROM toks WHERE len(t) >= 2
-    ), bottom AS (
-      SELECT md5(bg) AS h FROM grams ORDER BY h LIMIT {K}
-    )
+    oracle=f"""{_BOTTOM_K_CTE}
     SELECT max(h) AS kth_hash, CAST(count(*) AS BIGINT) AS k_kept
     FROM bottom
     """,
