@@ -64,10 +64,13 @@ def ranged_prefix(
     sum_cols = dict(sum_cols or {})
     spark = df.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # lazy: the offsets collect below is the first action and
+    # materializes the checkpoint — one job instead of two; the output
+    # pass then reuses the frozen blocks (and the frozen pid values)
     ranged = (
         df.repartitionByRange(p, *order_exprs)
         .withColumn(_PID, F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     value_cols = sorted(set(sum_cols.values()))
