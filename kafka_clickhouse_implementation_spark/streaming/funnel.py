@@ -90,6 +90,78 @@ def streaming_funnel_levels(
     )
 
 
+def _make_update_ttl(window_us: int, ttl_us: int):
+    def update(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            # abandoned funnel: emit its terminal level and free the state
+            t1, t2, t3 = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "funnel_level": [_level(t1, t2, t3, window_us)],
+                    "expired": [True],
+                }
+            )
+            return
+        t1, t2, t3 = state.get if state.exists else (_UNSET, _UNSET, _UNSET)
+        pdf = pd.concat(list(batches), ignore_index=True)
+        pdf = pdf.sort_values(["e_us", "event_id"])
+        for e_us, et in zip(pdf["e_us"], pdf["event_type"]):
+            if et == "view" and t1 == _UNSET:
+                t1 = int(e_us)
+            elif et == "click" and t1 != _UNSET and t2 == _UNSET and e_us > t1:
+                t2 = int(e_us)
+            elif et == "purchase" and t2 != _UNSET and t3 == _UNSET and e_us > t2:
+                t3 = int(e_us)
+        state.update((t1, t2, t3))
+        # expire this funnel if no activity for ttl past its latest event
+        # (event-time clock: fires once the WATERMARK passes the stamp)
+        last_us = int(pdf["e_us"].max())
+        state.setTimeoutTimestamp((last_us + ttl_us) // 1000)
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "funnel_level": [_level(t1, t2, t3, window_us)],
+                "expired": [False],
+            }
+        )
+
+    return update
+
+
+def streaming_funnel_levels_ttl(
+    events: DataFrame,
+    window_us: int = FUNNEL_WINDOW_US,
+    ttl_us: int = 3_600_000_000,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Funnel state with TTL eviction — the production variant for an
+    unbounded user population: a funnel idle for ``ttl_us`` past its
+    latest event is emitted once with ``expired=true`` and its state
+    REMOVED, so the store is bounded by ACTIVE users, not ever-seen
+    users. Event-time timeouts run off the watermark, which makes the
+    expiry deterministic under replay (a processing-time TTL would
+    depend on wall-clock batch pacing)."""
+    ev = events.withWatermark("ts", watermark).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.unix_micros("ts").alias("e_us"),
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _make_update_ttl(window_us, ttl_us),
+        outputStructType="user_id long, funnel_level int, expired boolean",
+        stateStructType="t1 long, t2 long, t3 long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 from kafka_clickhouse_implementation_spark.io import load  # noqa: E402
 from kafka_clickhouse_implementation_spark.operators.funnels import _FUNNEL_ORACLE  # noqa: E402
 from kafka_clickhouse_implementation_spark.registry import query  # noqa: E402

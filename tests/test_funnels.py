@@ -189,6 +189,69 @@ def test_streaming_sessions_merge_across_batches(spark, tmp_path):
     assert s2_start == t0 + dt.timedelta(minutes=90) and s2_n == 1
 
 
+def test_streaming_funnel_ttl_expires_abandoned_state(spark, tmp_path):
+    """Event-time TTL: a funnel idle for > TTL past its last event is
+    emitted once with expired=true and its state removed, while active
+    funnels keep updating. Three ts-ordered files force the watermark
+    forward so the timeout fires deterministically."""
+    import datetime as dt
+
+    from kafka_clickhouse_implementation_spark.streaming.funnel import (
+        streaming_funnel_levels_ttl,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    h = dt.timedelta(hours=1)
+    rows_by_file = [
+        # file A: user 1 starts a funnel and goes silent; user 2 active
+        [(1, 1, "view", t0), (2, 2, "view", t0)],
+        # file B (t0+2h): only user 2 — watermark advances past user 1's
+        # timeout stamp (t0 + 30min TTL)
+        [(2, 3, "click", t0 + 2 * h)],
+        # file C (t0+4h): pushes the watermark again so the timeout batch runs
+        [(2, 4, "purchase", t0 + 4 * h)],
+    ]
+    import json as jsonlib
+    import os
+
+    wire = tmp_path / "wire"
+    wire.mkdir()
+    for i, rows in enumerate(rows_by_file):
+        path = wire / f"part-{i}.json"
+        with open(path, "w") as f:
+            for (u, e, et, ts) in rows:
+                f.write(jsonlib.dumps({
+                    "user_id": u, "event_id": e, "event_type": et,
+                    "ts": ts.isoformat(sep=" "),
+                }) + "\n")
+        os.utime(path, (1_700_000_000 + i * 10,) * 2)
+
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(wire))
+    )
+    out = streaming_funnel_levels_ttl(
+        stream, ttl_us=30 * 60 * 1_000_000  # 30-minute TTL
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_ttl_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM funnel_ttl_out").collect()
+    user1 = [r for r in rows if r["user_id"] == 1]
+    user2 = [r for r in rows if r["user_id"] == 2]
+    # user 1: one live emission, then exactly one expiry at level 1
+    assert [r["funnel_level"] for r in user1 if r["expired"]] == [1]
+    # user 2: never expired, reaches level 3 within the funnel window
+    assert all(not r["expired"] for r in user2)
+    assert max(r["funnel_level"] for r in user2) == 3
+
+
 def test_streaming_retention_matches_batch(spark, tmp_path):
     """Same multi-batch contract for the stateful retention twin."""
     from kafka_clickhouse_implementation_spark.io import load
