@@ -100,14 +100,18 @@ def minhash_candidate_pairs(docs: DataFrame, sh: DataFrame | None = None) -> Dat
     )
 
 
-_ORACLE = f"""
-WITH toks AS (
-  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-), sh AS (
+def minhash_pairs_cte(src: str) -> str:
+    """DuckDB CTE chain (sh → … → pairs) replaying the whole portable
+    pipeline over a relation ``src(doc_id, t)`` where ``t`` is the
+    token list. Parametrized by source so compositions (the corpus
+    cleaner) share the exact same SQL as q_minhash_portable's oracle.
+    Terminal CTE: ``pairs(doc_a, doc_b, jaccard)`` filtered at the
+    module threshold."""
+    return f"""sh AS (
   SELECT DISTINCT doc_id,
          unnest(list_transform(range(1, len(t) - 1),
                                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-  FROM toks WHERE len(t) >= 3
+  FROM {src} WHERE len(t) >= 3
 ), hi AS (
   SELECT doc_id, seeds.i AS i, min(md5(CAST(seeds.i AS VARCHAR) || ':' || s)) AS mh
   FROM sh, (SELECT unnest(range(0, {N_HASHES})) AS i) seeds
@@ -128,24 +132,32 @@ WITH toks AS (
   JOIN sh sa ON sa.doc_id = c.doc_a
   JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
   GROUP BY c.doc_a, c.doc_b
-)
-SELECT i.doc_a, i.doc_b,
-       CAST(i.n_int AS DOUBLE) / CAST(za.n + zb.n - i.n_int AS DOUBLE) AS jaccard
-FROM inter i
-JOIN sizes za ON za.doc_id = i.doc_a
-JOIN sizes zb ON zb.doc_id = i.doc_b
-WHERE CAST(i.n_int AS DOUBLE) / CAST(za.n + zb.n - i.n_int AS DOUBLE) >= {JACCARD_T}
+), pairs AS (
+  SELECT i.doc_a, i.doc_b,
+         CAST(i.n_int AS DOUBLE) / CAST(za.n + zb.n - i.n_int AS DOUBLE) AS jaccard
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.doc_a
+  JOIN sizes zb ON zb.doc_id = i.doc_b
+  WHERE CAST(i.n_int AS DOUBLE) / CAST(za.n + zb.n - i.n_int AS DOUBLE) >= {JACCARD_T}
+)"""
+
+
+_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), {minhash_pairs_cte("toks")}
+SELECT doc_a, doc_b, jaccard FROM pairs
 """
 
 
-@query("q_minhash_portable", oracle=_ORACLE)
-def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end hash-checked MinHash-LSH near-dup: portable md5-min
-    signatures -> 4x4 banding -> candidate equi-join -> exact Jaccard
-    verify (>= 0.8) on candidates only. The one IEEE division per pair
-    is exact-identical across engines (bigint inputs)."""
-    docs = load(spark, sf_dir, "documents")
-    sh = _shingles(docs)
+def verified_pairs(
+    docs: DataFrame, sh: DataFrame | None = None, threshold: float = JACCARD_T
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) near-dup pairs: LSH candidates verified
+    by exact shingle-set Jaccard — the full portable pipeline, reusable
+    by any composition (q_minhash_portable, the corpus cleaner)."""
+    if sh is None:
+        sh = _shingles(docs)
     cand = minhash_candidate_pairs(docs, sh=sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "s")
@@ -170,7 +182,16 @@ def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
-    return jac.filter(F.col("jaccard") >= JACCARD_T)
+    return jac.filter(F.col("jaccard") >= threshold)
+
+
+@query("q_minhash_portable", oracle=_ORACLE)
+def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end hash-checked MinHash-LSH near-dup: portable md5-min
+    signatures -> 4x4 banding -> candidate equi-join -> exact Jaccard
+    verify (>= 0.8) on candidates only. The one IEEE division per pair
+    is exact-identical across engines (bigint inputs)."""
+    return verified_pairs(load(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------

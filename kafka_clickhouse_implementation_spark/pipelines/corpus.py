@@ -139,3 +139,81 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     _, stats = clean_corpus(docs)
     return stats
+
+
+from kafka_clickhouse_implementation_spark.operators.components import (  # noqa: E402
+    connected_components,
+)
+from kafka_clickhouse_implementation_spark.operators.minhash_portable import (  # noqa: E402
+    minhash_pairs_cte,
+    verified_pairs,
+)
+
+
+@query(
+    "q_corpus_clean_portable",
+    # The WHOLE composed pipeline replayed in DuckDB: quality gate →
+    # keep-lowest-id exact dedup → the parametrized portable-MinHash
+    # pair CTE (identical SQL to q_minhash_portable's oracle) →
+    # recursive-CTE connected components → keep-one-per-cluster counts.
+    oracle=f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+    ), ok AS (
+      SELECT doc_id, text, t FROM base
+      WHERE len(t) >= 10
+        AND len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and'))) / len(t) <= 0.5
+    ), keep_exact AS (
+      SELECT min(doc_id) AS doc_id FROM ok GROUP BY md5(text)
+    ), kept AS (
+      SELECT o.doc_id, o.t FROM ok o JOIN keep_exact k USING (doc_id)
+    ), {minhash_pairs_cte("kept")}, edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ), reach(id, lbl) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id
+    ), comp AS (
+      SELECT id, min(lbl) AS lbl FROM reach GROUP BY id
+    ), losers AS (
+      SELECT id FROM comp WHERE id <> lbl
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM base) AS n_raw,
+           (SELECT CAST(count(*) AS BIGINT) FROM ok) AS n_after_quality,
+           (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_after_exact_dedup,
+           (SELECT CAST(count(*) AS BIGINT) FROM kept)
+             - (SELECT CAST(count(*) AS BIGINT) FROM losers) AS n_after_near_dedup
+    """,
+)
+def q_corpus_clean_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FLAGSHIP pipeline, end-to-end HASH-CHECKED: quality gate →
+    exact dedup → portable MinHash-LSH near-dup pairs (>= 0.8 verified
+    Jaccard) → connected-components clustering → keep one doc per
+    cluster (the smallest id). Unlike q_corpus_clean (Spark-ML LSH,
+    rows-only), every stage here is engine-portable, so the driver
+    verifies the complete composition against a single DuckDB query —
+    including the cluster-level keep-one rule that pairwise 'drop
+    doc_b' gets wrong on similarity chains.
+
+    Scale shape is unchanged from the pieces: narrow maps, 16-byte-key
+    shuffles, LSH-bucketed candidates, O(log n) CC rounds."""
+    docs = load(spark, sf_dir, "documents")
+    gated = quality_filter(docs)
+    exact = exact_dedup(gated)
+    pairs = verified_pairs(exact.select("doc_id", "text"))
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    losers = comp.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias("doc_id")
+    )
+    cleaned = exact.join(losers, "doc_id", "left_anti")
+    n_raw = docs.agg(F.count("*").alias("n_raw"))
+    n_q = gated.agg(F.count("*").alias("n_after_quality"))
+    n_e = exact.agg(F.count("*").alias("n_after_exact_dedup"))
+    n_c = cleaned.agg(F.count("*").alias("n_after_near_dedup"))
+    return (
+        n_raw.crossJoin(F.broadcast(n_q))
+        .crossJoin(F.broadcast(n_e))
+        .crossJoin(F.broadcast(n_c))
+    )
