@@ -35,8 +35,10 @@ _SEQ = 0
 # twins), keeping 7 already-green sentinels for regression cover.
 # Queries not listed here sort after the window, by _MODULE_RANK.
 _WINDOW_50 = [
-    # sentinels (7) — green in r1/r2, kept for regression cover
-    "q_mv_daily", "q_summing_reaggregate", "q_partition_prune",
+    # sentinels (6) — green in r1/r2, kept for regression cover — plus
+    # the round-3 flagship composition (end-to-end oracle-checked
+    # corpus clean), promoted into the window for a hard driver row
+    "q_mv_daily", "q_corpus_clean_portable", "q_partition_prune",
     "q_pricing_summary", "q_cosine_topk", "q_sessionize",
     "q_embedding_near_dup",
     # relational_ext round-2 additions (14)

@@ -21,8 +21,8 @@ from kafka_clickhouse_implementation_spark.registry import (
 )
 
 WINDOW_50 = [
-    # sentinels (7) — green in r1/r2, kept for regression cover
-    "q_mv_daily", "q_summing_reaggregate", "q_partition_prune",
+    # sentinels (6) + the round-3 flagship composition
+    "q_mv_daily", "q_corpus_clean_portable", "q_partition_prune",
     "q_pricing_summary", "q_cosine_topk", "q_sessionize",
     "q_embedding_near_dup",
     # relational_ext round-2 additions (14)
