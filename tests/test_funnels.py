@@ -189,6 +189,65 @@ def test_streaming_sessions_merge_across_batches(spark, tmp_path):
     assert s2_start == t0 + dt.timedelta(minutes=90) and s2_n == 1
 
 
+def test_streaming_sessions_append_mode_emits_closed_once(spark, tmp_path):
+    """Production session-window path: watermark + APPEND mode emits
+    each session exactly once when the watermark passes its close, and
+    evicts its state — the unbounded-stream variant of the
+    complete-mode hermetic replay."""
+    import datetime as dt
+    import json as jsonlib
+    import os
+
+    from kafka_clickhouse_implementation_spark.streaming.sessions import (
+        streaming_sessions,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    h = dt.timedelta(hours=1)
+    rows_by_file = [
+        [(1, 1, "view", t0), (1, 2, "click", t0 + dt.timedelta(minutes=10))],
+        [(2, 3, "view", t0 + 2 * h)],  # advances watermark past user 1's close
+        [(2, 4, "view", t0 + 4 * h)],  # closes user 2's first session
+    ]
+    wire = tmp_path / "wire"
+    wire.mkdir()
+    for i, rows in enumerate(rows_by_file):
+        path = wire / f"part-{i}.json"
+        with open(path, "w") as f:
+            for (u, e, et, ts) in rows:
+                f.write(jsonlib.dumps({
+                    "user_id": u, "event_id": e, "event_type": et,
+                    "ts": ts.isoformat(sep=" "),
+                }) + "\n")
+        os.utime(path, (1_700_000_000 + i * 10,) * 2)
+
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(wire))
+        .withWatermark("ts", "0 seconds")
+    )
+    q = (
+        streaming_sessions(stream)
+        .writeStream.format("memory")
+        .queryName("sess_append_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sess_append_out").collect()
+    user1 = [r for r in rows if r["user_id"] == 1]
+    # exactly one closed session for user 1: [t0, t0+10min+30min), 2 events
+    assert len(user1) == 1
+    assert user1[0]["w"]["start"] == t0
+    assert user1[0]["w"]["end"] == t0 + dt.timedelta(minutes=40)
+    assert user1[0]["n"] == 2
+    # user 2's final session (t0+4h) never closes — append emits at most
+    # the first; nothing but closed sessions appear
+    assert all(r["w"]["end"] <= t0 + 4 * h for r in rows)
+
+
 def test_streaming_funnel_ttl_expires_abandoned_state(spark, tmp_path):
     """Event-time TTL: a funnel idle for > TTL past its last event is
     emitted once with expired=true and its state removed, while active
