@@ -51,6 +51,49 @@ def streaming_sessions(events: DataFrame, gap: str = SESSION_GAP) -> DataFrame:
 
 
 @query(
+    "q_stream_sum_map",
+    # incrementally-maintained (day, type) counts drained complete-mode
+    # equal the batch counts exactly, so the batch sumMap oracle
+    # hash-checks the streaming state store + the array assembly.
+    oracle="""
+    WITH per AS (
+      SELECT CAST(ts AS DATE) AS day, event_type, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    )
+    SELECT day,
+           list(event_type ORDER BY event_type) AS type_keys,
+           list(cnt ORDER BY event_type) AS type_counts
+    FROM per GROUP BY day
+    """,
+)
+def q_stream_sum_map(spark, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sumMap`` maintained INCREMENTALLY: the streaming
+    state store keeps per-(day, event_type) counts across micro-batches
+    (complete-mode drain over the shared wire); the per-day sorted
+    parallel arrays are assembled from the final counts — #days×#types
+    rows, map-side partials before the exchange, same as the batch
+    twin (operators/funnels.q_sum_map)."""
+    wire_dir, base = ordered_event_wire(spark, sf_dir)
+    ckpt = os.path.join(base, "ckpt_summap")
+    ev = wire_stream(spark, wire_dir)
+    counts = ev.groupBy(
+        F.to_date("ts").alias("day"), F.col("event_type")
+    ).agg(F.count("*").alias("cnt"))
+    name = "stream_summap_out"
+    _drain(spark, counts, name, ckpt, mode="complete")
+    assembled = (
+        spark.table(name)
+        .groupBy("day")
+        .agg(F.sort_array(F.collect_list(F.struct("event_type", "cnt"))).alias("kv"))
+    )
+    return assembled.select(
+        "day",
+        F.transform("kv", lambda x: x["event_type"]).alias("type_keys"),
+        F.transform("kv", lambda x: x["cnt"]).alias("type_counts"),
+    )
+
+
+@query(
     "q_stream_dedup",
     # After exact-duplicate injection (the wire unioned with itself)
     # and watermarked streaming dedup on event_id, the surviving rows
