@@ -220,29 +220,16 @@ def q_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_sum_map",
-    oracle="""
-    WITH per AS (
-      SELECT CAST(ts AS DATE) AS day, event_type, CAST(count(*) AS BIGINT) AS cnt
-      FROM events GROUP BY 1, 2
-    )
-    SELECT day,
-           list(event_type ORDER BY event_type) AS type_keys,
-           list(cnt ORDER BY event_type) AS type_counts
-    FROM per GROUP BY day
-    """,
-)
-def q_sum_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ClickHouse ``sumMap`` parity: per day, the event-type breakdown
-    as aligned sorted key/count arrays (ClickHouse returns sorted map
-    keys; we emit the two parallel arrays it decomposes into).
+def sum_map(ev: DataFrame) -> DataFrame:
+    """Array-native ClickHouse ``sumMap`` parity: per day, the
+    event-type breakdown as aligned sorted key/count arrays (ClickHouse
+    returns sorted map keys; we emit the two parallel arrays it
+    decomposes into).
 
     Two-level aggregation: the wide count happens at (day, type)
     granularity (map-side partials), then the tiny per-day array
     assembly touches only #days x #types rows.
     """
-    ev = load(spark, sf_dir, "events")
     per = ev.groupBy(
         F.to_date("ts").alias("day"), "event_type"
     ).agg(F.count("*").alias("cnt"))
@@ -253,6 +240,35 @@ def q_sum_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         F.transform("kv", lambda x: x["event_type"]).alias("type_keys"),
         F.transform("kv", lambda x: x["cnt"]).alias("type_counts"),
+    )
+
+
+@query(
+    "q_sum_map",
+    oracle="""
+    WITH per AS (
+      SELECT CAST(ts AS DATE) AS day, event_type, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    )
+    SELECT day,
+           string_agg(event_type, ',' ORDER BY event_type) AS type_keys,
+           string_agg(CAST(cnt AS VARCHAR), ',' ORDER BY event_type) AS type_counts
+    FROM per GROUP BY day
+    """,
+)
+def q_sum_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-boundary view of :func:`sum_map`: the parallel arrays are
+    serialized to comma-joined strings because the correctness
+    harness's pandas canonicalizer cannot hash Python lists (r3 rows
+    ERRed on ArrayType cells). The array-native :func:`sum_map` stays
+    the library surface; this wrapper only changes the wire format."""
+    arrays = sum_map(load(spark, sf_dir, "events"))
+    return arrays.select(
+        "day",
+        F.concat_ws(",", "type_keys").alias("type_keys"),
+        F.concat_ws(",", F.col("type_counts").cast("array<string>")).alias(
+            "type_counts"
+        ),
     )
 
 

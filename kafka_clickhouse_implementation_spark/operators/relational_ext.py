@@ -69,12 +69,18 @@ def q_argmin_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The one-pass fixed-memory percentile sketch — the 100 TB path
     (exact percentiles need a global sort); rows-only check, the exact
-    twin q_percentiles is the oracle-checked ground truth."""
+    twin q_percentiles is the oracle-checked ground truth. The estimate
+    array is unpacked to scalar columns so the result schema stays
+    canonicalizer-safe (no ArrayType at the driver boundary)."""
     o = load(spark, sf_dir, "orders")
     return o.select(
         F.approx_percentile("o_totalprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000).alias(
             "approx_p"
         )
+    ).select(
+        F.col("approx_p")[0].alias("p50"),
+        F.col("approx_p")[1].alias("p90"),
+        F.col("approx_p")[2].alias("p99"),
     )
 
 

@@ -101,6 +101,21 @@ def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def inverted_index(docs: DataFrame) -> DataFrame:
+    """Array-native inverted index: token -> sorted posting list +
+    document frequency (the retrieval index build). One shuffle of
+    distinct (token, doc_id) pairs; each posting list is assembled
+    inside a single hash aggregation (sort_array(collect_set) —
+    order-insensitive buffer, deterministic output)."""
+    posting = docs.select(
+        F.explode(F.split("text", " ")).alias("token"), "doc_id"
+    ).distinct()
+    return posting.groupBy("token").agg(
+        F.count("*").alias("doc_freq"),
+        F.sort_array(F.collect_set("doc_id")).alias("postings"),
+    )
+
+
 @query(
     "q_inverted_index",
     oracle="""
@@ -111,24 +126,22 @@ def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT token,
            CAST(count(*) AS BIGINT) AS doc_freq,
-           list(doc_id ORDER BY doc_id) AS postings
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
     FROM posting GROUP BY token
     """,
 )
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """token -> sorted posting list + document frequency (the retrieval
-    index build). One shuffle of distinct (token, doc_id) pairs; each
-    posting list is assembled inside a single hash aggregation
-    (sort_array(collect_set) — order-insensitive buffer, deterministic
-    output). Bounded to doc_id < 200 to keep oracle outputs reviewable;
-    the plan shape is corpus-size independent."""
+    """Driver-boundary view of :func:`inverted_index`: the posting list
+    is serialized to a comma-joined string because the correctness
+    harness's pandas canonicalizer cannot hash Python lists (the r3 row
+    ERRed on the ArrayType cell). Bounded to doc_id < 200 to keep
+    oracle outputs reviewable; the plan shape is corpus-size
+    independent."""
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    posting = docs.select(
-        F.explode(F.split("text", " ")).alias("token"), "doc_id"
-    ).distinct()
-    return posting.groupBy("token").agg(
-        F.count("*").alias("doc_freq"),
-        F.sort_array(F.collect_set("doc_id")).alias("postings"),
+    return inverted_index(docs).select(
+        "token",
+        "doc_freq",
+        F.concat_ws(",", F.col("postings").cast("array<string>")).alias("postings"),
     )
 
 

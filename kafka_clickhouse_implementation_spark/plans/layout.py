@@ -111,38 +111,109 @@ def read_rollup(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def _atomic_swap_dirs(path: str, tmp: str) -> None:
-    """Replace `path` with `tmp` via rename — never delete the source
-    while a plan might still re-read it. Local-fs rename is atomic; on
-    HDFS this maps to FileSystem.rename, on object stores to a manifest
-    commit (e.g. a table format's atomic metadata swap).
+def _swap_names(path: str) -> tuple[str, str, str]:
+    p = path.rstrip("/")
+    return p + "__compact_old", p + "__compact_tmp", p + "__swap_started"
 
-    NOT a single atomic swap: it is two renames, and a crash between
-    them leaves `path` missing with the data parked at `__compact_old`.
-    Crash recovery lives in `compact_rollup`: it restores a parked old
-    dir when `path` is missing, and FOLDS a leftover old dir into the
-    next merge when `path` was recreated meanwhile — so the remnant is
-    never deleted before its rows are incorporated. A concurrent reader
-    can still observe the brief missing-path gap; single-writer
-    semantics (see compact_rollup) are the contract."""
+
+def _parked_dirs(path: str) -> list[str]:
+    """Parked-remnant directories: committed rows that may not be in
+    `path` yet. Invariant: a parked dir is deleted ONLY after a swap
+    that folded its rows into the new `path` has fully completed."""
+    import glob
+
+    return sorted(glob.glob(path.rstrip("/") + "__compact_parked_*"))
+
+
+def _next_parked(path: str) -> str:
+    parked = _parked_dirs(path)
+    n = 1 + max((int(p.rsplit("_", 1)[1]) for p in parked), default=-1)
+    return path.rstrip("/") + f"__compact_parked_{n:03d}"
+
+
+def _recover_swap(path: str) -> None:
+    """Repair any crash state a previous `_swap_in` left behind. Run
+    before reading `path` for a new compaction.
+
+    The marker file is the commit record: it is touched only AFTER the
+    merged `tmp` is fully written AND `path` has been renamed aside —
+    so marker-present means tmp is complete and is a superset of the
+    old dir and of every parked dir on disk. Marker-absent means every
+    committed row is still reachable at `path`/`old`/parked, and `tmp`
+    (possibly half-written) is discardable."""
     import shutil
 
-    old = path.rstrip("/") + "__compact_old"
-    # any leftover old dir was already restored or folded into `tmp` by
-    # compact_rollup, so clearing it here cannot drop unmerged rows
-    shutil.rmtree(old, ignore_errors=True)
+    old, tmp, marker = _swap_names(path)
+    if os.path.exists(marker):
+        # Every parked dir on disk predates the tmp write (parking
+        # happens only here, which runs before the merge), so each was
+        # folded into tmp — their rows are duplicates of tmp's and MUST
+        # be dropped once tmp's content is durable, or the additive
+        # rollup would double-count them at the next merge.
+        stale = _parked_dirs(path)
+        if os.path.exists(tmp):
+            if not os.path.exists(path):
+                os.rename(tmp, path)  # crash between the two renames: finish
+            else:
+                # the writer recreated `path` with NEW rows meanwhile;
+                # tmp still holds the only fold of old+parked — park it
+                # (it will be folded by the merge below, deleted after
+                # the next successful swap)
+                os.rename(tmp, _next_parked(path))
+        # tmp missing → the swap-in completed; `path` ⊇ everything.
+        shutil.rmtree(old, ignore_errors=True)
+        for p in stale:
+            shutil.rmtree(p, ignore_errors=True)
+        os.remove(marker)
+    else:
+        # un-committed merge output: all of its rows are still on disk
+        # at path/old/parked, so it is safe to discard
+        shutil.rmtree(tmp, ignore_errors=True)
+        if os.path.exists(old):
+            if not os.path.exists(path):
+                os.rename(old, path)  # crash right after path was moved
+            else:
+                # defensive (legacy crash shape): park for folding
+                os.rename(old, _next_parked(path))
+
+
+def _swap_in(path: str, tmp: str, folded: list[str]) -> None:
+    """Replace `path` with the fully-written `tmp` via two renames plus
+    a marker commit record — never deleting any directory before its
+    rows are durably inside the new `path`. Local-fs rename is atomic;
+    on HDFS this maps to FileSystem.rename, on object stores to a
+    manifest commit (e.g. a table format's atomic metadata swap).
+
+    `folded` lists the parked dirs whose rows the caller merged into
+    `tmp`; they are removed only after the swap-in rename succeeds.
+    Crash at ANY point here is repaired by `_recover_swap` — the parked
+    rows' durable copy is `old`/parked before the marker is touched and
+    `tmp` after. A concurrent reader can still observe the brief
+    missing-path gap; single-writer semantics (see compact_rollup) are
+    the contract."""
+    import shutil
+
+    old, _tmp_name, marker = _swap_names(path)
     os.rename(path, old)
+    with open(marker, "w"):
+        pass  # commit point: tmp is complete and path is parked at old
     try:
         os.rename(tmp, path)
     except BaseException as swap_err:
         try:
-            os.rename(old, path)  # roll back so the rollup never disappears
+            os.rename(old, path)  # roll back so the table never disappears
+            os.remove(marker)
         except OSError as rollback_err:
+            # marker stays: the next _recover_swap completes the swap
+            # from tmp, which holds every committed row
             raise RuntimeError(
                 f"compaction swap failed AND rollback failed; data parked at {old}"
             ) from rollback_err
         raise swap_err
     shutil.rmtree(old, ignore_errors=True)
+    for p in folded:
+        shutil.rmtree(p, ignore_errors=True)
+    os.remove(marker)
 
 
 def compact_rollup(spark: SparkSession, path: str) -> None:
@@ -164,30 +235,24 @@ def compact_rollup(spark: SparkSession, path: str) -> None:
     (e.g. in foreachBatch after the sink write), never from a second
     process.
 
-    Crash recovery for the two-rename swap: if a previous run died
-    between the renames, either `path` is missing (data parked at the
-    old dir — restore it by rename) or the writer has since recreated
-    `path` with new partials (fold the parked rows into this merge, and
-    only then let the swap drop the remnant). Either way no committed
-    row is ever lost."""
-    old = path.rstrip("/") + "__compact_old"
-    if os.path.exists(old) and not os.path.exists(path):
-        os.rename(old, path)  # crash before swap-in completed: restore
-    merged = read_rollup(spark, path)
-    if os.path.exists(old):
-        # remnant of an interrupted swap whose path was since recreated:
-        # incorporate its rows before the swap deletes the directory
-        parked = (
-            spark.read.option("recursiveFileLookup", "true").parquet(old)
+    Crash recovery: `_recover_swap` repairs any interrupted previous
+    swap (restoring or parking remnants), then every parked dir is
+    folded into this merge and deleted only after the new path is
+    durably in place — no committed row is ever lost, and no row is
+    ever double-counted (parked dirs and `path` are always disjoint row
+    sets: a dir is parked precisely when its rows are NOT in the
+    recreated `path`)."""
+    _recover_swap(path)
+    parked = _parked_dirs(path)
+    src = spark.read.option("recursiveFileLookup", "true").parquet(path)
+    for p in parked:
+        src = src.unionByName(
+            spark.read.option("recursiveFileLookup", "true").parquet(p)
         )
-        merged = (
-            merged.unionByName(parked)
-            .groupBy("day", "level")
-            .agg(F.sum("total").alias("total"))
-        )
-    tmp = path.rstrip("/") + "__compact_tmp"
+    merged = src.groupBy("day", "level").agg(F.sum("total").alias("total"))
+    _, tmp, _ = _swap_names(path)
     merged.write.mode("overwrite").parquet(tmp)
-    _atomic_swap_dirs(path, tmp)
+    _swap_in(path, tmp, folded=parked)
 
 
 def expire_partitions(path: str, keep_from, partition_col: str = "event_date") -> list[str]:

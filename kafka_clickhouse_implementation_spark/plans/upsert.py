@@ -50,10 +50,29 @@ def compact_versions(
     Writes to a temporary sibling and renames it over the old path —
     never overwrites the directory its own plan reads from (cache() is
     not fault-tolerant; an executor loss mid-overwrite would recompute
-    from already-deleted files)."""
-    from kafka_clickhouse_implementation_spark.plans.layout import _atomic_swap_dirs
+    from already-deleted files). Shares layout.py's marker-committed
+    swap protocol: any crash state from a previous compaction is
+    repaired first, and parked remnant row-versions are folded into
+    this merge (harmless double-reads resolve via the latest-per-key
+    rank) and deleted only after the new path is durably in place."""
+    from kafka_clickhouse_implementation_spark.plans.layout import (
+        _parked_dirs,
+        _recover_swap,
+        _swap_in,
+        _swap_names,
+    )
 
-    latest = read_latest(spark, path, key_cols, version_col)
-    tmp = path.rstrip("/") + "__compact_tmp"
+    _recover_swap(path)
+    parked = _parked_dirs(path)
+    src = spark.read.parquet(path)
+    for p in parked:
+        src = src.unionByName(spark.read.parquet(p))
+    w = Window.partitionBy(*key_cols).orderBy(F.col(version_col).desc())
+    latest = (
+        src.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    _, tmp, _ = _swap_names(path)
     latest.write.mode("overwrite").parquet(tmp)
-    _atomic_swap_dirs(path, tmp)
+    _swap_in(path, tmp, folded=parked)

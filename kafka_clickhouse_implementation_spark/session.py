@@ -35,9 +35,11 @@ def get_spark(app_name: str = "kafka_clickhouse_implementation_spark", shuffle_p
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # testdata events.parquet stores TIMESTAMP(NANOS); io.load also
-        # sets this at runtime for sessions we don't construct
+        # testdata timestamps have shipped as TIMESTAMP(NANOS) (r1-r3)
+        # and timestamp[us] NTZ (r4+); io.load also sets both at
+        # runtime for sessions we don't construct
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -61,8 +61,8 @@ def streaming_sessions(events: DataFrame, gap: str = SESSION_GAP) -> DataFrame:
       FROM events GROUP BY 1, 2
     )
     SELECT day,
-           list(event_type ORDER BY event_type) AS type_keys,
-           list(cnt ORDER BY event_type) AS type_counts
+           string_agg(event_type, ',' ORDER BY event_type) AS type_keys,
+           string_agg(CAST(cnt AS VARCHAR), ',' ORDER BY event_type) AS type_counts
     FROM per GROUP BY day
     """,
 )
@@ -72,7 +72,9 @@ def q_stream_sum_map(spark, sf_dir: str) -> DataFrame:
     (complete-mode drain over the shared wire); the per-day sorted
     parallel arrays are assembled from the final counts — #days×#types
     rows, map-side partials before the exchange, same as the batch
-    twin (operators/funnels.q_sum_map)."""
+    twin (operators/funnels.q_sum_map). Arrays are serialized to
+    comma-joined strings at the driver boundary (the correctness
+    harness's canonicalizer cannot hash Python lists)."""
     wire_dir, base = ordered_event_wire(spark, sf_dir)
     ckpt = os.path.join(base, "ckpt_summap")
     ev = wire_stream(spark, wire_dir)
@@ -88,8 +90,12 @@ def q_stream_sum_map(spark, sf_dir: str) -> DataFrame:
     )
     return assembled.select(
         "day",
-        F.transform("kv", lambda x: x["event_type"]).alias("type_keys"),
-        F.transform("kv", lambda x: x["cnt"]).alias("type_counts"),
+        F.concat_ws(
+            ",", F.transform("kv", lambda x: x["event_type"])
+        ).alias("type_keys"),
+        F.concat_ws(
+            ",", F.transform("kv", lambda x: x["cnt"].cast("string"))
+        ).alias("type_counts"),
     )
 
 

@@ -149,6 +149,110 @@ def test_compact_rollup_folds_parked_dir_when_path_recreated(spark, tmp_path):
     assert not os.path.exists(path + "__compact_old")
 
 
+def _rollup_totals(spark, path):
+    return {
+        (str(r["day"]), r["level"]): r["total"]
+        for r in read_rollup(spark, path).collect()
+    }
+
+
+def test_compact_rollup_completes_swap_after_marker_crash(spark, tmp_path):
+    """ADVICE r3 data-loss window: a fold-case crash AFTER the old dir
+    was already incorporated into tmp and `path` renamed away used to
+    leave tmp as the parked rows' ONLY copy — and the next compaction
+    overwrote tmp without reading it. With the marker protocol the next
+    compaction completes the interrupted swap from tmp instead."""
+    import os
+
+    path = str(tmp_path / "rollup5")
+    d = _events(spark, 30).select(
+        F.to_date("ts").alias("day"), F.col("event_type").alias("level")
+    )
+    append_rollup_partials(d, path)
+    before = _rollup_totals(spark, path)
+    # crash state: tmp fully written, marker committed, path parked
+    read_rollup(spark, path).write.mode("overwrite").parquet(path + "__compact_tmp")
+    os.rename(path, path + "__compact_old")
+    with open(path + "__swap_started", "w"):
+        pass
+    compact_rollup(spark, path)
+    assert _rollup_totals(spark, path) == before
+    for leftover in ("__compact_old", "__compact_tmp", "__swap_started"):
+        assert not os.path.exists(path + leftover)
+
+
+def test_compact_rollup_marker_crash_with_recreated_path(spark, tmp_path):
+    """Same crash point, but the single writer recreated `path` with NEW
+    partials before the next compaction: the committed tmp must be
+    parked and folded (its rows are in neither path nor anywhere else),
+    and nothing is double-counted."""
+    import os
+
+    path = str(tmp_path / "rollup6")
+    d = _events(spark, 30).select(
+        F.to_date("ts").alias("day"), F.col("event_type").alias("level")
+    )
+    append_rollup_partials(d, path)
+    read_rollup(spark, path).write.mode("overwrite").parquet(path + "__compact_tmp")
+    os.rename(path, path + "__compact_old")
+    with open(path + "__swap_started", "w"):
+        pass
+    append_rollup_partials(d, path)  # writer resumed: fresh partials
+    compact_rollup(spark, path)
+    want = {
+        (str(r["day"]), r["level"]): 2 * r["total"]
+        for r in d.groupBy("day", "level").agg(F.count("*").alias("total")).collect()
+    }
+    assert _rollup_totals(spark, path) == want
+    import glob
+
+    assert glob.glob(path + "__compact_*") == []
+
+
+def test_compact_rollup_discards_uncommitted_tmp(spark, tmp_path):
+    """A tmp WITHOUT the marker is an aborted merge write whose rows all
+    still live at `path` — folding it would double-count; it must be
+    discarded."""
+    import os
+
+    path = str(tmp_path / "rollup7")
+    d = _events(spark, 30).select(
+        F.to_date("ts").alias("day"), F.col("event_type").alias("level")
+    )
+    append_rollup_partials(d, path)
+    before = _rollup_totals(spark, path)
+    read_rollup(spark, path).write.mode("overwrite").parquet(path + "__compact_tmp")
+    compact_rollup(spark, path)
+    assert _rollup_totals(spark, path) == before
+    assert not os.path.exists(path + "__compact_tmp")
+
+
+def test_compact_versions_folds_parked_remnant(spark, tmp_path):
+    """ReplacingMergeTree compaction shares the swap protocol: a parked
+    remnant's row versions must survive recovery and lose only to newer
+    versions."""
+    import os
+
+    from kafka_clickhouse_implementation_spark.plans.upsert import (
+        append_versions,
+        compact_versions,
+        read_latest,
+    )
+
+    path = str(tmp_path / "versions")
+    v1 = spark.createDataFrame([(1, 1, "a"), (2, 1, "b")], "k int, v int, val string")
+    append_versions(v1, path)
+    os.rename(path, path + "__compact_old")  # mid-swap crash
+    v2 = spark.createDataFrame([(1, 2, "a2")], "k int, v int, val string")
+    append_versions(v2, path)  # writer resumed with a newer version of k=1
+    compact_versions(spark, path, ("k",), "v")
+    got = {(r["k"], r["v"], r["val"]) for r in read_latest(spark, path, ("k",), "v").collect()}
+    assert got == {(1, 2, "a2"), (2, 1, "b")}
+    import glob
+
+    assert glob.glob(path + "__compact_*") == []
+
+
 def test_expire_partitions_is_partition_level_ttl(spark, tmp_path):
     """Dropping expired days must remove exactly the old partitions and
     leave survivors byte-identical (no rewrite), and the pruned scan
