@@ -87,6 +87,7 @@ _MODULE_RANK = [
     "kafka_clickhouse_implementation_spark.operators.sketches",
     "kafka_clickhouse_implementation_spark.operators.relational_ext2",
     "kafka_clickhouse_implementation_spark.operators.corpus_ext",
+    "kafka_clickhouse_implementation_spark.streaming.watermark",
 ]
 
 
