@@ -64,13 +64,19 @@ def parse_bmp(payload: bytes) -> dict:
     top_down = raw_height < 0  # negative height = rows stored top-down
     height = abs(raw_height)
     row_stride = (width * 3 + 3) & ~3
-    vals: list[int] = []
-    for y in range(height):  # emit top-down regardless of storage order
-        stored_y = y if top_down else height - 1 - y
-        row = data_off + stored_y * row_stride
-        for x in range(width):
-            b, g, r = payload[row + 3 * x : row + 3 * x + 3]
-            vals.extend((r, g, b))
+    import numpy as np
+
+    # vectorized row/pixel extraction: strided reshape + channel flip
+    # (struct stays for headers only — a real-sized image decode would
+    # otherwise spend its time in a per-pixel Python loop)
+    px = (
+        np.frombuffer(payload, dtype=np.uint8, count=height * row_stride, offset=data_off)
+        .reshape(height, row_stride)[:, : width * 3]
+        .reshape(height, width, 3)
+    )
+    if not top_down:
+        px = px[::-1]  # stored bottom-up: flip to top-down
+    vals = px[..., ::-1].reshape(-1).tolist()  # BGR -> RGB
     return {"format": "bmp", "width": width, "height": height, "values": vals}
 
 
@@ -136,16 +142,13 @@ def encode_bmp(width: int, height: int, rgb_vals: list[int]) -> bytes:
     parse_bmp): rgb_vals is row-major top-down R,G,B triples."""
     import struct
 
+    import numpy as np
+
     row_stride = (width * 3 + 3) & ~3
-    data = bytearray()
-    for y in range(height - 1, -1, -1):  # bottom-up
-        row = bytearray()
-        for x in range(width):
-            i = 3 * (y * width + x)
-            r, g, b = rgb_vals[i : i + 3]
-            row += bytes((b, g, r))
-        row += b"\x00" * (row_stride - len(row))
-        data += row
+    rgb = np.asarray(rgb_vals, dtype=np.uint8).reshape(height, width, 3)
+    rows = np.zeros((height, row_stride), dtype=np.uint8)
+    rows[:, : width * 3] = rgb[::-1, :, ::-1].reshape(height, -1)  # bottom-up BGR
+    data = rows.tobytes()
     header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
     info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(data), 2835, 2835, 0, 0)
     return header + info + bytes(data)
@@ -323,21 +326,86 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_multimodal_features")  # no-oracle: sha256-derived fake features aren't SQL-expressible
-def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full multimodal feature pipeline on synthesized assets (text
-    bytes standing in for media payloads): binary column + typed
-    metadata → mapInPandas feature extraction → per-type feature stats."""
-    docs = load(spark, sf_dir, "documents").limit(100)
-    assets = docs.select(
-        F.col("doc_id").alias("asset_id"),
-        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")), (F.col("doc_id") % 3 + 1).cast("int")).alias("media_type"),
-        F.col("text").cast("binary").alias("payload"),
-        F.create_map(F.lit("lang"), F.col("lang")).alias("meta"),
+@query(
+    "q_multimodal_features",
+    # Symbolic twin of the REAL decode+feature pass: DuckDB rebuilds the
+    # synthetic pixel/sample lists from doc_id arithmetic and computes
+    # the same integer moments; the two float features (mean, rms) are
+    # one IEEE division / sqrt over exact bigint inputs on both sides.
+    oracle=f"""
+    WITH vals AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'image'
+                  ELSE 'audio' END AS media_type,
+             CASE WHEN doc_id % 3 < 2
+                  THEN list_transform(range(0, {3 * _MM_W * _MM_H}),
+                                      i -> (doc_id * 7 + 3 * i) % 256)
+                  ELSE list_transform(range(0, {_MM_NS}),
+                                      i -> ((doc_id * 131 + i * 17) % 65536) - 32768)
+             END AS v
+      FROM documents WHERE doc_id < 30
     )
-    feats = extract_features(assets)
-    return feats.groupBy("media_type").agg(
-        F.count(F.lit(1)).alias("n_assets"),
-        F.sum("n_bytes").alias("total_bytes"),
-        F.round(F.avg(F.element_at("features", 1)), 6).alias("avg_f0"),
+    SELECT doc_id, media_type,
+           CAST(len(v) AS BIGINT) AS n_vals,
+           CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS energy,
+           CAST(list_max(list_transform(v, x -> abs(x))) AS BIGINT) AS peak,
+           round(CAST(list_sum(v) AS DOUBLE) / len(v), 6) AS mean_val,
+           round(sqrt(CAST(list_sum(list_transform(v, x -> x * x)) AS DOUBLE)
+                      / len(v)), 6) AS rms
+    FROM vals
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over REAL decoded media (round-3 verdict item
+    7 — was a rows-only sha256 stand-in): each doc synthesizes a genuine
+    BMP / PPM / WAV, the pure-Python parsers decode it, and numpy
+    computes signal features from the decoded values — count, integer
+    energy and peak (exact, order-free), mean and RMS (one division /
+    sqrt each). The same Arrow-batched mapInPandas plumbing and batch
+    shape as production decode; `extract_features`/`fake_features`
+    remain the generic-payload path for formats without a parser."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 30).select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "media_type": [], "n_vals": [],
+                "energy": [], "peak": [], "mean_val": [], "rms": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                kind = doc_id % 3
+                if kind == 0:
+                    dec = decode_image(encode_bmp(_MM_W, _MM_H, _mm_pixels(doc_id)))
+                elif kind == 1:
+                    dec = decode_image(encode_ppm(_MM_W, _MM_H, _mm_pixels(doc_id)))
+                else:
+                    dec = decode_audio(encode_wav(_mm_samples(doc_id)))
+                v = np.asarray(dec["values"], dtype=np.int64)
+                energy = int((v * v).sum())
+                out["doc_id"].append(doc_id)
+                out["media_type"].append("image" if kind < 2 else "audio")
+                out["n_vals"].append(len(v))
+                out["energy"].append(energy)
+                out["peak"].append(int(np.abs(v).max()))
+                # NO Python round() here: it rounds the shortest decimal
+                # repr (half-even) while Spark/DuckDB round the binary
+                # value — emit raw IEEE results, round JVM-side below
+                out["mean_val"].append(float(int(v.sum())) / len(v))
+                out["rms"].append((float(energy) / len(v)) ** 0.5)
+            yield pd.DataFrame(out)
+
+    raw = docs.mapInPandas(
+        run,
+        schema=(
+            "doc_id long, media_type string, n_vals long, energy long, "
+            "peak long, mean_val double, rms double"
+        ),
+    )
+    return raw.select(
+        "doc_id", "media_type", "n_vals", "energy", "peak",
+        F.round("mean_val", 6).alias("mean_val"),
+        F.round("rms", 6).alias("rms"),
     )

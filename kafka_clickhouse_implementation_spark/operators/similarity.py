@@ -101,6 +101,107 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(cand, qvec, k=10, exclude_id=None)
 
 
+# ---------------------------------------------------------------------------
+# Portable sign-LSH (oracle-checked) — the ANN candidate path with every
+# engine-private ingredient removed, so DuckDB replays the BUCKETING
+# itself, not just the final distances (round-3 verdict item 6):
+#   - hyperplanes: ±1 signs derived from md5("i:j") at module load —
+#     deterministic constants, embedded as literals on both sides;
+#   - projections: integer dot products over floor(x * 1e6)-quantized
+#     components. IEEE multiply-then-floor is bit-deterministic and
+#     integer summation is ORDER-FREE, so the sign (hence the bucket)
+#     is engine-exact — a float dot product's sign could flip with
+#     summation order at ~0 projections.
+# At 100 TB the same bucket id compiles to a narrow map (one literal
+# expression per plane, no explode); the explode+broadcast-join shape
+# here exists to mirror the oracle SQL term-for-term.
+
+ANN_PLANES = 4
+ANN_DIM = 64
+ANN_SCALE = 1_000_000
+
+
+def _ann_sign_weights() -> list[tuple[int, int, int]]:
+    """(plane i, dim j, weight ±1) from the low bit of md5's first
+    nibble — the same public-hash-as-randomness trick as the portable
+    MinHash/SimHash family (minhash_portable.py)."""
+    import hashlib
+
+    out = []
+    for i in range(ANN_PLANES):
+        for j in range(ANN_DIM):
+            nib = int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[0], 16)
+            out.append((i, j, 1 if nib % 2 else -1))
+    return out
+
+
+def _ann_weights_values_sql() -> str:
+    return ", ".join(f"({i}, {j}, {w})" for i, j, w in _ann_sign_weights())
+
+
+@query(
+    "q_ann_portable",
+    oracle=f"""
+    WITH w(i, j, wt) AS (VALUES {_ann_weights_values_sql()}),
+    e AS (
+      SELECT vec_id, d.j AS j,
+             CAST(floor(CAST(embedding[d.j + 1] AS DOUBLE) * {ANN_SCALE}) AS BIGINT) AS q
+      FROM embeddings, (SELECT unnest(range(0, {ANN_DIM})) AS j) d
+    ), dots AS (
+      SELECT vec_id, i, CAST(sum(q * wt) AS BIGINT) AS dp
+      FROM e JOIN w USING (j) GROUP BY vec_id, i
+    ), buckets AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN dp >= 0 THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS bucket
+      FROM dots GROUP BY vec_id
+    )
+    SELECT b.vec_id,
+           round(list_cosine_similarity(
+             CAST(emb.embedding AS DOUBLE[]),
+             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)
+           ), 6) AS cos_sim
+    FROM buckets b
+    JOIN embeddings emb ON emb.vec_id = b.vec_id
+    WHERE b.bucket = (SELECT bucket FROM buckets WHERE vec_id = 0)
+      AND b.vec_id <> 0
+    ORDER BY cos_sim DESC, b.vec_id LIMIT 10
+    """,
+)
+def q_ann_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked ANN: md5-sign-LSH bucketing (integer-exact in
+    both engines), probe vec_id=0's bucket, cosine top-10 within. The
+    candidate set AND the ranking are value-checked — the bucketer
+    itself is under differential test, unlike rows-only q_ann_lsh."""
+    emb = load(spark, sf_dir, "embeddings")
+    wdf = spark.createDataFrame(_ann_sign_weights(), "i int, j int, wt long")
+    e = emb.select(
+        "vec_id", F.posexplode("embedding").alias("j", "x")
+    ).select(
+        "vec_id",
+        "j",
+        F.floor(F.col("x").cast("double") * ANN_SCALE).cast("long").alias("q"),
+    )
+    dots = (
+        e.join(F.broadcast(wdf), "j")
+        .groupBy("vec_id", "i")
+        .agg(F.sum(F.col("q") * F.col("wt")).alias("dp"))
+    )
+    buckets = dots.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("dp") >= 0, F.expr("CAST(pow(2, i) AS BIGINT)")).otherwise(0)
+        ).alias("bucket")
+    )
+    probe_bucket = buckets.filter(F.col("vec_id") == 0).select("bucket")
+    cand = (
+        emb.join(buckets, "vec_id")
+        .join(F.broadcast(probe_bucket), "bucket")
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "embedding")
+    )
+    return brute_force_topk(cand, _query_vector(spark, sf_dir, 0), k=10, exclude_id=None)
+
+
 @query("q_ann_recall")  # no-oracle: evaluates the ANN paths against brute force
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-evaluation: recall@10 of the sign-LSH candidate path against

@@ -115,8 +115,8 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (raw -> quality gate -> exact dedup), computed as ONE scan with
     flag aggregation instead of per-stage counts — the shape you'd use
     to audit a 100 TB clean without re-evaluating the pipeline prefix.
-    The LSH near-dup stage stays in q_corpus_clean (rows-only): its
-    candidate generation isn't SQL-expressible."""
+    The near-dup stage is covered end-to-end by the portable
+    q_corpus_clean_portable below."""
     docs = load(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     ntok = F.size(toks)
@@ -133,12 +133,11 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_corpus_clean")  # no-oracle: composition includes LSH candidate generation
-def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed cleaning pipeline's funnel stats over `documents`."""
-    docs = load(spark, sf_dir, "documents")
-    _, stats = clean_corpus(docs)
-    return stats
+# clean_corpus (the Spark-ML MinHashLSH variant) stays library surface
+# with its pytest (tests/test_corpus.py); its former rows-only registry
+# entry q_corpus_clean was folded into the hash-checked
+# q_corpus_clean_portable below (round-3 verdict item 8) — the registry
+# carries only the composition the driver can actually verify.
 
 
 from kafka_clickhouse_implementation_spark.operators.components import (  # noqa: E402
@@ -191,8 +190,8 @@ def q_corpus_clean_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FLAGSHIP pipeline, end-to-end HASH-CHECKED: quality gate →
     exact dedup → portable MinHash-LSH near-dup pairs (>= 0.8 verified
     Jaccard) → connected-components clustering → keep one doc per
-    cluster (the smallest id). Unlike q_corpus_clean (Spark-ML LSH,
-    rows-only), every stage here is engine-portable, so the driver
+    cluster (the smallest id). Unlike the Spark-ML LSH clean_corpus
+    variant, every stage here is engine-portable, so the driver
     verifies the complete composition against a single DuckDB query —
     including the cluster-level keep-one rule that pairwise 'drop
     doc_b' gets wrong on similarity chains.

@@ -24,42 +24,43 @@ _ORACLES: dict[str, str] = {}
 _ORIGIN: dict[str, tuple[str, int]] = {}  # name -> (defining module, registration seq)
 _SEQ = 0
 
-# Round-3 curated correctness window. The driver's harness records the
+# Round-4 curated correctness window. The driver's harness records the
 # FIRST 50 registered queries each round, so this explicit list — not
 # module import order — decides what gets a hard-signal driver row.
-# Round 1 checked tier_a/tpch-adjacent slots, round 2 re-curated to the
-# reference-parity + LLM tier (45 green / 5 rows-only / 0 fail); round 3
-# rotates in the 43 queries that have NEVER had a driver row (everything
-# registered after slot 50: relational_ext round-2 additions, components,
-# embeddings_ext, funnels, text_ext, minhash_portable, corpus, streaming
-# twins), keeping 7 already-green sentinels for regression cover.
+# Round 1 checked tier_a/tpch-adjacent slots; round 2 the
+# reference-parity + LLM tier; round 3 the 43 then-never-checked
+# queries (45 green / 2 array-ERR). Round 4 rotates in (a) the 20
+# queries that have never had a driver row, (b) the two array-column
+# queries whose r3 rows ERRed in the driver canonicalizer, now
+# serialized at the boundary, (c) the four new round-4 queries, and
+# (d) 24 sentinels weighted toward timestamp-reading queries (the
+# testdata timestamp encoding changed to micros-NTZ this round — every
+# unix_micros/window/to_date path deserves a fresh hard-signal row).
+# After r4 the r1∪r2∪r3∪r4 union covers every oracle-backed query.
 # Queries not listed here sort after the window, by _MODULE_RANK.
 _WINDOW_50 = [
-    # sentinels (6) — green in r1/r2, kept for regression cover — plus
-    # the round-3 flagship composition (end-to-end oracle-checked
-    # corpus clean), promoted into the window for a hard driver row
+    # (a) never driver-checked (20)
+    "q_multimodal_decode", "q_embedding_truncate", "q_top_weighted",
+    "q_stream_sum_map", "q_stream_dedup", "q_stream_join",
+    "q_stream_sessions", "q_kmv_sketch", "q_kmv_union", "q_quartiles",
+    "q_approx_quartiles", "q_mode_by_type", "q_pivot_events",
+    "q_unpivot_measures", "q_qualify_latest", "q_limit_by",
+    "q_window_distribution", "q_first_seen_cumulative", "q_decontaminate",
+    "q_mixture_weights",
+    # (b) r3 array-ERR rows, now boundary-serialized (2)
+    "q_sum_map", "q_inverted_index",
+    # (c) new round-4 queries (4)
+    "q_stream_late_drop", "q_stream_funnel_ttl", "q_ann_portable",
+    "q_multimodal_features",
+    # (d) sentinels (24): flagships + the ts-reading regression slice
     "q_mv_daily", "q_corpus_clean_portable", "q_partition_prune",
     "q_pricing_summary", "q_cosine_topk", "q_sessionize",
-    "q_embedding_near_dup",
-    # relational_ext round-2 additions (14)
-    "q_collect_tokens", "q_asof_join", "q_sliding_window", "q_salted_agg",
-    "q_map_funcs", "q_histogram", "q_weekly_rollup", "q_gap_fill",
-    "q_systematic_sample", "q_range_join", "q_grouping_sets", "q_bit_aggs",
-    "q_hll_sketch_union", "q_scd2_join",
-    # components (1), embeddings_ext (2)
-    "q_near_dup_components", "q_embedding_norms", "q_embedding_quantize",
-    # funnels (9)
-    "q_window_funnel", "q_retention", "q_sequence_match", "q_sum_map",
-    "q_delta_sum", "q_event_paths", "q_sequence_count", "q_sliding_counts",
-    "q_session_bounds",
-    # text_ext (10)
-    "q_stratified_sample", "q_bigram_counts", "q_inverted_index",
-    "q_zipf_rank", "q_pii_mask", "q_edit_distance", "q_heavy_hitters",
-    "q_collocations", "q_doc_chunks", "q_token_packing",
-    # minhash_portable (2), corpus (2), streaming twins (3)
-    "q_minhash_portable", "q_simhash_portable", "q_corpus_funnel",
-    "q_corpus_clean", "q_stream_mv_daily", "q_stream_funnel",
-    "q_stream_retention",
+    "q_embedding_near_dup", "q_minhash_portable", "q_simhash_portable",
+    "q_corpus_funnel", "q_stream_mv_daily", "q_stream_funnel",
+    "q_stream_retention", "q_near_dup_components", "q_token_packing",
+    "q_zipf_rank", "q_window_funnel", "q_retention", "q_asof_join",
+    "q_weekly_rollup", "q_delta_sum", "q_sliding_window",
+    "q_revenue_by_nation", "q_json_extract",
 ]
 
 # Canonical module order for queries OUTSIDE the curated window above.
