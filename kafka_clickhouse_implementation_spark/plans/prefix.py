@@ -63,7 +63,15 @@ def ranged_prefix(
     """
     sum_cols = dict(sum_cols or {})
     spark = df.sparkSession
-    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if num_partitions:
+        p = num_partitions
+    else:
+        try:
+            # non-numeric on some platforms (e.g. "auto" under advanced
+            # adaptive shuffle) — fall back to the cluster's parallelism
+            p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            p = spark.sparkContext.defaultParallelism
     # lazy: the offsets collect below is the first action and
     # materializes the checkpoint — one job instead of two; the output
     # pass then reuses the frozen blocks (and the frozen pid values)

@@ -45,23 +45,35 @@ def _level(t1: int, t2: int, t3: int, window_us: int) -> int:
     return 1
 
 
+def _fold_chain(
+    t1: int, t2: int, t3: int, batches: Iterator[pd.DataFrame]
+) -> tuple[int, int, int, int]:
+    """Advance the (t1, t2, t3) funnel state tuple over one micro-batch
+    group: sort the batch (within-batch disorder is allowed), then apply
+    the same chain as the batch operator's min/min-after/min-after — in
+    arrival order, the first qualifying event IS that min. Shared by the
+    plain and TTL update functions so a semantics tweak can never desync
+    them (round-3 ADVICE). Returns the new tuple plus the batch's max
+    event time (for TTL stamping)."""
+    pdf = pd.concat(list(batches), ignore_index=True)
+    pdf = pdf.sort_values(["e_us", "event_id"])
+    for e_us, et in zip(pdf["e_us"], pdf["event_type"]):
+        if et == "view" and t1 == _UNSET:
+            t1 = int(e_us)
+        elif et == "click" and t1 != _UNSET and t2 == _UNSET and e_us > t1:
+            t2 = int(e_us)
+        elif et == "purchase" and t2 != _UNSET and t3 == _UNSET and e_us > t2:
+            t3 = int(e_us)
+    return t1, t2, t3, int(pdf["e_us"].max())
+
+
 def _make_update(window_us: int):
     def update(
         key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         t1, t2, t3 = state.get if state.exists else (_UNSET, _UNSET, _UNSET)
-        pdf = pd.concat(list(batches), ignore_index=True)
-        pdf = pdf.sort_values(["e_us", "event_id"])
-        # the same chain as the batch operator's min/min-after/min-after:
-        # in arrival order, the first qualifying event IS that min.
-        for e_us, et in zip(pdf["e_us"], pdf["event_type"]):
-            if et == "view" and t1 == _UNSET:
-                t1 = int(e_us)
-            elif et == "click" and t1 != _UNSET and t2 == _UNSET and e_us > t1:
-                t2 = int(e_us)
-            elif et == "purchase" and t2 != _UNSET and t3 == _UNSET and e_us > t2:
-                t3 = int(e_us)
+        t1, t2, t3, _ = _fold_chain(t1, t2, t3, batches)
         state.update((t1, t2, t3))
         yield pd.DataFrame(
             {"user_id": [user_id], "funnel_level": [_level(t1, t2, t3, window_us)]}
@@ -108,19 +120,10 @@ def _make_update_ttl(window_us: int, ttl_us: int):
             )
             return
         t1, t2, t3 = state.get if state.exists else (_UNSET, _UNSET, _UNSET)
-        pdf = pd.concat(list(batches), ignore_index=True)
-        pdf = pdf.sort_values(["e_us", "event_id"])
-        for e_us, et in zip(pdf["e_us"], pdf["event_type"]):
-            if et == "view" and t1 == _UNSET:
-                t1 = int(e_us)
-            elif et == "click" and t1 != _UNSET and t2 == _UNSET and e_us > t1:
-                t2 = int(e_us)
-            elif et == "purchase" and t2 != _UNSET and t3 == _UNSET and e_us > t2:
-                t3 = int(e_us)
+        t1, t2, t3, last_us = _fold_chain(t1, t2, t3, batches)
         state.update((t1, t2, t3))
         # expire this funnel if no activity for ttl past its latest event
         # (event-time clock: fires once the WATERMARK passes the stamp)
-        last_us = int(pdf["e_us"].max())
         state.setTimeoutTimestamp((last_us + ttl_us) // 1000)
         yield pd.DataFrame(
             {
