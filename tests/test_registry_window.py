@@ -31,18 +31,18 @@ WINDOW_50 = [
     "q_mixture_weights",
     # (b) r3 array-ERR rows, now boundary-serialized (2)
     "q_sum_map", "q_inverted_index",
-    # (c) new round-4 queries (4)
+    # (c) new round-4 queries (8)
     "q_stream_late_drop", "q_stream_funnel_ttl", "q_ann_portable",
-    "q_multimodal_features",
-    # (d) sentinels (24)
+    "q_multimodal_features", "q_doc_signals", "q_unigram_surprisal",
+    "q_csv_roundtrip", "q_orc_roundtrip",
+    # (d) sentinels (20)
     "q_mv_daily", "q_corpus_clean_portable", "q_partition_prune",
     "q_pricing_summary", "q_cosine_topk", "q_sessionize",
     "q_embedding_near_dup", "q_minhash_portable", "q_simhash_portable",
     "q_corpus_funnel", "q_stream_mv_daily", "q_stream_funnel",
     "q_stream_retention", "q_near_dup_components", "q_token_packing",
     "q_zipf_rank", "q_window_funnel", "q_retention", "q_asof_join",
-    "q_weekly_rollup", "q_delta_sum", "q_sliding_window",
-    "q_revenue_by_nation", "q_json_extract",
+    "q_json_extract",
 ]
 
 
