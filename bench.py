@@ -57,6 +57,11 @@ HEADLINE = [
     "q_quartiles",
     "q_kmv_sketch",
     "q_token_packing",
+    # round 4 additions: the AQE skew-join/salting path, the portable
+    # (oracle-checked) ANN bucketer, and the per-doc quality signals
+    "q_salted_agg",
+    "q_ann_portable",
+    "q_doc_signals",
 ]
 
 
