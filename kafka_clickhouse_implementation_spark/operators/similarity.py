@@ -112,9 +112,11 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     integer summation is ORDER-FREE, so the sign (hence the bucket)
 #     is engine-exact — a float dot product's sign could flip with
 #     summation order at ~0 projections.
-# At 100 TB the same bucket id compiles to a narrow map (one literal
-# expression per plane, no explode); the explode+broadcast-join shape
-# here exists to mirror the oracle SQL term-for-term.
+# The bucket id is ONE literal whole-stage-codegen expression per row
+# (4 planes x 64 quantize-multiply terms, then bit-packing) — a narrow
+# map over the scan with no explode, no join, no aggregation. The
+# oracle states the same arithmetic relationally (explode + weight
+# join): semantics identical, shapes free to differ per engine.
 
 ANN_PLANES = 4
 ANN_DIM = 64
@@ -137,6 +139,28 @@ def _ann_sign_weights() -> list[tuple[int, int, int]]:
 
 def _ann_weights_values_sql() -> str:
     return ", ".join(f"({i}, {j}, {w})" for i, j, w in _ann_sign_weights())
+
+
+def ann_bucket_column(col: str = "embedding") -> F.Column:
+    """The portable sign-LSH bucket as one literal expression: per
+    plane, a 64-term integer dot product over quantized lanes; the four
+    sign bits packed into a long. Pure narrow map — stays inside
+    whole-stage codegen at any scale."""
+    weights = _ann_sign_weights()
+    # ONE F.expr over a generated SQL string: building the ~260-term
+    # expression with Column operators costs ~1000 py4j round-trips
+    # PER INVOCATION (~2 s of driver chatter measured at sf0.1); a
+    # single parsed string is one call.
+    plane_bits = []
+    for i in range(ANN_PLANES):
+        terms = " + ".join(
+            ("-" if w == -1 else "")
+            + f"FLOOR(CAST({col}[{j}] AS DOUBLE) * {ANN_SCALE})"
+            for (pi, j, w) in weights
+            if pi == i
+        )
+        plane_bits.append(f"CASE WHEN ({terms}) >= 0 THEN {1 << i}L ELSE 0L END")
+    return F.expr("CAST(" + " + ".join(plane_bits) + " AS BIGINT)")
 
 
 @query(
@@ -174,28 +198,10 @@ def q_ann_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set AND the ranking are value-checked — the bucketer
     itself is under differential test, unlike rows-only q_ann_lsh."""
     emb = load(spark, sf_dir, "embeddings")
-    wdf = spark.createDataFrame(_ann_sign_weights(), "i int, j int, wt long")
-    e = emb.select(
-        "vec_id", F.posexplode("embedding").alias("j", "x")
-    ).select(
-        "vec_id",
-        "j",
-        F.floor(F.col("x").cast("double") * ANN_SCALE).cast("long").alias("q"),
-    )
-    dots = (
-        e.join(F.broadcast(wdf), "j")
-        .groupBy("vec_id", "i")
-        .agg(F.sum(F.col("q") * F.col("wt")).alias("dp"))
-    )
-    buckets = dots.groupBy("vec_id").agg(
-        F.sum(
-            F.when(F.col("dp") >= 0, F.expr("CAST(pow(2, i) AS BIGINT)")).otherwise(0)
-        ).alias("bucket")
-    )
-    probe_bucket = buckets.filter(F.col("vec_id") == 0).select("bucket")
+    bucketed = emb.select("vec_id", "embedding", ann_bucket_column().alias("bucket"))
+    probe_bucket = bucketed.filter(F.col("vec_id") == 0).select("bucket")
     cand = (
-        emb.join(buckets, "vec_id")
-        .join(F.broadcast(probe_bucket), "bucket")
+        bucketed.join(F.broadcast(probe_bucket), "bucket")
         .filter(F.col("vec_id") != 0)
         .select("vec_id", "embedding")
     )

@@ -199,3 +199,21 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ann_portable_bucketing_is_narrow_codegen_map(spark):
+    """The portable sign-LSH bucket must be ONE whole-stage-codegen
+    projection over the scan — no explode, no aggregation, no Exchange.
+    At 100 TB bucketing a corpus is then a pure map; only the
+    candidate equi-join shuffles (and the probe side broadcasts)."""
+    from kafka_clickhouse_implementation_spark.io import load
+    from kafka_clickhouse_implementation_spark.operators.similarity import (
+        ann_bucket_column,
+    )
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    bucketed = emb.select("vec_id", ann_bucket_column().alias("bucket"))
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan  # no explode
+    assert plan.lstrip().startswith("*"), plan  # WholeStageCodegen project
