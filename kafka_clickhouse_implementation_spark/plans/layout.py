@@ -93,6 +93,10 @@ def write_rollup_batch(
     (
         batch_df.groupBy(day_col, level_col)
         .agg(F.count(F.lit(1)).alias("total"))
+        # partials are days x levels rows per batch regardless of input
+        # volume — one output file beats 32 near-empty ones (the small-
+        # files problem is the reader's bottleneck, not the writer's)
+        .coalesce(1)
         .write.mode("overwrite")
         .parquet(f"{path.rstrip('/')}/batch-{batch_id:010d}")
     )
