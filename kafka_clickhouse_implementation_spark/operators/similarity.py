@@ -208,8 +208,134 @@ def q_ann_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(cand, _query_vector(spark, sf_dir, 0), k=10, exclude_id=None)
 
 
-@query("q_ann_recall")  # no-oracle: evaluates the ANN paths against brute force
+@query(
+    "q_ann_recall",
+    # The WHOLE evaluation is value-checked: portable buckets (same CTE
+    # arithmetic as q_ann_portable), brute-force truth top-10 per probe,
+    # Hamming-1 multiprobe candidate top-10, per-probe hit counts, and
+    # the final recall fractions (integer hits through one IEEE
+    # division). Rank ties broken on (rounded sim DESC, vec_id) in both
+    # engines.
+    oracle=f"""
+    WITH w(i, j, wt) AS (VALUES {_ann_weights_values_sql()}),
+    e AS (
+      SELECT vec_id, d.j AS j,
+             CAST(floor(CAST(embedding[d.j + 1] AS DOUBLE) * {ANN_SCALE}) AS BIGINT) AS q
+      FROM embeddings, (SELECT unnest(range(0, {ANN_DIM})) AS j) d
+    ), dots AS (
+      SELECT vec_id, i, CAST(sum(q * wt) AS BIGINT) AS dp
+      FROM e JOIN w USING (j) GROUP BY vec_id, i
+    ), buckets AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN dp >= 0 THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS bucket
+      FROM dots GROUP BY vec_id
+    ), scored AS (
+      SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+             round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                          CAST(p.embedding AS DOUBLE[])), 6) AS sim,
+             bc.bucket AS bucket, bp.bucket AS p_bucket
+      FROM embeddings p
+      JOIN embeddings c ON c.vec_id <> p.vec_id
+      JOIN buckets bc ON bc.vec_id = c.vec_id
+      JOIN buckets bp ON bp.vec_id = p.vec_id
+      WHERE p.vec_id < 20
+    ), truth AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT probe_id, vec_id,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY sim DESC, vec_id) AS rk
+        FROM scored) WHERE rk <= 10
+    ), got AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT probe_id, vec_id,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY sim DESC, vec_id) AS rk
+        FROM scored
+        WHERE bucket IN (p_bucket, xor(p_bucket, 1), xor(p_bucket, 2),
+                         xor(p_bucket, 4), xor(p_bucket, 8))
+      ) WHERE rk <= 10
+    ), hits AS (
+      SELECT t.probe_id, CAST(count(g.vec_id) AS BIGINT) AS nh
+      FROM truth t LEFT JOIN got g
+        ON g.probe_id = t.probe_id AND g.vec_id = t.vec_id
+      GROUP BY t.probe_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(sum(nh) AS DOUBLE) / (10.0 * count(*)) AS mean_recall_at_10,
+           CAST(min(nh) AS DOUBLE) / 10.0 AS min_recall_at_10
+    FROM hits
+    """,
+)
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the PORTABLE sign-LSH candidate path (own bucket +
+    every Hamming-1 neighbor — the standard multiprobe lever) against
+    brute-force ground truth over 20 probes, fully value-checked: the
+    oracle replays buckets, truth, candidates, and the recall fractions.
+    Fully distributed: probes broadcast, one scored crossJoin, two
+    window ranks; no per-probe driver loop.
+
+    Note: the synthetic embeddings are isotropic Gaussian — the
+    theoretical worst case for LSH (no locality to exploit), so
+    absolute recall here is low by construction; on real clustered
+    embeddings the same pipeline reports usefully high recall, and a
+    regression in this metric flags a broken bucketer either way."""
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    bucketed = emb.select("vec_id", "embedding", ann_bucket_column().alias("bucket"))
+    probes = (
+        bucketed.filter(F.col("vec_id") < 20)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("p_emb"),
+            F.col("bucket").alias("p_bucket"),
+        )
+    )
+    scored = (
+        bucketed.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("p_emb")), 6).alias("sim"),
+            "bucket",
+            "p_bucket",
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    truth = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("probe_id", "vec_id")
+    )
+    multiprobe = F.array(
+        F.col("p_bucket"),
+        *[F.col("p_bucket").bitwiseXOR(F.lit(1 << i)) for i in range(ANN_PLANES)],
+    )
+    got = (
+        scored.filter(F.array_contains(multiprobe, F.col("bucket")))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("probe_id", "vec_id")
+    )
+    hits = truth.join(got, ["probe_id", "vec_id"], "left_semi")
+    nh = truth.select("probe_id").distinct().join(
+        hits.groupBy("probe_id").agg(F.count(F.lit(1)).alias("nh")),
+        "probe_id",
+        "left",
+    ).select("probe_id", F.coalesce("nh", F.lit(0)).alias("nh"))
+    return nh.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        (F.sum("nh").cast("double") / (10.0 * F.count(F.lit(1)))).alias(
+            "mean_recall_at_10"
+        ),
+        (F.min("nh").cast("double") / 10.0).alias("min_recall_at_10"),
+    )
+
+
+@query("q_ann_recall_float")  # no-oracle: evaluates the float-LSH path against brute force
+def q_ann_recall_float(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-evaluation: recall@10 of the sign-LSH candidate path against
     brute-force ground truth over 20 probe vectors — the quality metric
     you track when tuning n_bits/nprobe at scale. Fully distributed:
