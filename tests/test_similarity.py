@@ -53,3 +53,41 @@ def test_ann_candidates_are_pruned(spark, sf_dir):
     q_bucket = bucketed.filter(F.col("vec_id") == 0).select("bucket")
     n_cand = bucketed.join(F.broadcast(q_bucket), "bucket").count()
     assert 0 < n_cand < n / 2
+
+
+def test_ann_bucket_matches_independent_python_implementation(spark):
+    """Cross-implementation pin for the portable sign-LSH bucket: the
+    generated-SQL codegen expression must agree with an independent
+    numpy implementation of the same md5-weight arithmetic on random
+    vectors — catches sign, index, or quantization drift in either."""
+    import numpy as np
+
+    from kafka_clickhouse_implementation_spark.operators.similarity import (
+        ANN_DIM,
+        ANN_PLANES,
+        ANN_SCALE,
+        _ann_sign_weights,
+        ann_bucket_column,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((50, ANN_DIM)).astype(np.float32)
+    # include near-zero projections to stress the >= 0 boundary
+    vecs[0, :] = 0.0
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    got = {
+        r["vec_id"]: r["bucket"]
+        for r in df.select("vec_id", ann_bucket_column().alias("bucket")).collect()
+    }
+
+    w = np.zeros((ANN_PLANES, ANN_DIM), dtype=np.int64)
+    for i, j, wt in _ann_sign_weights():
+        w[i, j] = wt
+    q = np.floor(vecs.astype(np.float64) * ANN_SCALE).astype(np.int64)
+    dots = q @ w.T  # (n, planes)
+    want = {
+        i: int(sum((1 << p) for p in range(ANN_PLANES) if dots[i, p] >= 0))
+        for i in range(len(vecs))
+    }
+    assert got == want
