@@ -59,7 +59,7 @@ _WINDOW_50 = [
     "q_embedding_near_dup", "q_minhash_portable", "q_simhash_portable",
     "q_corpus_funnel", "q_stream_mv_daily", "q_stream_funnel",
     "q_stream_retention", "q_near_dup_components", "q_token_packing",
-    "q_zipf_rank", "q_window_funnel", "q_retention", "q_ann_recall",
+    "q_stream_corpus_funnel", "q_window_funnel", "q_retention", "q_ann_recall",
     "q_json_extract",
 ]
 
@@ -91,6 +91,7 @@ _MODULE_RANK = [
     "kafka_clickhouse_implementation_spark.streaming.watermark",
     "kafka_clickhouse_implementation_spark.operators.quality_ext",
     "kafka_clickhouse_implementation_spark.sources.formats",
+    "kafka_clickhouse_implementation_spark.streaming.corpus_stream",
 ]
 
 

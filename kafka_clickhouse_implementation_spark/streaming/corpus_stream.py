@@ -1,0 +1,121 @@
+"""Streaming corpus ingest — the S-tier × C-tier capstone: documents
+arrive as a stream and flow through the quality gate (stateless) and
+EXACT dedup (stateful, fingerprint-keyed state store) incrementally,
+instead of as a batch re-scan. The funnel counts after draining must
+equal the batch corpus funnel exactly, so q_corpus_funnel's DuckDB
+oracle hash-checks the streaming state machine end-to-end.
+
+This is the shape a production corpus pipeline actually runs: the
+quality gate is a narrow per-batch filter; dedup state is one 32-char
+digest per DISTINCT document (never a body), hash-partitioned by the
+digest. Over an unbounded stream you'd add
+``dropDuplicatesWithinWatermark`` to bound state by the horizon inside
+which a duplicate can recur (the C52 pattern); the bounded hermetic
+replay keeps plain dropDuplicates so the count contract is exact.
+
+Reference anchor: the reference ingests raw events with no dedup or
+quality tier (kafka+clickhouse.md:92-103, 127-153); this is the layer
+a training-data user adds on the same consume path.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_clickhouse_implementation_spark.io import load
+from kafka_clickhouse_implementation_spark.registry import query
+from kafka_clickhouse_implementation_spark.streaming.funnel import _drain
+from kafka_clickhouse_implementation_spark.streaming.watermark import _stream_base
+
+_DOC_WIRE_SCHEMA = "doc_id long, text string"
+
+
+def document_wire(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Spark-written JSON replay of `documents` (multi-file so the
+    stateful dedup crosses micro-batch boundaries when a trigger limit
+    is applied; no driver collect)."""
+    base = _stream_base(sf_dir, "docwire1")
+    wire = os.path.join(base, "wire")
+    if not os.path.exists(os.path.join(wire, "_SUCCESS")):
+        (
+            load(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .repartition(4)
+            .write.mode("overwrite")
+            .json(wire)
+        )
+    return wire, base
+
+
+@query(
+    "q_stream_corpus_funnel",
+    # Same oracle as the batch q_corpus_funnel: the streamed quality
+    # gate + stateful exact dedup must land on identical counts.
+    oracle="""
+    WITH flagged AS (
+      SELECT text,
+             len(string_split(text, ' ')) AS ntok,
+             len(list_filter(string_split(text, ' '),
+                             t -> t IN ('the', 'a', 'of', 'and'))) AS nstop
+      FROM documents
+    ), ok AS (
+      SELECT text, (ntok >= 10 AND nstop / ntok <= 0.5) AS passed FROM flagged
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_raw,
+           CAST(sum(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT) AS n_after_quality,
+           CAST(count(DISTINCT CASE WHEN passed THEN md5(text) END) AS BIGINT)
+             AS n_after_exact_dedup
+    FROM ok
+    """,
+)
+def q_stream_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus funnel: replay `documents` as a 4-file JSON
+    wire (maxFilesPerTrigger=1 → the dedup state store must carry
+    digests ACROSS micro-batches), apply the quality gate per batch,
+    dedup on the md5 fingerprint in the state store, and report the
+    same (n_raw, n_after_quality, n_after_exact_dedup) funnel the
+    batch q_corpus_funnel computes in one scan."""
+    wire, base = document_wire(spark, sf_dir)
+    raw_ckpt = os.path.join(base, "ckpt_raw")
+    dedup_ckpt = os.path.join(base, "ckpt_dedup")
+    shutil.rmtree(raw_ckpt, ignore_errors=True)
+    shutil.rmtree(dedup_ckpt, ignore_errors=True)
+
+    def stream():
+        return (
+            spark.readStream.schema(_DOC_WIRE_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .json(wire)
+        )
+
+    toks = F.split("text", " ")
+    passed = (F.size(toks) >= 10) & (
+        F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and")))
+        / F.size(toks)
+        <= 0.5
+    )
+
+    # drain 1: raw + quality counts (complete-mode tiny aggregate)
+    counts = stream().agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.when(passed, 1).otherwise(0)).alias("n_after_quality"),
+    )
+    _drain(spark, counts, "stream_corpus_counts", raw_ckpt, mode="complete")
+
+    # drain 2: gated docs through fingerprint-keyed stateful dedup
+    deduped = (
+        stream()
+        .filter(passed)
+        .select(F.md5(F.col("text").cast("binary")).alias("fp"))
+        .dropDuplicates(["fp"])
+    )
+    _drain(spark, deduped, "stream_corpus_dedup", dedup_ckpt, mode="append")
+
+    n_exact = spark.table("stream_corpus_dedup").agg(
+        F.count(F.lit(1)).alias("n_after_exact_dedup")
+    )
+    return spark.table("stream_corpus_counts").crossJoin(F.broadcast(n_exact))
