@@ -142,10 +142,13 @@ def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching day directory (PartitionFilters in the scan node), the
     parquet layout does the rest — same observable result as filtering
     raw, asymptotically cheaper at scale."""
+    from kafka_clickhouse_implementation_spark.cachedirs import source_tagged_dir
+
     ev = load(spark, sf_dir, "events")
-    path = os.path.join(tempfile.gettempdir(), "spark_graft_fact", os.path.basename(sf_dir.rstrip("/")))
-    # the layout write is idempotent per sf_dir (testdata is immutable):
-    # reuse an existing copy rather than rewriting per invocation
+    path = source_tagged_dir("fact", sf_dir, "events")
+    # the layout write is idempotent per SOURCE PARQUET IDENTITY (the
+    # cache tag digests size+mtime, so a testdata regeneration rebuilds
+    # it): reuse an existing copy rather than rewriting per invocation
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         write_day_partitioned(ev, path, ts_col="ts", sort_keys=("user_id",))
     fact = spark.read.parquet(path)

@@ -24,9 +24,7 @@ one map-side-combined hash agg either way.
 
 from __future__ import annotations
 
-import hashlib
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -50,12 +48,9 @@ FROM events GROUP BY event_type
 
 
 def _fmt_base(sf_dir: str, fmt: str) -> str:
-    resolved = os.path.realpath(sf_dir)
-    tag = hashlib.md5(resolved.encode()).hexdigest()[:8]
-    return os.path.join(
-        tempfile.gettempdir(), "spark_graft_fmt",
-        f"{os.path.basename(resolved)}_{tag}_{fmt}",
-    )
+    from kafka_clickhouse_implementation_spark.cachedirs import source_tagged_dir
+
+    return source_tagged_dir(f"fmt_{fmt}", sf_dir, "events")
 
 
 def _events_wire_df(spark: SparkSession, sf_dir: str) -> DataFrame:

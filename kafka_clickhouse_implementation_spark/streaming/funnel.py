@@ -22,7 +22,6 @@ plugs into GroupStateTimeout if abandoned funnels should expire.
 
 from __future__ import annotations
 
-import tempfile
 from collections.abc import Iterator
 
 import pandas as pd
@@ -181,19 +180,16 @@ WIRE_SCHEMA = "user_id long, event_id long, event_type string, e_us long"
 def ordered_event_wire(spark, sf_dir: str) -> tuple[str, str]:
     """Spark-written ts-sorted JSON replay of `events` (no driver
     collect; range-partitioned so file order == time order). Returns
-    (wire_dir, base_dir); the wire is immutable per sf_dir and shared
-    by every stateful replay query. The cache key digests the RESOLVED
-    path, so two different dirs with the same basename never collide.
-    (`_stateful2` suffix = wire format v2, micros-as-long.)"""
-    import hashlib
+    (wire_dir, base_dir); the wire is immutable per SOURCE PARQUET
+    IDENTITY (realpath + size + mtime via cachedirs — a driver-side
+    testdata regeneration invalidates it) and shared by every stateful
+    replay query. (`stateful2` flavor = wire format v2,
+    micros-as-long.)"""
     import os
 
-    resolved = os.path.realpath(sf_dir)
-    tag = hashlib.md5(resolved.encode()).hexdigest()[:8]
-    base = os.path.join(
-        tempfile.gettempdir(), "spark_graft_stream",
-        f"{os.path.basename(resolved)}_{tag}_stateful2",
-    )
+    from kafka_clickhouse_implementation_spark.cachedirs import source_tagged_dir
+
+    base = source_tagged_dir("stateful2", sf_dir, "events")
     wire_dir = os.path.join(base, "wire")
     if not os.path.exists(os.path.join(wire_dir, "_SUCCESS")):
         ev = load(spark, sf_dir, "events")

@@ -28,7 +28,6 @@ retention × key cardinality.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -173,9 +172,9 @@ def q_stream_mv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     (S7), append SummingMergeTree-style partials (S6), and return the
     read-time re-aggregation (A7). With a broker, swap file_stream for
     kafka_stream — the pipeline body is unchanged."""
-    base = os.path.join(
-        tempfile.gettempdir(), "spark_graft_stream", os.path.basename(sf_dir.rstrip("/"))
-    )
+    from kafka_clickhouse_implementation_spark.cachedirs import source_tagged_dir
+
+    base = source_tagged_dir("mvwire", sf_dir, "events")
     wire_dir = os.path.join(base, "wire")
     rollup_dir = os.path.join(base, "rollup")
     checkpoint_dir = os.path.join(base, "ckpt")

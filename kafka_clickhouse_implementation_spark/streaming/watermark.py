@@ -49,11 +49,9 @@ unbounded stream.
 from __future__ import annotations
 
 import glob
-import hashlib
 import json
 import os
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -75,14 +73,13 @@ TTL_US = 8 * 86400 * 1_000_000  # > max within-user gap at every sf
 TRUNCATE_DAYS_US = 12 * 86400 * 1_000_000
 
 
-def _stream_base(sf_dir: str, flavor: str) -> str:
-    resolved = os.path.realpath(sf_dir)
-    tag = hashlib.md5(resolved.encode()).hexdigest()[:8]
-    return os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_stream",
-        f"{os.path.basename(resolved)}_{tag}_{flavor}",
-    )
+def _stream_base(sf_dir: str, flavor: str, table: str = "events") -> str:
+    """Wire cache dir keyed by the SOURCE parquet's identity (size +
+    mtime, via cachedirs) so a driver-side testdata regeneration can
+    never replay a stale wire."""
+    from kafka_clickhouse_implementation_spark.cachedirs import source_tagged_dir
+
+    return source_tagged_dir(flavor, sf_dir, table)
 
 
 def chunked_late_wire(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
