@@ -38,7 +38,7 @@ def document_wire(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Spark-written JSON replay of `documents` (multi-file so the
     stateful dedup crosses micro-batch boundaries when a trigger limit
     is applied; no driver collect)."""
-    base = _stream_base(sf_dir, "docwire1")
+    base = _stream_base(sf_dir, "docwire1", table="documents")
     wire = os.path.join(base, "wire")
     if not os.path.exists(os.path.join(wire, "_SUCCESS")):
         (
@@ -53,8 +53,11 @@ def document_wire(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
 @query(
     "q_stream_corpus_funnel",
-    # Same oracle as the batch q_corpus_funnel: the streamed quality
-    # gate + stateful exact dedup must land on identical counts.
+    # The batch q_corpus_funnel oracle with raw/quality counts doubled:
+    # the wire is replayed TWICE, so the stateful dedup must collapse
+    # the injected cross-batch duplicates back to the distinct count —
+    # the 2x is what makes the dedup claim non-vacuous on data whose
+    # documents are (nearly) all unique.
     oracle="""
     WITH flagged AS (
       SELECT text,
@@ -65,8 +68,9 @@ def document_wire(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     ), ok AS (
       SELECT text, (ntok >= 10 AND nstop / ntok <= 0.5) AS passed FROM flagged
     )
-    SELECT CAST(count(*) AS BIGINT) AS n_raw,
-           CAST(sum(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT) AS n_after_quality,
+    SELECT CAST(2 * count(*) AS BIGINT) AS n_raw,
+           CAST(2 * sum(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_after_quality,
            CAST(count(DISTINCT CASE WHEN passed THEN md5(text) END) AS BIGINT)
              AS n_after_exact_dedup
     FROM ok
@@ -74,11 +78,14 @@ def document_wire(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 )
 def q_stream_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming corpus funnel: replay `documents` as a 4-file JSON
-    wire (maxFilesPerTrigger=1 → the dedup state store must carry
-    digests ACROSS micro-batches), apply the quality gate per batch,
-    dedup on the md5 fingerprint in the state store, and report the
-    same (n_raw, n_after_quality, n_after_exact_dedup) funnel the
-    batch q_corpus_funnel computes in one scan."""
+    wire UNIONED WITH ITSELF (every document arrives as an exact
+    duplicate, in different micro-batches under maxFilesPerTrigger=1 —
+    so the dedup state store must carry digests ACROSS batches), apply
+    the quality gate per batch, dedup on the md5 fingerprint in the
+    state store, and report the (n_raw, n_after_quality,
+    n_after_exact_dedup) funnel: raw and quality counts double, the
+    deduped count must collapse back to the batch q_corpus_funnel's
+    distinct count."""
     wire, base = document_wire(spark, sf_dir)
     raw_ckpt = os.path.join(base, "ckpt_raw")
     dedup_ckpt = os.path.join(base, "ckpt_dedup")
@@ -86,11 +93,12 @@ def q_stream_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(dedup_ckpt, ignore_errors=True)
 
     def stream():
-        return (
+        one = (
             spark.readStream.schema(_DOC_WIRE_SCHEMA)
             .option("maxFilesPerTrigger", "1")
             .json(wire)
         )
+        return one.union(one)  # duplicate-injection: every doc arrives twice
 
     toks = F.split("text", " ")
     passed = (F.size(toks) >= 10) & (
