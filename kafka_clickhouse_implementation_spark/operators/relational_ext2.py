@@ -280,3 +280,40 @@ def q_first_seen_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranged_prefix(
         per_day, [F.col("day")], sum_cols={"cum_users": "new_users"}
     ).select("day", "new_users", "cum_users")
+
+
+@query(
+    "q_group_array",
+    oracle="""
+    SELECT user_id,
+           string_agg(event_type, ',' ORDER BY ts, event_id) AS type_seq,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS uniq_types,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events WHERE user_id < 50 GROUP BY user_id
+    """,
+)
+def q_group_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``groupArray`` / ``groupUniqArray`` parity: per user,
+    the event-type sequence in (ts, event_id) order and the sorted
+    distinct type set — serialized to comma-joined strings at the
+    driver boundary (SURVEY §2 notes: no ArrayType may reach the
+    driver). One hash aggregation; the order-sensitive sequence is
+    assembled by sorting (ts_us, event_id, type) structs inside the
+    aggregation buffer, so the shuffle order never matters. Per-user
+    sequences are clickstream-sized; for adversarial skew cap with a
+    windowed top-N first (same note as sequenceMatch C14)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    kv = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.unix_micros("ts").alias("ts_us"),
+                F.col("event_id"),
+                F.col("event_type"),
+            )
+        )
+    )
+    return ev.groupBy("user_id").agg(
+        F.concat_ws(",", F.transform(kv, lambda x: x["event_type"])).alias("type_seq"),
+        F.concat_ws(",", F.sort_array(F.collect_set("event_type"))).alias("uniq_types"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -57,7 +57,7 @@ _WINDOW_50 = [
     "q_mv_daily", "q_corpus_clean_portable", "q_partition_prune",
     "q_pricing_summary", "q_cosine_topk", "q_sessionize",
     "q_embedding_near_dup", "q_minhash_portable", "q_simhash_portable",
-    "q_corpus_funnel", "q_stream_mv_daily", "q_stream_funnel",
+    "q_group_array", "q_stream_mv_daily", "q_stream_funnel",
     "q_stream_retention", "q_near_dup_components", "q_token_packing",
     "q_stream_corpus_funnel", "q_window_funnel", "q_retention", "q_ann_recall",
     "q_json_extract",
