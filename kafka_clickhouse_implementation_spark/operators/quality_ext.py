@@ -7,11 +7,15 @@ tier, each with an exact DuckDB oracle:
   plus one IEEE division each.
 - ``q_unigram_surprisal``: mean per-token surprisal under the corpus's
   own unigram LM — the classic cheap "quality/perplexity" score. Floats
-  are made engine-exact by controlling SUMMATION ORDER: each doc folds
+  are made engine-stable by controlling SUMMATION ORDER: each doc folds
   its per-token ln terms in sorted token order (Spark ``aggregate`` over
   a sorted collect_list == DuckDB ``list_reduce`` over ``list(... ORDER
-  BY token)``; IEEE addition is deterministic given order, and ln/÷ are
-  correctly-rounded on both engines).
+  BY token)``; IEEE addition is deterministic given order). ln itself
+  (Java Math.log vs libm log) is NOT guaranteed correctly rounded and
+  may differ in the last ulp between engines, so a weighted sum landing
+  within ~1 ulp of a 0.5e-6 rounding boundary could in principle flip
+  round(...,6); if a driver row ever flaps, quantize each ln term (e.g.
+  floor(term*1e9)) before folding, as the LSH projections do.
 
 Scale notes (100 TB): both are one explode + hash aggregations; the
 surprisal join broadcasts nothing bigger than the corpus vocabulary

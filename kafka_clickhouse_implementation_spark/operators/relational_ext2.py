@@ -317,3 +317,48 @@ def q_group_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", F.sort_array(F.collect_set("event_type"))).alias("uniq_types"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "q_dict_get",
+    oracle="""
+    SELECT coalesce(n.n_name, '<none>') AS nation_name,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(28,8))), 2) AS DOUBLE)
+             AS total_bal
+    FROM customer c
+    LEFT JOIN (SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 20) n
+      ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+)
+def q_dict_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``dictGetOrDefault`` analogue (round 5, the batch twin
+    of streaming/pipeline.enriched_stream): enrich each fact row via a
+    BROADCAST dictionary lookup with a declared default for misses —
+    the dictionary is deliberately missing keys >= 20 so the default
+    path is non-vacuous. Plan shape at 100 TB: the dictionary ships
+    once per executor (ClickHouse's in-RAM dictionary is Spark's
+    broadcast hash relation); the fact side is never shuffled for the
+    lookup — the only exchange is the final small aggregation. Money
+    sum follows the functions/numeric decimal discipline."""
+    from kafka_clickhouse_implementation_spark.functions.numeric import dsum
+
+    cust = load(spark, sf_dir, "customer")
+    dim = (
+        load(spark, sf_dir, "nation")
+        .filter(F.col("n_nationkey") < 20)
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        cust.join(
+            F.broadcast(dim),
+            cust.c_nationkey == dim.n_nationkey,
+            "left",
+        )
+        .groupBy(F.coalesce("n_name", F.lit("<none>")).alias("nation_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            dsum(F.col("c_acctbal")).alias("total_bal"),
+        )
+    )

@@ -92,6 +92,7 @@ _MODULE_RANK = [
     "kafka_clickhouse_implementation_spark.operators.quality_ext",
     "kafka_clickhouse_implementation_spark.sources.formats",
     "kafka_clickhouse_implementation_spark.streaming.corpus_stream",
+    "kafka_clickhouse_implementation_spark.streaming.sketches_stream",
 ]
 
 

@@ -13,6 +13,22 @@ import os
 
 from pyspark.sql import SparkSession
 
+# Streaming state-store backends. HDFSBacked (Spark's default) keeps
+# every version of the state in executor heap — fine locally, but at
+# 100 TB the state store (not the plan) is the streaming bottleneck:
+# RocksDB spills state to local disk with bounded memory and
+# incremental changelog checkpointing, and is the production choice
+# for large stateful pipelines. The provider class is a runtime SQL
+# conf read at STREAM START, so tests can flip it per-query; the
+# SPARK_GRAFT_STATE_STORE env var ("hdfs" | "rocksdb") selects it
+# session-wide.
+STATE_STORE_PROVIDERS = {
+    "hdfs": "org.apache.spark.sql.execution.streaming.state."
+            "HDFSBackedStateStoreProvider",
+    "rocksdb": "org.apache.spark.sql.execution.streaming.state."
+               "RocksDBStateStoreProvider",
+}
+
 
 def get_spark(app_name: str = "kafka_clickhouse_implementation_spark", shuffle_partitions: int | None = None) -> SparkSession:
     """Build (or reuse) the SparkSession.
@@ -44,6 +60,12 @@ def get_spark(app_name: str = "kafka_clickhouse_implementation_spark", shuffle_p
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    store = os.environ.get("SPARK_GRAFT_STATE_STORE")
+    if store:
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            STATE_STORE_PROVIDERS[store],
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -35,12 +35,21 @@ _DOC_WIRE_SCHEMA = "doc_id long, text string"
 
 
 def document_wire(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
-    """Spark-written JSON replay of `documents` (multi-file so the
-    stateful dedup crosses micro-batch boundaries when a trigger limit
-    is applied; no driver collect)."""
-    base = _stream_base(sf_dir, "docwire1", table="documents")
+    """Spark-written JSON replay of `documents`, with every part file
+    then duplicated as a later-mtime ``dup-*.json``. The file source
+    processes files oldest-mtime-first, so under maxFilesPerTrigger=1
+    each document's duplicate arrives in a LATER micro-batch than its
+    original — the dedup state store must carry digests across batch
+    boundaries to collapse it (a self-union of one readStream cannot
+    test this: both legs advance in lockstep, landing the original and
+    its duplicate in the SAME batch). ``_DUP_READY`` — not Spark's
+    ``_SUCCESS`` — gates reuse, so a crash between the write and the
+    dup stamping can never leave a half-injected wire behind."""
+    base = _stream_base(sf_dir, "docwire2", table="documents")
     wire = os.path.join(base, "wire")
-    if not os.path.exists(os.path.join(wire, "_SUCCESS")):
+    ready = os.path.join(wire, "_DUP_READY")
+    if not os.path.exists(ready):
+        shutil.rmtree(wire, ignore_errors=True)
         (
             load(spark, sf_dir, "documents")
             .select("doc_id", "text")
@@ -48,16 +57,30 @@ def document_wire(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             .write.mode("overwrite")
             .json(wire)
         )
+        parts = sorted(
+            f for f in os.listdir(wire)
+            if f.startswith("part-") and f.endswith(".json")
+        )
+        latest = max(os.path.getmtime(os.path.join(wire, p)) for p in parts)
+        for i, p in enumerate(parts):
+            dup = os.path.join(wire, f"dup-{i:05d}.json")
+            shutil.copyfile(os.path.join(wire, p), dup)
+            stamp = latest + 60.0 + i
+            os.utime(dup, (stamp, stamp))
+        with open(ready, "w"):
+            pass
     return wire, base
 
 
 @query(
     "q_stream_corpus_funnel",
     # The batch q_corpus_funnel oracle with raw/quality counts doubled:
-    # the wire is replayed TWICE, so the stateful dedup must collapse
-    # the injected cross-batch duplicates back to the distinct count —
-    # the 2x is what makes the dedup claim non-vacuous on data whose
-    # documents are (nearly) all unique.
+    # every wire file exists twice (the dup copies carry later mtimes,
+    # so each duplicate lands in a later micro-batch than its
+    # original), and the stateful dedup must collapse the cross-batch
+    # duplicates back to the distinct count — the 2x is what makes the
+    # dedup claim non-vacuous on data whose documents are (nearly) all
+    # unique.
     oracle="""
     WITH flagged AS (
       SELECT text,
@@ -77,15 +100,15 @@ def document_wire(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """,
 )
 def q_stream_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming corpus funnel: replay `documents` as a 4-file JSON
-    wire UNIONED WITH ITSELF (every document arrives as an exact
-    duplicate, in different micro-batches under maxFilesPerTrigger=1 —
-    so the dedup state store must carry digests ACROSS batches), apply
-    the quality gate per batch, dedup on the md5 fingerprint in the
-    state store, and report the (n_raw, n_after_quality,
-    n_after_exact_dedup) funnel: raw and quality counts double, the
-    deduped count must collapse back to the batch q_corpus_funnel's
-    distinct count."""
+    """Streaming corpus funnel: replay `documents` as an 8-file JSON
+    wire — 4 originals plus 4 later-mtime duplicate files, so under
+    maxFilesPerTrigger=1 every document's duplicate arrives in a LATER
+    micro-batch than its original and the dedup state store must carry
+    digests ACROSS batch boundaries — apply the quality gate per
+    batch, dedup on the md5 fingerprint in the state store, and report
+    the (n_raw, n_after_quality, n_after_exact_dedup) funnel: raw and
+    quality counts double, the deduped count must collapse back to the
+    batch q_corpus_funnel's distinct count."""
     wire, base = document_wire(spark, sf_dir)
     raw_ckpt = os.path.join(base, "ckpt_raw")
     dedup_ckpt = os.path.join(base, "ckpt_dedup")
@@ -93,12 +116,11 @@ def q_stream_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(dedup_ckpt, ignore_errors=True)
 
     def stream():
-        one = (
+        return (
             spark.readStream.schema(_DOC_WIRE_SCHEMA)
             .option("maxFilesPerTrigger", "1")
             .json(wire)
         )
-        return one.union(one)  # duplicate-injection: every doc arrives twice
 
     toks = F.split("text", " ")
     passed = (F.size(toks) >= 10) & (

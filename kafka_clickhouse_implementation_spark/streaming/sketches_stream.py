@@ -1,0 +1,289 @@
+"""Streaming twins of the mergeable sketches (round 5) — the
+``-State`` / ``-Merge`` combinator story proven IN the streaming
+engine, not just as a batch merge law:
+
+- ``q_stream_kmv``: the KMV bottom-k distinct sketch (operators/
+  sketches.py) maintained ACROSS micro-batches in the state store via
+  ``applyInPandasWithState``, bucketed by the digest's first nibble (16
+  parallel groups, each holding at most K digests). Because a bottom-k
+  set is order-independent (it is a function of the SET of digests
+  seen, not their arrival order), the drained sketch is deterministic
+  and the whole-corpus DuckDB bottom-k CTE hash-checks it digest-for-
+  digest — same contract as the batch merge-law twin q_kmv_union.
+- ``q_stream_cms``: heavy-hitter estimation via a Count-Min sketch
+  maintained by a streaming aggregation (the d x w counter matrix IS
+  the state store content; counters are order-independent sums, so —
+  unlike Misra-Gries, whose counters depend on arrival order — the
+  final state is exactly reproducible by a batch oracle). The drained
+  counters answer point queries for the corpus's exact top-10 tokens;
+  DuckDB recomputes the same counters and the same min-over-rows
+  estimates arithmetically. CMS guarantees est >= exact, checked in
+  the driver hash because both sides compute both numbers.
+
+Wire note: both queries replay the corpus-stream document wire, which
+contains every part file TWICE (later-mtime dup files — see
+corpus_stream.document_wire). For the KMV sketch duplicates are
+absorbed by distinctness; for CMS every token count simply doubles,
+and the oracle states the 2x — the dup files are what guarantee the
+state genuinely accumulates across batch boundaries.
+
+Scale: KMV state is 16 groups x K digests (~2 KB each); CMS state is
+d*w = 2048 counters. Both are constants independent of stream length —
+the defining property of a sketch, here enforced by the state store.
+
+Reference anchor: ClickHouse's uniqCombinedState/-Merge and
+topK-family combinators (kafka+clickhouse.md:221-229 shows the
+incremental-MV machinery they plug into); Spark's state store is the
+engine that carries the partial sketch between ingest batches.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from kafka_clickhouse_implementation_spark.io import load
+from kafka_clickhouse_implementation_spark.operators.sketches import (
+    _BOTTOM_K_CTE,
+    _nibble_value_sql,
+    K,
+)
+from kafka_clickhouse_implementation_spark.registry import query
+from kafka_clickhouse_implementation_spark.streaming.corpus_stream import (
+    _DOC_WIRE_SCHEMA,
+    document_wire,
+)
+from kafka_clickhouse_implementation_spark.streaming.funnel import _drain
+
+
+def _doc_stream(spark: SparkSession, wire: str, files_per_trigger: int) -> DataFrame:
+    return (
+        spark.readStream.schema(_DOC_WIRE_SCHEMA)
+        .option("maxFilesPerTrigger", str(files_per_trigger))
+        .json(wire)
+    )
+
+
+def _stream_bigram_digests(docs: DataFrame) -> DataFrame:
+    """Per-batch bigram md5 digests — same tokenization as the batch
+    sketch (operators/sketches._bigrams); the batch-local distinct is
+    an optimization only (cross-batch dedup is the sketch's job)."""
+    return (
+        docs.select(F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> concat_ws(' ', t[i], t[i + 1]))"
+                )
+            ).alias("bg")
+        )
+        .select(F.md5(F.col("bg").cast("binary")).alias("h"))
+        .withColumn("bucket", F.substring("h", 1, 1))
+    )
+
+
+def _kmv_update(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold one micro-batch of digests into this bucket's bottom-K
+    state. n_seen counts digest ROWS ever folded (strictly increasing
+    per emission), so the drained update-mode table's max-n_seen row
+    per bucket is its final state."""
+    (bucket,) = key
+    n_seen, digests = state.get if state.exists else (0, "")
+    held = set(digests.split(",")) if digests else set()
+    for pdf in batches:
+        n_seen += len(pdf)
+        held.update(pdf["h"])
+    bottom = sorted(held)[:K]
+    packed = ",".join(bottom)
+    state.update((n_seen, packed))
+    yield pd.DataFrame(
+        {"bucket": [bucket], "n_seen": [n_seen], "digests": [packed]}
+    )
+
+
+@query(
+    "q_stream_kmv",
+    # Identical contract to q_kmv_union: the streamed, state-store-
+    # maintained bottom-k must reproduce the whole-corpus bottom-k
+    # digest-for-digest (bottom-k is order-independent, so batch
+    # boundaries cannot change the answer — only lose state, which is
+    # exactly what the check would catch).
+    oracle=f"""{_BOTTOM_K_CTE}
+    SELECT max(h) AS kth_hash, CAST(count(*) AS BIGINT) AS k_kept
+    FROM bottom
+    """,
+)
+def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct sketch maintained incrementally (SURVEY C37's
+    streaming half): corpus bigram digests stream in over 4 micro-
+    batches (8 wire files, maxFilesPerTrigger=2, duplicates arriving in
+    later batches than their originals); 16 first-nibble bucket groups
+    each carry their bottom-K set in the state store; the final merged
+    bottom-K must equal the direct whole-corpus sketch bit-for-bit."""
+    wire, base = document_wire(spark, sf_dir)
+    ckpt = os.path.join(base, "ckpt_kmv")
+    sketched = (
+        _stream_bigram_digests(_doc_stream(spark, wire, 2))
+        .groupBy("bucket")
+        .applyInPandasWithState(
+            _kmv_update,
+            outputStructType="bucket string, n_seen long, digests string",
+            stateStructType="n_seen long, digests string",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    name = "stream_kmv_out"
+    _drain(spark, sketched, name, ckpt, mode="update")
+    final = (
+        spark.table(name)
+        .groupBy("bucket")
+        .agg(F.max_by("digests", "n_seen").alias("digests"))
+    )
+    merged = (
+        final.select(F.explode(F.split("digests", ",")).alias("h"))
+        .orderBy("h")
+        .limit(K)
+    )
+    return merged.agg(
+        F.max("h").alias("kth_hash"), F.count("*").cast("long").alias("k_kept")
+    )
+
+
+# Count-Min geometry: d hash rows x w buckets. Hashes are md5 of
+# "<row>:<token>" decoded with the shared 13-nibble integer arithmetic
+# (engine-portable, see sketches.py) mod w.
+CMS_D = 4
+CMS_W = 512
+TOP_N = 10
+
+
+# Bucket index from a digest COLUMN (computed once per row on both
+# engines): 13-nibble integer value mod w — identical SQL text.
+_BUCKET_SQL = f"CAST(({_nibble_value_sql('h')}) % {CMS_W} AS BIGINT)"
+
+
+def _spark_cms_buckets(df: DataFrame, tok: str = "tok") -> DataFrame:
+    """(j, b) CMS cell coordinates for every token row — the digest per
+    hash row is materialized once, then nibble-decoded. Spark md5 needs
+    BINARY input (DuckDB takes VARCHAR directly)."""
+    with_digests = df.select(
+        "*",
+        *[
+            F.md5(F.concat(F.lit(f"{j}:"), F.col(tok)).cast("binary")).alias(
+                f"_h{j}"
+            )
+            for j in range(CMS_D)
+        ],
+    )
+    return with_digests.select(
+        "*",
+        *[
+            F.expr(_BUCKET_SQL.replace("substr(h,", f"substr(_h{j},")).alias(
+                f"_b{j}"
+            )
+            for j in range(CMS_D)
+        ],
+    )
+
+
+_CMS_ORACLE = f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ), tok_counts AS (
+      SELECT tok, CAST(2 * count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok
+    ), cells AS (
+      {" UNION ALL ".join(
+        f"SELECT {j} AS j, {_BUCKET_SQL} AS b, CAST(sum(cnt) AS BIGINT) AS cnt"
+        f" FROM (SELECT md5(concat('{j}:', tok)) AS h, cnt FROM tok_counts)"
+        f" GROUP BY 1, 2"
+        for j in range(CMS_D)
+      )}
+    ), probes AS (
+      SELECT tok, cnt AS exact_n FROM tok_counts
+      ORDER BY cnt DESC, tok LIMIT {TOP_N}
+    ), probe_cells AS (
+      {" UNION ALL ".join(
+        f"SELECT tok, exact_n, {j} AS j, {_BUCKET_SQL} AS b"
+        f" FROM (SELECT tok, exact_n, md5(concat('{j}:', tok)) AS h FROM probes)"
+        for j in range(CMS_D)
+      )}
+    )
+    SELECT p.tok AS token, p.exact_n, min(c.cnt) AS cms_est
+    FROM probe_cells p JOIN cells c ON p.j = c.j AND p.b = c.b
+    GROUP BY 1, 2
+"""
+
+
+@query("q_stream_cms", oracle=_CMS_ORACLE)
+def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter point queries from a Count-Min sketch maintained
+    incrementally (SURVEY C29's streaming half): each micro-batch
+    folds its token counts into the d x w counter matrix held by the
+    streaming aggregation's state store (counters are order-
+    independent sums — the reason CMS, unlike Misra-Gries, is exactly
+    driver-checkable); after draining, the corpus's exact top-10
+    tokens are estimated as min-over-rows. The wire's later-batch
+    duplicate files double every count (stated in the oracle) and
+    force genuine cross-batch accumulation. CMS guarantees
+    cms_est >= exact_n; the driver hash pins both columns."""
+    wire, base = document_wire(spark, sf_dir)
+    ckpt = os.path.join(base, "ckpt_cms")
+    toks = (
+        _doc_stream(spark, wire, 2)
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+    )
+    cells = _spark_cms_buckets(toks).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), F.col(f"_b{j}").alias("b")
+                    )
+                    for j in range(CMS_D)
+                ]
+            )
+        ).alias("cell")
+    ).select("cell.j", "cell.b")
+    counters = cells.groupBy("j", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    name = "stream_cms_out"
+    _drain(spark, counters, name, ckpt, mode="complete")
+
+    docs = load(spark, sf_dir, "documents")
+    probes = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg((F.count(F.lit(1)) * 2).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "tok")
+        .limit(TOP_N)
+    )
+    probe_cells = _spark_cms_buckets(probes).select(
+        "tok",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), F.col(f"_b{j}").alias("b")
+                    )
+                    for j in range(CMS_D)
+                ]
+            )
+        ).alias("cell"),
+    ).select("tok", "exact_n", "cell.j", "cell.b")
+    return (
+        probe_cells.join(
+            F.broadcast(spark.table(name)), on=["j", "b"], how="inner"
+        )
+        .groupBy(F.col("tok").alias("token"), "exact_n")
+        .agg(F.min("cnt").alias("cms_est"))
+    )

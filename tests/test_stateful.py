@@ -85,3 +85,78 @@ def test_parquet_sink_appends(spark, tmp_path):
     sink(df, 0)
     sink(df, 1)
     assert spark.read.parquet(path).count() == 20
+
+
+import pytest
+
+
+@pytest.mark.parametrize("provider", ["hdfs", "rocksdb"])
+def test_funnel_state_store_providers(spark, tmp_path, provider):
+    """The C25 streaming funnel produces identical results under the
+    default HDFSBacked state store AND RocksDB (the production backend
+    for large state — see session.STATE_STORE_PROVIDERS). The provider
+    class is read at stream start, so it can be flipped per-query; the
+    wire is 3 mtime-ordered files under maxFilesPerTrigger=1, so state
+    genuinely crosses micro-batch boundaries under both providers."""
+    import json
+    import os
+    import time
+
+    from kafka_clickhouse_implementation_spark.session import STATE_STORE_PROVIDERS
+    from kafka_clickhouse_implementation_spark.streaming.funnel import (
+        streaming_funnel_levels,
+    )
+
+    H = 3_600_000_000
+    # user 1 completes the chain across three batches -> level 3;
+    # user 2's click lands past the 6h window -> level 1;
+    # user 3 clicks without ever viewing -> level 0.
+    files = [
+        [(1, 10, "view", 1 * H), (2, 20, "view", 1 * H), (3, 30, "click", 1 * H)],
+        [(1, 11, "click", 2 * H)],
+        [(1, 12, "purchase", 3 * H), (2, 21, "click", 9 * H)],
+    ]
+    wire = tmp_path / "wire"
+    wire.mkdir()
+    now = time.time()
+    for i, rows in enumerate(files):
+        p = wire / f"chunk-{i:02d}.json"
+        p.write_text(
+            "\n".join(
+                json.dumps(
+                    {"user_id": u, "event_id": e, "event_type": t, "e_us": us}
+                )
+                for u, e, t, us in rows
+            )
+            + "\n"
+        )
+        os.utime(p, (now + 10 * i, now + 10 * i))
+    ev = (
+        spark.readStream.schema("user_id long, event_id long, event_type string, e_us long")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(wire))
+        .select("user_id", "event_id", "event_type", F.timestamp_micros("e_us").alias("ts"))
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key)
+    spark.conf.set(key, STATE_STORE_PROVIDERS[provider])
+    try:
+        q = (
+            streaming_funnel_levels(ev)
+            .writeStream.format("memory")
+            .queryName(f"funnel_{provider}")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+    finally:
+        spark.conf.set(key, old)
+    final = {
+        r["user_id"]: r["lv"]
+        for r in spark.sql(
+            f"SELECT user_id, max(funnel_level) AS lv FROM funnel_{provider} GROUP BY user_id"
+        ).collect()
+    }
+    assert final == {1: 3, 2: 1, 3: 0}

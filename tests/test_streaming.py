@@ -276,3 +276,25 @@ def test_streaming_dedup(spark, tmp_path):
     q.awaitTermination()
     n = spark.sql("SELECT count(*) AS n FROM dedup_out").head()["n"]
     assert n == 40
+
+
+def test_document_wire_duplicates_land_in_later_batches(spark, sf_dir):
+    """The corpus-stream duplicate injection is only non-vacuous if each
+    document's duplicate arrives in a LATER micro-batch than its
+    original. The file source processes files oldest-mtime-first under
+    maxFilesPerTrigger=1, so the property reduces to: one dup file per
+    part file, and every dup mtime strictly after every original's."""
+    import os
+
+    from kafka_clickhouse_implementation_spark.streaming.corpus_stream import (
+        document_wire,
+    )
+
+    wire, _ = document_wire(spark, sf_dir)
+    names = os.listdir(wire)
+    parts = [n for n in names if n.startswith("part-") and n.endswith(".json")]
+    dups = [n for n in names if n.startswith("dup-") and n.endswith(".json")]
+    assert len(parts) == len(dups) > 0
+    newest_part = max(os.path.getmtime(os.path.join(wire, p)) for p in parts)
+    oldest_dup = min(os.path.getmtime(os.path.join(wire, d)) for d in dups)
+    assert oldest_dup > newest_part
