@@ -168,9 +168,9 @@ def test_multimodal_stub_and_features(spark):
     )
     import pytest
 
-    # compressed formats remain honestly stubbed; corrupt input raises
+    # codec-lib formats remain honestly stubbed; corrupt input raises
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+        decode_image(b"\xff\xd8\xff\xe0 jpeg")
     with pytest.raises(ValueError):
         parse_bmp(b"XX not a bitmap")
 
@@ -185,3 +185,56 @@ def test_multimodal_stub_and_features(spark):
     out = extract_features(assets).collect()
     assert out[0]["n_bytes"] == 9
     assert len(out[0]["features"]) == 4
+
+
+def test_png_codec_roundtrip_all_filters():
+    """parse_png must reverse every PNG scanline filter: encode the
+    same image once per uniform filter type (and once with the 0..4
+    cycle), decode, and require exact pixel recovery; corrupt CRC and
+    truncated payloads must fail loudly."""
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from kafka_clickhouse_implementation_spark.operators.multimodal import (
+        decode_image,
+        encode_png,
+        parse_png,
+    )
+
+    rng = np.random.RandomState(11)
+    for w, h in [(1, 1), (4, 5), (7, 3), (16, 11)]:
+        px = rng.randint(0, 256, size=3 * w * h).tolist()
+        for filters in (None, *([[f] * h for f in range(5)])):
+            dec = parse_png(encode_png(w, h, px, filters))
+            assert (dec["width"], dec["height"]) == (w, h), filters
+            assert dec["values"] == px, filters
+
+    # magic-byte dispatch reaches the real parser
+    px = list(range(60))
+    assert decode_image(encode_png(4, 5, px))["format"] == "png"
+
+    # flip one IDAT byte -> CRC check must reject
+    good = bytearray(encode_png(4, 5, px))
+    good[len(good) - 20] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        parse_png(bytes(good))
+
+    # declared dims inconsistent with inflated length -> reject
+    import struct
+
+    def chunk(cid, body):
+        return (
+            struct.pack(">I", len(body)) + cid + body
+            + struct.pack(">I", zlib.crc32(cid + body) & 0xFFFFFFFF)
+        )
+
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 5, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="length"):
+        parse_png(bad)
