@@ -24,43 +24,38 @@ _ORACLES: dict[str, str] = {}
 _ORIGIN: dict[str, tuple[str, int]] = {}  # name -> (defining module, registration seq)
 _SEQ = 0
 
-# Round-4 curated correctness window. The driver's harness records the
+# Round-5 curated correctness window. The driver's harness records the
 # FIRST 50 registered queries each round, so this explicit list — not
 # module import order — decides what gets a hard-signal driver row.
-# Round 1 checked tier_a/tpch-adjacent slots; round 2 the
-# reference-parity + LLM tier; round 3 the 43 then-never-checked
-# queries (45 green / 2 array-ERR). Round 4 rotates in (a) the 20
-# queries that have never had a driver row, (b) the two array-column
-# queries whose r3 rows ERRed in the driver canonicalizer, now
-# serialized at the boundary, (c) the four new round-4 queries, and
-# (d) 24 sentinels weighted toward timestamp-reading queries (the
-# testdata timestamp encoding changed to micros-NTZ this round — every
-# unix_micros/window/to_date path deserves a fresh hard-signal row).
-# After r4 the r1∪r2∪r3∪r4 union covers every oracle-backed query.
+# History: r1 tier_a/tpch slots; r2 reference-parity + LLM tier; r3 the
+# 43 then-never-checked; r4 the never-checked remainder + fixes + 8 new
+# + ts sentinels (after r4 every oracle-backed query had ≥1 green row).
+# Round 5 is an ANTI-STALENESS rotation (round-4 verdict item 9: the
+# micros-NTZ shock proved old green rows go stale): (a) the four new
+# round-5 queries, (b) ALL 40 queries whose only driver row dates from
+# round 1, (c) 6 high-value round-2-cohort picks (ingest round-trip,
+# exact dedup, the Jaccard-pair LSH twin, the three UDx tiers). The remaining 36
+# r2-cohort queries rotate in next round; tools/check_oracle.py full
+# runs stay the local gate for everything outside the window.
 # Queries not listed here sort after the window, by _MODULE_RANK.
 _WINDOW_50 = [
-    # (a) never driver-checked (20)
-    "q_multimodal_decode", "q_embedding_truncate", "q_top_weighted",
-    "q_stream_sum_map", "q_stream_dedup", "q_stream_join",
-    "q_stream_sessions", "q_kmv_sketch", "q_kmv_union", "q_quartiles",
-    "q_approx_quartiles", "q_mode_by_type", "q_pivot_events",
-    "q_unpivot_measures", "q_qualify_latest", "q_limit_by",
-    "q_window_distribution", "q_first_seen_cumulative", "q_decontaminate",
-    "q_mixture_weights",
-    # (b) r3 array-ERR rows, now boundary-serialized (2)
-    "q_sum_map", "q_inverted_index",
-    # (c) new round-4 queries (8)
-    "q_stream_late_drop", "q_stream_funnel_ttl", "q_ann_portable",
-    "q_multimodal_features", "q_doc_signals", "q_unigram_surprisal",
-    "q_csv_roundtrip", "q_orc_roundtrip",
-    # (d) sentinels (20): flagships + the ts-reading regression slice
-    "q_mv_daily", "q_corpus_clean_portable", "q_partition_prune",
-    "q_pricing_summary", "q_cosine_topk", "q_sessionize",
-    "q_embedding_near_dup", "q_minhash_portable", "q_simhash_portable",
-    "q_group_array", "q_stream_mv_daily", "q_stream_funnel",
-    "q_stream_retention", "q_near_dup_components", "q_token_packing",
-    "q_stream_corpus_funnel", "q_window_funnel", "q_retention", "q_ann_recall",
-    "q_json_extract",
+    # (a) new round-5 queries (4)
+    "q_dict_get", "q_stream_kmv", "q_stream_cms", "q_multimodal_png",
+    # (b) the full round-1-only cohort (40)
+    "q_agg_suite", "q_approx_distinct", "q_approx_percentiles",
+    "q_argmax_segment", "q_argmin_first_event", "q_array_funcs",
+    "q_case_bucket", "q_cond_agg", "q_corr_cov", "q_cross_join",
+    "q_cte_reuse", "q_cube", "q_date_funcs", "q_distinct_users",
+    "q_exact_distinct", "q_exists_correlated", "q_full_outer", "q_having",
+    "q_in_subquery", "q_join_broadcast_nation", "q_join_orders_customer",
+    "q_left_join_orders", "q_math_funcs", "q_null_funcs", "q_pagination",
+    "q_percentiles", "q_pivot", "q_regex_funcs", "q_revenue_by_nation",
+    "q_rollup_day_type", "q_scalar_subquery", "q_semi_anti", "q_setops",
+    "q_string_funcs", "q_topk_spenders", "q_union_by_name",
+    "q_window_analytics", "q_window_lag", "q_window_rank", "q_window_runsum",
+    # (c) round-2-cohort picks (6)
+    "q_ingest_roundtrip", "q_dedup_docs", "q_jaccard_pairs",
+    "q_udf_domain", "q_udaf_geomean", "q_udtf_tokenize",
 ]
 
 # Canonical module order for queries OUTSIDE the curated window above.
