@@ -206,16 +206,20 @@ def ordered_event_wire(spark, sf_dir: str) -> tuple[str, str]:
     return wire_dir, base
 
 
-def wire_stream(spark, wire_dir: str) -> DataFrame:
+def wire_stream(
+    spark, wire_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """readStream over the wire, with `ts` reconstructed exactly from
-    the micros long (shared by every stateful replay query)."""
-    return (
-        spark.readStream.schema(WIRE_SCHEMA)
-        .json(wire_dir)
-        .select(
-            "user_id", "event_id", "event_type",
-            F.timestamp_micros("e_us").alias("ts"),
-        )
+    the micros long (shared by every stateful replay query).
+    ``max_files_per_trigger`` forces multi-batch replay (the file
+    source takes files oldest-mtime-first) for queries whose contract
+    is about state crossing batch boundaries."""
+    reader = spark.readStream.schema(WIRE_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.json(wire_dir).select(
+        "user_id", "event_id", "event_type",
+        F.timestamp_micros("e_us").alias("ts"),
     )
 
 

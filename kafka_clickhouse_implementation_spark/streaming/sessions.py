@@ -99,28 +99,71 @@ def q_stream_sum_map(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def interleaved_doubled_wire(wire_dir: str, base: str) -> str:
+    """Sibling wire dir where every ts-slice file appears twice, with
+    mtimes interleaved orig_0 < dup_0 < orig_1 < dup_1 < … — so under
+    maxFilesPerTrigger=1 each slice's duplicate arrives exactly one
+    micro-batch AFTER its original (cross-batch, unlike a self-union
+    whose legs advance in lockstep) while still inside the watermark
+    horizon (a dup file delayed past later slices would be dropped as
+    LATE data instead of exercising the dedup state lookup).
+    ``_DUP_READY`` gates reuse so a crash mid-copy never leaves a
+    half-built wire."""
+    import shutil
+    import time
+
+    dst = os.path.join(base, "wire_doubled")
+    ready = os.path.join(dst, "_DUP_READY")
+    if not os.path.exists(ready):
+        shutil.rmtree(dst, ignore_errors=True)
+        os.makedirs(dst)
+        parts = sorted(
+            f for f in os.listdir(wire_dir)
+            if f.startswith("part-") and f.endswith(".json")
+        )
+        now = time.time()
+        for i, p in enumerate(parts):
+            src = os.path.join(wire_dir, p)
+            orig = os.path.join(dst, p)
+            dup = os.path.join(dst, f"dup-{i:05d}.json")
+            shutil.copyfile(src, orig)
+            os.utime(orig, (now + 20.0 * i, now + 20.0 * i))
+            shutil.copyfile(src, dup)
+            os.utime(dup, (now + 20.0 * i + 10.0, now + 20.0 * i + 10.0))
+        with open(ready, "w"):
+            pass
+    return dst
+
+
 @query(
     "q_stream_dedup",
-    # After exact-duplicate injection (the wire unioned with itself)
-    # and watermarked streaming dedup on event_id, the surviving rows
-    # are exactly the original events — so plain batch counts per type
-    # hash-check the dedup state machine.
+    # After exact-duplicate injection (every ts-slice file replayed
+    # again one micro-batch after its original) and watermarked
+    # streaming dedup on event_id, the surviving rows are exactly the
+    # original events — so plain batch counts per type hash-check the
+    # dedup state machine.
     oracle="""
     SELECT event_type, CAST(count(*) AS BIGINT) AS n
     FROM events GROUP BY event_type
     """,
 )
 def q_stream_dedup(spark, sf_dir: str) -> DataFrame:
-    """Hermetic streaming dedup (SURVEY C9, now driver-checked): the
-    wire replayed TWICE (self-union — every event arrives as an exact
-    duplicate) through ``dropDuplicatesWithinWatermark`` on event_id;
-    the drained append stream must collapse back to the original
-    per-type counts. State is one event_id per event within the
-    watermark horizon, evicted as the watermark passes — the reason
-    this scales where an unbounded ``dropDuplicates`` would not."""
+    """Hermetic streaming dedup (SURVEY C9/C52, driver-checked): every
+    wire file replayed twice with interleaved mtimes (orig_i, dup_i,
+    orig_i+1, …) under maxFilesPerTrigger=1, so each event's exact
+    duplicate arrives in the NEXT micro-batch and
+    ``dropDuplicatesWithinWatermark`` on event_id must hit state
+    written by an earlier batch (r5 fix: the former self-union landed
+    original and duplicate in the SAME batch, leaving cross-batch
+    state carriage unexercised). The drained append stream must
+    collapse back to the original per-type counts. State is one
+    event_id per event within the watermark horizon, evicted as the
+    watermark passes — the reason this scales where an unbounded
+    ``dropDuplicates`` would not."""
     wire_dir, base = ordered_event_wire(spark, sf_dir)
     ckpt = os.path.join(base, "ckpt_dedup")
-    doubled = wire_stream(spark, wire_dir).union(wire_stream(spark, wire_dir))
+    doubled_dir = interleaved_doubled_wire(wire_dir, base)
+    doubled = wire_stream(spark, doubled_dir, max_files_per_trigger=1)
     deduped = doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
