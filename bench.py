@@ -62,6 +62,13 @@ HEADLINE = [
     "q_salted_agg",
     "q_ann_portable",
     "q_doc_signals",
+    # round 5 additions: broadcast dictionary lookup, the PNG decode
+    # round trip, the state-store-maintained Count-Min sketch, and the
+    # heaviest of the new partsupp family (five-join Q9 profit drill)
+    "q_dict_get",
+    "q_multimodal_png",
+    "q_stream_cms",
+    "q_tpch_q9_shape",
 ]
 
 

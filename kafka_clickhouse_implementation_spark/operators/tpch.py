@@ -651,3 +651,297 @@ def q_tpch_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+# ---- Derived partsupp (closes the round-4 verdict "missing" item 5:
+# the testdata ships no partsupp table, so the TPC-H partsupp family
+# was a harness limitation). partsupp is DERIVED deterministically from
+# lineitem's distinct (l_partkey, l_suppkey) pairs with modular integer
+# arithmetic both engines restate identically; supply cost is carried
+# in integer CENTS so every comparison, min, and sum in Q2/Q11/Q20 is
+# exact — no float discipline needed anywhere in the family.
+
+_PARTSUPP_CTE = """
+    WITH partsupp AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             CAST((l_partkey * 7 + l_suppkey * 3) % 9999 + 1 AS BIGINT) AS ps_availqty,
+             CAST((l_partkey * 13 + l_suppkey * 17) % 100000 + 100 AS BIGINT) AS ps_cost_cents
+      FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    )"""
+
+
+def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark twin of _PARTSUPP_CTE — one distinct over the two key
+    columns (map-side combined; the scan reads ONLY those two columns)
+    plus generated arithmetic, no extra shuffle beyond the distinct."""
+    li = load(spark, sf_dir, "lineitem")
+    pk, sk = F.col("ps_partkey"), F.col("ps_suppkey")
+    return (
+        li.select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .distinct()
+        .select(
+            "ps_partkey",
+            "ps_suppkey",
+            ((pk * 7 + sk * 3) % 9999 + 1).cast("long").alias("ps_availqty"),
+            ((pk * 13 + sk * 17) % 100000 + 100).cast("long").alias("ps_cost_cents"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q11_shape",
+    oracle=_PARTSUPP_CTE + """
+    , scoped AS (
+      SELECT ps_partkey, ps_availqty * ps_cost_cents AS v
+      FROM partsupp
+      JOIN supplier ON ps_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+    ), per_part AS (
+      SELECT ps_partkey, CAST(sum(v) AS BIGINT) AS value_cents
+      FROM scoped GROUP BY 1
+    ), threshold AS (
+      SELECT CAST(sum(v) // 10000 AS BIGINT) AS t FROM scoped
+    )
+    SELECT ps_partkey, value_cents
+    FROM per_part, threshold
+    WHERE value_cents > t
+    ORDER BY value_cents DESC, ps_partkey
+    LIMIT 20
+    """,
+)
+def q_tpch_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock): per-part inventory value for
+    suppliers of a nation group, kept only above a fraction of the
+    GLOBAL value — the scalar-subquery-threshold shape. Supplier and
+    nation broadcast (dims); the only data shuffle is the per-part
+    aggregation; the threshold is a 1-row broadcast crossJoin. All
+    money in integer cents: sums, the // 10000 threshold, and the
+    strict > are exact on both engines."""
+    ps = derived_partsupp(spark, sf_dir)
+    nat = (
+        load(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11"))
+        .select("n_nationkey")
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    scoped = ps.join(
+        F.broadcast(supp), ps.ps_suppkey == F.col("s_suppkey")
+    ).select(
+        "ps_partkey",
+        (F.col("ps_availqty") * F.col("ps_cost_cents")).alias("v"),
+    )
+    per_part = scoped.groupBy("ps_partkey").agg(F.sum("v").alias("value_cents"))
+    thr = scoped.agg(F.expr("sum(v) div 10000").alias("t"))
+    return (
+        per_part.crossJoin(F.broadcast(thr))
+        .filter(F.col("value_cents") > F.col("t"))
+        .orderBy(F.desc("value_cents"), "ps_partkey")
+        .limit(20)
+        .select("ps_partkey", "value_cents")
+    )
+
+
+@query(
+    "q_tpch_q2_shape",
+    oracle=_PARTSUPP_CTE + """
+    , eur AS (
+      SELECT s_suppkey, s_name, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ), cand AS (
+      SELECT ps_partkey, ps_suppkey, ps_cost_cents, s_name, n_name
+      FROM partsupp
+      JOIN eur ON ps_suppkey = s_suppkey
+      JOIN part ON p_partkey = ps_partkey
+      WHERE p_size <= 5 AND p_type = 'STANDARD'
+    ), best AS (
+      SELECT *, min(ps_cost_cents) OVER (PARTITION BY ps_partkey) AS min_cents
+      FROM cand
+    )
+    SELECT ps_partkey, ps_suppkey, s_name, n_name, ps_cost_cents
+    FROM best WHERE ps_cost_cents = min_cents
+    ORDER BY ps_partkey, ps_suppkey
+    LIMIT 25
+    """,
+)
+def q_tpch_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier): for each qualifying part, the
+    European supplier(s) with the minimum supply cost — the correlated-
+    min shape, expressed as a PARTITIONED window min + equality (never
+    a global window; ties kept deterministically). part/supplier/
+    nation/region all broadcast; the window partitions by ps_partkey,
+    the same key the candidate join already hashed on. Cents keep the
+    min/equality exact."""
+    ps = derived_partsupp(spark, sf_dir)
+    eur = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    part = (
+        load(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 5) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey")
+    )
+    cand = (
+        ps.join(F.broadcast(eur), ps.ps_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(part), ps.ps_partkey == F.col("p_partkey"))
+        .select("ps_partkey", "ps_suppkey", "ps_cost_cents", "s_name", "n_name")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("ps_partkey")
+    return (
+        cand.withColumn("min_cents", F.min("ps_cost_cents").over(w))
+        .filter(F.col("ps_cost_cents") == F.col("min_cents"))
+        .orderBy("ps_partkey", "ps_suppkey")
+        .limit(25)
+        .select("ps_partkey", "ps_suppkey", "s_name", "n_name", "ps_cost_cents")
+    )
+
+
+@query(
+    "q_tpch_q20_shape",
+    oracle=_PARTSUPP_CTE + """
+    , shipped AS (
+      SELECT l_partkey, l_suppkey, CAST(sum(l_quantity) AS BIGINT) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+      GROUP BY 1, 2
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT ps_suppkey
+      FROM partsupp
+      JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+      JOIN part ON p_partkey = ps_partkey
+      WHERE p_name LIKE 'small%' AND ps_availqty * 2 > qty
+    )
+    ORDER BY s_suppkey
+    LIMIT 20
+    """,
+)
+def q_tpch_q20_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion): suppliers whose stock of
+    'small%' parts exceeds half of what they shipped in 1998 — the
+    nested-semi-join shape. The year filter pushes to the lineitem
+    scan; the half-of-shipped comparison is availqty*2 > qty in exact
+    integers (quantities are integral); the supplier filter is a LEFT
+    SEMI join so supplier rows are never duplicated by multi-part
+    matches."""
+    ps = derived_partsupp(spark, sf_dir)
+    li = load(spark, sf_dir, "lineitem")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").cast("long").alias("qty"))
+    )
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    qualifying = (
+        ps.join(
+            shipped,
+            (ps.ps_partkey == F.col("l_partkey"))
+            & (ps.ps_suppkey == F.col("l_suppkey")),
+        )
+        .join(F.broadcast(part), ps.ps_partkey == F.col("p_partkey"))
+        .filter(F.col("ps_availqty") * 2 > F.col("qty"))
+        .select("ps_suppkey")
+    )
+    return (
+        load(spark, sf_dir, "supplier")
+        .join(qualifying, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
+        .orderBy("s_suppkey")
+        .limit(20)
+        .select("s_suppkey", "s_name")
+    )
+
+
+@query(
+    "q_tpch_q9_shape",
+    oracle=_PARTSUPP_CTE + """
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                               - (ps_cost_cents / 100.0) * l_quantity
+                               AS DECIMAL(28,8))), 2) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY 1, 2
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q_tpch_q9_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit, the last of the 22 shapes): per
+    (nation, order year) profit where unit cost comes from the derived
+    partsupp. Five joins — part/supplier/nation broadcast, partsupp and
+    orders shuffle on keys lineitem already carries; the p_name filter
+    prunes the fact rows via the broadcast part join before any
+    exchange. Profit amounts are identical IEEE expressions on both
+    engines (cents/100.0 is the same double everywhere), then
+    decimal-accumulated per the functions/numeric discipline."""
+    li = load(spark, sf_dir, "lineitem")
+    ps = derived_partsupp(spark, sf_dir)
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey")
+    )
+    supp_nat = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - (F.col("ps_cost_cents") / F.lit(100.0)) * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            ps,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(dsum(amount).alias("profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
