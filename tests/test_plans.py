@@ -4,13 +4,17 @@ bucketed joins don't shuffle."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
 from kafka_clickhouse_implementation_spark.plans.bucketing import bucketed_join, write_bucketed
 from kafka_clickhouse_implementation_spark.registry import all_queries
 
-SF = "/root/testdata/sf0.001"
+# Same override as conftest.sf_dir, so the whole suite can be pointed at
+# the self-generated sf1-equivalent dataset (tools/make_scale_data.py).
+SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 def _plan(df) -> str:
@@ -217,3 +221,26 @@ def test_ann_portable_bucketing_is_narrow_codegen_map(spark):
     assert "Exchange" not in plan, plan
     assert "Generate" not in plan, plan  # no explode
     assert plan.lstrip().startswith("*"), plan  # WholeStageCodegen project
+
+
+def test_dict_get_broadcasts_dictionary(spark):
+    """C67: the dictionary ships as a broadcast hash relation (LeftOuter
+    BuildRight); the fact side is never shuffled for the lookup — the
+    only exchange is the final aggregation's."""
+    plan = _plan(all_queries()["q_dict_get"](spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_derived_partsupp_prunes_lineitem_scan(spark):
+    """The derived partsupp's distinct must read ONLY the two key
+    columns — a scan that drags the five measure columns through the
+    distinct would be a 100 TB disaster."""
+    plan = _plan(all_queries()["q_tpch_q11_shape"](spark, SF))
+    scan = next(
+        l for l in plan.splitlines()
+        if "FileScan parquet" in l and "l_partkey" in l
+    )
+    assert "ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>" in scan, scan
+    # threshold is a 1-row broadcast, result a TakeOrdered - no global sort
+    assert "TakeOrderedAndProject" in plan, plan
