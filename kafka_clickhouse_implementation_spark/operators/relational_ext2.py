@@ -362,3 +362,60 @@ def q_dict_get(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("c_acctbal")).alias("total_bal"),
         )
     )
+
+
+@query(
+    "q_ema",
+    # The fold is IEEE-deterministic because the order is pinned and
+    # alpha=0.5 is an exact binary fraction: both engines execute the
+    # identical x_0-seeded left fold 0.5*x + 0.5*acc over the same
+    # (ts, event_id)-sorted sequence, so the doubles are bit-identical
+    # — no rounding needed (the same order-control recipe as
+    # q_unigram_surprisal).
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             list(value ORDER BY ts, event_id) AS vals,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events WHERE user_id < 100 GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           list_reduce(vals, (acc, x) -> CAST(0.5 AS DOUBLE) * x
+                                         + CAST(0.5 AS DOUBLE) * acc) AS ema
+    FROM seq
+    """,
+)
+def q_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``exponentialMovingAverage`` analogue (C72): per-user
+    EMA of event value over the (ts, event_id)-ordered stream,
+    alpha=1/2, seeded with the first observation. The sequence is
+    assembled by sorting structs inside ONE aggregation buffer
+    (shuffle-order-free, same pattern as groupArray) and folded with a
+    JVM-side higher-order ``aggregate`` — per-user state is one double,
+    and at 100 TB the shuffle carries (user, value, ts) triples once.
+    Streaming twin: the same fold is an applyInPandasWithState update
+    (one double of state per user), the C25 machinery."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    arr = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.unix_micros("ts").alias("ts_us"),
+                F.col("event_id"),
+                F.col("value"),
+            )
+        )
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(arr.alias("seq"), F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            "n_events",
+            F.expr(
+                "aggregate(slice(transform(seq, s -> s.value), 2, size(seq) - 1),"
+                " transform(seq, s -> s.value)[0],"
+                " (acc, x) -> CAST(0.5 AS DOUBLE) * x"
+                "             + CAST(0.5 AS DOUBLE) * acc)"
+            ).alias("ema"),
+        )
+    )

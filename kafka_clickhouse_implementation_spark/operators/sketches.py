@@ -149,3 +149,145 @@ def q_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.agg(
         F.max("h").alias("kth_hash"), F.count("*").cast("long").alias("k_kept")
     )
+
+
+def hash_slice_sql(j: int, mod: int, col: str = "h") -> str:
+    """Integer value of the j-th disjoint 8-nibble (32-bit) slice of a
+    32-hex md5 digest column, mod ``mod`` — identical SQL text runs on
+    Spark and DuckDB. md5 bits are uniform, so the four disjoint slices
+    act as four independent-enough hash functions from ONE digest (the
+    standard trick; used by the streaming Count-Min bucketer and the
+    Bloom filter below)."""
+    expr = " + ".join(
+        f"CAST(instr('{_HEX}', substr({col}, {8 * j + i + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"CAST(({expr}) % {mod} AS BIGINT)"
+
+
+# Bloom geometry: M bits as 32-bit words (a 1<<63 bit literal overflows
+# DuckDB's BIGINT shift, so words stay 32-bit), K hash slices per item.
+BLOOM_M = 1024
+BLOOM_K = 3
+_ABSENT_PROBES = 10
+
+
+def _bloom_words_build(toks: DataFrame) -> DataFrame:
+    """(word, v) pairs of the Bloom bitmap: every distinct token sets
+    BLOOM_K bit positions; words aggregate with bit_or — a mergeable,
+    order-independent partial aggregate (each partition ships at most
+    M/32 words, the whole filter is 4 KiB)."""
+    hashed = toks.distinct().withColumn("h", F.md5(F.col("tok").cast("binary")))
+    pos = hashed.select(
+        F.explode(
+            F.array(
+                *[F.expr(hash_slice_sql(j, BLOOM_M)).alias("p") for j in range(BLOOM_K)]
+            )
+        ).alias("p")
+    )
+    return pos.groupBy(F.expr("p div 32").alias("w")).agg(
+        F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT)))").alias("v")
+    )
+
+
+@query(
+    "q_bloom_filter",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ), hashed AS (
+      SELECT tok, md5(tok) AS h FROM (SELECT DISTINCT tok FROM toks)
+    ), pos AS (
+      {" UNION ALL ".join(
+        f"SELECT {hash_slice_sql(j, BLOOM_M)} AS p FROM hashed"
+        for j in range(BLOOM_K)
+      )}
+    ), words AS (
+      SELECT p // 32 AS w, bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS v
+      FROM pos GROUP BY 1
+    ), probes AS (
+      SELECT tok AS probe FROM toks GROUP BY tok
+      ORDER BY count(*) DESC, tok LIMIT 10
+    ), all_probes AS (
+      SELECT probe FROM probes
+      UNION ALL
+      SELECT 'absent_' || CAST(i AS VARCHAR) FROM range({_ABSENT_PROBES}) t(i)
+    ), probe_pos AS (
+      {" UNION ALL ".join(
+        f"SELECT probe, {hash_slice_sql(j, BLOOM_M)} AS p"
+        f" FROM (SELECT probe, md5(probe) AS h FROM all_probes)"
+        for j in range(BLOOM_K)
+      )}
+    ), checked AS (
+      SELECT pp.probe,
+             coalesce((wd.v >> CAST(pp.p % 32 AS INT)) & 1, 0) AS bit_set
+      FROM probe_pos pp LEFT JOIN words wd ON pp.p // 32 = wd.w
+    )
+    SELECT c.probe,
+           min(c.bit_set) = 1 AS predicted_member,
+           max(CASE WHEN t.tok IS NOT NULL THEN 1 ELSE 0 END) = 1 AS actual_member
+    FROM checked c
+    LEFT JOIN (SELECT DISTINCT tok FROM toks) t ON c.probe = t.tok
+    GROUP BY c.probe
+    """,
+)
+def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Bloom-filter membership (ClickHouse ``bloom_filter``
+    skip-index analogue, and the structure Spark itself injects for
+    runtime join pruning — here built as a first-class, value-checked
+    operator): the corpus vocabulary sets K=3 md5-slice positions in an
+    M=1024-bit bitmap aggregated with bit_or (mergeable and
+    order-independent, hence exactly driver-checkable — the whole
+    bitmap, not a sample, is pinned through the probe answers). Probes:
+    the 10 most frequent tokens (all must hit) plus 10 synthetic
+    absentees (may false-positive, deterministically — both engines
+    compute the same FP set). At 100 TB the filter is a 4 KiB partial
+    aggregate per partition; membership tests broadcast it."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    words = _bloom_words_build(toks)
+
+    present = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "tok")
+        .limit(10)
+        .select(F.col("tok").alias("probe"))
+    )
+    absent = spark.range(_ABSENT_PROBES).select(
+        F.concat(F.lit("absent_"), F.col("id").cast("string")).alias("probe")
+    )
+    all_probes = present.unionAll(absent).withColumn(
+        "h", F.md5(F.col("probe").cast("binary"))
+    )
+    probe_pos = all_probes.select(
+        "probe",
+        F.explode(
+            F.array(
+                *[F.expr(hash_slice_sql(j, BLOOM_M)).alias("p") for j in range(BLOOM_K)]
+            )
+        ).alias("p"),
+    )
+    checked = (
+        probe_pos.join(
+            F.broadcast(words), F.expr("p div 32") == F.col("w"), "left"
+        )
+        .select(
+            "probe",
+            F.expr("coalesce((v >> CAST(p % 32 AS INT)) & 1, 0)").alias("bit_set"),
+        )
+    )
+    vocab = toks.distinct().withColumnRenamed("tok", "vtok")
+    return (
+        checked.join(
+            F.broadcast(vocab), F.col("probe") == F.col("vtok"), "left"
+        )
+        .groupBy("probe")
+        .agg(
+            (F.min("bit_set") == 1).alias("predicted_member"),
+            (F.max(F.when(F.col("vtok").isNotNull(), 1).otherwise(0)) == 1).alias(
+                "actual_member"
+            ),
+        )
+    )

@@ -166,23 +166,16 @@ CMS_W = 512
 TOP_N = 10
 
 
-from kafka_clickhouse_implementation_spark.operators.sketches import _HEX  # noqa: E402
+from kafka_clickhouse_implementation_spark.operators.sketches import (  # noqa: E402
+    hash_slice_sql,
+)
 
 
 def _bucket_sql_row(j: int) -> str:
     """Bucket index for CMS hash row `j`, carved from ONE md5 digest
-    column `h`: the 32-hex digest yields four disjoint 8-nibble (32-bit)
-    slices, each uniform and pairwise-independent-enough for CMS (md5
-    bits are uniform; disjoint bit ranges are the standard way to get d
-    hashes from one digest). One md5 per token instead of d — measured
-    ~2× faster end-to-end on the streaming drain. Identical SQL text
-    runs on Spark and DuckDB."""
-    expr = " + ".join(
-        f"CAST(instr('{_HEX}', substr(h, {8 * j + i + 1}, 1)) - 1 AS BIGINT)"
-        f" * {16 ** (7 - i)}"
-        for i in range(8)
-    )
-    return f"CAST(({expr}) % {CMS_W} AS BIGINT)"
+    column `h` (see sketches.hash_slice_sql — one md5 per token instead
+    of d; measured ~1.6× faster end-to-end on the streaming drain)."""
+    return hash_slice_sql(j, CMS_W)
 
 
 def _spark_cms_buckets(df: DataFrame, tok: str = "tok") -> DataFrame:
