@@ -31,7 +31,7 @@ _SEQ = 0
 # 43 then-never-checked; r4 the never-checked remainder + fixes + 8 new
 # + ts sentinels (after r4 every oracle-backed query had ≥1 green row).
 # Round 5 is an ANTI-STALENESS rotation (round-4 verdict item 9: the
-# micros-NTZ shock proved old green rows go stale): (a) all ELEVEN new
+# micros-NTZ shock proved old green rows go stale): (a) all TWELVE new
 # round-5 queries (each lands with a hard driver row in its own
 # round), (b) 33 of the 40 queries whose only driver row dates from
 # round 1, (c) 6 high-value round-2-cohort picks (ingest round-trip,
@@ -41,14 +41,15 @@ _SEQ = 0
 # everything outside the window.
 # Queries not listed here sort after the window, by _MODULE_RANK.
 _WINDOW_50 = [
-    # (a) new round-5 queries (11): every query added this round gets a
+    # (a) new round-5 queries (12): every query added this round gets a
     # hard driver row in its own round
     "q_dict_get", "q_stream_kmv", "q_stream_cms", "q_multimodal_png",
     "q_tpch_q2_shape", "q_tpch_q9_shape", "q_tpch_q11_shape",
     "q_tpch_q20_shape", "q_stream_dict_get", "q_bloom_filter", "q_ema",
-    # (b) the round-1-only cohort (33 of 40; the 7 most structurally
+    "q_stream_ema",
+    # (b) the round-1-only cohort (32 of 40; the 8 most structurally
     # trivial — cross_join, null_funcs, pagination, setops, having,
-    # case_bucket, union_by_name — defer to round 6 with the r2 rest)
+    # case_bucket, union_by_name, regex_funcs — defer to round 6)
     "q_agg_suite", "q_approx_distinct", "q_approx_percentiles",
     "q_argmax_segment", "q_argmin_first_event", "q_array_funcs",
     "q_cond_agg", "q_corr_cov",
@@ -56,7 +57,7 @@ _WINDOW_50 = [
     "q_exact_distinct", "q_exists_correlated", "q_full_outer",
     "q_in_subquery", "q_join_broadcast_nation", "q_join_orders_customer",
     "q_left_join_orders", "q_math_funcs",
-    "q_percentiles", "q_pivot", "q_regex_funcs", "q_revenue_by_nation",
+    "q_percentiles", "q_pivot", "q_revenue_by_nation",
     "q_rollup_day_type", "q_scalar_subquery", "q_semi_anti",
     "q_string_funcs", "q_topk_spenders",
     "q_window_analytics", "q_window_lag", "q_window_rank", "q_window_runsum",

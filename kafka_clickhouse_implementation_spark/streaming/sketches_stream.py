@@ -281,3 +281,119 @@ def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("tok").alias("token"), "exact_n")
         .agg(F.min("cnt").alias("cms_est"))
     )
+
+
+def _ema_update(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold one micro-batch of a user's events into the single-double
+    EMA state (alpha=1/2, seeded by the first observation). Within-
+    batch disorder is sorted away; cross-batch order is the wire's
+    ts-range file order — the same arrival contract as the streaming
+    funnel. n counts events folded (strictly increasing per emission),
+    so max-n per user selects the final state after draining."""
+    (user_id,) = key
+    if state.exists:
+        ema, n = state.get
+    else:
+        ema, n = 0.0, 0
+    pdf = pd.concat(list(batches), ignore_index=True)
+    pdf = pdf.sort_values(["e_us", "event_id"])
+    for v in pdf["value"]:
+        v = float(v)
+        ema = v if n == 0 else 0.5 * v + 0.5 * ema
+        n += 1
+    state.update((ema, n))
+    yield pd.DataFrame({"user_id": [user_id], "ema": [ema], "n_events": [n]})
+
+
+@query(
+    "q_stream_ema",
+    # Same oracle as the batch q_ema (relational_ext2): the incremental
+    # per-user fold drained over the multi-batch wire must reproduce
+    # the ordered batch fold bit-for-bit - alpha=1/2 keeps every
+    # intermediate exact-IEEE given the order, which the ts-ranged wire
+    # plus within-batch sort pins.
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             list(value ORDER BY ts, event_id) AS vals,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events WHERE user_id < 100 GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           list_reduce(vals, (acc, x) -> CAST(0.5 AS DOUBLE) * x
+                                         + CAST(0.5 AS DOUBLE) * acc) AS ema
+    FROM seq
+    """,
+)
+def q_stream_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C72's streaming half: the EMA maintained incrementally — ONE
+    double (plus a count) of state per user in the state store, updated
+    per micro-batch by ``applyInPandasWithState``; the drained result
+    must equal the batch ordered fold exactly. This is the
+    ClickHouse-combinator story (`exponentialMovingAverageState` /
+    `-Merge`) for an operator whose state is a scalar, the cheapest
+    possible stateful streaming aggregate. Rides a dedicated ts-ranged
+    wire (the shared funnel wire carries no `value` column); the
+    doubles round-trip the JSON wire via Python float repr, which is
+    exact for IEEE doubles."""
+    from kafka_clickhouse_implementation_spark.cachedirs import source_tagged_dir
+
+    base = source_tagged_dir("emawire1", sf_dir, "events")
+    wire_dir = os.path.join(base, "wire")
+    ready = os.path.join(wire_dir, "_WIRE_READY")
+    if not os.path.exists(ready):
+        import shutil
+        import time
+
+        shutil.rmtree(wire_dir, ignore_errors=True)
+        (
+            load(spark, sf_dir, "events")
+            .filter(F.col("user_id") < 100)
+            .select(
+                "user_id", "event_id", "value",
+                F.unix_micros("ts").alias("e_us"),
+            )
+            .repartitionByRange(4, "e_us", "event_id")
+            .sortWithinPartitions("e_us", "event_id")
+            .write.mode("overwrite")
+            .json(wire_dir)
+        )
+        # One Spark job writes all slices with ~equal mtimes, but the
+        # EMA fold is ORDER-SENSITIVE and the file source processes
+        # oldest-mtime-first — stamp strictly increasing mtimes in
+        # part-name (== time-range) order so batch order IS time order.
+        parts = sorted(
+            f for f in os.listdir(wire_dir)
+            if f.startswith("part-") and f.endswith(".json")
+        )
+        now = time.time()
+        for i, p in enumerate(parts):
+            os.utime(os.path.join(wire_dir, p), (now + 10.0 * i, now + 10.0 * i))
+        with open(ready, "w"):
+            pass
+    ckpt = os.path.join(base, "ckpt_ema")
+    ev = (
+        spark.readStream.schema("user_id long, event_id long, value double, e_us long")
+        .option("maxFilesPerTrigger", "1")
+        .json(wire_dir)
+    )
+    folded = ev.groupBy("user_id").applyInPandasWithState(
+        _ema_update,
+        outputStructType="user_id long, ema double, n_events long",
+        stateStructType="ema double, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = "stream_ema_out"
+    _drain(spark, folded, name, ckpt, mode="update")
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max_by("ema", "n_events").alias("ema"),
+            F.max("n_events").alias("n_events"),
+        )
+        .select("user_id", "n_events", "ema")
+    )

@@ -1,9 +1,9 @@
 """Registry-window guard: the driver's correctness harness records only
 the FIRST 50 registered queries. Round 5 re-curated the window as an
-anti-staleness rotation: (a) all eleven new round-5 queries (dictGet
+anti-staleness rotation: (a) all twelve new round-5 queries (dictGet
 batch+stream, streaming KMV, streaming Count-Min, PNG decode, the
-partsupp family, Bloom filter, EMA), (b) 33 of the 40 queries whose
-only driver row dated from round 1 (7 trivial ones defer to round 6),
+partsupp family, Bloom filter, EMA), (b) 32 of the 40 queries whose
+only driver row dated from round 1 (8 trivial ones defer to round 6),
 (c) six high-value round-2-cohort picks. The window is an explicit name list in
 registry._WINDOW_50; this test pins the exact 50 so any registry change
 that perturbs the driver's view fails loudly.
@@ -20,14 +20,15 @@ from kafka_clickhouse_implementation_spark.registry import (
 )
 
 WINDOW_50 = [
-    # (a) new round-5 queries (11): every query added this round gets a
+    # (a) new round-5 queries (12): every query added this round gets a
     # hard driver row in its own round
     "q_dict_get", "q_stream_kmv", "q_stream_cms", "q_multimodal_png",
     "q_tpch_q2_shape", "q_tpch_q9_shape", "q_tpch_q11_shape",
     "q_tpch_q20_shape", "q_stream_dict_get", "q_bloom_filter", "q_ema",
-    # (b) the round-1-only cohort (33 of 40; the 7 most structurally
+    "q_stream_ema",
+    # (b) the round-1-only cohort (32 of 40; the 8 most structurally
     # trivial — cross_join, null_funcs, pagination, setops, having,
-    # case_bucket, union_by_name — defer to round 6 with the r2 rest)
+    # case_bucket, union_by_name, regex_funcs — defer to round 6)
     "q_agg_suite", "q_approx_distinct", "q_approx_percentiles",
     "q_argmax_segment", "q_argmin_first_event", "q_array_funcs",
     "q_cond_agg", "q_corr_cov",
@@ -35,7 +36,7 @@ WINDOW_50 = [
     "q_exact_distinct", "q_exists_correlated", "q_full_outer",
     "q_in_subquery", "q_join_broadcast_nation", "q_join_orders_customer",
     "q_left_join_orders", "q_math_funcs",
-    "q_percentiles", "q_pivot", "q_regex_funcs", "q_revenue_by_nation",
+    "q_percentiles", "q_pivot", "q_revenue_by_nation",
     "q_rollup_day_type", "q_scalar_subquery", "q_semi_anti",
     "q_string_funcs", "q_topk_spenders",
     "q_window_analytics", "q_window_lag", "q_window_rank", "q_window_runsum",
