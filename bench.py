@@ -69,6 +69,8 @@ HEADLINE = [
     "q_multimodal_png",
     "q_stream_cms",
     "q_tpch_q9_shape",
+    "q_bloom_filter",
+    "q_ema",
 ]
 
 
