@@ -70,3 +70,56 @@ def test_sessionize_matches_python_model_prop(spark, times):
     ev = spark.createDataFrame(rows, schema=EVENTS_SCHEMA)
     got = sessionize(ev).agg(F.max("session_id").alias("m")).head()["m"]
     assert got == _py_sessions(times)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=1, max_value=9),
+    st.data(),
+)
+def test_png_roundtrip_property(width, height, data):
+    """Any RGB8 image with any per-row filter assignment must survive
+    the encode→(zlib inflate + unfilter)→decode round trip exactly —
+    the pure-Python property behind q_multimodal_png's oracle check."""
+    from kafka_clickhouse_implementation_spark.operators.multimodal import (
+        encode_png,
+        parse_png,
+    )
+
+    px = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=255),
+            min_size=3 * width * height,
+            max_size=3 * width * height,
+        )
+    )
+    filters = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=4),
+            min_size=height,
+            max_size=height,
+        )
+    )
+    dec = parse_png(encode_png(width, height, px, filters))
+    assert (dec["width"], dec["height"]) == (width, height)
+    assert dec["values"] == px
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                          allow_nan=False, allow_infinity=False),
+                min_size=1, max_size=30))
+def test_ema_fold_model(vals):
+    """The alpha=1/2 EMA fold is exactly reproducible: seeded by x0,
+    each step 0.5*x + 0.5*acc; folding the same sequence twice (or in
+    two chunks carrying the scalar state across, as the streaming twin
+    does) gives bit-identical doubles."""
+    def fold(seq, acc=None):
+        for x in seq:
+            acc = x if acc is None else 0.5 * x + 0.5 * acc
+        return acc
+
+    whole = fold(vals)
+    for cut in (1, len(vals) // 2, len(vals)):
+        assert fold(vals[cut:], fold(vals[:cut])) == whole

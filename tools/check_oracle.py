@@ -92,7 +92,15 @@ def main() -> int:
     spark = get_spark("check_oracle")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # testdata ships single parquet FILES; self-generated datasets
+        # (tools/make_scale_data.py) are Spark-written DIRECTORIES of
+        # part files — glob in that case so both layouts register.
+        path = f"{sf_dir}/{t}.parquet"
+        import os as _os
+
+        if _os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
