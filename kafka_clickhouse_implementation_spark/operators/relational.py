@@ -497,8 +497,8 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
            CAST(month(o_orderdate) AS INTEGER) AS mo,
            count(*) AS n,
-           round(avg(CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS DOUBLE)), 4)
-             AS avg_days_since_1995
+           (CAST(CAST(sum(datediff('day', DATE '1995-01-01', o_orderdate)) AS BIGINT)
+                 AS DOUBLE) / count(*)) AS avg_days_since_1995
     FROM orders GROUP BY 1, 2
     """,
 )
@@ -514,7 +514,10 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("yr", "mo")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg(F.col("dd").cast("double")), 4).alias("avg_days_since_1995"),
+            # exact integer sum -> ONE IEEE division: engine-portable at
+            # any data, unlike round(avg(double)) which flips at .xxx5
+            # boundaries (q_docs_by_lang failed exactly this way at sf1)
+            (F.sum("dd").cast("double") / F.count(F.lit(1))).alias("avg_days_since_1995"),
         )
     )
 
@@ -526,8 +529,10 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            (CAST(round(sum(CAST(abs(c_acctbal) AS DECIMAL(28,8))), 4) AS DOUBLE) / count(*)) AS avg_abs,
            CAST(sum(CAST(floor(c_acctbal) AS BIGINT)) AS BIGINT) AS sum_floor,
            CAST(sum(CAST(ceil(c_acctbal) AS BIGINT)) AS BIGINT) AS sum_ceil,
-           round(sqrt(avg(c_acctbal * c_acctbal)), 2) AS rms,
-           round(avg(ln(abs(c_acctbal) + 1)), 4) AS avg_ln,
+           sqrt(CAST(round(sum(CAST(c_acctbal * c_acctbal AS DECIMAL(28,8))), 4) AS DOUBLE)
+                / count(*)) AS rms,
+           (CAST(sum(CAST(floor(ln(abs(c_acctbal) + 1) * 1e9) AS BIGINT)) AS BIGINT)
+            / 1e9 / count(*)) AS avg_ln,
            CAST(sum(c_custkey % 7) AS BIGINT) AS sum_mod
     FROM customer GROUP BY 1
     """,
@@ -540,8 +545,17 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
          / F.count(F.lit(1))).alias("avg_abs"),
         F.sum(F.floor(F.col("c_acctbal"))).alias("sum_floor"),
         F.sum(F.ceil(F.col("c_acctbal"))).alias("sum_ceil"),
-        F.round(F.sqrt(F.avg(F.col("c_acctbal") * F.col("c_acctbal"))), 2).alias("rms"),
-        F.round(F.avg(F.log(F.abs(F.col("c_acctbal")) + 1)), 4).alias("avg_ln"),
+        # rms: decimal-accumulated sum of squares (order-free), one
+        # division + sqrt (both correctly-rounded IEEE); avg_ln: ln is
+        # NOT correctly rounded cross-engine, so each term is quantized
+        # to integer nano-units BEFORE summing (the LSH projection
+        # recipe) - the sum is then exact on both engines
+        F.sqrt(
+            F.round(F.sum((F.col("c_acctbal") * F.col("c_acctbal")).cast("decimal(28,8)")), 4)
+            .cast("double") / F.count(F.lit(1))
+        ).alias("rms"),
+        (F.sum(F.floor(F.log(F.abs(F.col("c_acctbal")) + 1) * 1e9).cast("long"))
+         / F.lit(1e9) / F.count(F.lit(1))).alias("avg_ln"),
         F.sum(F.col("c_custkey") % 7).alias("sum_mod"),
     )
 
@@ -551,7 +565,8 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT label,
            count(*) AS n_vals,
-           round(avg(CAST(e AS DOUBLE)), 6) AS avg_val
+           (CAST(round(sum(CAST(CAST(e AS DOUBLE) AS DECIMAL(28,8))), 6) AS DOUBLE)
+            / count(*)) AS avg_val
     FROM (SELECT label, unnest(embedding) AS e FROM embeddings)
     GROUP BY label
     """,
@@ -566,7 +581,11 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vals"),
-            F.round(F.avg(F.col("e").cast("double")), 6).alias("avg_val"),
+            # widen float->double BEFORE the decimal cast: casting a
+            # FLOAT to decimal rounds its shortest repr in Spark but its
+            # exact binary value in DuckDB; float->double is exact in both
+            (F.round(F.sum(F.col("e").cast("double").cast("decimal(28,8)")), 6).cast("double")
+             / F.count(F.lit(1))).alias("avg_val"),
         )
     )
 

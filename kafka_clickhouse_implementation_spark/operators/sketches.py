@@ -278,10 +278,21 @@ def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("coalesce((v >> CAST(p % 32 AS INT)) & 1, 0)").alias("bit_set"),
         )
     )
-    vocab = toks.distinct().withColumnRenamed("tok", "vtok")
+    # Ground truth: semi-join the (huge) vocabulary against the TINY
+    # broadcast probe set — never broadcast the vocabulary itself; the
+    # surviving rows are the <= 20 probes actually present.
+    present_probes = (
+        toks.distinct()
+        .join(
+            F.broadcast(all_probes.select("probe")),
+            F.col("tok") == F.col("probe"),
+            "left_semi",
+        )
+        .withColumnRenamed("tok", "vtok")
+    )
     return (
         checked.join(
-            F.broadcast(vocab), F.col("probe") == F.col("vtok"), "left"
+            F.broadcast(present_probes), F.col("probe") == F.col("vtok"), "left"
         )
         .groupBy("probe")
         .agg(

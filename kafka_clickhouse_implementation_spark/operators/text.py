@@ -43,7 +43,7 @@ def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_docs_by_lang",
     oracle="""
     SELECT lang, source, count(*) AS n,
-           round(avg(CAST(n_chars AS DOUBLE)), 2) AS avg_chars
+           (CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) / count(*)) AS avg_chars
     FROM documents GROUP BY 1, 2
     """,
 )
@@ -53,7 +53,10 @@ def q_docs_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return docs.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg(F.col("n_chars").cast("double")), 2).alias("avg_chars"),
+        # exact integer sum -> ONE IEEE division: round(avg(double))
+        # flipped at a .xx5 boundary on the sf1-equivalent data (the
+        # only differential failure at 100x the gate scale, round 5)
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
     )
 
 
@@ -61,7 +64,8 @@ def q_docs_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_token_count",
     oracle="""
     SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
-           round(avg(CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS avg_tokens,
+           (CAST(CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS DOUBLE)
+            / count(*)) AS avg_tokens,
            CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
     FROM documents
     """,
@@ -73,7 +77,7 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntok = F.size(F.split("text", " "))
     return docs.agg(
         F.sum(ntok).cast("long").alias("total_tokens"),
-        F.round(F.avg(ntok.cast("double")), 4).alias("avg_tokens"),
+        (F.sum(ntok).cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
         F.max(ntok).cast("long").alias("max_tokens"),
     )
 
@@ -82,11 +86,13 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_quality_score",
     oracle="""
     SELECT lang,
-           round(avg(CAST(len(list_filter(string_split(text, ' '),
-                                          x -> x IN ('the', 'a', 'of', 'and'))) AS DOUBLE)
-                     / len(string_split(text, ' '))), 4) AS avg_stop_ratio,
-           round(avg(CAST(n_chars AS DOUBLE) / len(string_split(text, ' '))), 4)
-             AS avg_chars_per_tok,
+           (CAST(round(sum(CAST(CAST(len(list_filter(string_split(text, ' '),
+                                               x -> x IN ('the', 'a', 'of', 'and'))) AS DOUBLE)
+                                / len(string_split(text, ' ')) AS DECIMAL(28,8))), 4) AS DOUBLE)
+            / count(*)) AS avg_stop_ratio,
+           (CAST(round(sum(CAST(CAST(n_chars AS DOUBLE) / len(string_split(text, ' '))
+                                AS DECIMAL(28,8))), 4) AS DOUBLE)
+            / count(*)) AS avg_chars_per_tok,
            CAST(sum(CASE WHEN len(string_split(text, ' ')) >= 20 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_long_docs
     FROM documents GROUP BY 1
@@ -101,8 +107,13 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntok = F.size(toks)
     nstop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
     return docs.groupBy("lang").agg(
-        F.round(F.avg(nstop.cast("double") / ntok), 4).alias("avg_stop_ratio"),
-        F.round(F.avg(F.col("n_chars").cast("double") / ntok), 4).alias("avg_chars_per_tok"),
+        # decimal-accumulated ratio sums (order-free), one division -
+        # round(avg(double)) is partition-order dependent AND boundary-
+        # fragile (see q_docs_by_lang's sf1 failure)
+        (F.round(F.sum((nstop.cast("double") / ntok).cast("decimal(28,8)")), 4).cast("double")
+         / F.count(F.lit(1))).alias("avg_stop_ratio"),
+        (F.round(F.sum((F.col("n_chars").cast("double") / ntok).cast("decimal(28,8)")), 4)
+         .cast("double") / F.count(F.lit(1))).alias("avg_chars_per_tok"),
         F.sum(F.when(ntok >= 20, 1).otherwise(0)).alias("n_long_docs"),
     )
 
@@ -158,8 +169,8 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT)
              AS total_subtokens,
-           round(avg(CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS DOUBLE)), 4)
-             AS avg_subtokens
+           (CAST(CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT)
+                 AS DOUBLE) / count(*)) AS avg_subtokens
     FROM documents
     """,
 )
@@ -171,7 +182,7 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntok = F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0)))
     return docs.agg(
         F.sum(ntok).cast("long").alias("total_subtokens"),
-        F.round(F.avg(ntok.cast("double")), 4).alias("avg_subtokens"),
+        (F.sum(ntok).cast("double") / F.count(F.lit(1))).alias("avg_subtokens"),
     )
 
 
