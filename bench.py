@@ -71,6 +71,13 @@ HEADLINE = [
     "q_tpch_q9_shape",
     "q_bloom_filter",
     "q_ema",
+    # late-round-5 additions: the JPEG entropy-decode round trip, the
+    # double-window interval-union operator, the two-ranking Spearman,
+    # and the plain-streaming-aggregation Bloom twin
+    "q_multimodal_jpeg",
+    "q_interval_length_sum",
+    "q_rank_corr",
+    "q_stream_bloom",
 ]
 
 

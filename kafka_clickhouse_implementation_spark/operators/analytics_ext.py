@@ -1,0 +1,847 @@
+"""ClickHouse behavioral/statistical aggregate parity, batch 3
+(round 6): intervalLengthSum, maxIntersections(+Position),
+boundingRatio, rankCorr (Spearman), welchTTest, entropy, and
+sequenceNextNode — each an oracle-checked query over ``events``.
+
+Interval model shared by the first two operators: every event opens a
+deterministic interval [start_us, start_us + (event_id % 7 + 1)
+minutes) — the payload carries no explicit end column, so the duration
+is derived reproducibly from event_id arithmetic that the oracle
+restates verbatim (same trick as the multimodal payload synthesis).
+All interval arithmetic is integer microseconds end-to-end.
+
+Float discipline (functions/numeric.py, ROUNDLOG r5 'latent
+round(avg)' entry): no double is ever ROUNDed. Statistics emit raw
+IEEE expressions whose inputs are exact integers/decimals rendered
+identically on both engines — every +,*,/,sqrt is correctly rounded in
+IEEE 754, so identical expression trees over bit-identical inputs
+yield bit-identical doubles. ln() is NOT correctly rounded across
+libm/Java, so entropy quantizes each ln term to integer nano-units
+before summing (the q_math_funcs avg_ln pattern).
+
+Scale: every window below partitions on user_id or event_type — never
+a global ORDER BY window (the no-bare-WindowExec plan rule,
+tests/test_plans.py). Final reductions are tiny hash aggregates.
+
+Reference anchor: ClickHouse aggregate-function docs list these as
+first-class aggregates (intervalLengthSum, maxIntersections,
+boundingRatio, rankCorr, welchTTest, entropy, sequenceNextNode);
+kafka+clickhouse.md's analytics tier motivates the funnel/retention
+family they extend (operators/funnels.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_clickhouse_implementation_spark.io import load
+from kafka_clickhouse_implementation_spark.registry import query
+
+# Shared event-interval definition (integer micros; duration from
+# event_id arithmetic so both engines state it identically).
+_DUR_US = "(event_id % 7 + 1) * 60000000"
+
+
+def _spark_ival() -> list:
+    """Column list built lazily — F.expr needs an active SparkContext,
+    so this must NOT run at import time (the registry imports every
+    operator module before any session exists in some tools)."""
+    return [
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(ts)").alias("s_us"),
+        F.expr(f"unix_micros(ts) + {_DUR_US}").alias("e_us"),
+    ]
+_DUCK_IVAL = f"""
+    SELECT user_id, event_id, epoch_us(ts) AS s_us,
+           epoch_us(ts) + {_DUR_US} AS e_us
+    FROM events
+"""
+
+
+@query(
+    "q_interval_length_sum",
+    oracle=f"""
+    WITH ival AS ({_DUCK_IVAL}),
+    flagged AS (
+      SELECT user_id, s_us, e_us,
+             CASE WHEN s_us > coalesce(max(e_us) OVER (
+                    PARTITION BY user_id ORDER BY s_us, e_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -9223372036854775808)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM ival
+    ),
+    islands AS (
+      SELECT user_id, s_us, e_us,
+             sum(new_island) OVER (
+               PARTITION BY user_id ORDER BY s_us, e_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM flagged
+    ),
+    merged AS (
+      SELECT user_id, island,
+             max(e_us) - min(s_us) AS island_len
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(island_len) AS BIGINT) AS covered_us
+    FROM merged GROUP BY user_id
+    """,
+)
+def q_interval_length_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``intervalLengthSum`` parity: per user, the total
+    length of the UNION of its event intervals (overlaps counted once;
+    touching intervals merge). Classic island detection — an interval
+    starts a new island iff its start exceeds the running max end of
+    all earlier intervals — in two user-partitioned window passes over
+    integer micros, then a per-island min/max and a per-user sum. Both
+    windows and the aggregation shuffle once on user_id; nothing is
+    global, so the operator scales with the user count."""
+    ival = load(spark, sf_dir, "events").select(*_spark_ival())
+    flagged = ival.select(
+        "user_id",
+        "s_us",
+        "e_us",
+        F.when(
+            F.col("s_us")
+            > F.coalesce(
+                F.expr(
+                    "max(e_us) OVER (PARTITION BY user_id"
+                    " ORDER BY s_us, e_us, event_id"
+                    " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+                ),
+                F.lit(-9223372036854775808),
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    islands = flagged.select(
+        "user_id",
+        "s_us",
+        "e_us",
+        F.expr(
+            "sum(new_island) OVER (PARTITION BY user_id ORDER BY s_us, e_us"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ).alias("island"),
+    )
+    merged = islands.groupBy("user_id", "island").agg(
+        (F.max("e_us") - F.min("s_us")).alias("island_len")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum("island_len").cast("long").alias("covered_us"),
+    )
+
+
+@query(
+    "q_max_intersections",
+    oracle=f"""
+    WITH ival AS ({_DUCK_IVAL}),
+    pts AS (
+      SELECT user_id, s_us AS t, 1 AS delta, event_id FROM ival
+      UNION ALL
+      SELECT user_id, e_us AS t, -1 AS delta, event_id FROM ival
+    ),
+    running AS (
+      SELECT user_id, t,
+             sum(delta) OVER (
+               PARTITION BY user_id ORDER BY t, delta, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open_now
+      FROM pts
+    ),
+    per_user AS (
+      SELECT user_id, max(open_now) AS max_open
+      FROM running GROUP BY user_id
+    )
+    SELECT p.user_id, CAST(p.max_open AS BIGINT) AS max_open,
+           CAST(min(r.t) AS BIGINT) AS first_peak_us
+    FROM per_user p JOIN running r
+      ON p.user_id = r.user_id AND r.open_now = p.max_open
+    GROUP BY p.user_id, p.max_open
+    """,
+)
+def q_max_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``maxIntersections`` + ``maxIntersectionsPosition``
+    parity: per user, the maximum number of simultaneously open event
+    intervals and the earliest time it is reached. Sweep line: each
+    interval emits (+1 at start, -1 at end); ends sort before starts at
+    the same instant (half-open intervals), so ORDER BY (t, delta,
+    event_id) is a deterministic total order; a user-partitioned
+    running sum is the concurrency profile. Peak position joins back on
+    (user, peak) and takes min(t) — all integer micros."""
+    ival = load(spark, sf_dir, "events").select(*_spark_ival())
+    pts = ival.select(
+        "user_id", F.col("s_us").alias("t"), F.lit(1).alias("delta"), "event_id"
+    ).unionAll(
+        ival.select(
+            "user_id", F.col("e_us").alias("t"), F.lit(-1).alias("delta"), "event_id"
+        )
+    )
+    running = pts.select(
+        "user_id",
+        "t",
+        F.expr(
+            "sum(delta) OVER (PARTITION BY user_id ORDER BY t, delta, event_id"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ).alias("open_now"),
+    )
+    per_user = running.groupBy("user_id").agg(F.max("open_now").alias("max_open"))
+    return (
+        per_user.join(
+            running.withColumnRenamed("user_id", "r_uid"),
+            (F.col("user_id") == F.col("r_uid"))
+            & (F.col("open_now") == F.col("max_open")),
+        )
+        .groupBy("user_id", "max_open")
+        .agg(F.min("t").cast("long").alias("first_peak_us"))
+        .select("user_id", F.col("max_open").cast("long").alias("max_open"), "first_peak_us")
+    )
+
+
+@query(
+    "q_bounding_ratio",
+    oracle="""
+    WITH ordered AS (
+      SELECT event_type, value, epoch_us(ts) AS t_us,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT event_type,
+           (max(CASE WHEN rn_d = 1 THEN value END)
+            - max(CASE WHEN rn_a = 1 THEN value END))
+           / (CAST(max(CASE WHEN rn_d = 1 THEN t_us END)
+                   - max(CASE WHEN rn_a = 1 THEN t_us END) AS DOUBLE) / 1000000.0)
+             AS bounding_ratio,
+           CAST(count(*) AS BIGINT) AS n
+    FROM ordered GROUP BY event_type
+    """,
+)
+def q_bounding_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``boundingRatio`` parity: per event type, the slope
+    between the chronologically first and last (ts, value) points —
+    (v_last - v_first) / seconds elapsed. First/last are picked by
+    row_number with an (ts, event_id) total order (no min_by/max_by
+    tie ambiguity); the subtraction and single division are IEEE ops
+    over bit-identical doubles/integers, so the quotient needs no
+    rounding to hash identically (numeric.py discipline)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "value", F.expr("unix_micros(ts)").alias("t_us"), "ts", "event_id"
+    )
+    ordered = ev.select(
+        "event_type",
+        "value",
+        "t_us",
+        F.expr(
+            "row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)"
+        ).alias("rn_a"),
+        F.expr(
+            "row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC)"
+        ).alias("rn_d"),
+    )
+    return ordered.groupBy("event_type").agg(
+        (
+            (
+                F.max(F.when(F.col("rn_d") == 1, F.col("value")))
+                - F.max(F.when(F.col("rn_a") == 1, F.col("value")))
+            )
+            / (
+                (
+                    F.max(F.when(F.col("rn_d") == 1, F.col("t_us")))
+                    - F.max(F.when(F.col("rn_a") == 1, F.col("t_us")))
+                ).cast("double")
+                / F.lit(1000000.0)
+            )
+        ).alias("bounding_ratio"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_rank_corr",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rv,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS rt
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST((rv - rt) * (rv - rt) AS DECIMAL(38,0))) AS sumd2
+      FROM ranked GROUP BY event_type
+    )
+    SELECT event_type, n,
+           1.0 - (6.0 * CAST(sumd2 AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0))
+             AS spearman_rho
+    FROM s
+    """,
+)
+def q_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``rankCorr`` parity: Spearman rank correlation
+    between a value's magnitude rank and its time rank, per event type
+    (is the metric drifting over time?). Both rankings use event_id
+    tie-breaks, so ranks are distinct integers and the textbook
+    1 - 6*sum(d^2)/(n(n^2-1)) formula applies exactly; d^2 accumulates
+    in DECIMAL(38,0) (order-independent, overflow-proof at any scale),
+    and the final expression is the same IEEE tree on both engines.
+    Two event_type-partitioned window passes + a tiny agg."""
+    ranked = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "row_number() OVER (PARTITION BY event_type ORDER BY value, event_id)"
+        ).alias("rv"),
+        F.expr(
+            "row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)"
+        ).alias("rt"),
+    )
+    s = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(((F.col("rv") - F.col("rt")) * (F.col("rv") - F.col("rt"))).cast("decimal(38,0)")).alias("sumd2"),
+    )
+    return s.select(
+        "event_type",
+        "n",
+        (
+            F.lit(1.0)
+            - (F.lit(6.0) * F.col("sumd2").cast("double"))
+            / (
+                F.col("n").cast("double")
+                * (F.col("n").cast("double") * F.col("n").cast("double") - F.lit(1.0))
+            )
+        ).alias("spearman_rho"),
+    )
+
+
+# Welch t-test: values quantized to integer milli-units (the
+# definition, stated identically on both sides); sums of squares in
+# DECIMAL(38,0) so no scale overflows int64.
+_VM = "CAST(floor(value * 1000 + 0.5) AS BIGINT)"
+
+
+@query(
+    "q_welch_ttest",
+    oracle=f"""
+    WITH q AS (
+      SELECT user_id % 2 AS cohort, {_VM} AS vm FROM events
+    ),
+    s AS (
+      SELECT cohort,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(vm) AS BIGINT) AS s1,
+             sum(CAST(vm AS DECIMAL(19,0)) * CAST(vm AS DECIMAL(19,0))) AS s2
+      FROM q GROUP BY cohort
+    ),
+    m AS (
+      SELECT cohort, n,
+             CAST(s1 AS DOUBLE) / 1000.0 / CAST(n AS DOUBLE) AS mean,
+             (CAST(s2 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+             / 1000000.0 / (CAST(n AS DOUBLE) - 1.0) AS var
+      FROM s
+    )
+    SELECT a.n AS n0, b.n AS n1, a.mean - b.mean AS mean_diff,
+           (a.mean - b.mean)
+             / sqrt(a.var / CAST(a.n AS DOUBLE) + b.var / CAST(b.n AS DOUBLE))
+             AS t_stat,
+           (a.var / CAST(a.n AS DOUBLE) + b.var / CAST(b.n AS DOUBLE))
+           * (a.var / CAST(a.n AS DOUBLE) + b.var / CAST(b.n AS DOUBLE))
+           / ((a.var / CAST(a.n AS DOUBLE)) * (a.var / CAST(a.n AS DOUBLE))
+                / (CAST(a.n AS DOUBLE) - 1.0)
+              + (b.var / CAST(b.n AS DOUBLE)) * (b.var / CAST(b.n AS DOUBLE))
+                / (CAST(b.n AS DOUBLE) - 1.0)) AS welch_df
+    FROM (SELECT * FROM m WHERE cohort = 0) a
+    CROSS JOIN (SELECT * FROM m WHERE cohort = 1) b
+    """,
+)
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``welchTTest`` parity: Welch's unequal-variance
+    t-statistic and degrees of freedom comparing ``value`` between the
+    even and odd user cohorts. Values quantize to integer milli-units
+    first (both engines state the same floor(v*1000+0.5)); count/sum/
+    sum-of-squares are exact integers/decimals; mean, variance, t and
+    the Welch-Satterthwaite df are then identical IEEE expression
+    trees, so the doubles hash bit-for-bit with no rounding. One
+    map-side-combined aggregation over the fact table; the finish is a
+    1-row x 1-row cross join."""
+    q = load(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).alias("cohort"), F.expr(_VM).alias("vm")
+    )
+    s = q.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vm").cast("long").alias("s1"),
+        F.sum(F.col("vm").cast("decimal(19,0)") * F.col("vm").cast("decimal(19,0)")).alias("s2"),
+    )
+    nD = F.col("n").cast("double")
+    m = s.select(
+        "cohort",
+        "n",
+        (F.col("s1").cast("double") / F.lit(1000.0) / nD).alias("mean"),
+        (
+            (
+                F.col("s2").cast("double")
+                - F.col("s1").cast("double") * F.col("s1").cast("double") / nD
+            )
+            / F.lit(1000000.0)
+            / (nD - F.lit(1.0))
+        ).alias("var"),
+    )
+    a = m.filter(F.col("cohort") == 0).select(
+        F.col("n").alias("n0"), F.col("mean").alias("mean_a"), F.col("var").alias("var_a")
+    )
+    b = m.filter(F.col("cohort") == 1).select(
+        F.col("n").alias("n1"), F.col("mean").alias("mean_b"), F.col("var").alias("var_b")
+    )
+    j = a.crossJoin(b)
+    se_a = F.col("var_a") / F.col("n0").cast("double")
+    se_b = F.col("var_b") / F.col("n1").cast("double")
+    return j.select(
+        "n0",
+        "n1",
+        (F.col("mean_a") - F.col("mean_b")).alias("mean_diff"),
+        ((F.col("mean_a") - F.col("mean_b")) / F.sqrt(se_a + se_b)).alias("t_stat"),
+        (
+            (se_a + se_b)
+            * (se_a + se_b)
+            / (
+                se_a * se_a / (F.col("n0").cast("double") - F.lit(1.0))
+                + se_b * se_b / (F.col("n1").cast("double") - F.lit(1.0))
+            )
+        ).alias("welch_df"),
+    )
+
+
+@query(
+    "q_entropy",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id % 10 AS cohort, event_type,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT cohort, CAST(sum(c) AS BIGINT) AS total FROM counts GROUP BY cohort
+    ),
+    terms AS (
+      SELECT c.cohort, t.total,
+             c.c * CAST(floor(ln(CAST(c.c AS DOUBLE) / CAST(t.total AS DOUBLE)) * 1e9)
+                        AS BIGINT) AS term
+      FROM counts c JOIN tot t ON c.cohort = t.cohort
+    )
+    SELECT cohort, CAST(max(total) AS BIGINT) AS n_events,
+           -CAST(sum(term) AS DOUBLE) / (CAST(max(total) AS DOUBLE) * 1e9)
+             AS entropy_nats
+    FROM terms GROUP BY cohort
+    """,
+)
+def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``entropy`` parity: Shannon entropy (nats) of the
+    event-type distribution within each user-id cohort. ln is not
+    correctly rounded across Java Math.log and libm (quality_ext.py
+    caveat), so each ln(p) quantizes to integer NANO-units before the
+    weighted integer sum — both engines then divide the identical
+    bigint by total*1e9 once. Two hash aggregations, a broadcast-sized
+    cohort-total join, no windows."""
+    counts = (
+        load(spark, sf_dir, "events")
+        .groupBy((F.col("user_id") % 10).alias("cohort"), "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = counts.groupBy("cohort").agg(F.sum("c").cast("long").alias("total"))
+    terms = counts.join(F.broadcast(tot), "cohort").select(
+        "cohort",
+        "total",
+        (
+            F.col("c")
+            * F.floor(
+                F.log(F.col("c").cast("double") / F.col("total").cast("double"))
+                * F.lit(1e9)
+            ).cast("long")
+        ).alias("term"),
+    )
+    return terms.groupBy("cohort").agg(
+        F.max("total").cast("long").alias("n_events"),
+        (
+            -F.sum("term").cast("double")
+            / (F.max("total").cast("double") * F.lit(1e9))
+        ).alias("entropy_nats"),
+    )
+
+
+@query(
+    "q_sequence_next_node",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS nxt1,
+             lead(event_type, 2) OVER w AS nxt2,
+             row_number() OVER w AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    matches AS (
+      SELECT user_id, nxt2, rn,
+             row_number() OVER (PARTITION BY user_id ORDER BY rn) AS hit_no
+      FROM seq WHERE event_type = 'view' AND nxt1 = 'click'
+    )
+    SELECT coalesce(nxt2, '(end)') AS next_node,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM matches WHERE hit_no = 1
+    GROUP BY 1
+    """,
+)
+def q_sequence_next_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceNextNode(forward, first_match)`` parity:
+    for each user, the event that immediately follows the FIRST
+    adjacent 'view' -> 'click' pair in their timeline, with '(end)'
+    when the match closes the timeline; output is the distribution of
+    next nodes. One user-partitioned window builds (event, next, next2)
+    triples; the first match per user is a second partitioned
+    row_number; the finish is a tiny hash agg on the next node."""
+    seq = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr(
+            "lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+        ).alias("nxt1"),
+        F.expr(
+            "lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+        ).alias("nxt2"),
+        F.expr(
+            "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+        ).alias("rn"),
+    )
+    matches = (
+        seq.filter((F.col("event_type") == "view") & (F.col("nxt1") == "click"))
+        .select(
+            "user_id",
+            "nxt2",
+            F.expr("row_number() OVER (PARTITION BY user_id ORDER BY rn)").alias(
+                "hit_no"
+            ),
+        )
+        .filter(F.col("hit_no") == 1)
+    )
+    return matches.groupBy(
+        F.coalesce(F.col("nxt2"), F.lit("(end)")).alias("next_node")
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+# ---------------------------------------------------------------------
+# Batch 4: quantileExactWeighted, groupArrayMovingSum/-Avg, minMap /
+# maxMap, studentTTest, uniqUpTo, windowFunnel(strict_order)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             CAST(l_quantity AS BIGINT) AS wt,
+             sum(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+             sum(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag) AS total
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           min(CASE WHEN 2 * cumw >= total THEN v END) AS weighted_median,
+           CAST(max(total) AS BIGINT) AS total_weight
+    FROM w GROUP BY l_returnflag
+    """,
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``quantileExactWeighted(0.5)`` parity: the
+    quantity-weighted median extended price per return flag — the
+    smallest value whose cumulative weight reaches half the total.
+    Weights are integral (exact bigint cumsum); the median is one of
+    the input doubles verbatim, so no float arithmetic happens at all.
+    One returnflag-partitioned window (3 partitions here, any number at
+    scale) + a tiny agg."""
+    w = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("long").alias("wt"),
+        F.expr(
+            "sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_returnflag"
+            " ORDER BY l_extendedprice, l_orderkey, l_linenumber"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ).alias("cumw"),
+        F.expr(
+            "sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_returnflag)"
+        ).alias("total"),
+    )
+    return w.groupBy("l_returnflag").agg(
+        F.min(F.when(2 * F.col("cumw") >= F.col("total"), F.col("v"))).alias(
+            "weighted_median"
+        ),
+        F.max("total").cast("long").alias("total_weight"),
+    )
+
+
+@query(
+    "q_moving_sum",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_sum,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(least(row_number() OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id), 3) AS DOUBLE)
+             AS mov_avg
+    FROM events
+    """,
+)
+def q_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``groupArrayMovingSum(3)`` / ``groupArrayMovingAvg``
+    parity: per user, the trailing-3-event moving sum and average of
+    ``value`` along the time order, emitted one row per event (the
+    unnested form of ClickHouse's array result). Values cast to
+    DECIMAL(18,2) BEFORE the frame sum (frame accumulation order is an
+    engine detail; decimal makes it exact either way), cast back to
+    double once; the average divides by the actual frame row count.
+    One user-partitioned window, no global sort."""
+    frame = (
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id"
+        " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
+    )
+    return load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr(
+            f"CAST(sum(CAST(value AS DECIMAL(18,2))) {frame} AS DOUBLE)"
+        ).alias("mov_sum"),
+        (
+            F.expr(f"CAST(sum(CAST(value AS DECIMAL(18,2))) {frame} AS DOUBLE)")
+            / F.expr(
+                "CAST(least(row_number() OVER (PARTITION BY user_id"
+                " ORDER BY ts, event_id), 3) AS DOUBLE)"
+            )
+        ).alias("mov_avg"),
+    )
+
+
+@query(
+    "q_min_max_map",
+    oracle="""
+    WITH per AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(min(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS mn,
+             CAST(max(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS mx
+      FROM events GROUP BY 1, 2
+    )
+    SELECT day,
+           string_agg(event_type, ',' ORDER BY event_type) AS type_keys,
+           string_agg(mn, ',' ORDER BY event_type) AS type_mins,
+           string_agg(mx, ',' ORDER BY event_type) AS type_maxs
+    FROM per GROUP BY day
+    """,
+)
+def q_min_max_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``minMap`` / ``maxMap`` parity: per day, the
+    event-type -> min/max value maps as sorted parallel arrays
+    (serialized to comma strings at the driver boundary, the q_sum_map
+    convention). Values stringify through DECIMAL(18,2) so both engines
+    render identical text ('5.00', never '5.0' vs '5'). Same two-level
+    aggregation shape as sum_map: wide partials at (day, type), tiny
+    per-day assembly."""
+    per = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.min(F.col("value").cast("decimal(18,2)")).cast("string").alias("mn"),
+            F.max(F.col("value").cast("decimal(18,2)")).cast("string").alias("mx"),
+        )
+    )
+    assembled = per.groupBy("day").agg(
+        F.sort_array(F.collect_list(F.struct("event_type", "mn", "mx"))).alias("kv")
+    )
+    return assembled.select(
+        "day",
+        F.array_join(F.transform("kv", lambda x: x["event_type"]), ",").alias(
+            "type_keys"
+        ),
+        F.array_join(F.transform("kv", lambda x: x["mn"]), ",").alias("type_mins"),
+        F.array_join(F.transform("kv", lambda x: x["mx"]), ",").alias("type_maxs"),
+    )
+
+
+@query(
+    "q_student_ttest",
+    oracle=f"""
+    WITH q AS (
+      SELECT user_id % 2 AS cohort, {_VM} AS vm FROM events
+    ),
+    s AS (
+      SELECT cohort,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(vm) AS BIGINT) AS s1,
+             sum(CAST(vm AS DECIMAL(19,0)) * CAST(vm AS DECIMAL(19,0))) AS s2
+      FROM q GROUP BY cohort
+    ),
+    m AS (
+      SELECT cohort, n,
+             CAST(s1 AS DOUBLE) / 1000.0 / CAST(n AS DOUBLE) AS mean,
+             (CAST(s2 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+             / 1000000.0 / (CAST(n AS DOUBLE) - 1.0) AS var
+      FROM s
+    )
+    SELECT a.n AS n0, b.n AS n1,
+           CAST(a.n + b.n - 2 AS BIGINT) AS df,
+           (a.mean - b.mean)
+             / sqrt(((CAST(a.n AS DOUBLE) - 1.0) * a.var
+                     + (CAST(b.n AS DOUBLE) - 1.0) * b.var)
+                    / (CAST(a.n AS DOUBLE) + CAST(b.n AS DOUBLE) - 2.0)
+                    * (1.0 / CAST(a.n AS DOUBLE) + 1.0 / CAST(b.n AS DOUBLE)))
+             AS t_stat
+    FROM (SELECT * FROM m WHERE cohort = 0) a
+    CROSS JOIN (SELECT * FROM m WHERE cohort = 1) b
+    """,
+)
+def q_student_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``studentTTest`` parity: the pooled-variance
+    two-sample t statistic over the same milli-quantized cohorts as
+    q_welch_ttest (shared _VM definition — the two tests can never
+    diverge in their input quantization). Identical IEEE expression
+    trees on both engines; df is the exact integer n0+n1-2."""
+    q = load(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).alias("cohort"), F.expr(_VM).alias("vm")
+    )
+    s = q.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vm").cast("long").alias("s1"),
+        F.sum(
+            F.col("vm").cast("decimal(19,0)") * F.col("vm").cast("decimal(19,0)")
+        ).alias("s2"),
+    )
+    nD = F.col("n").cast("double")
+    m = s.select(
+        "cohort",
+        "n",
+        (F.col("s1").cast("double") / F.lit(1000.0) / nD).alias("mean"),
+        (
+            (
+                F.col("s2").cast("double")
+                - F.col("s1").cast("double") * F.col("s1").cast("double") / nD
+            )
+            / F.lit(1000000.0)
+            / (nD - F.lit(1.0))
+        ).alias("var"),
+    )
+    a = m.filter(F.col("cohort") == 0).select(
+        F.col("n").alias("n0"), F.col("mean").alias("mean_a"), F.col("var").alias("var_a")
+    )
+    b = m.filter(F.col("cohort") == 1).select(
+        F.col("n").alias("n1"), F.col("mean").alias("mean_b"), F.col("var").alias("var_b")
+    )
+    j = a.crossJoin(b)
+    n0d = F.col("n0").cast("double")
+    n1d = F.col("n1").cast("double")
+    pooled = ((n0d - F.lit(1.0)) * F.col("var_a") + (n1d - F.lit(1.0)) * F.col("var_b")) / (
+        n0d + n1d - F.lit(2.0)
+    )
+    return j.select(
+        "n0",
+        "n1",
+        (F.col("n0") + F.col("n1") - 2).cast("long").alias("df"),
+        (
+            (F.col("mean_a") - F.col("mean_b"))
+            / F.sqrt(pooled * (F.lit(1.0) / n0d + F.lit(1.0) / n1d))
+        ).alias("t_stat"),
+    )
+
+
+_UNIQ_CAP = 20
+
+
+@query(
+    "q_uniq_up_to",
+    oracle=f"""
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           CAST(least(count(DISTINCT user_id), {_UNIQ_CAP + 1}) AS BIGINT)
+             AS uniq_up_to,
+           count(DISTINCT user_id) <= {_UNIQ_CAP} AS is_exact
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_uniq_up_to(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``uniqUpTo(N)`` parity: per (day, event_type), the
+    exact distinct-user count while it is <= N, else the sentinel N+1
+    ('more than N') — the bounded-memory distinct counter used for
+    'show exact numbers until they stop being interesting'. At scale
+    the partial state is at most N+1 ids per group by construction.
+    Both the capped count and the exactness flag are checked; the test
+    data exercises both branches (small type-days stay exact, big ones
+    cap)."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.least(
+                F.countDistinct("user_id"), F.lit(_UNIQ_CAP + 1)
+            )
+            .cast("long")
+            .alias("uniq_up_to"),
+            (F.countDistinct("user_id") <= _UNIQ_CAP).alias("is_exact"),
+        )
+    )
+
+
+@query(
+    "q_window_funnel_strict",
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id
+    ),
+    lv AS (
+      SELECT CASE WHEN seq LIKE '%vcp%' THEN 3
+                  WHEN seq LIKE '%vc%' THEN 2
+                  WHEN seq LIKE '%v%' THEN 1
+                  ELSE 0 END AS strict_level
+      FROM seqs
+    )
+    SELECT strict_level, CAST(count(*) AS BIGINT) AS n_users
+    FROM lv GROUP BY strict_level
+    """,
+)
+def q_window_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``windowFunnel(strict_order)`` parity (order
+    semantics; window = infinity, documented simplification): in
+    strict_order mode ANY intervening event breaks the chain, so a
+    level-k match is a CONTIGUOUS run of the first k chain letters in
+    the user's time-ordered event string — substring search on the
+    same per-user sequence q_sequence_match builds (funnels.
+    user_event_seq, one hash aggregation, shared so the two operators
+    cannot drift in their sequence encoding)."""
+    from kafka_clickhouse_implementation_spark.operators.funnels import user_event_seq
+
+    seqs = user_event_seq(load(spark, sf_dir, "events"))
+    lv = seqs.select(
+        F.expr(
+            "CASE WHEN seq LIKE '%vcp%' THEN 3"
+            " WHEN seq LIKE '%vc%' THEN 2"
+            " WHEN seq LIKE '%v%' THEN 1"
+            " ELSE 0 END"
+        ).alias("strict_level")
+    )
+    return lv.groupBy("strict_level").agg(F.count(F.lit(1)).alias("n_users"))

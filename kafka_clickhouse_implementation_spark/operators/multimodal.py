@@ -336,7 +336,11 @@ def decode_image(payload: bytes) -> dict:
         return parse_ppm(payload)
     if payload[:8] == _PNG_SIG:
         return parse_png(payload)
-    raise NotImplementedError("JPEG/WebP image decode requires PIL/opencv — not available; see module docstring")
+    if payload[:2] == b"\xff\xd8":
+        from kafka_clickhouse_implementation_spark.operators.jpeg_codec import parse_jpeg
+
+        return parse_jpeg(payload)
+    raise NotImplementedError("WebP/HEIC image decode requires PIL/opencv — not available; see module docstring")
 
 
 def decode_audio(payload: bytes) -> dict:

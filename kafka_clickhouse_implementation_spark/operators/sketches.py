@@ -191,9 +191,7 @@ def _bloom_words_build(toks: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "q_bloom_filter",
-    oracle=f"""
+_BLOOM_ORACLE = f"""
     WITH toks AS (
       SELECT unnest(string_split(text, ' ')) AS tok FROM documents
     ), hashed AS (
@@ -230,8 +228,10 @@ def _bloom_words_build(toks: DataFrame) -> DataFrame:
     FROM checked c
     LEFT JOIN (SELECT DISTINCT tok FROM toks) t ON c.probe = t.tok
     GROUP BY c.probe
-    """,
-)
+    """
+
+
+@query("q_bloom_filter", oracle=_BLOOM_ORACLE)
 def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable Bloom-filter membership (ClickHouse ``bloom_filter``
     skip-index analogue, and the structure Spark itself injects for
@@ -247,7 +247,16 @@ def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
     words = _bloom_words_build(toks)
+    return bloom_probe_answers(spark, toks, words)
 
+
+def bloom_probe_answers(spark: SparkSession, toks: DataFrame, words: DataFrame) -> DataFrame:
+    """Answer the standard probe set (top-10 tokens of ``toks`` + 10
+    synthetic absentees) against a built Bloom bitmap ``words`` —
+    shared by the batch operator above and the streaming twin
+    (streaming/bloom_stream.py), so their membership semantics can
+    never drift. The bitmap is broadcast (4 KiB); ground truth
+    semi-joins the vocabulary against the tiny probe set."""
     present = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))

@@ -1,0 +1,166 @@
+"""Semantics tests for the ClickHouse statistical/behavioral aggregate
+batch (operators/analytics_ext.py): each operator is re-computed by an
+INDEPENDENT plain-Python implementation over the same sf0.001 events
+and must agree exactly — a second differential alongside the DuckDB
+oracle, with none of the SQL shared."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from kafka_clickhouse_implementation_spark.io import load
+from kafka_clickhouse_implementation_spark.operators.analytics_ext import (
+    q_bounding_ratio,
+    q_entropy,
+    q_interval_length_sum,
+    q_max_intersections,
+    q_rank_corr,
+    q_sequence_next_node,
+    q_welch_ttest,
+)
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    rows = load(spark, sf_dir, "events").collect()
+    return [
+        (r.event_id, r.ts, r.user_id, r.event_type, r.value) for r in rows
+    ]
+
+
+def _intervals(events):
+    by_user: dict[int, list[tuple[int, int, int]]] = {}
+    for eid, ts, uid, _etype, _v in events:
+        s = int(ts.timestamp() * 1_000_000)
+        e = s + (eid % 7 + 1) * 60_000_000
+        by_user.setdefault(uid, []).append((s, e, eid))
+    return by_user
+
+
+def test_interval_length_sum_matches_python(spark, sf_dir, events):
+    got = {
+        r.user_id: (r.n_islands, r.covered_us)
+        for r in q_interval_length_sum(spark, sf_dir).collect()
+    }
+    for uid, ivals in _intervals(events).items():
+        islands = []
+        for s, e, _ in sorted(ivals):
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], e)
+            else:
+                islands.append([s, e])
+        expect = (len(islands), sum(e - s for s, e in islands))
+        assert got[uid] == expect, uid
+
+
+def test_max_intersections_matches_python(spark, sf_dir, events):
+    got = {
+        r.user_id: (r.max_open, r.first_peak_us)
+        for r in q_max_intersections(spark, sf_dir).collect()
+    }
+    for uid, ivals in _intervals(events).items():
+        pts = [(s, 1, eid) for s, e, eid in ivals] + [
+            (e, -1, eid) for s, e, eid in ivals
+        ]
+        run = best = 0
+        first_peak = None
+        for t, d, _eid in sorted(pts):
+            run += d
+            if run > best:
+                best = run
+                first_peak = t
+            elif run == best and best > 0:
+                pass  # min(t) among peak rows: first reach wins
+        assert got[uid] == (best, first_peak), uid
+
+
+def test_bounding_ratio_matches_python(spark, sf_dir, events):
+    got = {
+        r.event_type: (r.bounding_ratio, r.n)
+        for r in q_bounding_ratio(spark, sf_dir).collect()
+    }
+    by_type: dict[str, list] = {}
+    for eid, ts, _uid, etype, v in events:
+        by_type.setdefault(etype, []).append((ts, eid, v))
+    for etype, rows in by_type.items():
+        rows.sort()
+        (t0, _, v0), (t1, _, v1) = rows[0], rows[-1]
+        us0 = int(t0.timestamp() * 1_000_000)
+        us1 = int(t1.timestamp() * 1_000_000)
+        expect = (v1 - v0) / ((us1 - us0) / 1_000_000.0)
+        assert got[etype] == (expect, len(rows)), etype
+
+
+def test_rank_corr_matches_python(spark, sf_dir, events):
+    got = {r.event_type: r.spearman_rho for r in q_rank_corr(spark, sf_dir).collect()}
+    by_type: dict[str, list] = {}
+    for eid, ts, _uid, etype, v in events:
+        by_type.setdefault(etype, []).append((eid, ts, v))
+    for etype, rows in by_type.items():
+        n = len(rows)
+        rv = {eid: i + 1 for i, (eid, _, _) in enumerate(sorted(rows, key=lambda r: (r[2], r[0])))}
+        rt = {eid: i + 1 for i, (eid, _, _) in enumerate(sorted(rows, key=lambda r: (r[1], r[0])))}
+        sumd2 = sum((rv[eid] - rt[eid]) ** 2 for eid, _, _ in rows)
+        expect = 1.0 - (6.0 * float(sumd2)) / (float(n) * (float(n) * float(n) - 1.0))
+        assert abs(got[etype] - expect) < 1e-12, etype
+        assert -1.0 <= got[etype] <= 1.0
+
+
+def test_welch_ttest_matches_python(spark, sf_dir, events):
+    row = q_welch_ttest(spark, sf_dir).collect()[0]
+    cohorts: dict[int, list[int]] = {0: [], 1: []}
+    for _eid, _ts, uid, _etype, v in events:
+        cohorts[uid % 2].append(int(math.floor(v * 1000 + 0.5)))
+    stats = {}
+    for c, vs in cohorts.items():
+        n = len(vs)
+        s1 = sum(vs)
+        s2 = sum(v * v for v in vs)
+        mean = float(s1) / 1000.0 / float(n)
+        var = (float(s2) - float(s1) * float(s1) / float(n)) / 1e6 / (float(n) - 1.0)
+        stats[c] = (n, mean, var)
+    (n0, m0, v0), (n1, m1, v1) = stats[0], stats[1]
+    se = v0 / float(n0) + v1 / float(n1)
+    t = (m0 - m1) / math.sqrt(se)
+    df = se * se / (
+        (v0 / n0) * (v0 / n0) / (n0 - 1.0) + (v1 / n1) * (v1 / n1) / (n1 - 1.0)
+    )
+    assert (row.n0, row.n1) == (n0, n1)
+    assert abs(row.mean_diff - (m0 - m1)) < 1e-12
+    assert abs(row.t_stat - t) < 1e-12
+    assert abs(row.welch_df - df) < 1e-9
+
+
+def test_entropy_matches_python_and_bounds(spark, sf_dir, events):
+    got = {r.cohort: (r.n_events, r.entropy_nats) for r in q_entropy(spark, sf_dir).collect()}
+    counts: dict[int, dict[str, int]] = {}
+    for _eid, _ts, uid, etype, _v in events:
+        counts.setdefault(uid % 10, {}).setdefault(etype, 0)
+        counts[uid % 10][etype] += 1
+    for cohort, dist in counts.items():
+        total = sum(dist.values())
+        acc = sum(c * math.floor(math.log(c / total) * 1e9) for c in dist.values())
+        expect = -float(acc) / (float(total) * 1e9)
+        n, h = got[cohort]
+        assert n == total
+        assert h == expect
+        assert 0.0 <= h <= math.log(len(dist)) + 1e-9
+
+
+def test_sequence_next_node_matches_python(spark, sf_dir, events):
+    got = {r.next_node: r.n_users for r in q_sequence_next_node(spark, sf_dir).collect()}
+    by_user: dict[int, list] = {}
+    for eid, ts, uid, etype, _v in events:
+        by_user.setdefault(uid, []).append((ts, eid, etype))
+    expect: dict[str, int] = {}
+    for _uid, rows in by_user.items():
+        rows.sort()
+        types = [t for _, _, t in rows]
+        for i in range(len(types) - 1):
+            if types[i] == "view" and types[i + 1] == "click":
+                nxt = types[i + 2] if i + 2 < len(types) else "(end)"
+                expect[nxt] = expect.get(nxt, 0) + 1
+                break
+    assert got == expect

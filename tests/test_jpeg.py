@@ -1,0 +1,120 @@
+"""JPEG codec tests (operators/jpeg_codec.py): entropy-coding round
+trips against the IDCT ground truth, every declared unsupported-feature
+error path, and the oracle geometry invariants."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kafka_clickhouse_implementation_spark.operators.jpeg_codec import (
+    _PAT,
+    ZIGZAG,
+    _ab,
+    _doc_blocks,
+    _idct_block,
+    encode_jpeg_gray,
+    parse_jpeg,
+)
+
+
+def _expected_pixels(blocks: list[list[int]], bw: int) -> list[int]:
+    """Raster pixels computed DIRECTLY from the coefficients with the
+    decoder's own IDCT — so a round-trip mismatch isolates the entropy
+    coding (Huffman/bitstream/zigzag/prediction), not the transform."""
+    tiles = [_idct_block(np.array(b)) for b in blocks]
+    rows = []
+    for by in range(len(blocks) // bw):
+        for y in range(8):
+            for bx in range(bw):
+                rows.extend(int(v) for v in tiles[by * bw + bx][y])
+    return rows
+
+
+def test_zigzag_is_the_standard_permutation():
+    assert sorted(ZIGZAG) == list(range(64))
+    # first eight entries of the T.81 zigzag in natural indices
+    assert ZIGZAG[:8] == [0, 1, 8, 16, 9, 2, 3, 10]
+
+
+coeff_blocks = st.lists(
+    st.lists(st.integers(min_value=-200, max_value=200), min_size=64, max_size=64),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(coeff_blocks)
+def test_entropy_coding_roundtrip_arbitrary_blocks(blocks):
+    """encode -> parse must reproduce the IDCT of the exact input
+    coefficients for ARBITRARY coefficient patterns (not just the
+    oracle's constant/pattern blocks): DC prediction chains, all run
+    lengths, ZRL, EOB, and byte stuffing all get exercised across the
+    random draws."""
+    # clamp DC to the baseline category-11 range (|diff| <= 2047 holds
+    # because each DC is within [-1024, 1016])
+    for b in blocks:
+        b[0] = max(-1024, min(1016, b[0] * 8))
+    bw = len(blocks)
+    payload = encode_jpeg_gray(blocks, width=8 * bw, height=8)
+    dec = parse_jpeg(payload)
+    assert dec["width"] == 8 * bw and dec["height"] == 8
+    assert dec["values"] == _expected_pixels(blocks, bw)
+
+
+def test_quant_table_is_applied():
+    blk = [0] * 64
+    blk[0] = 64  # DC 64 with quant 2 -> dequantized 128 -> flat 144
+    quant = [2] * 64
+    dec = parse_jpeg(encode_jpeg_gray([blk], 8, 8, quant=quant))
+    assert dec["values"] == [144] * 64
+
+
+def test_odd_dimensions_crop():
+    """Width/height not multiples of 8: the MCU grid rounds up and the
+    decoder crops back to the declared frame size."""
+    a = 57
+    blk = [0] * 64
+    blk[0] = 8 * (a - 128)
+    dec = parse_jpeg(encode_jpeg_gray([blk], width=5, height=3))
+    assert dec["width"] == 5 and dec["height"] == 3
+    assert dec["values"] == [a] * 15
+
+
+def test_progressive_sof2_raises():
+    payload = bytearray(encode_jpeg_gray(_doc_blocks(0), 24, 8))
+    i = payload.find(b"\xff\xc0")
+    payload[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="baseline"):
+        parse_jpeg(bytes(payload))
+
+
+def test_restart_interval_raises():
+    payload = encode_jpeg_gray(_doc_blocks(0), 24, 8)
+    # splice a DRI segment with a nonzero interval before SOS
+    i = payload.find(b"\xff\xda")
+    dri = b"\xff\xdd\x00\x04\x00\x04"
+    with pytest.raises(NotImplementedError, match="restart"):
+        parse_jpeg(payload[:i] + dri + payload[i:])
+
+
+def test_not_a_jpeg_raises():
+    with pytest.raises(ValueError, match="SOI"):
+        parse_jpeg(b"\x89PNG\r\n\x1a\n")
+
+
+def test_oracle_geometry_matches_query_formulas():
+    """The q_multimodal_jpeg oracle's symbolic raster (constants a, b
+    and the _PAT literal) is exactly what the decoder produces."""
+    for doc_id in (0, 7, 23):
+        a, b = _ab(doc_id)
+        dec = parse_jpeg(encode_jpeg_gray(_doc_blocks(doc_id), 24, 8))
+        vals = dec["values"]
+        expect = []
+        for y in range(8):
+            expect += [a] * 8 + [b] * 8 + _PAT[8 * y : 8 * y + 8]
+        assert vals == expect
+        assert sum(vals) == 64 * a + 64 * b + sum(_PAT)

@@ -168,9 +168,13 @@ def test_multimodal_stub_and_features(spark):
     )
     import pytest
 
-    # codec-lib formats remain honestly stubbed; corrupt input raises
+    # JPEG now dispatches to the real baseline decoder (jpeg_codec.py);
+    # a truncated stream fails loudly, and formats with no stdlib
+    # decoder (WebP here) remain honestly stubbed
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xe0 jpeg but truncated")
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0 jpeg")
+        decode_image(b"RIFFxxxxWEBPVP8 ")
     with pytest.raises(ValueError):
         parse_bmp(b"XX not a bitmap")
 

@@ -244,3 +244,44 @@ def test_derived_partsupp_prunes_lineitem_scan(spark):
     assert "ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>" in scan, scan
     # threshold is a 1-row broadcast, result a TakeOrdered - no global sort
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_analytics_windows_are_all_partitioned(spark):
+    """The statistical/behavioral aggregate batch (analytics_ext.py)
+    must never plan a global window: every windowspecdefinition carries
+    a user_id / event_type / l_returnflag partition spec. A bare window
+    here would serialize the whole fact table through one task at
+    scale."""
+    for q in (
+        "q_interval_length_sum",
+        "q_max_intersections",
+        "q_bounding_ratio",
+        "q_rank_corr",
+        "q_sequence_next_node",
+        "q_moving_sum",
+        "q_weighted_median",
+    ):
+        plan = _plan(all_queries()[q](spark, SF))
+        win_lines = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+        assert win_lines, (q, plan)
+        for l in win_lines:
+            assert (
+                "user_id" in l or "event_type" in l or "l_returnflag" in l
+            ), (q, l)
+
+
+def test_entropy_cohort_totals_broadcast(spark):
+    """q_entropy's cohort-total join must broadcast the 10-row totals
+    side, never shuffle the counts relation for it."""
+    plan = _plan(all_queries()["q_entropy"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_welch_and_student_share_one_scan_shape(spark):
+    """Both t-tests reduce the fact table through ONE partial+final
+    hash aggregation (map-side combine) and finish on a 1-row x 1-row
+    join — no window, no sort of the fact table."""
+    for q in ("q_welch_ttest", "q_student_ttest"):
+        plan = _plan(all_queries()[q](spark, SF))
+        assert "windowspecdefinition" not in plan, q
+        assert "HashAggregate" in plan, q

@@ -298,3 +298,30 @@ def test_document_wire_duplicates_land_in_later_batches(spark, sf_dir):
     newest_part = max(os.path.getmtime(os.path.join(wire, p)) for p in parts)
     oldest_dup = min(os.path.getmtime(os.path.join(wire, d)) for d in dups)
     assert oldest_dup > newest_part
+
+
+def test_stream_bloom_bitmap_equals_batch_bitmap(spark, sf_dir):
+    """The streaming Bloom twin's drained bitmap must equal the
+    batch-built filter WORD FOR WORD (stronger than the probe-answer
+    oracle): bit_or is order-independent and idempotent, so batch
+    boundaries and the wire's duplicate files cannot change any word —
+    only lost state could, which is exactly what this would catch."""
+    from pyspark.sql import functions as F
+
+    from kafka_clickhouse_implementation_spark.io import load
+    from kafka_clickhouse_implementation_spark.operators.sketches import (
+        _bloom_words_build,
+    )
+    from kafka_clickhouse_implementation_spark.streaming.bloom_stream import (
+        q_stream_bloom,
+    )
+
+    q_stream_bloom(spark, sf_dir)  # drains the wire into stream_bloom_words
+    streamed = {
+        r.w: r.v for r in spark.table("stream_bloom_words").collect()
+    }
+    toks = load(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("tok")
+    )
+    batch = {r.w: r.v for r in _bloom_words_build(toks).collect()}
+    assert streamed == batch
