@@ -306,9 +306,14 @@ def q_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)"
         ).alias("rt"),
     )
+    # Spark row_number is INT (DuckDB's is BIGINT): widen the rank
+    # difference to DECIMAL before squaring — int d^2 overflows 32 bits
+    # from ~46k rows per group (caught by the sf1 differential under
+    # ANSI mode), and decimal^2 stays exact at any group size.
+    d = (F.col("rv") - F.col("rt")).cast("decimal(19,0)")
     s = ranked.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(((F.col("rv") - F.col("rt")) * (F.col("rv") - F.col("rt"))).cast("decimal(38,0)")).alias("sumd2"),
+        F.sum(d * d).alias("sumd2"),
     )
     return s.select(
         "event_type",
@@ -422,9 +427,7 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_entropy",
-    oracle="""
+_ENTROPY_ORACLE = """
     WITH counts AS (
       SELECT user_id % 10 AS cohort, event_type,
              CAST(count(*) AS BIGINT) AS c
@@ -443,8 +446,10 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
            -CAST(sum(term) AS DOUBLE) / (CAST(max(total) AS DOUBLE) * 1e9)
              AS entropy_nats
     FROM terms GROUP BY cohort
-    """,
-)
+    """
+
+
+@query("q_entropy", oracle=_ENTROPY_ORACLE)
 def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse ``entropy`` parity: Shannon entropy (nats) of the
     event-type distribution within each user-id cohort. ln is not
@@ -845,3 +850,74 @@ def q_window_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("strict_level")
     )
     return lv.groupBy("strict_level").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@query(
+    "q_ip_funcs",
+    oracle="""
+    WITH u AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id < 100
+    ), ip AS (
+      SELECT user_id,
+             (user_id * 2654435761) % 4294967296 AS ip_num
+      FROM u
+    )
+    SELECT user_id, CAST(ip_num AS BIGINT) AS ip_num,
+           CAST(ip_num // 16777216 AS VARCHAR) || '.' ||
+           CAST((ip_num // 65536) % 256 AS VARCHAR) || '.' ||
+           CAST((ip_num // 256) % 256 AS VARCHAR) || '.' ||
+           CAST(ip_num % 256 AS VARCHAR) AS ip_str,
+           CAST((ip_num // 16777216) * 16777216
+                + ((ip_num // 65536) % 256) * 65536
+                + ((ip_num // 256) % 256) * 256
+                + ip_num % 256 AS BIGINT) AS roundtrip_num,
+           ip_num // 16777216 = 10 AS in_10_slash_8,
+           CAST(ip_num // 16777216 AS VARCHAR) || '.' ||
+           CAST((ip_num // 65536) % 256 AS VARCHAR) || '.' ||
+           CAST((ip_num // 256) % 256 AS VARCHAR) || '.0/24' AS net_24
+    FROM ip
+    """,
+)
+def q_ip_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse IP-function family parity (``IPv4NumToString``,
+    ``IPv4StringToNum``, CIDR membership, network truncation):
+    deterministic synthetic IPv4s from user_id arithmetic (a Knuth
+    multiplicative hash mod 2^32, restated identically in the oracle),
+    rendered to dotted-quad, parsed back (round-trip pinned), tested
+    against 10.0.0.0/8, and truncated to the /24 network. Pure integer
+    div/mod and string concatenation — whole-stage codegen, no
+    shuffles beyond the distinct."""
+    u = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 100)
+        .select("user_id")
+        .distinct()
+    )
+    ip = u.select(
+        "user_id",
+        ((F.col("user_id") * 2654435761) % 4294967296).alias("ip_num"),
+    )
+    o1 = F.expr("ip_num div 16777216")
+    o2 = F.expr("(ip_num div 65536) % 256")
+    o3 = F.expr("(ip_num div 256) % 256")
+    o4 = F.expr("ip_num % 256")
+    dq = F.concat_ws(
+        ".",
+        o1.cast("string"),
+        o2.cast("string"),
+        o3.cast("string"),
+        o4.cast("string"),
+    )
+    return ip.select(
+        "user_id",
+        F.col("ip_num").cast("long").alias("ip_num"),
+        dq.alias("ip_str"),
+        (o1 * 16777216 + o2 * 65536 + o3 * 256 + o4).cast("long").alias(
+            "roundtrip_num"
+        ),
+        (o1 == 10).alias("in_10_slash_8"),
+        F.concat(
+            F.concat_ws(".", o1.cast("string"), o2.cast("string"), o3.cast("string")),
+            F.lit(".0/24"),
+        ).alias("net_24"),
+    )

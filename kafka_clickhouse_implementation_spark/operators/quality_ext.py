@@ -166,3 +166,119 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.round(-F.col("logp") / F.col("n_tokens"), 6).alias("mean_surprisal"),
     )
+
+
+@query(
+    "q_bigram_surprisal",
+    # Interpolated bigram LM, engine-exact by construction: every count
+    # is an exact integer, p folds them through an IDENTICAL IEEE
+    # expression tree (two divisions, two halvings, one add — all
+    # correctly rounded, and 0.5 is an exact binary fraction), and
+    # ln(p) — the one non-correctly-rounded op — quantizes to integer
+    # nano-units BEFORE the weighted sum (the avg_ln recipe), so the
+    # final mean is one bigint divided by one exact double.
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), pos AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS bg
+      FROM t WHERE len(toks) >= 2
+    ), bgc AS (
+      SELECT bg, CAST(count(*) AS BIGINT) AS c_bg FROM pos GROUP BY bg
+    ), hdc AS (
+      SELECT split_part(bg, ' ', 1) AS head, CAST(sum(c_bg) AS BIGINT) AS c_hd
+      FROM bgc GROUP BY 1
+    ), ugc AS (
+      SELECT unnest(toks) AS token FROM t
+    ), ug AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS c_ug FROM ugc GROUP BY token
+    ), n AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM ugc
+    ), dbg AS (
+      SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS cnt
+      FROM pos WHERE doc_id < 300 GROUP BY doc_id, bg
+    ), terms AS (
+      SELECT dbg.doc_id, dbg.cnt,
+             dbg.cnt * CAST(floor(ln(
+               0.5 * (CAST(bgc.c_bg AS DOUBLE) / CAST(hdc.c_hd AS DOUBLE))
+               + 0.5 * (CAST(ug.c_ug AS DOUBLE) / CAST(n.n AS DOUBLE))
+             ) * 1e9) AS BIGINT) AS term
+      FROM dbg
+      JOIN bgc USING (bg)
+      JOIN hdc ON hdc.head = split_part(dbg.bg, ' ', 1)
+      JOIN ug ON ug.token = split_part(dbg.bg, ' ', 2)
+      CROSS JOIN n
+    )
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+           -CAST(sum(term) AS DOUBLE) / (CAST(sum(cnt) AS DOUBLE) * 1e9)
+             AS mean_interp_surprisal
+    FROM terms GROUP BY doc_id
+    """,
+)
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean per-position surprisal under an INTERPOLATED bigram LM —
+    p(w|prev) = ½·c(prev,w)/c(prev,·) + ½·c(w)/N — the next quality
+    rung above q_unigram_surprisal (context-aware, catches shuffled-
+    token gibberish a unigram model scores as fluent). The LM derives
+    from the whole corpus; scores report for the reviewable doc_id <
+    300 slice. Plan: one explode into bigram positions, three hash
+    aggregations for the count tables, equi-joins on bigram/head/token
+    keys (never broadcast the vocabulary — it scales with the corpus),
+    nano-quantized ln terms, one final division."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    pos = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2),"
+                " i -> concat_ws(' ', toks[i], toks[i + 1]))"
+            )
+        ).alias("bg"),
+    )
+    bgc = pos.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    hdc = bgc.groupBy(F.expr("split_part(bg, ' ', 1)").alias("head")).agg(
+        F.sum("c_bg").cast("long").alias("c_hd")
+    )
+    ugc = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    ug = ugc.groupBy("token").agg(F.count(F.lit(1)).alias("c_ug"))
+    n = ugc.agg(F.count(F.lit(1)).alias("n"))
+    dbg = (
+        pos.filter(F.col("doc_id") < 300)
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    terms = (
+        dbg.join(bgc, "bg")
+        .join(hdc, F.expr("split_part(bg, ' ', 1)") == F.col("head"))
+        .join(ug, F.expr("split_part(bg, ' ', 2)") == F.col("token"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "cnt",
+            (
+                F.col("cnt")
+                * F.floor(
+                    F.log(
+                        F.lit(0.5)
+                        * (F.col("c_bg").cast("double") / F.col("c_hd").cast("double"))
+                        + F.lit(0.5)
+                        * (F.col("c_ug").cast("double") / F.col("n").cast("double"))
+                    )
+                    * F.lit(1e9)
+                ).cast("long")
+            ).alias("term"),
+        )
+    )
+    return terms.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_bigrams"),
+        (
+            -F.sum("term").cast("double")
+            / (F.sum("cnt").cast("double") * F.lit(1e9))
+        ).alias("mean_interp_surprisal"),
+    )

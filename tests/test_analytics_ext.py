@@ -164,3 +164,84 @@ def test_sequence_next_node_matches_python(spark, sf_dir, events):
                 expect[nxt] = expect.get(nxt, 0) + 1
                 break
     assert got == expect
+
+
+def test_ip_funcs_roundtrip_and_format(spark, sf_dir):
+    from kafka_clickhouse_implementation_spark.operators.analytics_ext import (
+        q_ip_funcs,
+    )
+    import re
+
+    rows = q_ip_funcs(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.roundtrip_num == r.ip_num
+        assert re.fullmatch(r"(\d{1,3}\.){3}\d{1,3}", r.ip_str)
+        octets = [int(x) for x in r.ip_str.split(".")]
+        assert all(0 <= o <= 255 for o in octets)
+        assert r.in_10_slash_8 == (octets[0] == 10)
+        assert r.net_24 == f"{octets[0]}.{octets[1]}.{octets[2]}.0/24"
+        assert r.ip_num == (r.user_id * 2654435761) % 4294967296
+
+
+def test_bigram_surprisal_matches_python(spark, sf_dir):
+    """Independent plain-Python interpolated-bigram LM over the same
+    corpus must reproduce every per-doc mean exactly (the nano-
+    quantized ln terms make the float path deterministic)."""
+    from kafka_clickhouse_implementation_spark.io import load
+    from kafka_clickhouse_implementation_spark.operators.quality_ext import (
+        q_bigram_surprisal,
+    )
+
+    got = {
+        r.doc_id: (r.n_bigrams, r.mean_interp_surprisal)
+        for r in q_bigram_surprisal(spark, sf_dir).collect()
+    }
+    docs = [
+        (r.doc_id, r.text.split(" "))
+        for r in load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    ]
+    bgc: dict[tuple[str, str], int] = {}
+    ug: dict[str, int] = {}
+    n_tok = 0
+    for _did, toks in docs:
+        for t in toks:
+            ug[t] = ug.get(t, 0) + 1
+            n_tok += 1
+        for a, b in zip(toks, toks[1:]):
+            bgc[(a, b)] = bgc.get((a, b), 0) + 1
+    hdc: dict[str, int] = {}
+    for (a, _b), c in bgc.items():
+        hdc[a] = hdc.get(a, 0) + c
+    for did, toks in docs:
+        if did >= 300 or len(toks) < 2:
+            continue
+        acc = 0
+        nbg = 0
+        for a, b in zip(toks, toks[1:]):
+            p = 0.5 * (bgc[(a, b)] / hdc[a]) + 0.5 * (ug[b] / n_tok)
+            acc += math.floor(math.log(p) * 1e9)
+            nbg += 1
+        expect = -float(acc) / (float(nbg) * 1e9)
+        g_n, g_m = got[did]
+        assert g_n == nbg, did
+        assert g_m == expect, did
+
+
+def test_stream_entropy_equals_batch(spark, sf_dir):
+    """The streamed (state-store-accumulated) entropy must equal the
+    batch operator row-for-row — counts are order-independent sums, so
+    any difference means lost or duplicated state."""
+    from kafka_clickhouse_implementation_spark.streaming.analytics_stream import (
+        q_stream_entropy,
+    )
+
+    streamed = {
+        r.cohort: (r.n_events, r.entropy_nats)
+        for r in q_stream_entropy(spark, sf_dir).collect()
+    }
+    batch = {
+        r.cohort: (r.n_events, r.entropy_nats)
+        for r in q_entropy(spark, sf_dir).collect()
+    }
+    assert streamed == batch
