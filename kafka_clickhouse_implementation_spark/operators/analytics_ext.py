@@ -921,3 +921,284 @@ def q_ip_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(".0/24"),
         ).alias("net_24"),
     )
+
+
+@query(
+    "q_cramers_v",
+    # Contingency stats over exact integer counts. Every per-cell
+    # double term (chi2 contribution, ln entropy term) quantizes to an
+    # INTEGER before summing — double sums are accumulation-order-
+    # dependent and flipped a hash between two correct runs of the
+    # first draft of this query; integer sums are associative. The
+    # final divisions/sqrt are single IEEE ops over bit-identical
+    # inputs.
+    oracle="""
+    WITH cells AS (
+      SELECT user_id % 5 AS r, event_type AS c,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ), rowm AS (
+      SELECT r, CAST(sum(o) AS BIGINT) AS row_n FROM cells GROUP BY r
+    ), colm AS (
+      SELECT c, CAST(sum(o) AS BIGINT) AS col_n FROM cells GROUP BY c
+    ), tot AS (
+      SELECT CAST(sum(o) AS BIGINT) AS n FROM cells
+    ), terms AS (
+      SELECT o, row_n, col_n, n,
+             CAST(floor(
+               (CAST(o AS DOUBLE)
+                - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(o AS DOUBLE)
+                  - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(n AS DOUBLE))
+               / (CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(n AS DOUBLE))
+               * 1e12) AS BIGINT) AS chi_q,
+             o * CAST(floor(ln(CAST(o AS DOUBLE) / CAST(col_n AS DOUBLE)) * 1e9)
+                      AS BIGINT) AS hrc_q
+      FROM cells JOIN rowm USING (r) JOIN colm USING (c) CROSS JOIN tot
+    ), chi AS (
+      SELECT max(n) AS n,
+             (SELECT CAST(count(*) AS BIGINT) FROM rowm) AS nr,
+             (SELECT CAST(count(*) AS BIGINT) FROM colm) AS nc,
+             CAST(sum(chi_q) AS BIGINT) AS chi2_acc,
+             CAST(sum(hrc_q) AS BIGINT) AS h_rc_acc
+      FROM terms
+    ), hr AS (
+      SELECT CAST(sum(row_n * CAST(floor(ln(CAST(row_n AS DOUBLE) / CAST(n AS DOUBLE))
+                                         * 1e9) AS BIGINT)) AS BIGINT) AS h_r_acc
+      FROM rowm CROSS JOIN tot
+    )
+    SELECT chi.n, CAST(chi.chi2_acc AS DOUBLE) / 1e12 AS chi2,
+           sqrt((CAST(chi.chi2_acc AS DOUBLE) / 1e12)
+                / (CAST(chi.n AS DOUBLE)
+                   * CAST(least(chi.nr - 1, chi.nc - 1) AS DOUBLE)))
+             AS cramers_v,
+           (CAST(-hr.h_r_acc AS DOUBLE) - CAST(-chi.h_rc_acc AS DOUBLE))
+             / CAST(-hr.h_r_acc AS DOUBLE) AS theils_u
+    FROM chi CROSS JOIN hr
+    """,
+)
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``cramersV`` + ``theilsU`` parity: association
+    strength between the user-id residue class (5 rows) and event type
+    (5 columns). The contingency table comes from ONE wide hash
+    aggregation; margins are two tiny groupBys broadcast back (no
+    global windows — a bare OVER () would single-task the cell table);
+    each chi-squared contribution quantizes to integer pico-units and
+    each ln entropy term to nano-units before the sums, making every
+    emitted double bit-identical across engines AND across Spark's own
+    accumulation orders."""
+    cells = (
+        load(spark, sf_dir, "events")
+        .groupBy((F.col("user_id") % 5).alias("r"), F.col("event_type").alias("c"))
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint()  # 25 rows; reused by four branches below
+    )
+    rowm = cells.groupBy("r").agg(F.sum("o").cast("long").alias("row_n"))
+    colm = cells.groupBy("c").agg(F.sum("o").cast("long").alias("col_n"))
+    tot = cells.agg(F.sum("o").cast("long").alias("n"))
+    joined = (
+        cells.join(F.broadcast(rowm), "r")
+        .join(F.broadcast(colm), "c")
+        .crossJoin(F.broadcast(tot))
+    )
+    e = (
+        F.col("row_n").cast("double")
+        * F.col("col_n").cast("double")
+        / F.col("n").cast("double")
+    )
+    terms = joined.select(
+        "o",
+        "row_n",
+        "col_n",
+        "n",
+        F.floor(
+            (F.col("o").cast("double") - e)
+            * (F.col("o").cast("double") - e)
+            / e
+            * F.lit(1e12)
+        )
+        .cast("long")
+        .alias("chi_q"),
+        (
+            F.col("o")
+            * F.floor(
+                F.log(F.col("o").cast("double") / F.col("col_n").cast("double"))
+                * F.lit(1e9)
+            ).cast("long")
+        ).alias("hrc_q"),
+    )
+    chi = terms.agg(
+        F.max("n").alias("n"),
+        F.sum("chi_q").cast("long").alias("chi2_acc"),
+        F.sum("hrc_q").cast("long").alias("h_rc_acc"),
+    )
+    nr = rowm.agg(F.count(F.lit(1)).alias("nr"))
+    nc = colm.agg(F.count(F.lit(1)).alias("nc"))
+    hr = (
+        rowm.crossJoin(F.broadcast(tot))
+        .select(
+            (
+                F.col("row_n")
+                * F.floor(
+                    F.log(F.col("row_n").cast("double") / F.col("n").cast("double"))
+                    * F.lit(1e9)
+                ).cast("long")
+            ).alias("hr_q")
+        )
+        .agg(F.sum("hr_q").cast("long").alias("h_r_acc"))
+    )
+    j = (
+        chi.crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(hr))
+    )
+    return j.select(
+        "n",
+        (F.col("chi2_acc").cast("double") / F.lit(1e12)).alias("chi2"),
+        F.sqrt(
+            (F.col("chi2_acc").cast("double") / F.lit(1e12))
+            / (
+                F.col("n").cast("double")
+                * F.least(F.col("nr") - 1, F.col("nc") - 1).cast("double")
+            )
+        ).alias("cramers_v"),
+        (
+            ((-F.col("h_r_acc")).cast("double") - (-F.col("h_rc_acc")).cast("double"))
+            / (-F.col("h_r_acc")).cast("double")
+        ).alias("theils_u"),
+    )
+
+
+# LTTB geometry: NB middle buckets + the always-kept first and last
+# points. Requires every middle bucket non-empty (holds whenever each
+# series has >= ~3*NB points; events has >= 1k rows per type at the
+# smallest test scale).
+LTTB_NB = 12
+
+
+@query(
+    "q_lttb",
+    # The sequential choose-then-advance dependency is a recursive CTE
+    # over the bucket index: step b joins the bucket-(b+1) candidates
+    # with the point selected at step b and the PRE-AGGREGATED sums of
+    # bucket b+2 (the "third point" centroid, denominator cleared so
+    # the triangle-area comparison is exact integer DECIMAL — no
+    # floats anywhere). max(struct(area, -x, -event_id, ...)) is the
+    # deterministic argmax.
+    oracle=f"""
+    WITH RECURSIVE pts AS (
+      SELECT event_type, epoch_us(ts) // 1000000 AS x,
+             CAST(floor(value * 1000 + 0.5) AS BIGINT) AS y,
+             event_id,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) - 1 AS idx,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    mid AS (
+      SELECT event_type, x, y, event_id,
+             ((idx - 1) * {LTTB_NB}) // (n - 2) AS b
+      FROM pts WHERE idx > 0 AND idx < n - 1
+    ),
+    nxt AS (
+      SELECT event_type, b - 1 AS b, CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy, CAST(count(*) AS BIGINT) AS cnt
+      FROM mid GROUP BY event_type, b
+      UNION ALL
+      SELECT event_type, {LTTB_NB - 1}, x, y, 1 FROM pts WHERE idx = n - 1
+    ),
+    sel(event_type, b, x, y) AS (
+      SELECT event_type, CAST(-1 AS BIGINT), x, y FROM pts WHERE idx = 0
+      UNION ALL
+      SELECT c.event_type, c.b, c.pick.x, c.pick.y FROM (
+        SELECT m.event_type, m.b,
+               max(struct_pack(
+                 a := CAST(abs(
+                   CAST(m.x - s.x AS DECIMAL(18,0))
+                     * CAST(nx.sy - nx.cnt * s.y AS DECIMAL(18,0))
+                   - CAST(nx.sx - nx.cnt * s.x AS DECIMAL(18,0))
+                     * CAST(m.y - s.y AS DECIMAL(18,0))
+                 ) AS DECIMAL(37,0)),
+                 nx2 := -m.x, ne := -m.event_id, x := m.x, y := m.y)) AS pick
+        FROM sel s
+        JOIN mid m ON m.event_type = s.event_type AND m.b = s.b + 1
+        JOIN nxt nx ON nx.event_type = m.event_type AND nx.b = m.b
+        GROUP BY m.event_type, m.b
+      ) c
+    )
+    SELECT event_type, CAST(b + 1 AS INT) AS seq,
+           CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y
+    FROM sel
+    UNION ALL
+    SELECT event_type, CAST({LTTB_NB + 1} AS INT), x, y
+    FROM pts WHERE idx = n - 1
+    """,
+)
+def q_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``largestTriangleThreeBuckets`` parity — the
+    dashboard downsampler (keep the visually dominant point per
+    bucket): each event_type's (second, milli-value) series reduces to
+    NB+2 points — first, last, and per middle bucket the point whose
+    triangle with the previously SELECTED point and the NEXT bucket's
+    centroid has maximal area. The centroid denominator is multiplied
+    through, so the whole argmax runs in exact integer arithmetic
+    (Python ints / DECIMAL) — bit-equal to the recursive DuckDB
+    oracle. Spark side: the choose-then-advance loop is inherently
+    sequential PER SERIES, so it runs as a grouped-map applyInPandas
+    (one task per series, thousands of series in parallel at scale;
+    state = one series, same contract as the UDAF tier)."""
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(ts) div 1000000").alias("x"),
+        F.expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").alias("y"),
+        "event_id",
+        "ts",
+    )
+
+    def lttb(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        et = pdf["event_type"].iloc[0]
+        xs = [int(v) for v in pdf["x"]]
+        ys = [int(v) for v in pdf["y"]]
+        eids = [int(v) for v in pdf["event_id"]]
+        n = len(xs)
+        nb = LTTB_NB
+        buckets: list[list[int]] = [[] for _ in range(nb)]
+        for i in range(1, n - 1):
+            buckets[((i - 1) * nb) // (n - 2)].append(i)
+        out = [(0, xs[0], ys[0])]
+        px, py = xs[0], ys[0]
+        for b in range(nb):
+            if b < nb - 1:
+                nxt_idx = buckets[b + 1]
+                sx = sum(xs[i] for i in nxt_idx)
+                sy = sum(ys[i] for i in nxt_idx)
+                cnt = len(nxt_idx)
+            else:
+                sx, sy, cnt = xs[n - 1], ys[n - 1], 1
+            best = None
+            for i in buckets[b]:
+                a = abs(
+                    (xs[i] - px) * (sy - cnt * py) - (sx - cnt * px) * (ys[i] - py)
+                )
+                key = (a, -xs[i], -eids[i])
+                if best is None or key > best[0]:
+                    best = (key, i)
+            i = best[1]
+            out.append((b + 1, xs[i], ys[i]))
+            px, py = xs[i], ys[i]
+        out.append((nb + 1, xs[n - 1], ys[n - 1]))
+        return pd.DataFrame(
+            {
+                "event_type": [et] * len(out),
+                "seq": [o[0] for o in out],
+                "x": [o[1] for o in out],
+                "y": [o[2] for o in out],
+            }
+        )
+
+    return ev.groupBy("event_type").applyInPandas(
+        lttb, schema="event_type string, seq int, x long, y long"
+    )

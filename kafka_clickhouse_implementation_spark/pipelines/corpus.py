@@ -149,15 +149,16 @@ from kafka_clickhouse_implementation_spark.operators.minhash_portable import (  
 )
 
 
-@query(
-    "q_corpus_clean_portable",
-    # The WHOLE composed pipeline replayed in DuckDB: quality gate →
-    # keep-lowest-id exact dedup → the parametrized portable-MinHash
-    # pair CTE (identical SQL to q_minhash_portable's oracle) →
-    # recursive-CTE connected components → keep-one-per-cluster counts.
-    oracle=f"""
+def _clean_oracle(where: str = "") -> str:
+    """The WHOLE composed pipeline replayed in DuckDB: quality gate →
+    keep-lowest-id exact dedup → the parametrized portable-MinHash
+    pair CTE (identical SQL to q_minhash_portable's oracle) →
+    recursive-CTE connected components → keep-one-per-cluster counts.
+    ``where`` narrows the corpus for the sampled variant — ONE template
+    builds both oracles so they can never diverge."""
+    return f"""
     WITH RECURSIVE base AS (
-      SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+      SELECT doc_id, text, string_split(text, ' ') AS t FROM documents {where}
     ), ok AS (
       SELECT doc_id, text, t FROM base
       WHERE len(t) >= 10
@@ -184,8 +185,10 @@ from kafka_clickhouse_implementation_spark.operators.minhash_portable import (  
            (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_after_exact_dedup,
            (SELECT CAST(count(*) AS BIGINT) FROM kept)
              - (SELECT CAST(count(*) AS BIGINT) FROM losers) AS n_after_near_dedup
-    """,
-)
+    """
+
+
+@query("q_corpus_clean_portable", oracle=_clean_oracle())
 def q_corpus_clean_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FLAGSHIP pipeline, end-to-end HASH-CHECKED: quality gate →
     exact dedup → portable MinHash-LSH near-dup pairs (>= 0.8 verified
@@ -198,7 +201,12 @@ def q_corpus_clean_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape is unchanged from the pieces: narrow maps, 16-byte-key
     shuffles, LSH-bucketed candidates, O(log n) CC rounds."""
-    docs = load(spark, sf_dir, "documents")
+    return _clean_counts(load(spark, sf_dir, "documents"))
+
+
+def _clean_counts(docs: DataFrame) -> DataFrame:
+    """Run the composed clean and emit the four funnel counts — shared
+    by the full and sampled variants."""
     gated = quality_filter(docs)
     exact = exact_dedup(gated)
     pairs = verified_pairs(exact.select("doc_id", "text"))
@@ -216,3 +224,17 @@ def q_corpus_clean_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_e))
         .crossJoin(F.broadcast(n_c))
     )
+
+
+@query("q_corpus_clean_sampled", oracle=_clean_oracle("WHERE doc_id % 10 = 0"))
+def q_corpus_clean_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed clean on a deterministic 10% doc_id slice — the
+    SCALE-DIFFERENTIAL twin of q_corpus_clean_portable. The full
+    pipeline's Spark side benches fine at the sf1-equivalent scale,
+    but its DuckDB recursive-CC oracle is superlinear and stalls at
+    50k docs (round-5 sweep), leaving it the one batch query without
+    an sf1 row; sampling bounds the ORACLE's recursion while the
+    Spark side still exercises every stage — quality gate, exact
+    dedup, LSH candidates, CC, keep-one — end to end at every scale."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return _clean_counts(docs)

@@ -47,37 +47,39 @@ _WINDOW_50 = [
     "q_tpch_q2_shape", "q_tpch_q9_shape", "q_tpch_q11_shape",
     "q_tpch_q20_shape", "q_stream_dict_get", "q_bloom_filter", "q_ema",
     "q_stream_ema",
-    # (a2) late-round-5 additions (18): JPEG round trip, the ClickHouse
+    # (a2) late-round-5 additions (21): JPEG round trip, the ClickHouse
     # statistical/behavioral aggregate batches (intervalLengthSum,
     # maxIntersections, boundingRatio, rankCorr, welch/student TTest,
     # entropy, sequenceNextNode, weighted median, moving sum, min/max
     # map, uniqUpTo, strict funnel, IP functions, interpolated bigram
-    # surprisal), and the streaming Bloom + entropy twins — same rule
-    # as (a): new queries land with a hard driver row in their own
-    # round
+    # surprisal, cramersV/theilsU, LTTB downsampling, the sampled
+    # corpus clean), and the streaming Bloom + entropy twins — same
+    # rule as (a): new queries land with a hard driver row in their
+    # own round
     "q_multimodal_jpeg", "q_interval_length_sum", "q_max_intersections",
     "q_bounding_ratio", "q_rank_corr", "q_welch_ttest", "q_entropy",
     "q_sequence_next_node", "q_stream_bloom",
     "q_weighted_median", "q_moving_sum", "q_min_max_map",
     "q_student_ttest", "q_uniq_up_to", "q_window_funnel_strict",
     "q_ip_funcs", "q_bigram_surprisal", "q_stream_entropy",
-    # (b) the round-1-only cohort (14 of 40; the 8 most structurally
+    "q_cramers_v", "q_lttb", "q_corpus_clean_sampled",
+    # (b) the round-1-only cohort (10 of 40; the 8 most structurally
     # trivial — cross_join, null_funcs, pagination, setops, having,
     # case_bucket, union_by_name, regex_funcs — defer to round 6, as do
     # 18 shapes displaced by (a2): cte_reuse, cond_agg, corr_cov, cube,
     # exists_correlated, full_outer, in_subquery, scalar_subquery,
     # semi_anti, left_join_orders, join_orders_customer, pivot,
     # window_analytics, window_lag, window_rank, date_funcs,
-    # string_funcs, window_runsum — all stay green under local
-    # full-surface check_oracle runs)
-    "q_agg_suite", "q_approx_distinct", "q_approx_percentiles",
+    # string_funcs, window_runsum, percentiles, approx_percentiles,
+    # rollup_day_type — all stay green under local full-surface
+    # check_oracle runs)
+    "q_agg_suite", "q_approx_distinct",
     "q_argmax_segment", "q_argmin_first_event", "q_array_funcs",
     "q_distinct_users",
     "q_exact_distinct",
     "q_join_broadcast_nation",
     "q_math_funcs",
-    "q_percentiles", "q_revenue_by_nation",
-    "q_rollup_day_type",
+    "q_revenue_by_nation",
     "q_topk_spenders",
     # (c) round-2-cohort picks (6)
     "q_ingest_roundtrip", "q_dedup_docs", "q_jaccard_pairs",

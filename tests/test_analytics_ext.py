@@ -245,3 +245,95 @@ def test_stream_entropy_equals_batch(spark, sf_dir):
         for r in q_entropy(spark, sf_dir).collect()
     }
     assert streamed == batch
+
+
+def test_cramers_v_bounds_and_python(spark, sf_dir):
+    """Independent check of the association stats: rebuild the
+    contingency table in Python with the same quantization rules;
+    chi2, V and U must match exactly and respect their ranges."""
+    from kafka_clickhouse_implementation_spark.operators.analytics_ext import (
+        q_cramers_v,
+    )
+
+    row = q_cramers_v(spark, sf_dir).collect()[0]
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type").collect()
+    cells: dict[tuple[int, str], int] = {}
+    for r in ev:
+        k = (r.user_id % 5, r.event_type)
+        cells[k] = cells.get(k, 0) + 1
+    rows = sorted({k[0] for k in cells})
+    cols = sorted({k[1] for k in cells})
+    n = sum(cells.values())
+    rown = {r: sum(v for (rr, _), v in cells.items() if rr == r) for r in rows}
+    coln = {c: sum(v for (_, cc), v in cells.items() if cc == c) for c in cols}
+    chi_acc = 0
+    hrc_acc = 0
+    for (r, c), o in cells.items():
+        e = rown[r] * coln[c] / n
+        chi_acc += math.floor((o - e) * (o - e) / e * 1e12)
+        hrc_acc += o * math.floor(math.log(o / coln[c]) * 1e9)
+    hr_acc = sum(
+        rown[r] * math.floor(math.log(rown[r] / n) * 1e9) for r in rows
+    )
+    chi2 = float(chi_acc) / 1e12
+    v = math.sqrt(chi2 / (float(n) * float(min(len(rows), len(cols)) - 1)))
+    u = (float(-hr_acc) - float(-hrc_acc)) / float(-hr_acc)
+    assert row.n == n
+    assert row.chi2 == chi2
+    assert row.cramers_v == v
+    assert row.theils_u == u
+    assert 0.0 <= row.cramers_v <= 1.0
+    assert 0.0 <= row.theils_u <= 1.0
+
+
+def test_lttb_structure_and_python(spark, sf_dir):
+    """Independent plain-Python LTTB (exact integer triangle areas)
+    must select the SAME points; plus structural invariants: first and
+    last kept, one point per bucket, x strictly increasing."""
+    from kafka_clickhouse_implementation_spark.operators.analytics_ext import (
+        LTTB_NB,
+        q_lttb,
+    )
+
+    got: dict[str, list] = {}
+    for r in q_lttb(spark, sf_dir).collect():
+        got.setdefault(r.event_type, []).append((r.seq, r.x, r.y))
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", "value"
+    ).collect()
+    series: dict[str, list] = {}
+    for r in ev:
+        series.setdefault(r.event_type, []).append(
+            (r.ts, r.event_id, int(r.ts.timestamp()), int(math.floor(r.value * 1000 + 0.5)))
+        )
+    for et, rows in series.items():
+        rows.sort()
+        xs = [x for _, _, x, _ in rows]
+        ys = [y for _, _, _, y in rows]
+        eids = [e for _, e, _, _ in rows]
+        n = len(rows)
+        buckets: list[list[int]] = [[] for _ in range(LTTB_NB)]
+        for i in range(1, n - 1):
+            buckets[((i - 1) * LTTB_NB) // (n - 2)].append(i)
+        expect = [(0, xs[0], ys[0])]
+        px, py = xs[0], ys[0]
+        for b in range(LTTB_NB):
+            if b < LTTB_NB - 1:
+                nxt = buckets[b + 1]
+                sx, sy, cnt = sum(xs[i] for i in nxt), sum(ys[i] for i in nxt), len(nxt)
+            else:
+                sx, sy, cnt = xs[n - 1], ys[n - 1], 1
+            best = None
+            for i in buckets[b]:
+                a = abs((xs[i] - px) * (sy - cnt * py) - (sx - cnt * px) * (ys[i] - py))
+                key = (a, -xs[i], -eids[i])
+                if best is None or key > best[0]:
+                    best = (key, i)
+            i = best[1]
+            expect.append((b + 1, xs[i], ys[i]))
+            px, py = xs[i], ys[i]
+        expect.append((LTTB_NB + 1, xs[n - 1], ys[n - 1]))
+        sel = sorted(got[et])
+        assert sel == expect, et
+        assert [s for s, _, _ in sel] == list(range(LTTB_NB + 2))
+        assert all(sel[i][1] <= sel[i + 1][1] for i in range(len(sel) - 1))
