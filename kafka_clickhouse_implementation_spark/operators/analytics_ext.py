@@ -60,9 +60,7 @@ _DUCK_IVAL = f"""
 """
 
 
-@query(
-    "q_interval_length_sum",
-    oracle=f"""
+_ILS_ORACLE = f"""
     WITH ival AS ({_DUCK_IVAL}),
     flagged AS (
       SELECT user_id, s_us, e_us,
@@ -89,8 +87,10 @@ _DUCK_IVAL = f"""
            CAST(count(*) AS BIGINT) AS n_islands,
            CAST(sum(island_len) AS BIGINT) AS covered_us
     FROM merged GROUP BY user_id
-    """,
-)
+    """
+
+
+@query("q_interval_length_sum", oracle=_ILS_ORACLE)
 def q_interval_length_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse ``intervalLengthSum`` parity: per user, the total
     length of the UNION of its event intervals (overlaps counted once;
@@ -1201,4 +1201,41 @@ def q_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return ev.groupBy("event_type").applyInPandas(
         lttb, schema="event_type string, seq int, x long, y long"
+    )
+
+
+@query(
+    "q_window_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS hour_sum,
+           CAST(count(*) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS hour_cnt
+    FROM events
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window parity (every other window in the repo uses
+    ROWS frames): per user, the trailing-ONE-HOUR sum and count of
+    ``value`` — the frame boundary is a VALUE offset on the epoch-
+    second ordering, so timestamp ties are frame-peers on both engines
+    (a rows frame would order-split them). The sum accumulates in
+    DECIMAL(18,2) (exact under any within-frame order) and casts to
+    double once. One user-partitioned window shuffle."""
+    frame = (
+        "OVER (PARTITION BY user_id ORDER BY unix_micros(ts) div 1000000"
+        " RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)"
+    )
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr(f"CAST(sum(CAST(value AS DECIMAL(18,2))) {frame} AS DOUBLE)").alias(
+            "hour_sum"
+        ),
+        F.expr(f"CAST(count(*) {frame} AS BIGINT)").alias("hour_cnt"),
     )

@@ -47,7 +47,7 @@ _WINDOW_50 = [
     "q_tpch_q2_shape", "q_tpch_q9_shape", "q_tpch_q11_shape",
     "q_tpch_q20_shape", "q_stream_dict_get", "q_bloom_filter", "q_ema",
     "q_stream_ema",
-    # (a2) late-round-5 additions (21): JPEG round trip, the ClickHouse
+    # (a2) late-round-5 additions (23): JPEG round trip, the ClickHouse
     # statistical/behavioral aggregate batches (intervalLengthSum,
     # maxIntersections, boundingRatio, rankCorr, welch/student TTest,
     # entropy, sequenceNextNode, weighted median, moving sum, min/max
@@ -63,7 +63,12 @@ _WINDOW_50 = [
     "q_student_ttest", "q_uniq_up_to", "q_window_funnel_strict",
     "q_ip_funcs", "q_bigram_surprisal", "q_stream_entropy",
     "q_cramers_v", "q_lttb", "q_corpus_clean_sampled",
-    # (b) the round-1-only cohort (10 of 40; the 8 most structurally
+    "q_window_range_frame", "q_stream_interval_length",
+    # (b) the round-1-only cohort (9 of 40 — q_approx_distinct (rows-
+    # only by design) and q_distinct_users (its exact twin
+    # q_exact_distinct keeps a slot) also
+    # yields only a rows-only row by design, so its slot went to the
+    # RANGE-frame window query; the 8 most structurally
     # trivial — cross_join, null_funcs, pagination, setops, having,
     # case_bucket, union_by_name, regex_funcs — defer to round 6, as do
     # 18 shapes displaced by (a2): cte_reuse, cond_agg, corr_cov, cube,
@@ -73,9 +78,8 @@ _WINDOW_50 = [
     # string_funcs, window_runsum, percentiles, approx_percentiles,
     # rollup_day_type — all stay green under local full-surface
     # check_oracle runs)
-    "q_agg_suite", "q_approx_distinct",
+    "q_agg_suite",
     "q_argmax_segment", "q_argmin_first_event", "q_array_funcs",
-    "q_distinct_users",
     "q_exact_distinct",
     "q_join_broadcast_nation",
     "q_math_funcs",

@@ -77,3 +77,142 @@ def q_stream_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.max("total").cast("double") * F.lit(1e9))
         ).alias("entropy_nats"),
     )
+
+
+# ---------------------------------------------------------------------
+# Incremental intervalLengthSum — an ORDER-SENSITIVE fold (like the
+# EMA twin), so it replays a strictly-mtime-ordered ts-ranged wire.
+# ---------------------------------------------------------------------
+
+from collections.abc import Iterator  # noqa: E402
+
+import pandas as pd  # noqa: E402
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout  # noqa: E402
+
+from kafka_clickhouse_implementation_spark.io import load  # noqa: E402
+from kafka_clickhouse_implementation_spark.operators.analytics_ext import (  # noqa: E402
+    _ILS_ORACLE,
+)
+
+_DUR_US_PY = 60_000_000  # (event_id % 7 + 1) * this — restated from analytics_ext
+
+
+def _ils_wire(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """ts-range-partitioned JSON replay of events with STRICTLY
+    increasing part-file mtimes (the q_stream_ema recipe): the interval
+    fold below assumes per-user starts arrive in time order, which the
+    oldest-mtime-first file source only guarantees if batch order IS
+    time order."""
+    import os
+    import shutil
+    import time
+
+    from kafka_clickhouse_implementation_spark.cachedirs import source_tagged_dir
+
+    base = source_tagged_dir("ilswire1", sf_dir, "events")
+    wire_dir = os.path.join(base, "wire")
+    ready = os.path.join(wire_dir, "_WIRE_READY")
+    if not os.path.exists(ready):
+        shutil.rmtree(wire_dir, ignore_errors=True)
+        (
+            load(spark, sf_dir, "events")
+            .select("user_id", "event_id", F.unix_micros("ts").alias("s_us"))
+            .repartitionByRange(4, "s_us", "event_id")
+            .sortWithinPartitions("s_us", "event_id")
+            .write.mode("overwrite")
+            .json(wire_dir)
+        )
+        parts = sorted(
+            f for f in os.listdir(wire_dir)
+            if f.startswith("part-") and f.endswith(".json")
+        )
+        now = time.time()
+        for i, p in enumerate(parts):
+            os.utime(os.path.join(wire_dir, p), (now + 10.0 * i, now + 10.0 * i))
+        with open(ready, "w"):
+            pass
+    return wire_dir, base
+
+
+def _ils_update(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold one micro-batch of this user's intervals into the running
+    island state. Because starts arrive time-ordered across batches,
+    four longs fully describe the union so far: the OPEN island's
+    [cur_s, cur_e), the count of CLOSED islands, and their total
+    covered length (+ n_seen for final-row selection)."""
+    (user_id,) = key
+    if state.exists:
+        cur_s, cur_e, closed_n, closed_len, n_seen = state.get
+    else:
+        cur_s, cur_e, closed_n, closed_len, n_seen = (None, None, 0, 0, 0)
+    rows = []
+    for pdf in batches:
+        n_seen += len(pdf)
+        for s, eid in zip(pdf["s_us"], pdf["event_id"]):
+            rows.append((int(s), int(s) + (int(eid) % 7 + 1) * _DUR_US_PY, int(eid)))
+    rows.sort()
+    for s, e, _eid in rows:
+        if cur_s is None:
+            cur_s, cur_e = s, e
+        elif s <= cur_e:
+            cur_e = max(cur_e, e)
+        else:
+            closed_n += 1
+            closed_len += cur_e - cur_s
+            cur_s, cur_e = s, e
+    state.update((cur_s, cur_e, closed_n, closed_len, n_seen))
+    open_len = (cur_e - cur_s) if cur_s is not None else 0
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_seen": [n_seen],
+            "n_islands": [closed_n + (1 if cur_s is not None else 0)],
+            "covered_us": [closed_len + open_len],
+        }
+    )
+
+
+@query("q_stream_interval_length", oracle=_ILS_ORACLE)
+def q_stream_interval_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``intervalLengthSum`` maintained INCREMENTALLY — an operator the
+    batch engine re-scans for, folded here as four longs of state per
+    user: because the wire delivers each user's interval STARTS in
+    time order (ts-ranged files, strictly increasing mtimes,
+    maxFilesPerTrigger=1 ⇒ batch order is time order), the union of
+    intervals so far is exactly (closed islands count/length + the one
+    open island), and each micro-batch extends or closes the open
+    island. Drained per-user totals must hash-match the batch island-
+    detection oracle verbatim. State: 4 longs + a counter per user,
+    independent of stream length."""
+    wire, base = _ils_wire(spark, sf_dir)
+    import os
+
+    ckpt = os.path.join(base, "ckpt_ils")
+    ev = (
+        spark.readStream.schema("user_id long, event_id long, s_us long")
+        .option("maxFilesPerTrigger", "1")
+        .json(wire)
+    )
+    folded = ev.groupBy("user_id").applyInPandasWithState(
+        _ils_update,
+        outputStructType="user_id long, n_seen long, n_islands long, covered_us long",
+        stateStructType=(
+            "cur_s long, cur_e long, closed_n long, closed_len long, n_seen long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = "stream_ils_out"
+    from kafka_clickhouse_implementation_spark.streaming.funnel import _drain as drain
+
+    drain(spark, folded, name, ckpt, mode="update")
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max_by("n_islands", "n_seen").cast("long").alias("n_islands"),
+            F.max_by("covered_us", "n_seen").cast("long").alias("covered_us"),
+        )
+    )

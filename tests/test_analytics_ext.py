@@ -337,3 +337,23 @@ def test_lttb_structure_and_python(spark, sf_dir):
         assert sel == expect, et
         assert [s for s, _, _ in sel] == list(range(LTTB_NB + 2))
         assert all(sel[i][1] <= sel[i + 1][1] for i in range(len(sel) - 1))
+
+
+def test_stream_interval_length_equals_batch(spark, sf_dir):
+    """The incrementally-folded interval union must equal the batch
+    island detection per user exactly — the fold's correctness rests
+    on starts arriving time-ordered, so any wire-order slip shows up
+    here as a split or merged island."""
+    from kafka_clickhouse_implementation_spark.streaming.analytics_stream import (
+        q_stream_interval_length,
+    )
+
+    streamed = {
+        r.user_id: (r.n_islands, r.covered_us)
+        for r in q_stream_interval_length(spark, sf_dir).collect()
+    }
+    batch = {
+        r.user_id: (r.n_islands, r.covered_us)
+        for r in q_interval_length_sum(spark, sf_dir).collect()
+    }
+    assert streamed == batch
