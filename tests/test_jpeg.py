@@ -118,3 +118,76 @@ def test_oracle_geometry_matches_query_formulas():
             expect += [a] * 8 + [b] * 8 + _PAT[8 * y : 8 * y + 8]
         assert vals == expect
         assert sum(vals) == 64 * a + 64 * b + sum(_PAT)
+
+
+# ------------------------- GIF / LZW --------------------------------
+
+
+lzw_streams = st.lists(st.integers(min_value=0, max_value=15), min_size=1, max_size=500)
+
+
+@settings(max_examples=40, deadline=None)
+@given(lzw_streams)
+def test_lzw_roundtrip_arbitrary_streams(indices):
+    """encode->decode identity for arbitrary index streams: dictionary
+    growth, width bumps, and the KwKwK case all occur across draws."""
+    from kafka_clickhouse_implementation_spark.operators.gif_codec import (
+        lzw_decode,
+        lzw_encode,
+    )
+
+    assert lzw_decode(lzw_encode(indices, 4), 4) == indices
+
+
+def test_lzw_kwkwk_and_dictionary_reset():
+    from kafka_clickhouse_implementation_spark.operators.gif_codec import (
+        lzw_decode,
+        lzw_encode,
+    )
+
+    # long single-symbol runs hit KwKwK immediately
+    for k in (1, 2, 3, 17, 200):
+        assert lzw_decode(lzw_encode([5] * k, 4), 4) == [5] * k
+    # a long low-entropy stream grows the dictionary through multiple
+    # width bumps (and past 4096 -> clear/reset on big inputs)
+    idx = ([0, 1] * 3000) + list(range(16)) * 100
+    assert lzw_decode(lzw_encode(idx, 4), 4) == idx
+
+
+def test_gif_roundtrip_and_error_paths():
+    from kafka_clickhouse_implementation_spark.operators.gif_codec import (
+        GIF_PALETTE,
+        _gif_indices,
+        encode_gif,
+        parse_gif,
+    )
+
+    payload = encode_gif(10, 6, GIF_PALETTE, _gif_indices(3))
+    dec = parse_gif(payload)
+    expect = []
+    for i in _gif_indices(3):
+        expect += GIF_PALETTE[3 * i : 3 * i + 3]
+    assert (dec["width"], dec["height"]) == (10, 6)
+    assert dec["values"] == expect
+
+    with pytest.raises(ValueError, match="signature"):
+        parse_gif(b"NOTAGIF")
+    # flip the interlace flag in the image descriptor
+    mut = bytearray(payload)
+    i = mut.index(0x2C, 6)
+    mut[i + 9] |= 0x40
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        parse_gif(bytes(mut))
+
+
+def test_decode_image_dispatches_gif():
+    from kafka_clickhouse_implementation_spark.operators.gif_codec import (
+        GIF_PALETTE,
+        encode_gif,
+    )
+    from kafka_clickhouse_implementation_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    dec = decode_image(encode_gif(2, 2, GIF_PALETTE, [0, 1, 2, 3]))
+    assert dec["width"] == 2 and len(dec["values"]) == 12
