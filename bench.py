@@ -78,6 +78,10 @@ HEADLINE = [
     "q_interval_length_sum",
     "q_rank_corr",
     "q_stream_bloom",
+    # final late-round-5 additions: the per-series grouped-map LTTB
+    # downsampler and the order-sensitive incremental interval union
+    "q_lttb",
+    "q_stream_interval_length",
 ]
 
 

@@ -128,8 +128,17 @@ def parse_wav(payload: bytes) -> dict:
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     audio_fmt, channels, rate, _byte_rate, _align, bits = fmt
+    if audio_fmt == 7 and bits == 8:
+        # G.711 mu-law (WAVE_FORMAT_MULAW): one byte per sample
+        samples = [mulaw_decode_byte(b) for b in data]
+        return {
+            "format": "wav-mulaw", "channels": channels, "sample_rate": rate,
+            "n_samples": len(samples) // channels, "values": samples,
+        }
     if audio_fmt != 1 or bits != 16:
-        raise NotImplementedError("only 16-bit PCM WAV is parsed without codec libs")
+        raise NotImplementedError(
+            "only 16-bit PCM and 8-bit mu-law WAV are parsed without codec libs"
+        )
     n = len(data) // 2
     samples = list(struct.unpack(f"<{n}h", data[: 2 * n]))
     return {
@@ -168,6 +177,46 @@ def encode_wav(samples: list[int], rate: int = 8000, channels: int = 1) -> bytes
         b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
         + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def mulaw_encode_sample(s: int) -> int:
+    """G.711 mu-law compression of one 16-bit PCM sample (the
+    telephony codec: sign + 3-bit segment + 4-bit mantissa, biased and
+    bit-inverted). Pure integer arithmetic — exactly reproducible."""
+    BIAS, CLIP = 0x84, 32635
+    sign = 0x80 if s < 0 else 0
+    s = min(-s if s < 0 else s, CLIP) + BIAS
+    exp, mask = 7, 0x4000
+    while exp > 0 and not (s & mask):
+        exp -= 1
+        mask >>= 1
+    mant = (s >> (exp + 3)) & 0x0F
+    return ~(sign | (exp << 4) | mant) & 0xFF
+
+
+def mulaw_decode_byte(b: int) -> int:
+    """G.711 mu-law expansion: the exact inverse segment/mantissa
+    reconstruction (encode(decode(b)) == b for every byte except 0x7F,
+    whose negative zero re-encodes as positive zero 0xFF)."""
+    b = ~b & 0xFF
+    sign, exp, mant = b & 0x80, (b >> 4) & 0x07, b & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return -mag if sign else mag
+
+
+MULAW_TABLE = [mulaw_decode_byte(b) for b in range(256)]
+
+
+def encode_wav_mulaw(mulaw_bytes: bytes, rate: int = 8000) -> bytes:
+    """RIFF/WAVE container with WAVE_FORMAT_MULAW (7), 8 bits/sample."""
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 7, 1, rate, rate, 1, 8)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(mulaw_bytes)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(mulaw_bytes)) + mulaw_bytes
     )
 
 
@@ -643,4 +692,57 @@ def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id long, width int, height int, n_vals long, "
             "val_sum long, px_fp string"
         ),
+    )
+
+
+_MULAW_LITERAL = "[" + ", ".join(str(v) for v in MULAW_TABLE) + "]"
+_MULAW_N = 64
+
+
+@query(
+    "q_multimodal_mulaw",
+    # DuckDB decodes the same synthetic byte stream through the
+    # 256-entry G.711 expansion table embedded as a literal; Spark
+    # parses a REAL WAVE_FORMAT_MULAW container and expands for real.
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_MULAW_N} AS BIGINT) AS n_samples,
+           CAST(list_sum(list_transform(range(0, {_MULAW_N}),
+                 i -> {_MULAW_LITERAL}[(doc_id * 13 + 5 * i) % 256 + 1]))
+                AS BIGINT) AS sample_sum,
+           md5(array_to_string(list_transform(range(0, {_MULAW_N}),
+                 i -> {_MULAW_LITERAL}[(doc_id * 13 + 5 * i) % 256 + 1]), ','))
+             AS pcm_fp
+    FROM documents WHERE doc_id < 24
+    """,
+)
+def q_multimodal_mulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-AUDIO round trip — G.711 mu-law (the telephony
+    codec; WAV format tag 7): each doc synthesizes a 64-byte mu-law
+    stream from doc_id arithmetic, wraps it in a real RIFF container,
+    and ``parse_wav`` dispatches on the format tag and expands every
+    byte through the exact segment/mantissa reconstruction. The oracle
+    pins the sample count, the PCM sum, and an md5 over the expanded
+    sequence via the 256-entry table literal. First AUDIO codec beyond
+    raw PCM — MP3 remains the declared stub."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 24).select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = {"doc_id": [], "n_samples": [], "sample_sum": [], "pcm_fp": []}
+        for pdf in batches:
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                raw = bytes([(doc_id * 13 + 5 * i) % 256 for i in range(_MULAW_N)])
+                dec = parse_wav(encode_wav_mulaw(raw))
+                vals = dec["values"]
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(len(vals))
+                out["sample_sum"].append(sum(vals))
+                out["pcm_fp"].append(
+                    hashlib.md5(",".join(str(v) for v in vals).encode()).hexdigest()
+                )
+        yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        run, schema="doc_id long, n_samples long, sample_sum long, pcm_fp string"
     )

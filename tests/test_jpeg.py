@@ -191,3 +191,38 @@ def test_decode_image_dispatches_gif():
 
     dec = decode_image(encode_gif(2, 2, GIF_PALETTE, [0, 1, 2, 3]))
     assert dec["width"] == 2 and len(dec["values"]) == 12
+
+
+# ------------------------- G.711 mu-law -----------------------------
+
+
+def test_mulaw_identity_and_error_bound():
+    from kafka_clickhouse_implementation_spark.operators.multimodal import (
+        mulaw_decode_byte,
+        mulaw_encode_sample,
+    )
+
+    # byte-level identity (except 0x7F: negative zero re-encodes as
+    # positive zero 0xFF — the classic G.711 quirk)
+    for b in range(256):
+        if b != 0x7F:
+            assert mulaw_encode_sample(mulaw_decode_byte(b)) == b
+    assert mulaw_encode_sample(mulaw_decode_byte(0x7F)) == 0xFF
+    # compansion error is bounded by the top segment's step size
+    for s in range(-32000, 32001, 97):
+        d = mulaw_decode_byte(mulaw_encode_sample(s))
+        assert abs(d - s) <= 512
+
+
+def test_mulaw_wav_container_roundtrip():
+    from kafka_clickhouse_implementation_spark.operators.multimodal import (
+        MULAW_TABLE,
+        encode_wav_mulaw,
+        parse_wav,
+    )
+
+    raw = bytes(range(256))
+    dec = parse_wav(encode_wav_mulaw(raw, rate=8000))
+    assert dec["format"] == "wav-mulaw"
+    assert dec["sample_rate"] == 8000
+    assert dec["values"] == [MULAW_TABLE[b] for b in raw]

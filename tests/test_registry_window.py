@@ -26,7 +26,7 @@ WINDOW_50 = [
     "q_tpch_q2_shape", "q_tpch_q9_shape", "q_tpch_q11_shape",
     "q_tpch_q20_shape", "q_stream_dict_get", "q_bloom_filter", "q_ema",
     "q_stream_ema",
-    # (a2) late-round-5 additions (25): JPEG+GIF round trips, the ClickHouse
+    # (a2) late-round-5 additions (26): JPEG/GIF/mu-law round trips, the ClickHouse
     # statistical/behavioral aggregate batches (intervalLengthSum,
     # maxIntersections, boundingRatio, rankCorr, welch/student TTest,
     # entropy, sequenceNextNode, weighted median, moving sum, min/max
@@ -43,7 +43,7 @@ WINDOW_50 = [
     "q_ip_funcs", "q_bigram_surprisal", "q_stream_entropy",
     "q_cramers_v", "q_lttb", "q_corpus_clean_sampled",
     "q_window_range_frame", "q_stream_interval_length",
-    "q_multimodal_gif", "q_window_funnel_dedup",
+    "q_multimodal_gif", "q_window_funnel_dedup", "q_multimodal_mulaw",
     # (b) the round-1-only cohort (9 of 40 — q_approx_distinct (rows-
     # only by design) and q_distinct_users (its exact twin
     # q_exact_distinct keeps a slot) also
@@ -61,7 +61,6 @@ WINDOW_50 = [
     "q_agg_suite",
     "q_argmax_segment",
     "q_exact_distinct",
-    "q_join_broadcast_nation",
     "q_math_funcs",
     "q_revenue_by_nation",
     "q_topk_spenders",
