@@ -190,9 +190,13 @@ def q_stream_interval_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     ckpt = os.path.join(base, "ckpt_ils")
+    # 2 files/trigger over the 4-file wire = 2 micro-batches: the
+    # cheapest replay that still forces island state across a batch
+    # boundary (time order within a batch is restored by the in-fold
+    # sort; ACROSS batches it is the wire's file order).
     ev = (
         spark.readStream.schema("user_id long, event_id long, s_us long")
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", "2")
         .json(wire)
     )
     folded = ev.groupBy("user_id").applyInPandasWithState(

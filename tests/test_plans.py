@@ -285,3 +285,64 @@ def test_welch_and_student_share_one_scan_shape(spark):
         plan = _plan(all_queries()[q](spark, SF))
         assert "windowspecdefinition" not in plan, q
         assert "HashAggregate" in plan, q
+
+
+# Queries excluded from the registry-wide audit: streaming drains (the
+# plan of interest is the batch finish, and running every stream here
+# would dominate suite time) and the ones that WRITE layouts/files as
+# part of their contract.
+_AUDIT_SKIP_PREFIXES = ("q_stream_",)
+_AUDIT_SKIP = {"q_ingest_roundtrip", "q_partition_prune", "q_csv_roundtrip", "q_orc_roundtrip"}
+
+
+def _bare_windows(plan: str) -> list[str]:
+    """windowspecdefinition(...) whose args before specifiedwindowframe
+    are ALL ordering expressions (ASC/DESC) — i.e., no partition key:
+    the single-task 'No Partition Defined' cliff."""
+    import re
+
+    out = []
+    for m in re.finditer(r"windowspecdefinition\(([^()]*?)specifiedwindowframe", plan):
+        args = [a.strip() for a in m.group(1).split(",") if a.strip()]
+        if not any(a for a in args if " ASC" not in a and " DESC" not in a):
+            out.append(m.group(0)[:120])
+    return out
+
+
+def test_registry_wide_plan_audit(spark):
+    """EVERY registered batch query's physical plan is free of the
+    three scale anti-patterns: CartesianProduct (quadratic joins —
+    1-row finishes plan as BroadcastNestedLoopJoin, which is fine and
+    bounded), BatchEvalPython (row-at-a-time Python UDFs — all Python
+    must be Arrow-vectorized), and unpartitioned windows over
+    unbounded inputs. This is the mechanical form of the per-operator
+    scale arguments in docs/SCALE.md."""
+    from kafka_clickhouse_implementation_spark.registry import all_queries as aq
+
+    offenders: dict[str, list[str]] = {"cartesian": [], "batch_python": [], "bare_window": []}
+    for name, fn in aq().items():
+        if name.startswith(_AUDIT_SKIP_PREFIXES) or name in _AUDIT_SKIP:
+            continue
+        plan = _plan(fn(spark, SF))
+        if "CartesianProduct" in plan:
+            offenders["cartesian"].append(name)
+        if "BatchEvalPython" in plan:
+            offenders["batch_python"].append(name)
+        if _bare_windows(plan):
+            offenders["bare_window"].append(name)
+    assert offenders == {"cartesian": [], "batch_python": [], "bare_window": []}
+
+
+def test_bare_window_detector_catches_global_windows(spark):
+    """Negative control for the audit: a deliberately unpartitioned
+    window MUST trip the detector (otherwise the audit is vacuous)."""
+    df = spark.range(10).selectExpr(
+        "id", "sum(id) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s"
+    )
+    assert _bare_windows(_plan(df))
+    ok = spark.range(10).selectExpr(
+        "id",
+        "sum(id) OVER (PARTITION BY id % 3 ORDER BY id"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s",
+    )
+    assert not _bare_windows(_plan(ok))
