@@ -128,6 +128,19 @@ def parse_wav(payload: bytes) -> dict:
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     audio_fmt, channels, rate, _byte_rate, _align, bits = fmt
+    if audio_fmt == 0x11 and bits == 4:
+        # IMA ADPCM, one block: header (predictor int16, index, pad)
+        # then packed nibbles, low first; header sample is sample 0
+        pred0, idx0, _pad = struct.unpack_from("<hBB", data, 0)
+        nibbles: list[int] = []
+        for byte in data[4:]:
+            nibbles.append(byte & 0x0F)
+            nibbles.append(byte >> 4)
+        samples = [pred0] + adpcm_decode(nibbles, pred=pred0, index=idx0)
+        return {
+            "format": "wav-adpcm", "channels": channels, "sample_rate": rate,
+            "n_samples": len(samples) // channels, "values": samples,
+        }
     if audio_fmt == 7 and bits == 8:
         # G.711 mu-law (WAVE_FORMAT_MULAW): one byte per sample
         samples = [mulaw_decode_byte(b) for b in data]
@@ -217,6 +230,96 @@ def encode_wav_mulaw(mulaw_bytes: bytes, rate: int = 8000) -> bytes:
         b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(mulaw_bytes)) + b"WAVE"
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
         + b"data" + struct.pack("<I", len(mulaw_bytes)) + mulaw_bytes
+    )
+
+
+ADPCM_STEP = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+ADPCM_IDX = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def adpcm_decode(nibbles: list[int], pred: int = 0, index: int = 0) -> list[int]:
+    """IMA ADPCM expansion — a PREDICTIVE codec: each 4-bit nibble is a
+    scaled delta against the running predictor, and the step size
+    adapts via the index table. Pure integer state machine, exactly
+    reproducible (the oracle folds the same recurrence in a recursive
+    CTE)."""
+    out = []
+    for n in nibbles:
+        step = ADPCM_STEP[index]
+        diff = step >> 3
+        if n & 1:
+            diff += step >> 2
+        if n & 2:
+            diff += step >> 1
+        if n & 4:
+            diff += step
+        pred = pred - diff if n & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        index = max(0, min(88, index + ADPCM_IDX[n]))
+        out.append(pred)
+    return out
+
+
+def adpcm_encode(samples: list[int], pred: int = 0, index: int = 0) -> list[int]:
+    """IMA ADPCM compression, predictor kept in sync with the decoder
+    (the reconstruction inside the loop IS adpcm_decode's step)."""
+    nibs = []
+    for s in samples:
+        step = ADPCM_STEP[index]
+        delta = s - pred
+        n = 0
+        if delta < 0:
+            n = 8
+            delta = -delta
+        if delta >= step:
+            n |= 4
+            delta -= step
+        if delta >= step >> 1:
+            n |= 2
+            delta -= step >> 1
+        if delta >= step >> 2:
+            n |= 1
+        diff = step >> 3
+        if n & 1:
+            diff += step >> 2
+        if n & 2:
+            diff += step >> 1
+        if n & 4:
+            diff += step
+        pred = pred - diff if n & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        index = max(0, min(88, index + ADPCM_IDX[n]))
+        nibs.append(n)
+    return nibs
+
+
+def encode_wav_adpcm(nibbles: list[int], rate: int = 8000) -> bytes:
+    """RIFF/WAVE with WAVE_FORMAT_IMA_ADPCM (0x11), one block: 4-byte
+    block header (initial predictor 0, index 0) then two nibbles per
+    byte, low nibble first."""
+    import struct
+
+    body = bytearray(struct.pack("<hBB", 0, 0, 0))
+    for i in range(0, len(nibbles), 2):
+        lo = nibbles[i] & 0x0F
+        hi = (nibbles[i + 1] & 0x0F) if i + 1 < len(nibbles) else 0
+        body.append(lo | (hi << 4))
+    block_align = len(body)
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, rate, rate // 2, block_align, 4, 2, len(nibbles) + 1
+    )
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(body)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(body)) + bytes(body)
     )
 
 
@@ -734,6 +837,66 @@ def q_multimodal_mulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
                 doc_id = int(doc_id)
                 raw = bytes([(doc_id * 13 + 5 * i) % 256 for i in range(_MULAW_N)])
                 dec = parse_wav(encode_wav_mulaw(raw))
+                vals = dec["values"]
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(len(vals))
+                out["sample_sum"].append(sum(vals))
+                out["pcm_fp"].append(
+                    hashlib.md5(",".join(str(v) for v in vals).encode()).hexdigest()
+                )
+        yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        run, schema="doc_id long, n_samples long, sample_sum long, pcm_fp string"
+    )
+
+
+_ADPCM_N = 64
+
+
+@query(
+    "q_multimodal_adpcm",
+    # The decoder is a sequential integer state machine (predictor +
+    # adaptive step index), so the oracle folds the SAME recurrence in
+    # a recursive CTE — one step per sample per doc, step/index tables
+    # as literals, nibbles from the shared doc_id arithmetic.
+    oracle="""
+    WITH RECURSIVE dec(doc_id, i, pred, idx) AS (
+      SELECT doc_id, 0, 0, 0 FROM documents WHERE doc_id < 24
+      UNION ALL
+      SELECT doc_id, i + 1,
+             greatest(-32768, least(32767, CASE WHEN (((doc_id * 11 + 7 * i) % 16) & 8) > 0 THEN pred - (([7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767][idx + 1] >> 3) + CASE WHEN (((doc_id * 11 + 7 * i) % 16) & 1) > 0 THEN [7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767][idx + 1] >> 2 ELSE 0 END + CASE WHEN (((doc_id * 11 + 7 * i) % 16) & 2) > 0 THEN [7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767][idx + 1] >> 1 ELSE 0 END + CASE WHEN (((doc_id * 11 + 7 * i) % 16) & 4) > 0 THEN [7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767][idx + 1] ELSE 0 END) ELSE pred + (([7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767][idx + 1] >> 3) + CASE WHEN (((doc_id * 11 + 7 * i) % 16) & 1) > 0 THEN [7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767][idx + 1] >> 2 ELSE 0 END + CASE WHEN (((doc_id * 11 + 7 * i) % 16) & 2) > 0 THEN [7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767][idx + 1] >> 1 ELSE 0 END + CASE WHEN (((doc_id * 11 + 7 * i) % 16) & 4) > 0 THEN [7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767][idx + 1] ELSE 0 END) END)),
+             greatest(0, least(88, idx + [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8][((doc_id * 11 + 7 * i) % 16) + 1]))
+      FROM dec WHERE i < {n}
+    ),
+    vals AS (
+      SELECT doc_id, i, pred FROM dec WHERE i > 0
+    )
+    SELECT doc_id,
+           CAST({n} + 1 AS BIGINT) AS n_samples,
+           CAST(sum(pred) AS BIGINT) AS sample_sum,
+           md5('0,' || string_agg(CAST(pred AS VARCHAR), ',' ORDER BY i)) AS pcm_fp
+    FROM vals GROUP BY doc_id
+    """.format(n=_ADPCM_N),
+)
+def q_multimodal_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL predictive-audio round trip — IMA ADPCM (WAV format 0x11),
+    the fifth distinct compression FAMILY in the codec tier (table:
+    mu-law; dictionary: LZW; transform+entropy: JPEG; filter+DEFLATE:
+    PNG; prediction: this). Each doc synthesizes 64 nibbles from
+    doc_id arithmetic; ``parse_wav`` unpacks the block and runs the
+    adaptive predictor for real; the oracle folds the identical
+    integer recurrence in a recursive CTE and pins the sample count,
+    sum, and sequence md5 (header sample 0 included)."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 24).select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = {"doc_id": [], "n_samples": [], "sample_sum": [], "pcm_fp": []}
+        for pdf in batches:
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                nibs = [(doc_id * 11 + 7 * i) % 16 for i in range(_ADPCM_N)]
+                dec = parse_wav(encode_wav_adpcm(nibs))
                 vals = dec["values"]
                 out["doc_id"].append(doc_id)
                 out["n_samples"].append(len(vals))

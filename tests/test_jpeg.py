@@ -226,3 +226,49 @@ def test_mulaw_wav_container_roundtrip():
     assert dec["format"] == "wav-mulaw"
     assert dec["sample_rate"] == 8000
     assert dec["values"] == [MULAW_TABLE[b] for b in raw]
+
+
+# ------------------------- IMA ADPCM --------------------------------
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.integers(min_value=-20000, max_value=20000), min_size=1, max_size=300))
+def test_adpcm_encode_decode_state_stays_in_sync(samples):
+    """encode keeps its predictor in sync with decode: re-encoding the
+    DECODED signal must reproduce the identical nibble stream (the
+    fixed-point property of a predictive codec)."""
+    from kafka_clickhouse_implementation_spark.operators.multimodal import (
+        adpcm_decode,
+        adpcm_encode,
+    )
+
+    nibs = adpcm_encode(samples)
+    rec = adpcm_decode(nibs)
+    assert adpcm_encode(rec) == nibs
+
+
+def test_adpcm_tracks_smooth_signals():
+    import math
+
+    from kafka_clickhouse_implementation_spark.operators.multimodal import (
+        adpcm_decode,
+        adpcm_encode,
+    )
+
+    sm = [int(8000 * math.sin(i / 7)) for i in range(300)]
+    rec = adpcm_decode(adpcm_encode(sm))
+    assert max(abs(a - b) for a, b in zip(sm[50:], rec[50:])) < 1500
+
+
+def test_adpcm_wav_container_roundtrip():
+    from kafka_clickhouse_implementation_spark.operators.multimodal import (
+        adpcm_decode,
+        encode_wav_adpcm,
+        parse_wav,
+    )
+
+    nibs = [(5 * i + 3) % 16 for i in range(64)]
+    dec = parse_wav(encode_wav_adpcm(nibs, rate=8000))
+    assert dec["format"] == "wav-adpcm"
+    assert dec["values"] == [0] + adpcm_decode(nibs)
+    assert dec["n_samples"] == 65

@@ -26,7 +26,7 @@ WINDOW_50 = [
     "q_tpch_q2_shape", "q_tpch_q9_shape", "q_tpch_q11_shape",
     "q_tpch_q20_shape", "q_stream_dict_get", "q_bloom_filter", "q_ema",
     "q_stream_ema",
-    # (a2) late-round-5 additions (26): JPEG/GIF/mu-law round trips, the ClickHouse
+    # (a2) late-round-5 additions (27): JPEG/GIF/mu-law/ADPCM round trips, the ClickHouse
     # statistical/behavioral aggregate batches (intervalLengthSum,
     # maxIntersections, boundingRatio, rankCorr, welch/student TTest,
     # entropy, sequenceNextNode, weighted median, moving sum, min/max
@@ -44,6 +44,7 @@ WINDOW_50 = [
     "q_cramers_v", "q_lttb", "q_corpus_clean_sampled",
     "q_window_range_frame", "q_stream_interval_length",
     "q_multimodal_gif", "q_window_funnel_dedup", "q_multimodal_mulaw",
+    "q_multimodal_adpcm",
     # (b) the round-1-only cohort (9 of 40 — q_approx_distinct (rows-
     # only by design) and q_distinct_users (its exact twin
     # q_exact_distinct keeps a slot) also
@@ -59,7 +60,6 @@ WINDOW_50 = [
     # rollup_day_type — all stay green under local full-surface
     # check_oracle runs)
     "q_agg_suite",
-    "q_argmax_segment",
     "q_exact_distinct",
     "q_math_funcs",
     "q_revenue_by_nation",
