@@ -1281,3 +1281,157 @@ def q_window_funnel_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dedup_level")
     )
     return lv.groupBy("dedup_level").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@query(
+    "q_gap_fill_interpolate",
+    # Linear interpolation with an EXACT integer numerator: the
+    # interpolated value is (vp*(n-k) + vn*k) / n where vp/vn are
+    # integer cent sums and k/n integer day offsets — one IEEE
+    # division over identical integers on both engines.
+    oracle="""
+    WITH counts AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE event_type IN ('purchase', 'signup')
+      GROUP BY 1, 2
+    ),
+    axis AS (
+      SELECT et.event_type, d.day
+      FROM (SELECT DISTINCT event_type FROM counts) et
+      CROSS JOIN (SELECT unnest(generate_series(DATE '2024-01-01',
+                                                DATE '2024-02-29',
+                                                INTERVAL 1 DAY))::DATE AS day) d
+    ),
+    joined AS (
+      SELECT a.event_type, a.day, c.cents,
+             CASE WHEN c.cents IS NOT NULL THEN a.day END AS known_day
+      FROM axis a LEFT JOIN counts c USING (event_type, day)
+    ),
+    bounds AS (
+      SELECT event_type, day, cents,
+             last_value(cents IGNORE NULLS) OVER w_a AS vp,
+             last_value(known_day IGNORE NULLS) OVER w_a AS dp,
+             first_value(cents IGNORE NULLS) OVER w_b AS vn,
+             first_value(known_day IGNORE NULLS) OVER w_b AS dn
+      FROM joined
+      WINDOW w_a AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             w_b AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, day,
+           CASE
+             WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+             WHEN vp IS NOT NULL AND vn IS NOT NULL THEN
+               CAST(vp * (date_diff('day', day, dn))
+                    + vn * (date_diff('day', dp, day)) AS DOUBLE)
+               / CAST(date_diff('day', dp, dn) AS DOUBLE)
+             WHEN vp IS NOT NULL THEN CAST(vp AS DOUBLE)
+             WHEN vn IS NOT NULL THEN CAST(vn AS DOUBLE)
+           END AS cents_interp,
+           cents IS NOT NULL AS observed
+    FROM bounds
+    """,
+)
+def q_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``ORDER BY ... WITH FILL ... INTERPOLATE`` parity:
+    per event type, a dense daily axis where missing days get the
+    LINEAR interpolation between the neighboring observed days (and
+    boundary days clamp to the nearest observation). Values are
+    integer cent sums, so the interpolation numerator is exact and the
+    single division is bit-identical cross-engine. Both forward and
+    backward scans are event_type-partitioned windows with IGNORE
+    NULLS last/first_value — no bare window, no second scan of the
+    fact table (the axis join is broadcast)."""
+    counts = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "signup"))
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-02-29").cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day")
+    )
+    axis = counts.select("event_type").distinct().crossJoin(F.broadcast(days))
+    joined = axis.join(counts, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        "cents",
+        F.when(F.col("cents").isNotNull(), F.col("day")).alias("known_day"),
+    )
+    w_a = (
+        "OVER (PARTITION BY event_type ORDER BY day"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    w_b = (
+        "OVER (PARTITION BY event_type ORDER BY day"
+        " ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"
+    )
+    bounds = joined.selectExpr(
+        "event_type",
+        "day",
+        "cents",
+        f"last(cents, true) {w_a} AS vp",
+        f"last(known_day, true) {w_a} AS dp",
+        f"first(cents, true) {w_b} AS vn",
+        f"first(known_day, true) {w_b} AS dn",
+    )
+    return bounds.selectExpr(
+        "event_type",
+        "day",
+        """CASE
+             WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+             WHEN vp IS NOT NULL AND vn IS NOT NULL THEN
+               CAST(vp * datediff(dn, day) + vn * datediff(day, dp) AS DOUBLE)
+               / CAST(datediff(dn, dp) AS DOUBLE)
+             WHEN vp IS NOT NULL THEN CAST(vp AS DOUBLE)
+             WHEN vn IS NOT NULL THEN CAST(vn AS DOUBLE)
+           END AS cents_interp""",
+        "cents IS NOT NULL AS observed",
+    )
+
+
+@query(
+    "q_select_modifiers",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS p_name,
+           p_size, p_retailprice,
+           CAST(length(p_name) AS BIGINT) AS p_name_len,
+           CAST(length(p_brand) AS BIGINT) AS p_brand_len,
+           CAST(length(p_type) AS BIGINT) AS p_type_len
+    FROM part
+    """,
+)
+def q_select_modifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse SELECT-modifier parity over ``part`` —
+    ``* EXCEPT (p_brand, p_type) REPLACE (upper(p_name) AS p_name)``
+    plus ``APPLY (length)`` over the string columns (applied BEFORE
+    the REPLACE, as ClickHouse evaluates APPLY against the original
+    expressions): pure projection rewrites discovered from the SCHEMA
+    (drop / withColumn / derived columns), which Catalyst collapses
+    into the scan's ReadSchema at zero cost."""
+    part = load(spark, sf_dir, "part")
+    string_cols = [
+        f.name for f in part.schema.fields if f.dataType.simpleString() == "string"
+    ]
+    out = part
+    for c in string_cols:
+        out = out.withColumn(f"{c}_len", F.length(F.col(c)).cast("long"))
+    out = out.withColumn("p_name", F.upper(F.col("p_name")))
+    out = out.drop("p_brand", "p_type")
+    return out.select(
+        "p_partkey", "p_name", "p_size", "p_retailprice",
+        "p_name_len", "p_brand_len", "p_type_len",
+    )

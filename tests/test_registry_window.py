@@ -26,7 +26,7 @@ WINDOW_50 = [
     "q_tpch_q2_shape", "q_tpch_q9_shape", "q_tpch_q11_shape",
     "q_tpch_q20_shape", "q_stream_dict_get", "q_bloom_filter", "q_ema",
     "q_stream_ema",
-    # (a2) late-round-5 additions (27): JPEG/GIF/mu-law/ADPCM round trips, the ClickHouse
+    # (a2) late-round-5 additions (29): JPEG/GIF/mu-law/ADPCM round trips, the ClickHouse
     # statistical/behavioral aggregate batches (intervalLengthSum,
     # maxIntersections, boundingRatio, rankCorr, welch/student TTest,
     # entropy, sequenceNextNode, weighted median, moving sum, min/max
@@ -44,8 +44,8 @@ WINDOW_50 = [
     "q_cramers_v", "q_lttb", "q_corpus_clean_sampled",
     "q_window_range_frame", "q_stream_interval_length",
     "q_multimodal_gif", "q_window_funnel_dedup", "q_multimodal_mulaw",
-    "q_multimodal_adpcm",
-    # (b) the round-1-only cohort (9 of 40 — q_approx_distinct (rows-
+    "q_multimodal_adpcm", "q_gap_fill_interpolate", "q_select_modifiers",
+    # (b) the round-1-only cohort (3 remain — q_approx_distinct (rows-
     # only by design) and q_distinct_users (its exact twin
     # q_exact_distinct keeps a slot) also
     # yields only a rows-only row by design, so its slot went to the
@@ -59,11 +59,14 @@ WINDOW_50 = [
     # string_funcs, window_runsum, percentiles, approx_percentiles,
     # rollup_day_type — all stay green under local full-surface
     # check_oracle runs)
-    "q_agg_suite",
     "q_exact_distinct",
     "q_math_funcs",
     "q_revenue_by_nation",
-    "q_topk_spenders",
+    # Round-6 rotation note: the deferred cohort is now ~30 r1 shapes
+    # + 36 r2-cohort queries; the next window should be mostly that
+    # cohort (this session's 29 additions all have fresh rows and can
+    # rotate out wholesale). Everything deferred stays green in the
+    # local full-surface sweeps at sf0.01 AND sf0.1 (ROUNDLOG).
     # (c) round-2-cohort picks (6)
     "q_ingest_roundtrip", "q_dedup_docs", "q_jaccard_pairs",
     "q_udf_domain", "q_udaf_geomean", "q_udtf_tokenize",

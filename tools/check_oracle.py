@@ -89,7 +89,15 @@ def duck_schema_norm(cols: list[str], types: list) -> dict[str, str]:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_spark("check_oracle")
+    # Adversarial-parallelism differential: SPARK_GRAFT_SHUFFLE=<n>
+    # reruns the whole surface under a different shuffle partitioning —
+    # any float accumulation that leaks partitioning order into a
+    # result (the q_cramers_v first-draft bug class) flips a hash here
+    # even when the default-config run is green.
+    import os as _os2
+
+    shuf = _os2.environ.get("SPARK_GRAFT_SHUFFLE")
+    spark = get_spark("check_oracle", shuffle_partitions=int(shuf) if shuf else None)
     con = duckdb.connect()
     for t in TABLES:
         # testdata ships single parquet FILES; self-generated datasets
