@@ -8,10 +8,13 @@ DHT/SOF0/SOS/EOI), canonical Huffman table construction from the
 BITS/HUFFVAL wire form, a bit reader with 0xFF00 byte-unstuffing, DC
 prediction + magnitude-category EXTEND, AC run/size decoding with
 ZRL/EOB, dezigzag, dequantization, and a separable float64 IDCT with
-level shift and clamping. Scope is honest and explicit: baseline
-sequential, 8-bit, single-component (grayscale), no subsampling, no
+level shift and clamping. Grayscale AND color both decode: 3-component
+4:4:4 frames read interleaved MCUs with per-component DC predictor
+chains and quant/Huffman table slots, then convert YCbCr->RGB with the
+JFIF matrix (half-up rounding, clamp). Scope is honest and explicit:
+baseline sequential, 8-bit, 1 or 3 components, no subsampling, no
 restart intervals — anything else raises ``NotImplementedError`` at the
-marker that proves it (progressive SOF2, multi-component SOF0, DRI).
+marker that proves it (progressive SOF2, 4:2:0 sampling, DRI).
 
 ``encode_jpeg_gray`` writes a conforming baseline JPEG from quantized
 coefficient blocks using the standard Annex K luminance Huffman tables
@@ -342,12 +345,15 @@ def parse_jpeg(payload: bytes) -> dict:
             precision, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
             if precision != 8:
                 raise NotImplementedError("only 8-bit precision supported")
-            if ncomp != 1:
-                raise NotImplementedError("only single-component (grayscale) scans supported")
-            cid, sampling, tq = body[6], body[7], body[8]
-            if sampling != 0x11:
-                raise NotImplementedError("subsampling not supported")
-            comp = (cid, sampling, tq)
+            if ncomp not in (1, 3):
+                raise NotImplementedError("only 1- or 3-component frames supported")
+            comps = []
+            for ci in range(ncomp):
+                cid, sampling, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                if sampling != 0x11:
+                    raise NotImplementedError("subsampling not supported (4:4:4 only)")
+                comps.append((cid, sampling, tq))
+            comp = comps
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("only baseline sequential (SOF0) supported")
         elif marker == 0xDD:  # DRI
@@ -356,9 +362,10 @@ def parse_jpeg(payload: bytes) -> dict:
                 raise NotImplementedError("restart intervals not supported")
         elif marker == 0xDA:  # SOS
             ns = body[0]
-            if ns != 1:
-                raise NotImplementedError("only single-component scans supported")
-            dc_tid, ac_tid = body[2] >> 4, body[2] & 0x0F
+            scan_tables = {}
+            for si in range(ns):
+                scid = body[1 + 2 * si]
+                scan_tables[scid] = (body[2 + 2 * si] >> 4, body[2 + 2 * si] & 0x0F)
             scan_start = pos + seglen
             break
         # APPn / COM: skip
@@ -366,43 +373,64 @@ def parse_jpeg(payload: bytes) -> dict:
 
     if comp is None or scan_start < 0:
         raise ValueError("truncated JPEG: missing SOF0 or SOS")
-    q = quant[comp[2]]
-    dc_table = huff[(0, dc_tid)]
-    ac_table = huff[(1, ac_tid)]
+    if len(scan_tables) != len(comp):
+        raise NotImplementedError("scan must cover all frame components")
 
     bw = (width + 7) // 8
     bh = (height + 7) // 8
-    img = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
     r = _BitReader(payload, scan_start)
-    pred = 0
+    planes = [np.zeros((bh * 8, bw * 8), dtype=np.uint8) for _ in comp]
+    preds = [0] * len(comp)
+    per_comp = []
+    for cid, _sampling, tq in comp:
+        dc_tid, ac_tid = scan_tables[cid]
+        per_comp.append((quant[tq], huff[(0, dc_tid)], huff[(1, ac_tid)]))
+    # interleaved MCUs (4:4:4: one block per component per MCU), each
+    # component carrying its OWN DC predictor chain
     for by in range(bh):
         for bx in range(bw):
-            zz = [0] * 64
-            s = _read_symbol(r, dc_table)
-            pred += _extend(r.bits(s), s) if s else 0
-            zz[0] = pred
-            k = 1
-            while k < 64:
-                sym = _read_symbol(r, ac_table)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                run, size = sym >> 4, sym & 0x0F
-                k += run
-                if k > 63:
-                    raise ValueError("AC coefficient index out of range")
-                zz[k] = _extend(r.bits(size), size)
-                k += 1
-            # dezigzag + dequantize (q is natural-indexed)
-            nat = np.zeros(64, dtype=np.int64)
-            for kk in range(64):
-                nidx = ZIGZAG[kk]
-                nat[nidx] = zz[kk] * q[nidx]
-            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _idct_block(nat)
-    crop = img[:height, :width]
-    return {"width": width, "height": height, "values": [int(v) for v in crop.ravel()]}
+            for ci, (q, dc_table, ac_table) in enumerate(per_comp):
+                zz = [0] * 64
+                s = _read_symbol(r, dc_table)
+                preds[ci] += _extend(r.bits(s), s) if s else 0
+                zz[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    sym = _read_symbol(r, ac_table)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    run, size = sym >> 4, sym & 0x0F
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC coefficient index out of range")
+                    zz[k] = _extend(r.bits(size), size)
+                    k += 1
+                # dezigzag + dequantize (q is natural-indexed)
+                nat = np.zeros(64, dtype=np.int64)
+                for kk in range(64):
+                    nidx = ZIGZAG[kk]
+                    nat[nidx] = zz[kk] * q[nidx]
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _idct_block(nat)
+    if len(comp) == 1:
+        crop = planes[0][:height, :width]
+        return {"width": width, "height": height, "values": [int(v) for v in crop.ravel()]}
+    # YCbCr -> RGB (JFIF full-range), half-up rounding, clamp
+    y = planes[0][:height, :width].astype(np.float64)
+    cb = planes[1][:height, :width].astype(np.float64) - 128.0
+    cr = planes[2][:height, :width].astype(np.float64) - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    rgb = np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+    return {"width": width, "height": height, "values": [int(v) for v in rgb.ravel()]}
 
 
 # --------------------------------------------------------------------
@@ -495,6 +523,196 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
                 payload = encode_jpeg_gray(_doc_blocks(doc_id), _JPEG_W, _JPEG_H)
+                dec = parse_jpeg(payload)
+                vals = dec["values"]
+                out["doc_id"].append(doc_id)
+                out["width"].append(dec["width"])
+                out["height"].append(dec["height"])
+                out["n_vals"].append(len(vals))
+                out["val_sum"].append(sum(vals))
+                out["px_fp"].append(
+                    hashlib.md5(",".join(str(v) for v in vals).encode()).hexdigest()
+                )
+        yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        run,
+        schema=(
+            "doc_id long, width int, height int, n_vals long, "
+            "val_sum long, px_fp string"
+        ),
+    )
+
+
+# --------------------------------------------------------------------
+# Color (3-component 4:4:4) encoder + query
+# --------------------------------------------------------------------
+
+
+def encode_jpeg_color(
+    blocks_y: list[list[int]],
+    blocks_cb: list[list[int]],
+    blocks_cr: list[list[int]],
+    width: int,
+    height: int,
+) -> bytes:
+    """Baseline color JPEG (YCbCr 4:4:4, interleaved MCUs) from
+    quantized natural-order coefficient blocks per component. Y uses
+    quant/Huffman table slot 0, chroma slot 1 — both slots are wired
+    for real through DQT/DHT/SOS (the slot CONTENTS here repeat the
+    Annex K luminance tables, which is legal and keeps the synthetic
+    test statistics honest); each component carries its own DC
+    predictor chain across MCUs, exactly as the decoder expects."""
+    dc_tab = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_tab = _canonical_codes(_AC_BITS, _AC_VALS)
+
+    w = _BitWriter()
+    preds = [0, 0, 0]
+    comps_blocks = [blocks_y, blocks_cb, blocks_cr]
+    n_mcu = len(blocks_y)
+    assert len(blocks_cb) == n_mcu and len(blocks_cr) == n_mcu
+    for m in range(n_mcu):
+        for ci in range(3):
+            blk = comps_blocks[ci][m]
+            zz = [blk[ZIGZAG[k]] for k in range(64)]
+            diff = zz[0] - preds[ci]
+            preds[ci] = zz[0]
+            s = _category(diff)
+            code, ln = dc_tab[s]
+            w.write(code, ln)
+            if s:
+                w.write(_amplitude_bits(diff, s), s)
+            run = 0
+            last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+            for k in range(1, 64):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    code, ln = ac_tab[0xF0]
+                    w.write(code, ln)
+                    run -= 16
+                s = _category(zz[k])
+                code, ln = ac_tab[(run << 4) | s]
+                w.write(code, ln)
+                w.write(_amplitude_bits(zz[k], s), s)
+                run = 0
+            if last_nz < 63:
+                code, ln = ac_tab[0x00]
+                w.write(code, ln)
+    w.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    ones_zz = bytes([1] * 64)
+    dqt = seg(0xFFDB, b"\x00" + ones_zz + b"\x01" + ones_zz)
+    sof0 = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    dht = seg(
+        0xFFC4,
+        b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)
+        + b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS)
+        + b"\x01" + bytes(_DC_BITS) + bytes(_DC_VALS)
+        + b"\x11" + bytes(_AC_BITS) + bytes(_AC_VALS),
+    )
+    sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof0 + dht + sos + bytes(w.buf) + b"\xff\xd9"
+
+
+def _ycc(doc_id: int, m: int) -> tuple[int, int, int]:
+    """Constant (Y, Cb, Cr) for MCU m of this doc's test image."""
+    return (
+        (doc_id * 29 + 40 * m + 50) % 206 + 30,
+        (doc_id * 17 + 25 * m + 7) % 256,
+        (doc_id * 43 + 11 * m + 131) % 256,
+    )
+
+
+def _dc_block(v: int) -> list[int]:
+    blk = [0] * 64
+    blk[0] = 8 * (v - 128)
+    return blk
+
+
+_JC_W, _JC_H = 16, 8  # two interleaved MCUs
+
+
+# The same JFIF YCbCr->RGB conversion the decoder applies, as SQL over
+# exact integers: every multiply/add is one IEEE double expression and
+# floor(x+0.5)+clamp is stated identically on both engines.
+def _rgb_sql(y: str, cb: str, cr: str) -> tuple[str, str, str]:
+    return (
+        f"greatest(0, least(255, CAST(floor(CAST({y} AS DOUBLE) + 1.402 * (CAST({cr} AS DOUBLE) - 128.0) + 0.5) AS BIGINT)))",
+        f"greatest(0, least(255, CAST(floor(CAST({y} AS DOUBLE) - 0.344136 * (CAST({cb} AS DOUBLE) - 128.0) - 0.714136 * (CAST({cr} AS DOUBLE) - 128.0) + 0.5) AS BIGINT)))",
+        f"greatest(0, least(255, CAST(floor(CAST({y} AS DOUBLE) + 1.772 * (CAST({cb} AS DOUBLE) - 128.0) + 0.5) AS BIGINT)))",
+    )
+
+
+def _jc_components_sql(m: int) -> tuple[str, str, str]:
+    return (
+        f"((doc_id * 29 + 40 * {m} + 50) % 206 + 30)",
+        f"((doc_id * 17 + 25 * {m} + 7) % 256)",
+        f"((doc_id * 43 + 11 * {m} + 131) % 256)",
+    )
+
+
+def _jc_oracle() -> str:
+    rgb = []
+    for m in (0, 1):
+        y, cb, cr = _jc_components_sql(m)
+        rgb.append(_rgb_sql(y, cb, cr))
+    # raster: each row = 8 px of MCU0 then 8 px of MCU1; every pixel of
+    # an MCU is the same RGB triple
+    row_expr = (
+        "list_concat(flatten(list_transform(range(0, 8), i -> ["
+        f"{rgb[0][0]}, {rgb[0][1]}, {rgb[0][2]}])),"
+        " flatten(list_transform(range(0, 8), i -> ["
+        f"{rgb[1][0]}, {rgb[1][1]}, {rgb[1][2]}])))"
+    )
+    return f"""
+    SELECT doc_id,
+           CAST({_JC_W} AS INT) AS width,
+           CAST({_JC_H} AS INT) AS height,
+           CAST({3 * _JC_W * _JC_H} AS BIGINT) AS n_vals,
+           CAST(8 * ({rgb[0][0]} + {rgb[0][1]} + {rgb[0][2]}
+                 + {rgb[1][0]} + {rgb[1][1]} + {rgb[1][2]}) * 8 AS BIGINT) AS val_sum,
+           md5(array_to_string(flatten(list_transform(range(0, 8),
+                 r -> {row_expr})), ',')) AS px_fp
+    FROM documents WHERE doc_id < 24
+    """
+
+
+@query("q_multimodal_jpeg_color", oracle=_jc_oracle())
+def q_multimodal_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLOR JPEG round trip (YCbCr 4:4:4, two interleaved MCUs): each
+    doc encodes per-MCU constant (Y, Cb, Cr) planes through the real
+    3-component entropy stream — per-component DC predictor chains,
+    two quant/Huffman table slots wired via DQT/DHT/SOS — and the
+    decoder reassembles the planes and converts to RGB with the JFIF
+    matrix (floor(x+0.5), clamp). DC-only blocks make the YCbCr planes
+    exact, so the oracle recomputes the SAME conversion expressions
+    symbolically and pins dims, the RGB sum, and the raster md5."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 24).select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = {
+            "doc_id": [], "width": [], "height": [], "n_vals": [],
+            "val_sum": [], "px_fp": [],
+        }
+        for pdf in batches:
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                ys, cbs, crs = [], [], []
+                for m in (0, 1):
+                    y, cb, cr = _ycc(doc_id, m)
+                    ys.append(_dc_block(y))
+                    cbs.append(_dc_block(cb))
+                    crs.append(_dc_block(cr))
+                payload = encode_jpeg_color(ys, cbs, crs, _JC_W, _JC_H)
                 dec = parse_jpeg(payload)
                 vals = dec["values"]
                 out["doc_id"].append(doc_id)

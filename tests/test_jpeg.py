@@ -272,3 +272,58 @@ def test_adpcm_wav_container_roundtrip():
     assert dec["format"] == "wav-adpcm"
     assert dec["values"] == [0] + adpcm_decode(nibs)
     assert dec["n_samples"] == 65
+
+
+# ------------------------- color JPEG -------------------------------
+
+
+def test_color_jpeg_roundtrip_matches_python_conversion():
+    """3-component decode: DC-only planes are exact, so the RGB output
+    must equal a plain-Python JFIF conversion of the encoded (Y,Cb,Cr)
+    constants — per-MCU, exercising both predictor chains and both
+    table slots."""
+    import math as _math
+
+    from kafka_clickhouse_implementation_spark.operators.jpeg_codec import (
+        _dc_block,
+        encode_jpeg_color,
+        parse_jpeg,
+    )
+
+    def rgb(y, cb, cr):
+        conv = (
+            y + 1.402 * (cr - 128.0),
+            y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+            y + 1.772 * (cb - 128.0),
+        )
+        return [max(0, min(255, int(_math.floor(v + 0.5)))) for v in conv]
+
+    mcus = [(80, 40, 200), (200, 220, 30)]
+    payload = encode_jpeg_color(
+        [_dc_block(y) for y, _, _ in mcus],
+        [_dc_block(cb) for _, cb, _ in mcus],
+        [_dc_block(cr) for _, _, cr in mcus],
+        16,
+        8,
+    )
+    dec = parse_jpeg(payload)
+    assert (dec["width"], dec["height"]) == (16, 8)
+    vals = dec["values"]
+    expect_row = rgb(*mcus[0]) * 8 + rgb(*mcus[1]) * 8
+    assert vals == expect_row * 8
+
+
+def test_color_jpeg_subsampled_raises():
+    from kafka_clickhouse_implementation_spark.operators.jpeg_codec import (
+        _dc_block,
+        encode_jpeg_color,
+        parse_jpeg,
+    )
+
+    payload = bytearray(
+        encode_jpeg_color([_dc_block(100)], [_dc_block(128)], [_dc_block(128)], 8, 8)
+    )
+    i = payload.find(b"\xff\xc0")
+    payload[i + 2 + 2 + 6 + 1] = 0x22  # Y sampling 2x2 -> 4:2:0
+    with pytest.raises(NotImplementedError, match="subsampling"):
+        parse_jpeg(bytes(payload))
