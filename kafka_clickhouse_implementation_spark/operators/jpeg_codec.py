@@ -350,9 +350,12 @@ def parse_jpeg(payload: bytes) -> dict:
             comps = []
             for ci in range(ncomp):
                 cid, sampling, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                if sampling != 0x11:
-                    raise NotImplementedError("subsampling not supported (4:4:4 only)")
                 comps.append((cid, sampling, tq))
+            samplings = tuple(c[1] for c in comps)
+            if samplings not in ((0x11,), (0x11, 0x11, 0x11), (0x22, 0x11, 0x11)):
+                raise NotImplementedError(
+                    "only 4:4:4 and 4:2:0 (Y 2x2, chroma 1x1) sampling supported"
+                )
             comp = comps
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("only baseline sequential (SOF0) supported")
@@ -376,51 +379,77 @@ def parse_jpeg(payload: bytes) -> dict:
     if len(scan_tables) != len(comp):
         raise NotImplementedError("scan must cover all frame components")
 
-    bw = (width + 7) // 8
-    bh = (height + 7) // 8
+    hs = [c[1] >> 4 for c in comp]
+    vs = [c[1] & 0x0F for c in comp]
+    hmax, vmax = max(hs), max(vs)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mx = (width + mcu_w - 1) // mcu_w
+    my = (height + mcu_h - 1) // mcu_h
     r = _BitReader(payload, scan_start)
-    planes = [np.zeros((bh * 8, bw * 8), dtype=np.uint8) for _ in comp]
+    # per-component plane at the COMPONENT's own resolution
+    planes = [
+        np.zeros((my * 8 * vs[ci], mx * 8 * hs[ci]), dtype=np.uint8)
+        for ci in range(len(comp))
+    ]
     preds = [0] * len(comp)
     per_comp = []
     for cid, _sampling, tq in comp:
         dc_tid, ac_tid = scan_tables[cid]
         per_comp.append((quant[tq], huff[(0, dc_tid)], huff[(1, ac_tid)]))
-    # interleaved MCUs (4:4:4: one block per component per MCU), each
-    # component carrying its OWN DC predictor chain
-    for by in range(bh):
-        for bx in range(bw):
+
+    def decode_block(q, dc_table, ac_table, ci):
+        zz = [0] * 64
+        s = _read_symbol(r, dc_table)
+        preds[ci] += _extend(r.bits(s), s) if s else 0
+        zz[0] = preds[ci]
+        k = 1
+        while k < 64:
+            sym = _read_symbol(r, ac_table)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                k += 16
+                continue
+            run, size = sym >> 4, sym & 0x0F
+            k += run
+            if k > 63:
+                raise ValueError("AC coefficient index out of range")
+            zz[k] = _extend(r.bits(size), size)
+            k += 1
+        # dezigzag + dequantize (q is natural-indexed)
+        nat = np.zeros(64, dtype=np.int64)
+        for kk in range(64):
+            nidx = ZIGZAG[kk]
+            nat[nidx] = zz[kk] * q[nidx]
+        return _idct_block(nat)
+
+    # interleaved MCUs: for each component, hs*vs blocks in raster
+    # order within the MCU (T.81 A.2.3), own DC predictor chain each
+    for by in range(my):
+        for bx in range(mx):
             for ci, (q, dc_table, ac_table) in enumerate(per_comp):
-                zz = [0] * 64
-                s = _read_symbol(r, dc_table)
-                preds[ci] += _extend(r.bits(s), s) if s else 0
-                zz[0] = preds[ci]
-                k = 1
-                while k < 64:
-                    sym = _read_symbol(r, ac_table)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    run, size = sym >> 4, sym & 0x0F
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC coefficient index out of range")
-                    zz[k] = _extend(r.bits(size), size)
-                    k += 1
-                # dezigzag + dequantize (q is natural-indexed)
-                nat = np.zeros(64, dtype=np.int64)
-                for kk in range(64):
-                    nidx = ZIGZAG[kk]
-                    nat[nidx] = zz[kk] * q[nidx]
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _idct_block(nat)
+                for v in range(vs[ci]):
+                    for h in range(hs[ci]):
+                        blk = decode_block(q, dc_table, ac_table, ci)
+                        y0 = (by * vs[ci] + v) * 8
+                        x0 = (bx * hs[ci] + h) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
     if len(comp) == 1:
         crop = planes[0][:height, :width]
         return {"width": width, "height": height, "values": [int(v) for v in crop.ravel()]}
-    # YCbCr -> RGB (JFIF full-range), half-up rounding, clamp
-    y = planes[0][:height, :width].astype(np.float64)
-    cb = planes[1][:height, :width].astype(np.float64) - 128.0
-    cr = planes[2][:height, :width].astype(np.float64) - 128.0
+    # upsample subsampled chroma by pixel replication (JFIF simple
+    # upsample — deterministic), then YCbCr -> RGB
+    full = []
+    for ci in range(3):
+        p_arr = planes[ci]
+        if hs[ci] < hmax or vs[ci] < vmax:
+            p_arr = np.repeat(
+                np.repeat(p_arr, vmax // vs[ci], axis=0), hmax // hs[ci], axis=1
+            )
+        full.append(p_arr)
+    y = full[0][:height, :width].astype(np.float64)
+    cb = full[1][:height, :width].astype(np.float64) - 128.0
+    cr = full[2][:height, :width].astype(np.float64) - 128.0
     rgb = np.stack(
         [
             y + 1.402 * cr,
@@ -713,6 +742,168 @@ def q_multimodal_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
                     cbs.append(_dc_block(cb))
                     crs.append(_dc_block(cr))
                 payload = encode_jpeg_color(ys, cbs, crs, _JC_W, _JC_H)
+                dec = parse_jpeg(payload)
+                vals = dec["values"]
+                out["doc_id"].append(doc_id)
+                out["width"].append(dec["width"])
+                out["height"].append(dec["height"])
+                out["n_vals"].append(len(vals))
+                out["val_sum"].append(sum(vals))
+                out["px_fp"].append(
+                    hashlib.md5(",".join(str(v) for v in vals).encode()).hexdigest()
+                )
+        yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        run,
+        schema=(
+            "doc_id long, width int, height int, n_vals long, "
+            "val_sum long, px_fp string"
+        ),
+    )
+
+
+def encode_jpeg_420(
+    blocks_y: list[list[int]],
+    blocks_cb: list[list[int]],
+    blocks_cr: list[list[int]],
+    width: int,
+    height: int,
+) -> bytes:
+    """Baseline 4:2:0 color JPEG (Y sampled 2x2, chroma 1x1): each MCU
+    covers 16x16 pixels and carries FOUR Y blocks (raster order within
+    the MCU, T.81 A.2.3) followed by one Cb and one Cr block —
+    blocks_y holds 4 entries per MCU, blocks_cb/cr one each. Table
+    slots as in encode_jpeg_color."""
+    dc_tab = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_tab = _canonical_codes(_AC_BITS, _AC_VALS)
+    w = _BitWriter()
+    preds = [0, 0, 0]
+
+    def put_block(blk: list[int], ci: int) -> None:
+        zz = [blk[ZIGZAG[k]] for k in range(64)]
+        diff = zz[0] - preds[ci]
+        preds[ci] = zz[0]
+        s = _category(diff)
+        code, ln = dc_tab[s]
+        w.write(code, ln)
+        if s:
+            w.write(_amplitude_bits(diff, s), s)
+        run = 0
+        last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+        for k in range(1, 64):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run >= 16:
+                code, ln = ac_tab[0xF0]
+                w.write(code, ln)
+                run -= 16
+            s = _category(zz[k])
+            code, ln = ac_tab[(run << 4) | s]
+            w.write(code, ln)
+            w.write(_amplitude_bits(zz[k], s), s)
+            run = 0
+        if last_nz < 63:
+            code, ln = ac_tab[0x00]
+            w.write(code, ln)
+
+    n_mcu = len(blocks_cb)
+    assert len(blocks_y) == 4 * n_mcu and len(blocks_cr) == n_mcu
+    for m in range(n_mcu):
+        for yb in range(4):
+            put_block(blocks_y[4 * m + yb], 0)
+        put_block(blocks_cb[m], 1)
+        put_block(blocks_cr[m], 2)
+    w.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    ones_zz = bytes([1] * 64)
+    dqt = seg(0xFFDB, b"\x00" + ones_zz + b"\x01" + ones_zz)
+    sof0 = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    dht = seg(
+        0xFFC4,
+        b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)
+        + b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS)
+        + b"\x01" + bytes(_DC_BITS) + bytes(_DC_VALS)
+        + b"\x11" + bytes(_AC_BITS) + bytes(_AC_VALS),
+    )
+    sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof0 + dht + sos + bytes(w.buf) + b"\xff\xd9"
+
+
+def _y4(doc_id: int) -> list[int]:
+    """Four Y-quadrant constants for the single 16x16 MCU."""
+    return [(doc_id * 23 + 47 * q + 31) % 206 + 30 for q in range(4)]
+
+
+def _cbcr(doc_id: int) -> tuple[int, int]:
+    return (doc_id * 19 + 77) % 256, (doc_id * 31 + 140) % 256
+
+
+def _j420_oracle() -> str:
+    cb = "((doc_id * 19 + 77) % 256)"
+    cr = "((doc_id * 31 + 140) % 256)"
+    quads = []
+    for q in range(4):
+        y = f"((doc_id * 23 + 47 * {q} + 31) % 206 + 30)"
+        quads.append(_rgb_sql(y, cb, cr))
+    # raster rows 0-7: quadrants 0|1; rows 8-15: quadrants 2|3 — each
+    # half-row is 8 identical RGB triples (chroma constant everywhere)
+    def row(a, b):
+        return (
+            "list_concat(flatten(list_transform(range(0, 8), i -> ["
+            f"{a[0]}, {a[1]}, {a[2]}])),"
+            " flatten(list_transform(range(0, 8), i -> ["
+            f"{b[0]}, {b[1]}, {b[2]}])))"
+        )
+
+    return f"""
+    SELECT doc_id,
+           CAST(16 AS INT) AS width,
+           CAST(16 AS INT) AS height,
+           CAST({3 * 16 * 16} AS BIGINT) AS n_vals,
+           CAST(64 * ({quads[0][0]} + {quads[0][1]} + {quads[0][2]}
+                 + {quads[1][0]} + {quads[1][1]} + {quads[1][2]}
+                 + {quads[2][0]} + {quads[2][1]} + {quads[2][2]}
+                 + {quads[3][0]} + {quads[3][1]} + {quads[3][2]}) AS BIGINT)
+             AS val_sum,
+           md5(array_to_string(list_concat(
+                 flatten(list_transform(range(0, 8), r -> {row(quads[0], quads[1])})),
+                 flatten(list_transform(range(0, 8), r -> {row(quads[2], quads[3])}))),
+               ',')) AS px_fp
+    FROM documents WHERE doc_id < 24
+    """
+
+
+@query("q_multimodal_jpeg420", oracle=_j420_oracle())
+def q_multimodal_jpeg420(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4:2:0 JPEG round trip — the sampling real cameras emit: one
+    16x16 MCU with FOUR Y blocks (distinct per-quadrant constants, so
+    the within-MCU block ordering and the Y predictor chain across all
+    four are exercised) and one Cb/Cr block each, chroma upsampled 2x
+    by pixel replication before the JFIF RGB conversion. DC-only
+    blocks keep every plane exact; the oracle rebuilds the quadrant
+    raster symbolically. Dims, RGB sum, and raster md5 pinned."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 24).select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = {
+            "doc_id": [], "width": [], "height": [], "n_vals": [],
+            "val_sum": [], "px_fp": [],
+        }
+        for pdf in batches:
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                ys = [_dc_block(v) for v in _y4(doc_id)]
+                cb, cr = _cbcr(doc_id)
+                payload = encode_jpeg_420(ys, [_dc_block(cb)], [_dc_block(cr)], 16, 16)
                 dec = parse_jpeg(payload)
                 vals = dec["values"]
                 out["doc_id"].append(doc_id)

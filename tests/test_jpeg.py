@@ -313,7 +313,38 @@ def test_color_jpeg_roundtrip_matches_python_conversion():
     assert vals == expect_row * 8
 
 
-def test_color_jpeg_subsampled_raises():
+def test_jpeg_420_roundtrip_quadrants():
+    """4:2:0: four Y blocks per MCU with distinct constants must land
+    in the right quadrants; replicated chroma applies everywhere."""
+    import math as _math
+
+    from kafka_clickhouse_implementation_spark.operators.jpeg_codec import (
+        _dc_block,
+        encode_jpeg_420,
+        parse_jpeg,
+    )
+
+    def rgb(y, cb, cr):
+        conv = (
+            y + 1.402 * (cr - 128.0),
+            y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+            y + 1.772 * (cb - 128.0),
+        )
+        return [max(0, min(255, int(_math.floor(v + 0.5)))) for v in conv]
+
+    ys, cb, cr = [60, 110, 160, 210], 100, 180
+    payload = encode_jpeg_420(
+        [_dc_block(v) for v in ys], [_dc_block(cb)], [_dc_block(cr)], 16, 16
+    )
+    dec = parse_jpeg(payload)
+    assert (dec["width"], dec["height"]) == (16, 16)
+    vals = dec["values"]
+    top = (rgb(ys[0], cb, cr) * 8 + rgb(ys[1], cb, cr) * 8) * 8
+    bot = (rgb(ys[2], cb, cr) * 8 + rgb(ys[3], cb, cr) * 8) * 8
+    assert vals == top + bot
+
+
+def test_color_jpeg_422_raises():
     from kafka_clickhouse_implementation_spark.operators.jpeg_codec import (
         _dc_block,
         encode_jpeg_color,
@@ -324,6 +355,6 @@ def test_color_jpeg_subsampled_raises():
         encode_jpeg_color([_dc_block(100)], [_dc_block(128)], [_dc_block(128)], 8, 8)
     )
     i = payload.find(b"\xff\xc0")
-    payload[i + 2 + 2 + 6 + 1] = 0x22  # Y sampling 2x2 -> 4:2:0
-    with pytest.raises(NotImplementedError, match="subsampling"):
+    payload[i + 2 + 2 + 6 + 1] = 0x21  # Y sampling 2x1 -> 4:2:2
+    with pytest.raises(NotImplementedError, match="sampling"):
         parse_jpeg(bytes(payload))
