@@ -12,9 +12,10 @@ level shift and clamping. Grayscale AND color both decode: 3-component
 4:4:4 frames read interleaved MCUs with per-component DC predictor
 chains and quant/Huffman table slots, then convert YCbCr->RGB with the
 JFIF matrix (half-up rounding, clamp). Scope is honest and explicit:
-baseline sequential, 8-bit, 1 or 3 components, no subsampling, no
-restart intervals — anything else raises ``NotImplementedError`` at the
-marker that proves it (progressive SOF2, 4:2:0 sampling, DRI).
+baseline sequential, 8-bit, 1 or 3 components, 4:4:4 / 4:2:2 / 4:2:0
+sampling, no restart intervals — anything else raises
+``NotImplementedError`` at the marker that proves it (progressive
+SOF2, exotic sampling grids, DRI).
 
 ``encode_jpeg_gray`` writes a conforming baseline JPEG from quantized
 coefficient blocks using the standard Annex K luminance Huffman tables
@@ -352,9 +353,14 @@ def parse_jpeg(payload: bytes) -> dict:
                 cid, sampling, tq = body[6 + 3 * ci : 9 + 3 * ci]
                 comps.append((cid, sampling, tq))
             samplings = tuple(c[1] for c in comps)
-            if samplings not in ((0x11,), (0x11, 0x11, 0x11), (0x22, 0x11, 0x11)):
+            if samplings not in (
+                (0x11,),
+                (0x11, 0x11, 0x11),
+                (0x22, 0x11, 0x11),
+                (0x21, 0x11, 0x11),
+            ):
                 raise NotImplementedError(
-                    "only 4:4:4 and 4:2:0 (Y 2x2, chroma 1x1) sampling supported"
+                    "only 4:4:4, 4:2:2, and 4:2:0 sampling supported"
                 )
             comp = comps
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -763,6 +769,45 @@ def q_multimodal_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _entropy_block(
+    w: "_BitWriter",
+    blk: list[int],
+    preds: list[int],
+    ci: int,
+    dc_tab: dict,
+    ac_tab: dict,
+) -> None:
+    """Entropy-code one quantized block for component ci (DC diff vs
+    the component's predictor, AC run/size with ZRL/EOB) — shared by
+    every multi-component encoder variant."""
+    zz = [blk[ZIGZAG[k]] for k in range(64)]
+    diff = zz[0] - preds[ci]
+    preds[ci] = zz[0]
+    s = _category(diff)
+    code, ln = dc_tab[s]
+    w.write(code, ln)
+    if s:
+        w.write(_amplitude_bits(diff, s), s)
+    run = 0
+    last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+    for k in range(1, 64):
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, ln = ac_tab[0xF0]
+            w.write(code, ln)
+            run -= 16
+        s = _category(zz[k])
+        code, ln = ac_tab[(run << 4) | s]
+        w.write(code, ln)
+        w.write(_amplitude_bits(zz[k], s), s)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_tab[0x00]
+        w.write(code, ln)
+
+
 def encode_jpeg_420(
     blocks_y: list[list[int]],
     blocks_cb: list[list[int]],
@@ -779,42 +824,13 @@ def encode_jpeg_420(
     ac_tab = _canonical_codes(_AC_BITS, _AC_VALS)
     w = _BitWriter()
     preds = [0, 0, 0]
-
-    def put_block(blk: list[int], ci: int) -> None:
-        zz = [blk[ZIGZAG[k]] for k in range(64)]
-        diff = zz[0] - preds[ci]
-        preds[ci] = zz[0]
-        s = _category(diff)
-        code, ln = dc_tab[s]
-        w.write(code, ln)
-        if s:
-            w.write(_amplitude_bits(diff, s), s)
-        run = 0
-        last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
-        for k in range(1, 64):
-            if zz[k] == 0:
-                run += 1
-                continue
-            while run >= 16:
-                code, ln = ac_tab[0xF0]
-                w.write(code, ln)
-                run -= 16
-            s = _category(zz[k])
-            code, ln = ac_tab[(run << 4) | s]
-            w.write(code, ln)
-            w.write(_amplitude_bits(zz[k], s), s)
-            run = 0
-        if last_nz < 63:
-            code, ln = ac_tab[0x00]
-            w.write(code, ln)
-
     n_mcu = len(blocks_cb)
     assert len(blocks_y) == 4 * n_mcu and len(blocks_cr) == n_mcu
     for m in range(n_mcu):
         for yb in range(4):
-            put_block(blocks_y[4 * m + yb], 0)
-        put_block(blocks_cb[m], 1)
-        put_block(blocks_cr[m], 2)
+            _entropy_block(w, blocks_y[4 * m + yb], preds, 0, dc_tab, ac_tab)
+        _entropy_block(w, blocks_cb[m], preds, 1, dc_tab, ac_tab)
+        _entropy_block(w, blocks_cr[m], preds, 2, dc_tab, ac_tab)
     w.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -923,3 +939,46 @@ def q_multimodal_jpeg420(spark: SparkSession, sf_dir: str) -> DataFrame:
             "val_sum long, px_fp string"
         ),
     )
+
+
+def encode_jpeg_422(
+    blocks_y: list[list[int]],
+    blocks_cb: list[list[int]],
+    blocks_cr: list[list[int]],
+    width: int,
+    height: int,
+) -> bytes:
+    """Baseline 4:2:2 color JPEG (Y 2x1, chroma 1x1): each MCU covers
+    16x8 pixels with TWO Y blocks then one Cb and one Cr."""
+    dc_tab = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_tab = _canonical_codes(_AC_BITS, _AC_VALS)
+    w = _BitWriter()
+    preds = [0, 0, 0]
+    n_mcu = len(blocks_cb)
+    assert len(blocks_y) == 2 * n_mcu and len(blocks_cr) == n_mcu
+    for m in range(n_mcu):
+        _entropy_block(w, blocks_y[2 * m], preds, 0, dc_tab, ac_tab)
+        _entropy_block(w, blocks_y[2 * m + 1], preds, 0, dc_tab, ac_tab)
+        _entropy_block(w, blocks_cb[m], preds, 1, dc_tab, ac_tab)
+        _entropy_block(w, blocks_cr[m], preds, 2, dc_tab, ac_tab)
+    w.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    ones_zz = bytes([1] * 64)
+    dqt = seg(0xFFDB, b"\x00" + ones_zz + b"\x01" + ones_zz)
+    sof0 = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, 0x21, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    dht = seg(
+        0xFFC4,
+        b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)
+        + b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS)
+        + b"\x01" + bytes(_DC_BITS) + bytes(_DC_VALS)
+        + b"\x11" + bytes(_AC_BITS) + bytes(_AC_VALS),
+    )
+    sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof0 + dht + sos + bytes(w.buf) + b"\xff\xd9"

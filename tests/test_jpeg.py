@@ -344,17 +344,31 @@ def test_jpeg_420_roundtrip_quadrants():
     assert vals == top + bot
 
 
-def test_color_jpeg_422_raises():
+def test_jpeg_422_roundtrip():
+    """4:2:2 (Y 2x1): two Y blocks per 16x8 MCU, chroma replicated
+    horizontally — a REAL 4:2:2 entropy stream from encode_jpeg_422,
+    decoded by the same generalized MCU grid as 4:2:0."""
+    import math as _math
+
     from kafka_clickhouse_implementation_spark.operators.jpeg_codec import (
         _dc_block,
-        encode_jpeg_color,
+        encode_jpeg_422,
         parse_jpeg,
     )
 
-    payload = bytearray(
-        encode_jpeg_color([_dc_block(100)], [_dc_block(128)], [_dc_block(128)], 8, 8)
+    def rgb(y, cbv, crv):
+        conv = (
+            y + 1.402 * (crv - 128.0),
+            y - 0.344136 * (cbv - 128.0) - 0.714136 * (crv - 128.0),
+            y + 1.772 * (cbv - 128.0),
+        )
+        return [max(0, min(255, int(_math.floor(v + 0.5)))) for v in conv]
+
+    dec = parse_jpeg(
+        encode_jpeg_422(
+            [_dc_block(70), _dc_block(180)], [_dc_block(90)], [_dc_block(160)], 16, 8
+        )
     )
-    i = payload.find(b"\xff\xc0")
-    payload[i + 2 + 2 + 6 + 1] = 0x21  # Y sampling 2x1 -> 4:2:2
-    with pytest.raises(NotImplementedError, match="sampling"):
-        parse_jpeg(bytes(payload))
+    assert (dec["width"], dec["height"]) == (16, 8)
+    row = rgb(70, 90, 160) * 8 + rgb(180, 90, 160) * 8
+    assert dec["values"] == row * 8
