@@ -47,7 +47,7 @@ _WINDOW_50 = [
     "q_tpch_q2_shape", "q_tpch_q9_shape", "q_tpch_q11_shape",
     "q_tpch_q20_shape", "q_stream_dict_get", "q_bloom_filter", "q_ema",
     "q_stream_ema",
-    # (a2) late-round-5 additions (31): JPEG gray+4:4:4+4:2:0/GIF/mu-law/ADPCM round trips, the ClickHouse
+    # (a2) late-round-5 additions (32): JPEG gray+4:4:4+4:2:0/GIF/mu-law/ADPCM round trips, schema evolution, the ClickHouse
     # statistical/behavioral aggregate batches (intervalLengthSum,
     # maxIntersections, boundingRatio, rankCorr, welch/student TTest,
     # entropy, sequenceNextNode, weighted median, moving sum, min/max
@@ -66,10 +66,11 @@ _WINDOW_50 = [
     "q_window_range_frame", "q_stream_interval_length",
     "q_multimodal_gif", "q_window_funnel_dedup", "q_multimodal_mulaw",
     "q_multimodal_adpcm", "q_gap_fill_interpolate", "q_select_modifiers",
-    "q_multimodal_jpeg_color", "q_multimodal_jpeg420",
-    # (b) the round-1-only cohort (1 remains — the distinct-count
-    # family is represented by q_uniq_up_to, the ln-quantization
-    # family by entropy/surprisal/cramersV in (a2); the rest
+    "q_multimodal_jpeg_color", "q_multimodal_jpeg420", "q_schema_evolution",
+    # (b) the round-1-only cohort has fully rotated out this session
+    # (every multi-scale-swept member defers to the round-6 window,
+    # which should be built almost entirely from the deferred r1+r2
+    # cohort; this window's anti-staleness slots are (c)); displaced
     # yields only a rows-only row by design, so its slot went to the
     # RANGE-frame window query; the 8 most structurally
     # trivial — cross_join, null_funcs, pagination, setops, having,
@@ -81,7 +82,7 @@ _WINDOW_50 = [
     # string_funcs, window_runsum, percentiles, approx_percentiles,
     # rollup_day_type — all stay green under local full-surface
     # check_oracle runs)
-    "q_revenue_by_nation",
+
     # Round-6 rotation note: the deferred cohort is now ~30 r1 shapes
     # + 36 r2-cohort queries; the next window should be mostly that
     # cohort (this session's 29 additions all have fresh rows and can

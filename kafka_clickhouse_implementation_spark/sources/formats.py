@@ -109,3 +109,69 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     back = spark.read.schema(_EVENTS_WIRE_SCHEMA).orc(out)
     return _roundtrip_agg(back)
+
+
+@query(
+    "q_schema_evolution",
+    # v1 rows (first half of events, no `value` column) + v2 rows
+    # (second half, with `value`): mergeSchema reads must surface the
+    # union schema with NULLs for the missing column — the oracle
+    # states the same split arithmetically over the original parquet.
+    oracle="""
+    WITH half AS (
+      SELECT CAST(count(*) / 2 AS BIGINT) AS h FROM events
+    ),
+    tagged AS (
+      SELECT e.event_type,
+             CASE WHEN e.event_id < h.h THEN NULL
+                  ELSE CAST(floor(e.value * 100 + 0.5) AS BIGINT) END AS cents
+      FROM events e CROSS JOIN half h
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(cents) AS BIGINT) AS n_with_value,
+           CAST(sum(cents) AS BIGINT) AS cents_sum
+    FROM tagged GROUP BY event_type
+    """,
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution (the ClickHouse ``ALTER TABLE ADD COLUMN``
+    migration): half the events are written as generation-1 parquet
+    WITHOUT the value column, half as generation-2 WITH it (as integer
+    cents); a single ``mergeSchema`` read surfaces the union schema,
+    old rows carrying NULL for the added column — exactly how a
+    100 TB table evolves in place without rewriting history. The
+    aggregation counts both generations and sums the new column, all
+    value-hash-checked against the original parquet."""
+    base = _fmt_base(sf_dir, "evolve")
+    v1, v2 = os.path.join(base, "gen=1"), os.path.join(base, "gen=2")
+    ready = os.path.join(base, "_GEN_READY")
+    ev = load(spark, sf_dir, "events")
+    half = ev.count() // 2
+    if not os.path.exists(ready):
+        (
+            ev.filter(F.col("event_id") < half)
+            .select("event_id", "event_type")
+            .repartition(2)
+            .write.mode("overwrite")
+            .parquet(v1)
+        )
+        (
+            ev.filter(F.col("event_id") >= half)
+            .select(
+                "event_id",
+                "event_type",
+                F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+            )
+            .repartition(2)
+            .write.mode("overwrite")
+            .parquet(v2)
+        )
+        with open(ready, "w"):
+            pass
+    merged = spark.read.option("mergeSchema", "true").parquet(v1, v2)
+    return merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("cents").alias("n_with_value"),
+        F.sum("cents").cast("long").alias("cents_sum"),
+    )
