@@ -63,7 +63,7 @@ _DUCK_IVAL = f"""
 _ILS_ORACLE = f"""
     WITH ival AS ({_DUCK_IVAL}),
     flagged AS (
-      SELECT user_id, s_us, e_us,
+      SELECT user_id, s_us, e_us, event_id,
              CASE WHEN s_us > coalesce(max(e_us) OVER (
                     PARTITION BY user_id ORDER BY s_us, e_us, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
@@ -72,9 +72,13 @@ _ILS_ORACLE = f"""
       FROM ival
     ),
     islands AS (
+      -- event_id tiebreak MUST match the flagged window's total order:
+      -- without it, a flag-0 row tied on (s_us, e_us) with its flag-1
+      -- partner can sort before it and be assigned to the PREVIOUS
+      -- island, nondeterministically (round-6 ADVICE fix).
       SELECT user_id, s_us, e_us,
              sum(new_island) OVER (
-               PARTITION BY user_id ORDER BY s_us, e_us
+               PARTITION BY user_id ORDER BY s_us, e_us, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
       FROM flagged
     ),
@@ -105,6 +109,7 @@ def q_interval_length_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "s_us",
         "e_us",
+        "event_id",
         F.when(
             F.col("s_us")
             > F.coalesce(
@@ -120,12 +125,16 @@ def q_interval_length_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("new_island"),
     )
+    # Same event_id tiebreak as the flagged window (and the oracle): the
+    # two windows must share ONE total order or tied (s_us, e_us) rows
+    # can land in the wrong island.
     islands = flagged.select(
         "user_id",
         "s_us",
         "e_us",
         F.expr(
-            "sum(new_island) OVER (PARTITION BY user_id ORDER BY s_us, e_us"
+            "sum(new_island) OVER (PARTITION BY user_id"
+            " ORDER BY s_us, e_us, event_id"
             " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
         ).alias("island"),
     )
@@ -612,6 +621,7 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                  PARTITION BY user_id ORDER BY ts, event_id), 3) AS DOUBLE)
              AS mov_avg
     FROM events
+    WHERE user_id < 100
     """,
 )
 def q_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -627,7 +637,12 @@ def q_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "OVER (PARTITION BY user_id ORDER BY ts, event_id"
         " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
     )
-    return load(spark, sf_dir, "events").select(
+    # Deterministic user slice (the q_ema convention): the per-event
+    # result set is the operator's unnested form, but an unbounded one
+    # materializes ~1M-row differential frames at sf1 for no extra
+    # checking power. The window itself still sees every event of the
+    # sliced users.
+    return load(spark, sf_dir, "events").filter(F.col("user_id") < 100).select(
         "user_id",
         "event_id",
         F.expr(
@@ -1165,6 +1180,15 @@ def q_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         eids = [int(v) for v in pdf["event_id"]]
         n = len(xs)
         nb = LTTB_NB
+        if n < nb + 2:
+            # Shorter than first + last + one interior point per bucket:
+            # some middle bucket would be empty and the argmax below has
+            # no candidate. Fail loudly with the series identity instead
+            # of an opaque TypeError (round-6 ADVICE fix).
+            raise ValueError(
+                f"LTTB series {et!r} has {n} points; needs >= {nb + 2} "
+                f"for {nb} buckets — lower LTTB_NB or pre-aggregate"
+            )
         buckets: list[list[int]] = [[] for _ in range(nb)]
         for i in range(1, n - 1):
             buckets[((i - 1) * nb) // (n - 2)].append(i)
@@ -1217,6 +1241,7 @@ def q_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT)
              AS hour_cnt
     FROM events
+    WHERE user_id < 100
     """,
 )
 def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1231,7 +1256,9 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "OVER (PARTITION BY user_id ORDER BY unix_micros(ts) div 1000000"
         " RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)"
     )
-    return load(spark, sf_dir, "events").select(
+    # Deterministic user slice (q_ema convention) — bounds the result
+    # set; the RANGE frame still sees every event of the sliced users.
+    return load(spark, sf_dir, "events").filter(F.col("user_id") < 100).select(
         "event_id",
         "user_id",
         F.expr(f"CAST(sum(CAST(value AS DECIMAL(18,2))) {frame} AS DOUBLE)").alias(

@@ -313,6 +313,11 @@ def parse_jpeg(payload: bytes) -> dict:
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
+        # T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+        # fill bytes — skip them so a conforming padded file parses
+        # (round-6 ADVICE fix).
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

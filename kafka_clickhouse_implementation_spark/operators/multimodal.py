@@ -8,7 +8,12 @@ PCM WAV, non-interlaced RGB8 PNG (zlib inflate + all five scanline
 filters; ``parse_png``/``encode_png``), baseline grayscale JPEG
 (operators/jpeg_codec.py — Huffman + IDCT), and GIF87a
 (operators/gif_codec.py — real LZW). Remaining compressed codecs
-(MP3/H.264) stay clearly-marked ``NotImplementedError`` stubs;
+(MP3/H.264/WebP/HEIC) are declared PERMANENTLY out of stdlib scope
+(round-6 decision): they need patent-era psychoacoustics / motion
+compensation / arithmetic coders that are codec-library territory, and
+the five implemented families already span every compression paradigm
+(table, dictionary, transform+entropy, filter+DEFLATE, prediction).
+They stay clearly-marked ``NotImplementedError`` stubs;
 ``decode_image`` dispatches on magic bytes, so swapping a stub for
 ffmpeg is a one-function change. The Spark-side plumbing — binary schema, batch
 iteration, UDF signatures, partitioning — is identical either way, and
@@ -481,9 +486,14 @@ def encode_png(
 
 
 def decode_image(payload: bytes) -> dict:
-    """Dispatch on magic bytes: BMP, P6 PPM, and non-interlaced RGB8
-    PNG decode for real (pure Python/stdlib); JPEG and friends stay
-    honestly stubbed until PIL/opencv exists in the environment."""
+    """Dispatch on magic bytes: BMP, P6 PPM, non-interlaced RGB8 PNG,
+    baseline JPEG (gray + 4:4:4/4:2:2/4:2:0 color), and GIF87a all
+    decode for real (pure Python/stdlib+numpy). WebP/HEIC are declared
+    PERMANENTLY out of stdlib scope (VP8/HEVC entropy coders + intra
+    prediction are codec-library territory); the five implemented
+    families already cover every compression paradigm the tier needs
+    (table, dictionary, transform+entropy, filter+DEFLATE,
+    prediction)."""
     if payload[:2] == b"BM":
         return parse_bmp(payload)
     if payload[:2] == b"P6":
@@ -502,7 +512,10 @@ def decode_image(payload: bytes) -> dict:
 
 
 def decode_audio(payload: bytes) -> dict:
-    """PCM WAV decodes for real; compressed audio stays stubbed."""
+    """PCM, G.711 mu-law, and IMA ADPCM WAV decode for real (parse_wav
+    dispatches on the format tag). MP3 (psychoacoustic model + MDCT
+    filterbank) is declared PERMANENTLY out of stdlib scope — see
+    decode_image's scope note."""
     if payload[:4] == b"RIFF":
         return parse_wav(payload)
     raise NotImplementedError("compressed audio decode requires soundfile/ffmpeg — not available")

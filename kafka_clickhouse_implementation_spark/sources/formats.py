@@ -119,7 +119,11 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # states the same split arithmetically over the original parquet.
     oracle="""
     WITH half AS (
-      SELECT CAST(count(*) / 2 AS BIGINT) AS h FROM events
+      -- // (integer floor division): DuckDB / is float division and the
+      -- BIGINT cast rounds-to-nearest (103/2 -> 52), which would tag the
+      -- boundary event into a different generation than Spark's count()//2
+      -- whenever n % 4 == 3 (round-6 ADVICE fix).
+      SELECT CAST(count(*) // 2 AS BIGINT) AS h FROM events
     ),
     tagged AS (
       SELECT e.event_type,

@@ -1,10 +1,10 @@
 """Registry-window guard: the driver's correctness harness records only
-the FIRST 50 registered queries. Round 5 re-curated the window as an
-anti-staleness rotation: (a) all twelve new round-5 queries (dictGet
-batch+stream, streaming KMV, streaming Count-Min, PNG decode, the
-partsupp family, Bloom filter, EMA), (b) 32 of the 40 queries whose
-only driver row dated from round 1 (8 trivial ones defer to round 6),
-(c) six high-value round-2-cohort picks. The window is an explicit name list in
+the FIRST 50 registered queries. Round 6 re-curated the window as the
+stale-cohort rotation the r5 verdict asked for: (a) the five queries
+whose code or oracle changed this round (ADVICE fixes + result
+capping), (b) all 38 oracle-backed queries whose most-recent driver row
+dated from round 1, (c) seven round-2-cohort picks (the reference-parity
+Tier-A five + TPC-H Q3/Q6). The window is an explicit name list in
 registry._WINDOW_50; this test pins the exact 50 so any registry change
 that perturbs the driver's view fails loudly.
 
@@ -20,56 +20,25 @@ from kafka_clickhouse_implementation_spark.registry import (
 )
 
 WINDOW_50 = [
-    # (a) new round-5 queries (12): every query added this round gets a
-    # hard driver row in its own round
-    "q_dict_get", "q_stream_kmv", "q_stream_cms", "q_multimodal_png",
-    "q_tpch_q2_shape", "q_tpch_q9_shape", "q_tpch_q11_shape",
-    "q_tpch_q20_shape", "q_stream_dict_get", "q_bloom_filter", "q_ema",
-    "q_stream_ema",
-    # (a2) late-round-5 additions (32): JPEG gray+4:4:4+4:2:0/GIF/mu-law/ADPCM round trips, schema evolution, the ClickHouse
-    # statistical/behavioral aggregate batches (intervalLengthSum,
-    # maxIntersections, boundingRatio, rankCorr, welch/student TTest,
-    # entropy, sequenceNextNode, weighted median, moving sum, min/max
-    # map, uniqUpTo, strict funnel, IP functions, interpolated bigram
-    # surprisal, cramersV/theilsU, LTTB downsampling, the sampled
-    # corpus clean), and the streaming Bloom + entropy twins — same
-    # rule as (a): new queries land with a hard driver row in their
-    # own round
-    "q_multimodal_jpeg", "q_interval_length_sum", "q_max_intersections",
-    "q_bounding_ratio", "q_rank_corr", "q_welch_ttest", "q_entropy",
-    "q_sequence_next_node", "q_stream_bloom",
-    "q_weighted_median", "q_moving_sum", "q_min_max_map",
-    "q_student_ttest", "q_uniq_up_to", "q_window_funnel_strict",
-    "q_ip_funcs", "q_bigram_surprisal", "q_stream_entropy",
-    "q_cramers_v", "q_lttb", "q_corpus_clean_sampled",
-    "q_window_range_frame", "q_stream_interval_length",
-    "q_multimodal_gif", "q_window_funnel_dedup", "q_multimodal_mulaw",
-    "q_multimodal_adpcm", "q_gap_fill_interpolate", "q_select_modifiers",
-    "q_multimodal_jpeg_color", "q_multimodal_jpeg420", "q_schema_evolution",
-    # (b) the round-1-only cohort has fully rotated out this session
-    # (every multi-scale-swept member defers to the round-6 window,
-    # which should be built almost entirely from the deferred r1+r2
-    # cohort; this window's anti-staleness slots are (c)); displaced
-    # yields only a rows-only row by design, so its slot went to the
-    # RANGE-frame window query; the 8 most structurally
-    # trivial — cross_join, null_funcs, pagination, setops, having,
-    # case_bucket, union_by_name, regex_funcs — defer to round 6, as do
-    # 18 shapes displaced by (a2): cte_reuse, cond_agg, corr_cov, cube,
-    # exists_correlated, full_outer, in_subquery, scalar_subquery,
-    # semi_anti, left_join_orders, join_orders_customer, pivot,
-    # window_analytics, window_lag, window_rank, date_funcs,
-    # string_funcs, window_runsum, percentiles, approx_percentiles,
-    # rollup_day_type — all stay green under local full-surface
-    # check_oracle runs)
-
-    # Round-6 rotation note: the deferred cohort is now ~30 r1 shapes
-    # + 36 r2-cohort queries; the next window should be mostly that
-    # cohort (this session's 29 additions all have fresh rows and can
-    # rotate out wholesale). Everything deferred stays green in the
-    # local full-surface sweeps at sf0.01 AND sf0.1 (ROUNDLOG).
-    # (c) round-2-cohort picks (6)
-    "q_ingest_roundtrip", "q_dedup_docs", "q_jaccard_pairs",
-    "q_udf_domain", "q_udaf_geomean", "q_udtf_tokenize",
+    # (a) changed this round (5)
+    "q_schema_evolution", "q_interval_length_sum",
+    "q_stream_interval_length", "q_moving_sum", "q_window_range_frame",
+    # (b) the full round-1-stale oracle-backed cohort (38)
+    "q_agg_suite", "q_argmax_segment", "q_argmin_first_event",
+    "q_array_funcs", "q_case_bucket", "q_cond_agg", "q_corr_cov",
+    "q_cross_join", "q_cte_reuse", "q_cube", "q_date_funcs",
+    "q_distinct_users", "q_exact_distinct", "q_exists_correlated",
+    "q_full_outer", "q_having", "q_in_subquery",
+    "q_join_broadcast_nation", "q_join_orders_customer",
+    "q_left_join_orders", "q_math_funcs", "q_null_funcs", "q_pagination",
+    "q_percentiles", "q_pivot", "q_regex_funcs", "q_revenue_by_nation",
+    "q_rollup_day_type", "q_scalar_subquery", "q_semi_anti", "q_setops",
+    "q_string_funcs", "q_topk_spenders", "q_union_by_name",
+    "q_window_analytics", "q_window_lag", "q_window_rank",
+    "q_window_runsum",
+    # (c) round-2-cohort picks (7)
+    "q_opens_for_campaign", "q_level_totals", "q_summing_reaggregate",
+    "q_enum_encode", "q_default_coalesce", "q_tpch_q3", "q_tpch_q6",
 ]
 
 
@@ -87,9 +56,9 @@ def test_window_is_exactly_50_known_names():
 
 
 def test_window_oracle_coverage():
-    """Within the window, only the sketch-randomized / non-SQL queries
-    may be rows-only — everything else must carry a DuckDB oracle."""
+    """The round-6 window is all-oracle-backed by construction — the six
+    rows-only-by-design stale queries were deliberately excluded (a
+    rows-only row buys no hash signal)."""
     oracles = all_oracles()
-    rows_only_by_design = {"q_approx_distinct", "q_approx_percentiles"}
-    missing = [q for q in WINDOW_50 if q not in oracles and q not in rows_only_by_design]
+    missing = [q for q in WINDOW_50 if q not in oracles]
     assert missing == []

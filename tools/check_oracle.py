@@ -2,7 +2,12 @@
 run every declared query on Spark and its DuckDB oracle side-by-side,
 compare row count + schema shape + order-insensitive value hash.
 
-Usage:  python tools/check_oracle.py [sf_dir] [query ...]
+Usage:  python tools/check_oracle.py [--json OUT.json] [sf_dir] [query ...]
+
+With --json, every checked query's result is also written in the
+driver's CORRECTNESS_r{N}.json row format (rows_match / schema_match /
+hash_match / spark_rows / oracle_rows / err) so full-surface sweeps can
+be committed as auditable artifacts (docs/CORRECTNESS_full_*.json).
 """
 
 from __future__ import annotations
@@ -87,8 +92,14 @@ def duck_schema_norm(cols: list[str], types: list) -> dict[str, str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    results: dict[str, dict] = {}
     # Adversarial-parallelism differential: SPARK_GRAFT_SHUFFLE=<n>
     # reruns the whole surface under a different shuffle partitioning —
     # any float accumulation that leaks partitioning order into a
@@ -123,11 +134,21 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
+            results[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None,
+                "oracle_rows": None, "err": f"spark error: {e}"[:500],
+            }
             n_fail += 1
             continue
         dt = time.time() - t0
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} rows (no oracle) [{dt:.1f}s]")
+            results[name] = {
+                "rows_match": True, "schema_match": None,
+                "hash_match": None, "spark_rows": len(srows),
+                "oracle_rows": None, "err": None, "no_oracle": True,
+            }
             n_rowsonly += 1
             continue
         try:
@@ -137,6 +158,11 @@ def main() -> int:
             drows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
+            results[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": len(srows),
+                "oracle_rows": None, "err": f"duckdb error: {e}"[:500],
+            }
             n_fail += 1
             continue
         problems = []
@@ -153,6 +179,15 @@ def main() -> int:
             hs, hd = table_hash(scols, srows), table_hash(dcols, drows)
             if hs != hd:
                 problems.append(f"hash spark={hs} duck={hd}")
+        schema_ok = not any(p.startswith(("cols ", "dtypes ")) for p in problems)
+        rows_ok = len(srows) == len(drows)
+        hash_ok = not problems
+        results[name] = {
+            "rows_match": rows_ok, "schema_match": schema_ok,
+            "hash_match": hash_ok, "spark_rows": len(srows),
+            "oracle_rows": len(drows),
+            "err": "; ".join(problems) if problems else None,
+        }
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems) + f" [{dt:.1f}s]")
             n_fail += 1
@@ -160,6 +195,12 @@ def main() -> int:
             print(f"PASS  {name}: {len(srows)} rows [{dt:.1f}s]")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(results, fh, indent=2, sort_keys=True)
+        print(f"wrote {json_out} ({len(results)} queries)")
     return 1 if n_fail else 0
 
 
