@@ -1,0 +1,477 @@
+"""Round-6 statistical-aggregate batch — the remaining ClickHouse
+statistics family re-expressed Spark-first with the repo's exact-
+arithmetic portability discipline (SURVEY §2 C98–C103):
+
+- ``simpleLinearRegression``  → q_linreg
+- ``skewPop`` / ``kurtPop``   → q_skew_kurt
+- ``mannWhitneyUTest``        → q_mann_whitney
+- ``kolmogorovSmirnovTest``   → q_ks_test
+- ``avgWeighted``             → q_avg_weighted
+- ``groupBitmapAnd/Or/Xor``   → q_bitmap_ops
+
+Reference basis: the ClickHouse aggregate-function surface the tutorial
+engine exposes through its dashboard queries (kafka+clickhouse.md
+:246-258 shows the aggregation idiom; the function family is public
+ClickHouse API). Numeric recipe (shared with analytics_ext C76/C84):
+quantize doubles to integer milli-units, accumulate ONLY exact
+integers/decimals (DECIMAL(38,0) here, HUGEINT in DuckDB), and finish
+with an IEEE expression tree stated identically on both engines — no
+double is ever rounded, so value hashes match bit-for-bit.
+
+Scale notes per operator in the docstrings; nothing here uses an
+unpartitioned window (the rank/CDF prefixes ride plans/prefix.py's
+ranged_prefix — range shuffle + partitioned window + P-row offset
+join), and every aggregation is map-side combinable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_clickhouse_implementation_spark.io import load
+from kafka_clickhouse_implementation_spark.plans.prefix import ranged_prefix
+from kafka_clickhouse_implementation_spark.registry import query
+
+_VM = "CAST(floor(value * 1000 + 0.5) AS BIGINT)"  # milli-units (C76 recipe)
+# x origin for the regression: 2024-01-01 epoch seconds. A constant
+# shift changes the intercept's reference point, not the slope, and
+# keeps x small (~seconds-into-2024) so x² sums stay far from the
+# 128-bit ceiling at any row count.
+_X0 = 1704067200
+
+
+@query(
+    "q_linreg",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_type,
+             epoch_us(ts) // 1000000 - {_X0} AS x,
+             {_VM} AS y
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+             sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type, n,
+           (CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+            / CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)) / 1000.0
+             AS slope_per_sec,
+           (CAST(sy AS DOUBLE)
+            - (CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+               / CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE))
+              * CAST(sx AS DOUBLE))
+           / (CAST(n AS DOUBLE) * 1000.0) AS intercept_at_origin
+    FROM s
+    """,
+)
+def q_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``simpleLinearRegression(x, y)`` parity: per
+    event_type, the least-squares slope (value units per second) and
+    intercept (value at 2024-01-01) of value over event time. n, Σx,
+    Σy, Σx², Σxy accumulate exactly (DECIMAL(38,0) ↔ HUGEINT — x is
+    seconds-into-2024, y integer milli-units, so the sums stay ~10
+    orders under the 128-bit ceiling at any realistic row count); the
+    closed forms (nΣxy−ΣxΣy)/(nΣx²−(Σx)²) are then identical IEEE
+    trees over exactly-cast integers. One map-side-combined hash
+    aggregation — the canonical mergeable-state aggregate, same shuffle
+    profile as sum()."""
+    pts = load(spark, sf_dir, "events").select(
+        "event_type",
+        (F.expr("unix_micros(ts) div 1000000") - F.lit(_X0)).alias("x"),
+        F.expr(_VM).alias("y"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(dec("x") * dec("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(dec("x") * dec("y")).cast("decimal(38,0)").alias("sxy"),
+    )
+    n_dec = F.col("n").cast("decimal(38,0)")
+    num = (n_dec * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (n_dec * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope_milli = num / den
+    return s.select(
+        "event_type",
+        "n",
+        (slope_milli / F.lit(1000.0)).alias("slope_per_sec"),
+        (
+            (F.col("sy").cast("double") - slope_milli * F.col("sx").cast("double"))
+            / (F.col("n").cast("double") * F.lit(1000.0))
+        ).alias("intercept_at_origin"),
+    )
+
+
+# Moment center: 250000 milli-units (mid-range of the value domain).
+# A CONSTANT center needs no second pass; centered powers are bounded
+# by the value SPREAD, not its location, so Σd⁴ stays ~5 orders under
+# the 128-bit ceiling even at 10^12 rows per group.
+_A = 250000
+_DM = f"({_VM} - {_A})"
+
+
+@query(
+    "q_skew_kurt",
+    oracle=f"""
+    WITH d AS (
+      SELECT user_id % 5 AS cohort, CAST({_DM} AS HUGEINT) AS d FROM events
+    ),
+    s AS (
+      SELECT cohort, CAST(count(*) AS BIGINT) AS n,
+             sum(d) AS s1, sum(d*d) AS s2, sum(d*d*d) AS s3,
+             sum(d*d*d*d) AS s4
+      FROM d GROUP BY cohort
+    ),
+    m AS (
+      SELECT cohort, n,
+             CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+             CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS m2r,
+             CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS m3r,
+             CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS m4r
+      FROM s
+    ),
+    c AS (
+      SELECT cohort, n,
+             m2r - m1 * m1 AS c2,
+             m3r - 3.0 * m1 * m2r + 2.0 * m1 * m1 * m1 AS c3,
+             m4r - 4.0 * m1 * m3r + 6.0 * m1 * m1 * m2r
+                 - 3.0 * m1 * m1 * m1 * m1 AS c4
+      FROM m
+    )
+    SELECT cohort, n,
+           c3 / (c2 * sqrt(c2)) AS skew_pop,
+           c4 / (c2 * c2) AS kurt_pop
+    FROM c
+    """,
+)
+def q_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``skewPop`` / ``kurtPop`` parity: population skewness
+    m3/m2^1.5 and kurtosis m4/m2² of value per user cohort. Raw moments
+    about the CONSTANT center 250 (value units) accumulate as exact
+    DECIMAL(38,0)/HUGEINT sums of centered milli-unit powers; central
+    moments come from the constant-shift identities (c2=M2−M1², ...)
+    evaluated in one identical IEEE tree — both ratios are scale-free
+    so the milli quantization cancels. sqrt is IEEE-correctly-rounded
+    (unlike pow, which is why kurt uses c2·c2 and skew c2·sqrt(c2)).
+    One map-side-combined aggregation; mergeable partials (the sums),
+    O(cohorts) final state."""
+    d = load(spark, sf_dir, "events").select(
+        (F.col("user_id") % 5).alias("cohort"),
+        F.expr(_DM).cast("decimal(38,0)").alias("d"),
+    )
+    s = d.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("d").cast("decimal(38,0)").alias("s1"),
+        F.sum(F.col("d") * F.col("d")).cast("decimal(38,0)").alias("s2"),
+        F.sum(F.col("d") * F.col("d") * F.col("d")).cast("decimal(38,0)").alias("s3"),
+        F.sum(F.col("d") * F.col("d") * F.col("d") * F.col("d"))
+        .cast("decimal(38,0)")
+        .alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    m1 = F.col("s1").cast("double") / nd
+    m2r = F.col("s2").cast("double") / nd
+    m3r = F.col("s3").cast("double") / nd
+    m4r = F.col("s4").cast("double") / nd
+    c2 = m2r - m1 * m1
+    c3 = m3r - F.lit(3.0) * m1 * m2r + F.lit(2.0) * m1 * m1 * m1
+    c4 = (
+        m4r
+        - F.lit(4.0) * m1 * m3r
+        + F.lit(6.0) * m1 * m1 * m2r
+        - F.lit(3.0) * m1 * m1 * m1 * m1
+    )
+    return s.select(
+        "cohort",
+        "n",
+        (c3 / (c2 * F.sqrt(c2))).alias("skew_pop"),
+        (c4 / (c2 * c2)).alias("kurt_pop"),
+    )
+
+
+def _rank_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared MWU/KS intermediate: one row per DISTINCT milli-value
+    with per-cohort counts and the INCLUSIVE global cumulative count in
+    value order. The distinct-value table is bounded by the quantized
+    domain (≤ ~10⁶ rows however large the fact table), and the global
+    cumulative rides ranged_prefix — range shuffle + partitioned
+    window + P-row offset join, never a single-task window."""
+    vals = load(spark, sf_dir, "events").select(
+        F.expr(_VM).alias("vm"), (F.col("user_id") % 2).alias("g")
+    )
+    agg = vals.groupBy("vm").agg(
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).cast("long").alias("cnt_a"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("long").alias("cnt_b"),
+    )
+    agg = agg.withColumn("cnt", (F.col("cnt_a") + F.col("cnt_b")).cast("long"))
+    return ranged_prefix(agg, [F.col("vm")], sum_cols={"cum": "cnt"})
+
+
+_RANK_CTE = f"""
+    vals AS (
+      SELECT {_VM} AS vm, user_id % 2 AS g FROM events
+    ),
+    agg AS (
+      SELECT vm,
+             CAST(count(*) FILTER (WHERE g = 0) AS BIGINT) AS cnt_a,
+             CAST(count(*) FILTER (WHERE g = 1) AS BIGINT) AS cnt_b,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM vals GROUP BY vm
+    ),
+    ranked AS (
+      SELECT vm, cnt_a, cnt_b, cnt,
+             sum(cnt) OVER (ORDER BY vm
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM agg
+    )
+"""
+
+
+@query(
+    "q_mann_whitney",
+    oracle=f"""
+    WITH {_RANK_CTE},
+    terms AS (
+      SELECT CAST(sum(cnt_a) AS BIGINT) AS n1,
+             CAST(sum(cnt_b) AS BIGINT) AS n2,
+             sum(CAST(cnt_a AS HUGEINT)
+                 * CAST(2 * (cum - cnt) + cnt + 1 AS HUGEINT)) AS two_ra,
+             sum(CAST(cnt AS HUGEINT) * CAST(cnt AS HUGEINT)
+                 * CAST(cnt AS HUGEINT) - CAST(cnt AS HUGEINT)) AS tie_t
+      FROM ranked
+    )
+    SELECT n1, n2,
+           (CAST(two_ra AS DOUBLE)
+            - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0)) / 2.0 AS u_stat,
+           ((CAST(two_ra AS DOUBLE)
+             - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0)) / 2.0
+            - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+           / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+                  * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
+                     - CAST(tie_t AS DOUBLE)
+                       / (CAST(n1 + n2 AS DOUBLE)
+                          * (CAST(n1 + n2 AS DOUBLE) - 1.0)))) AS z_stat
+    FROM terms
+    """,
+)
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``mannWhitneyUTest`` parity: the U statistic of the
+    even-user cohort vs the odd-user cohort over value, with the
+    normal-approximation z under the tie-corrected variance. Midranks
+    are half-integers, so the DOUBLED rank sum 2R_A = Σ cnt_a·(2·cum_
+    before + cnt + 1) stays an exact integer (HUGEINT/DECIMAL(38,0)),
+    as does the tie term Σ(t³−t); U, μ_U, σ_U, z are then one identical
+    IEEE tree. (The p-value needs erf, which is not correctly rounded
+    across libm implementations — deliberately not emitted; z carries
+    the same information portably.) Cost: one distinct-value
+    aggregation + the bounded-domain prefix + a 1-row finish."""
+    r = _rank_table(spark, sf_dir)
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    two_mid = (
+        F.lit(2).cast("decimal(38,0)") * (dec("cum") - dec("cnt"))
+        + dec("cnt")
+        + F.lit(1).cast("decimal(38,0)")
+    )
+    terms = r.agg(
+        F.sum("cnt_a").cast("long").alias("n1"),
+        F.sum("cnt_b").cast("long").alias("n2"),
+        F.sum(dec("cnt_a") * two_mid).cast("decimal(38,0)").alias("two_ra"),
+        F.sum(dec("cnt") * dec("cnt") * dec("cnt") - dec("cnt"))
+        .cast("decimal(38,0)")
+        .alias("tie_t"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    u = (F.col("two_ra").cast("double") - n1d * (n1d + F.lit(1.0))) / F.lit(2.0)
+    sigma2 = (
+        n1d
+        * n2d
+        / F.lit(12.0)
+        * (
+            (nd + F.lit(1.0))
+            - F.col("tie_t").cast("double") / (nd * (nd - F.lit(1.0)))
+        )
+    )
+    return terms.select(
+        "n1",
+        "n2",
+        u.alias("u_stat"),
+        ((u - n1d * n2d / F.lit(2.0)) / F.sqrt(sigma2)).alias("z_stat"),
+    )
+
+
+@query(
+    "q_ks_test",
+    oracle=f"""
+    WITH {_RANK_CTE},
+    cdf AS (
+      SELECT vm,
+             sum(cnt_a) OVER (ORDER BY vm
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+             sum(cnt_b) OVER (ORDER BY vm
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+      FROM ranked
+    ),
+    tot AS (
+      SELECT CAST(sum(cnt_a) AS BIGINT) AS n1,
+             CAST(sum(cnt_b) AS BIGINT) AS n2
+      FROM ranked
+    ),
+    scaled AS (
+      SELECT vm,
+             abs(CAST(cum_a AS HUGEINT) * t.n2
+                 - CAST(cum_b AS HUGEINT) * t.n1) AS dn
+      FROM cdf CROSS JOIN tot t
+    ),
+    mx AS (SELECT max(dn) AS max_dn FROM scaled)
+    SELECT t.n1, t.n2,
+           CAST(min(s.vm) AS BIGINT) AS at_vm,
+           CAST(m.max_dn AS DOUBLE)
+             / (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE)) AS d_stat
+    FROM scaled s CROSS JOIN mx m CROSS JOIN tot t
+    WHERE s.dn = m.max_dn
+    GROUP BY t.n1, t.n2, m.max_dn
+    """,
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``kolmogorovSmirnovTest`` parity: the two-sample KS
+    statistic D = sup|F_A − F_B| between the even/odd user cohorts,
+    plus the smallest value where the supremum is attained. The
+    comparison runs ENTIRELY in integers — |cum_a·n2 − cum_b·n1| is the
+    CDF gap scaled by n1·n2 — so the argmax is exact; ONE division at
+    the end produces D. Per-cohort cumulatives ride the same bounded-
+    domain ranged_prefix as q_mann_whitney; the max/filter finish joins
+    1-row aggregates (broadcast)."""
+    r = _rank_table(spark, sf_dir)
+    r = ranged_prefix(
+        r.select("vm", "cnt_a", "cnt_b"),
+        [F.col("vm")],
+        sum_cols={"cum_a": "cnt_a", "cum_b": "cnt_b"},
+    )
+    tot = r.agg(
+        F.sum("cnt_a").cast("long").alias("n1"),
+        F.sum("cnt_b").cast("long").alias("n2"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    scaled = r.crossJoin(F.broadcast(tot)).select(
+        "vm",
+        "n1",
+        "n2",
+        F.abs(dec("cum_a") * dec("n2") - dec("cum_b") * dec("n1")).alias("dn"),
+    )
+    mx = scaled.agg(F.max("dn").alias("max_dn"))
+    return (
+        scaled.crossJoin(F.broadcast(mx))
+        .filter(F.col("dn") == F.col("max_dn"))
+        .groupBy("n1", "n2", "max_dn")
+        .agg(F.min("vm").cast("long").alias("at_vm"))
+        .select(
+            "n1",
+            "n2",
+            "at_vm",
+            (
+                F.col("max_dn").cast("double")
+                / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+            ).alias("d_stat"),
+        )
+    )
+
+
+@query(
+    "q_avg_weighted",
+    oracle=f"""
+    SELECT event_type,
+           CAST(sum(CAST(event_id % 10 + 1 AS HUGEINT) * CAST({_VM} AS HUGEINT))
+                AS DOUBLE)
+           / (CAST(sum(event_id % 10 + 1) AS DOUBLE) * 1000.0) AS w_avg,
+           CAST(sum(event_id % 10 + 1) AS BIGINT) AS w_total
+    FROM events GROUP BY event_type
+    """,
+)
+def q_avg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``avgWeighted(v, w)`` parity: per event_type, the
+    weight-w mean of value with deterministic synthetic weights
+    (event_id%10+1). Σ(w·vm) and Σw are exact integers; ONE division
+    finishes. Plain mergeable aggregation."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("event_id % 10 + 1").cast("decimal(38,0)").alias("w"),
+        F.expr(_VM).cast("decimal(38,0)").alias("vm"),
+    )
+    s = ev.groupBy("event_type").agg(
+        F.sum(F.col("w") * F.col("vm")).cast("decimal(38,0)").alias("swv"),
+        F.sum("w").cast("long").alias("w_total"),
+    )
+    return s.select(
+        "event_type",
+        (
+            F.col("swv").cast("double")
+            / (F.col("w_total").cast("double") * F.lit(1000.0))
+        ).alias("w_avg"),
+        "w_total",
+    )
+
+
+@query(
+    "q_bitmap_ops",
+    oracle="""
+    WITH flags AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS in_b
+      FROM events
+      WHERE event_type IN ('view', 'purchase')
+      GROUP BY user_id
+    )
+    SELECT CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_and,
+           CAST(count(*) AS BIGINT) AS n_or,
+           CAST(sum(CASE WHEN in_a + in_b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_xor,
+           CAST(sum(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_andnot
+    FROM flags
+    """,
+)
+def q_bitmap_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``groupBitmapAnd/Or/Xor`` (+ ``bitmapAndnot``)
+    parity: set-algebra cardinalities over the user-id sets of the
+    'view' and 'purchase' segments. ClickHouse materializes roaring
+    bitmaps; the Spark-first shape is membership FLAGS from one
+    filtered aggregation (max-of-indicator per user — mergeable, the
+    bitmap-union analogue) and the four cardinalities from a second
+    tiny aggregation. The shuffle carries one row per qualifying user,
+    never a serialized bitmap, and at 100 TB the first aggregation
+    map-side-combines to distinct users per partition."""
+    flags = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "in_b"
+            ),
+        )
+    )
+    return flags.agg(
+        F.sum(F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n_and"),
+        F.count(F.lit(1)).alias("n_or"),
+        F.sum(F.when(F.col("in_a") + F.col("in_b") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_xor"),
+        F.sum(F.when((F.col("in_a") == 1) & (F.col("in_b") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n_andnot"),
+    )

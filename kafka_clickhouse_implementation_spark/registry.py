@@ -104,6 +104,7 @@ _MODULE_RANK = [
     "kafka_clickhouse_implementation_spark.streaming.bloom_stream",
     "kafka_clickhouse_implementation_spark.streaming.analytics_stream",
     "kafka_clickhouse_implementation_spark.operators.gif_codec",
+    "kafka_clickhouse_implementation_spark.operators.stats_ext",
 ]
 
 
