@@ -1,0 +1,391 @@
+"""Deterministic embedding clustering for the LLM-data tier
+(SURVEY §2 C110–C112):
+
+- exact quantized k-means (Lloyd, fixed rounds)   → q_kmeans_semantic
+- SemDeDup-style within-cluster near-duplicates   → q_semantic_dedup
+- IVF approximate-nearest-neighbor, oracle-backed → q_ann_ivf_exact
+
+These close the "semantic dedup" and "IVF scale path" gaps called out
+in SURVEY's similarity-search family: C60's sign-LSH ANN is bucketed
+by hyperplane signs; IVF buckets by nearest centroid, which is what
+production vector stores (FAISS IVF) actually deploy — and SemDeDup
+(Abbas et al. 2023, public) is exactly "cluster, then pairwise-check
+only within a cluster", i.e. k-means as the candidate generator for
+embedding-level dedup.
+
+Everything is EXACT integer arithmetic so a DuckDB oracle can replay
+it bit-for-bit — the first oracle-backed iterative-clustering queries
+in the registry:
+
+- embeddings quantize ONCE to integer micro-units
+  (floor(x·1e6 + 0.5));
+- distances are integer squared-L2 (Σ over 64 dims of (a−b)², ≤6e13
+  per pair — far inside int64);
+- argmin ties break on the smaller centroid id (min(struct(dist,
+  cid))) ≡ the oracle's min-dist-then-min-cid two-step;
+- centroid updates use a sign-portable floor division
+  ``(s − ((s % n + n) % n)) div n`` (Spark ``div`` truncates toward
+  zero, DuckDB ``//`` floors — both % take the dividend's sign, so
+  the adjusted numerator divides exactly);
+- Lloyd runs a FIXED 3 rounds from a FIXED seed (the k lowest
+  vec_ids), so the whole trajectory is deterministic.
+
+The oracle unrolls the 3 rounds as chained CTEs — heavy SQL, but the
+point is that an independent engine replays the identical trajectory.
+
+Scale: the assignment join is (n·d rows) ⋈ broadcast(k·d rows) → one
+map-side-combined agg — linear in n, no shuffle of the embedding
+bodies beyond the first posexplode. Per-round driver traffic is the
+k·d centroid table (bounded by k·d = 512 values, NOT by data — the
+prefix.py bounded-collect pattern). Pair distances (SemDeDup / IVF
+re-rank) ride zip_with over the 64-wide arrays — O(pairs) rows, all
+whole-stage codegen, and pairs are bucketed by cluster/probe-list,
+never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_clickhouse_implementation_spark.io import load
+from kafka_clickhouse_implementation_spark.registry import query
+
+K = 8  # clusters; seed = vec_id 0..7
+ITERS = 3  # fixed Lloyd rounds
+DIM = 64
+Q_EVERY = 50  # IVF query set: vec_id % 50 == 0
+NPROBE = 2
+TOPK = 5
+# SemDeDup near-duplicate threshold, micro-units²: ~1st percentile of
+# the global pair-distance distribution at sf0.01 (measured), so
+# within-cluster candidates yield a small, deterministic positive set.
+DUP_THRESH = 1_450_000_000_000
+
+_QUANT = "CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)"
+
+
+def _pts_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, dim, x) long format, micro-quantized."""
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(f"transform(embedding, x -> {_QUANT})")
+        ).alias("dim", "x"),
+    )
+
+
+def _eq_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, eq: array<long>) micro-quantized arrays."""
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", F.expr(f"transform(embedding, x -> {_QUANT})").alias("eq")
+    )
+
+
+def _dist2_arrays(a: str, b: str) -> F.Column:
+    """Integer squared-L2 between two array<long> columns, in codegen."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (p, q) -> (p - q) * (p - q)), 0L, (s, v) -> s + v)"
+    )
+
+
+def _lloyd(spark: SparkSession, sf_dir: str):
+    """Run the fixed Lloyd trajectory.
+
+    Returns (final_assignment_df(vec_id, cid),
+             point_to_centroid_dists_df(vec_id, cid, dist) for the
+             LAST round's centroid set, final_centroids list[(cid,
+             dim, x)]).  Per-round driver traffic is k·d centroid
+             rows — bounded by the model size, not the data."""
+    pts = _pts_long(spark, sf_dir).localCheckpoint()
+    cents = [
+        (int(r.cid), int(r.dim), int(r.x))
+        for r in pts.filter(F.col("vec_id") < K)
+        .select(F.col("vec_id").alias("cid"), "dim", "x")
+        .collect()
+    ]
+    asg = d = None
+    for _ in range(ITERS):
+        cdf = spark.createDataFrame(cents, schema="cid LONG, dim INT, c LONG")
+        d = (
+            pts.join(F.broadcast(cdf), "dim")
+            .groupBy("vec_id", "cid")
+            .agg(
+                F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias(
+                    "dist"
+                )
+            )
+        )
+        asg = (
+            d.groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cid")).alias("m"))
+            .select("vec_id", F.col("m.cid").alias("cid"))
+        )
+        upd = (
+            pts.join(asg, "vec_id")
+            .groupBy("cid", "dim")
+            .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+        )
+        newc = upd.select(
+            "cid",
+            "dim",
+            F.expr("(sx - (((sx % n) + n) % n)) div n").alias("x"),
+        )
+        cents = [(int(r.cid), int(r.dim), int(r.x)) for r in newc.collect()]
+    return asg, d, cents
+
+
+# --------------------------------------------------------------------------
+# Shared oracle prefix: the unrolled Lloyd trajectory in DuckDB SQL
+# --------------------------------------------------------------------------
+
+
+def _lloyd_ctes() -> str:
+    parts = [
+        f"""pts AS (
+  SELECT vec_id,
+         CAST(unnest(range({DIM})) AS INTEGER) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS x
+  FROM embeddings
+),
+cent0 AS (
+  SELECT vec_id AS cid, dim, x FROM pts WHERE vec_id < {K}
+)"""
+    ]
+    for i in range(ITERS):
+        parts.append(
+            f"""d{i} AS (
+  SELECT p.vec_id, c.cid, CAST(sum((p.x - c.x) * (p.x - c.x)) AS BIGINT) AS dist
+  FROM pts p JOIN cent{i} c ON p.dim = c.dim
+  GROUP BY p.vec_id, c.cid
+),
+md{i} AS (SELECT vec_id, min(dist) AS md FROM d{i} GROUP BY vec_id),
+asg{i} AS (
+  SELECT d.vec_id, min(d.cid) AS cid
+  FROM d{i} d JOIN md{i} m ON d.vec_id = m.vec_id AND d.dist = m.md
+  GROUP BY d.vec_id
+),
+cent{i + 1} AS (
+  SELECT s.cid, s.dim, (s.sx - (((s.sx % s.n) + s.n) % s.n)) // s.n AS x
+  FROM (SELECT g.cid, p.dim, CAST(sum(p.x) AS BIGINT) AS sx,
+               CAST(count(*) AS BIGINT) AS n
+        FROM pts p JOIN asg{i} g ON p.vec_id = g.vec_id
+        GROUP BY g.cid, p.dim) s
+)"""
+        )
+    return ",\n".join(parts)
+
+
+_LAST = ITERS - 1
+
+_KMEANS_ORACLE = f"""
+WITH {_lloyd_ctes()},
+m AS (
+  SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+         min(vec_id) AS min_vec_id,
+         CAST(sum(vec_id) AS BIGINT) AS sum_vec_ids
+  FROM asg{_LAST} GROUP BY cid
+),
+l AS (
+  SELECT cid, CAST(sum(abs(x)) AS BIGINT) AS centroid_l1
+  FROM cent{ITERS} GROUP BY cid
+)
+SELECT m.cid AS cluster_id, m.n_members, m.min_vec_id, m.sum_vec_ids, l.centroid_l1
+FROM m JOIN l ON m.cid = l.cid
+"""
+
+
+@query("q_kmeans_semantic", oracle=_KMEANS_ORACLE)
+def q_kmeans_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact k-means over the embeddings table (k=8,
+    3 Lloyd rounds, micro-quantized integer arithmetic): cluster
+    sizes, membership checksums, and the final centroids' L1 norms.
+    The DuckDB oracle replays the identical trajectory through 3
+    unrolled CTE rounds — every intermediate (distances, argmin ties,
+    floor-divided centroid updates) is exact-integer, so the hash
+    match certifies the whole iterative computation, not just the
+    final rollup. This is the clustering stage of SemDeDup-style
+    semantic dedup and the coarse quantizer of IVF ANN (C112)."""
+    asg, _, cents = _lloyd(spark, sf_dir)
+    m = asg.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("vec_id").alias("min_vec_id"),
+        F.sum("vec_id").cast("long").alias("sum_vec_ids"),
+    )
+    cdf = spark.createDataFrame(cents, schema="cid LONG, dim INT, x LONG")
+    l1 = cdf.groupBy("cid").agg(F.sum(F.abs("x")).cast("long").alias("centroid_l1"))
+    return (
+        m.join(l1, "cid")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_members",
+            "min_vec_id",
+            "sum_vec_ids",
+            "centroid_l1",
+        )
+    )
+
+
+_EQ_CTE = """eq AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT))
+           AS eq
+  FROM embeddings
+)"""
+
+_PAIR_DIST = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> (a.eq[i] - b.eq[i]) * (a.eq[i] - b.eq[i])))"
+)
+
+_SEMDEDUP_ORACLE = f"""
+WITH {_lloyd_ctes()},
+{_EQ_CTE},
+pairs AS (
+  SELECT ga.cid, ga.vec_id AS va, gb.vec_id AS vb,
+         CAST({_PAIR_DIST} AS BIGINT) AS dist2
+  FROM asg{_LAST} ga
+  JOIN asg{_LAST} gb ON ga.cid = gb.cid AND ga.vec_id < gb.vec_id
+  JOIN eq a ON a.vec_id = ga.vec_id
+  JOIN eq b ON b.vec_id = gb.vec_id
+)
+SELECT cid AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN dist2 < {DUP_THRESH} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_close,
+       CAST(count(DISTINCT CASE WHEN dist2 < {DUP_THRESH} THEN vb END) AS BIGINT)
+         AS n_drop,
+       CAST(min(dist2) AS BIGINT) AS min_dist2
+FROM pairs GROUP BY cid
+"""
+
+
+@query("q_semantic_dedup", oracle=_SEMDEDUP_ORACLE)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate detection: pairwise
+    integer L2 within each k-means cluster ONLY (the cluster is the
+    candidate block — the whole point of SemDeDup is that cross-
+    cluster pairs are never materialized), flagging pairs under a
+    fixed distance threshold and counting the keep-lowest-id drop set
+    per cluster. Pair distances ride zip_with over the 64-wide
+    quantized arrays — O(pairs within clusters) rows, all codegen.
+    Scale: with balanced clusters the pair count is n²/k per cluster —
+    at real scale k grows with n (k ≈ n/10⁴ in the SemDeDup paper), so
+    the per-cluster block stays bounded; the oracle certifies the
+    fixed-k trajectory end-to-end."""
+    asg, _, _ = _lloyd(spark, sf_dir)
+    eq = _eq_arrays(spark, sf_dir)
+    a = asg.alias("ga").join(
+        eq.select(F.col("vec_id").alias("va"), F.col("eq").alias("ea")),
+        F.col("ga.vec_id") == F.col("va"),
+    )
+    b = asg.alias("gb").join(
+        eq.select(F.col("vec_id").alias("vb"), F.col("eq").alias("eb")),
+        F.col("gb.vec_id") == F.col("vb"),
+    )
+    pairs = (
+        a.join(b, (F.col("ga.cid") == F.col("gb.cid")) & (F.col("va") < F.col("vb")))
+        .select(
+            F.col("ga.cid").alias("cid"),
+            "va",
+            "vb",
+            _dist2_arrays("ea", "eb").alias("dist2"),
+        )
+    )
+    return pairs.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("dist2") < DUP_THRESH, 1).otherwise(0))
+        .cast("long")
+        .alias("n_close"),
+        F.countDistinct(F.when(F.col("dist2") < DUP_THRESH, F.col("vb"))).alias(
+            "n_drop"
+        ),
+        F.min("dist2").alias("min_dist2"),
+    ).select(
+        F.col("cid").alias("cluster_id"),
+        "n_pairs",
+        "n_close",
+        "n_drop",
+        "min_dist2",
+    )
+
+
+_IVF_ORACLE = f"""
+WITH {_lloyd_ctes()},
+{_EQ_CTE},
+probe AS (
+  SELECT vec_id AS qid, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM d{_LAST}
+  WHERE vec_id % {Q_EVERY} = 0
+),
+cand AS (
+  SELECT p.qid, g.vec_id AS nid
+  FROM probe p JOIN asg{_LAST} g ON p.cid = g.cid
+  WHERE p.rn <= {NPROBE} AND g.vec_id <> p.qid
+),
+scored AS (
+  SELECT c.qid, c.nid, CAST({_PAIR_DIST} AS BIGINT) AS dist2
+  FROM cand c
+  JOIN eq a ON a.vec_id = c.qid
+  JOIN eq b ON b.vec_id = c.nid
+),
+ranked AS (
+  SELECT qid, nid, dist2,
+         row_number() OVER (PARTITION BY qid ORDER BY dist2, nid) AS rk
+  FROM scored
+)
+SELECT qid AS query_id, CAST(rk AS BIGINT) AS rank, nid AS neighbor_id, dist2
+FROM ranked WHERE rk <= {TOPK}
+"""
+
+
+@query("q_ann_ivf_exact", oracle=_IVF_ORACLE)
+def q_ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate-nearest-neighbor, fully oracle-backed (upgrades
+    C60's rows-only IVF variant to a hash-checked one): the k-means
+    centroids are the coarse quantizer, each query probes its NPROBE=2
+    nearest inverted lists, and only those lists' members are exactly
+    re-ranked (integer L2 over quantized arrays, deterministic
+    (dist2, id) tie order). Candidate volume is nprobe/k of the
+    corpus per query instead of all-pairs — the FAISS IVF contract.
+    Windows partition on query id (bounded candidate sets), the
+    centroid table broadcasts, and the re-rank is zip_with codegen."""
+    asg, d, _ = _lloyd(spark, sf_dir)
+    probe = (
+        d.filter(F.col("vec_id") % Q_EVERY == 0)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy("dist", "cid")
+            ),
+        )
+        .filter(F.col("rn") <= NPROBE)
+        .select(F.col("vec_id").alias("qid"), "cid")
+    )
+    cand = (
+        probe.join(asg, "cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("nid"))
+    )
+    eq = _eq_arrays(spark, sf_dir)
+    scored = (
+        cand.join(
+            eq.select(F.col("vec_id").alias("qid"), F.col("eq").alias("ea")), "qid"
+        )
+        .join(eq.select(F.col("vec_id").alias("nid"), F.col("eq").alias("eb")), "nid")
+        .select("qid", "nid", _dist2_arrays("ea", "eb").alias("dist2"))
+    )
+    ranked = scored.withColumn(
+        "rk",
+        F.row_number().over(Window.partitionBy("qid").orderBy("dist2", "nid")),
+    ).filter(F.col("rk") <= TOPK)
+    return ranked.select(
+        F.col("qid").alias("query_id"),
+        F.col("rk").cast("long").alias("rank"),
+        F.col("nid").alias("neighbor_id"),
+        "dist2",
+    )

@@ -124,3 +124,102 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# Chunk-level (paragraph/line) exact dedup — round 6 (C113).
+# ---------------------------------------------------------------------
+
+CHUNK_W = 12  # words per chunk (the corpus is flat word streams; on
+# real text the split is '\n' — the operator is the same either way)
+
+_CHUNK_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+),
+ch AS (
+  SELECT doc_id, source, CAST(u.i AS BIGINT) AS pos,
+         md5(array_to_string(w.w[u.i * {CHUNK_W} + 1 : u.i * {CHUNK_W} + {CHUNK_W}],
+                             ' ')) AS h,
+         len(w.w[u.i * {CHUNK_W} + 1 : u.i * {CHUNK_W} + {CHUNK_W}]) AS n_words
+  FROM w, unnest(range((len(w.w) - 1) // {CHUNK_W} + 1)) AS u(i)
+),
+first_doc AS (SELECT h, min(doc_id) AS fd FROM ch GROUP BY h),
+first_pos AS (
+  SELECT c.h, c.doc_id AS fd, min(c.pos) AS fp
+  FROM ch c JOIN first_doc f ON c.h = f.h AND c.doc_id = f.fd
+  GROUP BY c.h, c.doc_id
+),
+marked AS (
+  SELECT c.source, c.n_words,
+         CASE WHEN c.doc_id = f.fd AND c.pos = f.fp THEN 1 ELSE 0 END AS kept
+  FROM ch c JOIN first_pos f ON c.h = f.h
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(kept) AS BIGINT) AS n_kept,
+       CAST(count(*) - sum(kept) AS BIGINT) AS n_dup,
+       CAST(sum(n_words) AS BIGINT) AS total_words,
+       CAST(sum(CASE WHEN kept = 1 THEN n_words ELSE 0 END) AS BIGINT) AS kept_words,
+       CAST(sum(kept) AS DOUBLE) / count(*) AS keep_ratio
+FROM marked GROUP BY source
+"""
+
+
+@query("q_chunk_dedup", oracle=_CHUNK_ORACLE)
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup (RefinedWeb/CCNet line-dedup shape):
+    split every document into fixed 12-word chunks, keep only the
+    GLOBAL first occurrence of each chunk (ordered by (doc_id, pos) —
+    the keep-lowest rule near-dup CC also uses), and account the
+    removal per source. The global first-occurrence shuffle is keyed
+    by the chunk's md5 DIGEST, never the chunk text (the repo-wide
+    dedup discipline — at 100 TB the shuffle carries 16-byte keys);
+    the two-step min (first doc, then first pos within it) keeps the
+    lexicographic-min portable without struct-ordering assumptions.
+    Everything else is one posexplode + two digest-keyed hash aggs."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("w")
+    )
+    ch = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, (size(w) - 1) div {CHUNK_W}), "
+                f"i -> slice(w, i * {CHUNK_W} + 1, {CHUNK_W}))"
+            )
+        ).alias("pos", "cw"),
+    ).select(
+        "doc_id",
+        "source",
+        F.col("pos").cast("long").alias("pos"),
+        F.md5(F.concat_ws(" ", F.col("cw"))).alias("h"),
+        F.size("cw").cast("long").alias("n_words"),
+    )
+    first_doc = ch.groupBy("h").agg(F.min("doc_id").alias("fd"))
+    first_pos = (
+        ch.join(first_doc, "h")
+        .filter(F.col("doc_id") == F.col("fd"))
+        .groupBy("h", "fd")
+        .agg(F.min("pos").alias("fp"))
+    )
+    marked = ch.join(first_pos, "h").select(
+        "source",
+        "n_words",
+        F.when(
+            (F.col("doc_id") == F.col("fd")) & (F.col("pos") == F.col("fp")), 1
+        )
+        .otherwise(0)
+        .alias("kept"),
+    )
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("kept").cast("long").alias("n_kept"),
+        (F.count(F.lit(1)) - F.sum("kept")).cast("long").alias("n_dup"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.sum(F.when(F.col("kept") == 1, F.col("n_words")).otherwise(0))
+        .cast("long")
+        .alias("kept_words"),
+        (F.sum("kept").cast("double") / F.count(F.lit(1))).alias("keep_ratio"),
+    )

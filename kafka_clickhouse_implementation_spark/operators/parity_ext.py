@@ -1,0 +1,492 @@
+"""Round-6 ClickHouse-parity batch two — the remaining analytic
+function families from the public ClickHouse surface, re-expressed
+Spark-first (SURVEY §2 C104–C109):
+
+- one-way ANOVA (``analysisOfVariance``)          → q_anova
+- ``exponentialTimeDecayedSum/Avg``               → q_exp_decay
+- ``sparkbar``                                    → q_sparkbar
+- URL function family (``domain``, ``topLevelDomain``, ``path``,
+  ``queryString``, ``extractURLParameter``,
+  ``cutQueryString``)                             → q_url_funcs
+- ``greatCircleDistance``                         → q_geo_distance
+- ``multiSearchAny`` / ``countSubstrings`` /
+  ``position``                                    → q_multi_search
+
+Reference basis: the ClickHouse function surface the tutorial engine's
+dashboard queries draw from (kafka+clickhouse.md:246-258 shows the
+aggregation idiom; these families are public ClickHouse API).
+
+Numeric discipline (same as analytics_ext/stats_ext): every
+transcendental result (exp, the haversine sin/cos/asin chain) is
+quantized to an integer unit immediately after the per-row IEEE tree
+(floor(x * 1eK)) so that cross-partition summation happens ONLY over
+exact integers (DECIMAL(38,0) ↔ HUGEINT) — accumulation order can
+never leak into a hash. The k-group double terms in ANOVA are floored
+to integer milli-units² for the same reason. String/URL operators are
+exact by construction (integer + codepoint arithmetic only).
+
+Scale: every query here is a scan → narrow projection → one map-side-
+combinable hash aggregation (plus a broadcast of a ≤25-row dim or a
+1-row global max). No windows, no self-joins, no Python. At 100 TB the
+profile is identical to a plain sum(): one shuffle of tiny partial
+states per group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_clickhouse_implementation_spark.io import load
+from kafka_clickhouse_implementation_spark.registry import query
+
+_VM = "CAST(floor(value * 1000 + 0.5) AS BIGINT)"  # milli-units (C76 recipe)
+
+
+# --------------------------------------------------------------------------
+# C104 — one-way ANOVA (ClickHouse ``analysisOfVariance`` / f-test)
+# --------------------------------------------------------------------------
+
+_ANOVA_ORACLE = f"""
+WITH g AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_g,
+         CAST(sum({_VM}) AS HUGEINT) AS s_g,
+         sum(CAST({_VM} AS HUGEINT) * CAST({_VM} AS HUGEINT)) AS ss_g
+  FROM events GROUP BY event_type
+),
+q AS (
+  SELECT count(*) AS k,
+         CAST(sum(n_g) AS BIGINT) AS n_total,
+         CAST(sum(s_g) AS HUGEINT) AS s_tot,
+         CAST(sum(ss_g) AS HUGEINT) AS ss_tot,
+         CAST(sum(CAST(floor(CAST(s_g * s_g AS DOUBLE) / CAST(n_g AS DOUBLE))
+                       AS HUGEINT)) AS HUGEINT) AS t_sum
+  FROM g
+)
+SELECT CAST(k AS BIGINT) AS k, n_total,
+       CAST(t_sum - CAST(floor(CAST(s_tot * s_tot AS DOUBLE)
+                               / CAST(n_total AS DOUBLE)) AS HUGEINT)
+            AS DOUBLE) / 1e6 AS ss_between,
+       CAST(ss_tot - t_sum AS DOUBLE) / 1e6 AS ss_within,
+       (CAST(t_sum - CAST(floor(CAST(s_tot * s_tot AS DOUBLE)
+                                / CAST(n_total AS DOUBLE)) AS HUGEINT)
+             AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+       / (CAST(ss_tot - t_sum AS DOUBLE) / CAST(n_total - k AS DOUBLE))
+         AS f_stat
+FROM q
+"""
+
+
+@query("q_anova", oracle=_ANOVA_ORACLE)
+def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``analysisOfVariance(value, group)`` parity: one-way
+    ANOVA F-statistic of milli-quantized event value across the
+    event_type groups. Per-group n, Σv, Σv² accumulate exactly
+    (DECIMAL(38,0) ↔ HUGEINT); each group's between-term s_g²/n_g is
+    ONE identical IEEE tree floored to integer milli-units² (so the
+    k-term cross-group sum is again exact-integer — group iteration
+    order cannot flip a hash); F finishes as one IEEE tree.
+
+    Scale: two chained hash aggregations (group level → 1 row), both
+    map-side combinable; Σv² of milli-values stays ~5 orders under the
+    128-bit ceiling at 10^12 rows/group. No window, no shuffle beyond
+    the k-row partial-state exchange."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.expr(_VM).alias("vm")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum("vm").cast("decimal(38,0)").alias("s_g"),
+        F.sum(dec("vm") * dec("vm")).cast("decimal(38,0)").alias("ss_g"),
+    )
+    term = F.floor(
+        (F.col("s_g") * F.col("s_g")).cast("double") / F.col("n_g").cast("double")
+    ).cast("decimal(38,0)")
+    q = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n_total"),
+        F.sum("s_g").cast("decimal(38,0)").alias("s_tot"),
+        F.sum("ss_g").cast("decimal(38,0)").alias("ss_tot"),
+        F.sum(term).cast("decimal(38,0)").alias("t_sum"),
+    )
+    grand = F.floor(
+        (F.col("s_tot") * F.col("s_tot")).cast("double")
+        / F.col("n_total").cast("double")
+    ).cast("decimal(38,0)")
+    ssb = (F.col("t_sum") - grand).cast("double")
+    ssw = (F.col("ss_tot") - F.col("t_sum")).cast("double")
+    kD = F.col("k").cast("double")
+    nD = F.col("n_total").cast("double")
+    return q.select(
+        "k",
+        "n_total",
+        (ssb / F.lit(1e6)).alias("ss_between"),
+        (ssw / F.lit(1e6)).alias("ss_within"),
+        ((ssb / (kD - F.lit(1.0))) / (ssw / (nD - kD))).alias("f_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C105 — exponentialTimeDecayedSum / exponentialTimeDecayedAvg
+# --------------------------------------------------------------------------
+
+_TAU_US = 86_400_000_000  # one-day time constant, in microseconds
+
+_DECAY_ORACLE = f"""
+WITH t AS (SELECT max(epoch_us(ts)) AS tmax FROM events),
+w AS (
+  SELECT event_type,
+         {_VM} AS vm,
+         CAST(floor(exp(-(CAST(t.tmax - epoch_us(ts) AS DOUBLE)
+                          / {float(_TAU_US)})) * 1e9) AS BIGINT) AS wn
+  FROM events, t
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(CAST(sum(CAST(vm AS HUGEINT) * CAST(wn AS HUGEINT)) AS DOUBLE)
+            / 1e12 AS DOUBLE) AS decayed_sum,
+       CAST(sum(CAST(vm AS HUGEINT) * CAST(wn AS HUGEINT)) AS DOUBLE)
+         / CAST(CAST(sum(CAST(wn AS HUGEINT)) AS DOUBLE) AS DOUBLE) / 1e3
+         AS decayed_avg
+FROM w GROUP BY event_type
+"""
+
+
+@query("q_exp_decay", oracle=_DECAY_ORACLE)
+def q_exp_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``exponentialTimeDecayedSum/Avg(tau)(v, t)`` parity
+    at the corpus's latest event time: per event_type, the exp-decayed
+    value sum and weighted average with a one-day time constant.
+
+    exp() is not correctly rounded across Java Math.exp and libm, so
+    each row's weight quantizes to integer NANO-units immediately
+    after the (IEEE-identical) exp tree — the ln recipe of C77/C82
+    applied to exp. vm·w products (≤ 5e14/row) and Σw then accumulate
+    exactly in DECIMAL(38,0) ↔ HUGEINT; the two emitted doubles are
+    single IEEE divisions. The global max-ts is a 1-row aggregate
+    broadcast via crossJoin (the cohort-stat pattern, analytics_ext
+    C76). Decayed sums are mergeable partial states — this is exactly
+    the aggregate a streaming `-State` would keep."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.expr(_VM).alias("vm"), F.expr("unix_micros(ts)").alias("tus")
+    )
+    tmax = ev.agg(F.max("tus").alias("tmax"))
+    w = ev.crossJoin(F.broadcast(tmax)).select(
+        "event_type",
+        "vm",
+        F.floor(
+            F.exp(
+                -((F.col("tmax") - F.col("tus")).cast("double") / F.lit(float(_TAU_US)))
+            )
+            * F.lit(1e9)
+        )
+        .cast("long")
+        .alias("wn"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = w.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("vm") * dec("wn")).cast("decimal(38,0)").alias("swv"),
+        F.sum("wn").cast("decimal(38,0)").alias("sw"),
+    )
+    return s.select(
+        "event_type",
+        "n",
+        (F.col("swv").cast("double") / F.lit(1e12)).alias("decayed_sum"),
+        (F.col("swv").cast("double") / F.col("sw").cast("double") / F.lit(1e3)).alias(
+            "decayed_avg"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# C106 — sparkbar
+# --------------------------------------------------------------------------
+
+_BLOCKS = "▁▂▃▄▅▆▇█"
+
+_SPARKBAR_ORACLE = """
+WITH d AS (
+  SELECT event_type, CAST(day(ts) AS BIGINT) AS dom, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type, max(cnt) AS mx, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(max(cnt) AS BIGINT) AS max_cnt
+  FROM d GROUP BY event_type
+)
+SELECT d.event_type, m.n_days, m.max_cnt,
+       translate(string_agg(substr('12345678',
+                                   CAST(1 + (d.cnt * 7) // m.mx AS INTEGER), 1),
+                            '' ORDER BY d.dom),
+                 '12345678', '▁▂▃▄▅▆▇█') AS bar
+FROM d JOIN m ON d.event_type = m.event_type
+GROUP BY d.event_type, m.n_days, m.max_cnt
+"""
+
+
+@query("q_sparkbar", oracle=_SPARKBAR_ORACLE)
+def q_sparkbar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sparkbar(buckets)`` parity: per event_type, the
+    unicode block-glyph bar of daily event counts over the month.
+    Level mapping is pure integer arithmetic (1 + cnt*7 // max → the
+    eight U+2581..2588 glyphs via translate), so the bar string is
+    exact on both engines. Spark composes the ordered bar with
+    sort_array(collect_list(struct(day, glyph))) — per-group state is
+    ≤31 day entries regardless of row count; the heavy lifting is the
+    day-level count aggregation, which is map-side combinable."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.dayofmonth("ts").cast("long").alias("dom")
+    )
+    d = ev.groupBy("event_type", "dom").agg(F.count(F.lit(1)).alias("cnt"))
+    m = d.groupBy("event_type").agg(
+        F.max("cnt").alias("mx"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+    )
+    j = d.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        "n_days",
+        "max_cnt",
+        "dom",
+        F.expr("substr('12345678', CAST(1 + (cnt * 7) div mx AS INT), 1)").alias("g"),
+    )
+    return (
+        j.groupBy("event_type", "n_days", "max_cnt")
+        .agg(
+            F.concat_ws(
+                "",
+                F.expr("transform(array_sort(collect_list(struct(dom, g))), x -> x.g)"),
+            ).alias("digits")
+        )
+        .select(
+            "event_type",
+            "n_days",
+            "max_cnt",
+            F.translate(F.col("digits"), "12345678", _BLOCKS).alias("bar"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# C107 — URL function family
+# --------------------------------------------------------------------------
+
+_URL_EXPR = (
+    "concat('https://www.', source, '.example.com/', lang, '/doc-', "
+    "CAST(doc_id AS VARCHAR), '?page=', CAST(doc_id % 7 AS VARCHAR), '&ref=feed')"
+)
+_URL_EXPR_SPARK = (
+    "concat('https://www.', source, '.example.com/', lang, '/doc-', "
+    "CAST(doc_id AS STRING), '?page=', CAST(doc_id % 7 AS STRING), '&ref=feed')"
+)
+
+_URL_ORACLE = f"""
+WITH u AS (SELECT source, {_URL_EXPR} AS url FROM documents),
+p AS (
+  SELECT source,
+         split_part(split_part(url, '//', 2), '/', 1) AS host,
+         regexp_extract(split_part(split_part(url, '//', 2), '/', 1),
+                        '\\.([a-z]+)$', 1) AS tld,
+         substr(split_part(url, '?', 1),
+                8 + length(split_part(split_part(url, '//', 2), '/', 1)) + 1)
+           AS path,
+         split_part(url, '?', 2) AS query_string,
+         CAST(regexp_extract(url, 'page=([0-9]+)', 1) AS BIGINT) AS page,
+         split_part(url, '?', 1) AS cut_url
+  FROM u
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n,
+       min(host) AS host_min,
+       min(tld) AS tld_min,
+       CAST(count(DISTINCT path) AS BIGINT) AS n_paths,
+       CAST(sum(page) AS BIGINT) AS page_sum,
+       CAST(count(DISTINCT cut_url) AS BIGINT) AS n_cut,
+       min(query_string) AS qs_min
+FROM p GROUP BY source
+"""
+
+
+@query("q_url_funcs", oracle=_URL_ORACLE)
+def q_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse URL-function family parity: ``domain`` (host),
+    ``topLevelDomain``, ``path``, ``queryString``,
+    ``extractURLParameter('page')``, ``cutQueryString`` — implemented
+    with the portable split/substr/regexp subset that Java regex and
+    RE2 agree on (anchored lowercase classes only), over a
+    deterministic URL synthesized from documents columns (no
+    network). All extractions are exact string/codepoint arithmetic;
+    the per-source rollup is one hash aggregation. The two
+    count(DISTINCT) share one shuffle under AQE; everything stays in
+    whole-stage codegen."""
+    docs = load(spark, sf_dir, "documents").selectExpr(
+        "source", f"{_URL_EXPR_SPARK} AS url"
+    )
+    host = F.expr("split_part(split_part(url, '//', 2), '/', 1)")
+    p = docs.select(
+        "source",
+        host.alias("host"),
+        F.regexp_extract(host, r"\.([a-z]+)$", 1).alias("tld"),
+        F.expr(
+            "substr(split_part(url, '?', 1), "
+            "8 + length(split_part(split_part(url, '//', 2), '/', 1)) + 1)"
+        ).alias("path"),
+        F.expr("split_part(url, '?', 2)").alias("query_string"),
+        F.regexp_extract("url", "page=([0-9]+)", 1).cast("long").alias("page"),
+        F.expr("split_part(url, '?', 1)").alias("cut_url"),
+    )
+    return p.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("host").alias("host_min"),
+        F.min("tld").alias("tld_min"),
+        F.countDistinct("path").alias("n_paths"),
+        F.sum("page").cast("long").alias("page_sum"),
+        F.countDistinct("cut_url").alias("n_cut"),
+        F.min("query_string").alias("qs_min"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C108 — greatCircleDistance
+# --------------------------------------------------------------------------
+
+_GEO_R = 6_371_000.0  # ClickHouse's mean-Earth radius, metres
+
+# Deterministic synthetic coordinates (no geo columns in TPC-H):
+# customers get a point from their key, nations an anchor from theirs.
+_LATC = "(CAST((c_custkey * 37) % 17000 AS DOUBLE) / 100.0 - 85.0)"
+_LONC = "(CAST((c_custkey * 73) % 35000 AS DOUBLE) / 100.0 - 175.0)"
+_LATN = "(CAST((n_nationkey * 11) % 170 AS DOUBLE) - 85.0)"
+_LONN = "(CAST((n_nationkey * 29) % 350 AS DOUBLE) - 175.0)"
+
+_HAVERSINE = (
+    "2.0 * {R} * asin(sqrt("
+    "  sin(radians(({lat2}) - ({lat1})) / 2.0) * sin(radians(({lat2}) - ({lat1})) / 2.0)"
+    "  + cos(radians({lat1})) * cos(radians({lat2}))"
+    "    * sin(radians(({lon2}) - ({lon1})) / 2.0)"
+    "    * sin(radians(({lon2}) - ({lon1})) / 2.0)))"
+)
+
+_GEO_DIST_MM = (
+    "CAST(floor(("
+    + _HAVERSINE.format(R=_GEO_R, lat1=_LATC, lon1=_LONC, lat2=_LATN, lon2=_LONN)
+    + ") * 1000.0) AS BIGINT)"
+)
+
+_GEO_ORACLE = f"""
+SELECT n.n_name AS nation,
+       CAST(count(*) AS BIGINT) AS n_cust,
+       CAST(CAST(sum(CAST({_GEO_DIST_MM} AS HUGEINT)) AS DOUBLE)
+            / count(*) / 1000.0 AS DOUBLE) AS avg_dist_m
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+@query("q_geo_distance", oracle=_GEO_ORACLE)
+def q_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``greatCircleDistance`` parity: haversine distance
+    (R = 6 371 000 m, ClickHouse's constant) from each customer's
+    deterministic synthetic coordinate to its nation's anchor,
+    averaged per nation. The sin/cos/asin chain is stated as one
+    identical IEEE tree on both engines, then each row's distance
+    quantizes to integer MILLIMETRES (libm sin/cos differ in ULPs
+    across engines; a 1e-3 m quantum is ~6 orders above the ULP of a
+    1e7 m double) before the exact-integer per-nation sum — the ln/exp
+    recipe applied to trig. Broadcast 25-row nation join; one hash
+    aggregation."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).selectExpr(
+        "n_name AS nation", f"{_GEO_DIST_MM} AS dmm"
+    )
+    return (
+        j.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(F.col("dmm").cast("decimal(38,0)")).alias("smm"),
+        )
+        .select(
+            "nation",
+            F.col("n_cust").cast("long").alias("n_cust"),
+            (
+                F.col("smm").cast("double")
+                / F.col("n_cust").cast("double")
+                / F.lit(1000.0)
+            ).alias("avg_dist_m"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# C109 — multiSearchAny / countSubstrings / position
+# --------------------------------------------------------------------------
+
+_NEEDLES = ("table", "spark", "merge", "window")
+
+
+def _cnt_expr(needle: str) -> str:
+    ln = len(needle)
+    return (
+        f"CAST((length(text) - length(replace(text, '{needle}', ''))) / {ln} AS BIGINT)"
+    )
+
+
+_MULTI_ORACLE = f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN strpos(text, 'table') > 0 OR strpos(text, 'spark') > 0
+                       OR strpos(text, 'merge') > 0 OR strpos(text, 'window') > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_any,
+       CAST(sum({_cnt_expr("table")}) AS BIGINT) AS cnt_table,
+       CAST(sum({_cnt_expr("spark")}) AS BIGINT) AS cnt_spark,
+       CAST(sum({_cnt_expr("merge")}) AS BIGINT) AS cnt_merge,
+       CAST(sum({_cnt_expr("window")}) AS BIGINT) AS cnt_window,
+       CAST(sum(strpos(text, 'spark')) AS BIGINT) AS pos_spark_sum
+FROM documents GROUP BY source
+"""
+
+
+@query("q_multi_search", oracle=_MULTI_ORACLE)
+def q_multi_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``multiSearchAny`` / ``countSubstrings`` /
+    ``position`` parity over the documents corpus: per source, the
+    count of docs matching ANY of four needles, per-needle substring
+    occurrence totals (the length-difference identity — exact integer
+    arithmetic, no regex), and the 1-based first-position sum for one
+    needle (Spark instr ≡ DuckDB strpos, both 0 when absent). One
+    projection + one hash aggregation, all in whole-stage codegen —
+    the multi-needle scan costs one pass over the text bytes."""
+    d = load(spark, sf_dir, "documents")
+    any_flag = None
+    cols = [F.count(F.lit(1)).alias("n_docs")]
+    for nd in _NEEDLES:
+        flag = F.instr(F.col("text"), nd) > 0
+        any_flag = flag if any_flag is None else (any_flag | flag)
+    d2 = d.select(
+        "source",
+        "text",
+        F.when(any_flag, 1).otherwise(0).alias("any_hit"),
+        *[
+            (
+                (F.length("text") - F.length(F.replace(F.col("text"), F.lit(nd))))
+                / F.lit(len(nd))
+            )
+            .cast("long")
+            .alias(f"c_{nd}")
+            for nd in _NEEDLES
+        ],
+        F.instr(F.col("text"), "spark").alias("pos_spark"),
+    )
+    return d2.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("any_hit").cast("long").alias("n_any"),
+        F.sum("c_table").cast("long").alias("cnt_table"),
+        F.sum("c_spark").cast("long").alias("cnt_spark"),
+        F.sum("c_merge").cast("long").alias("cnt_merge"),
+        F.sum("c_window").cast("long").alias("cnt_window"),
+        F.sum("pos_spark").cast("long").alias("pos_spark_sum"),
+    )

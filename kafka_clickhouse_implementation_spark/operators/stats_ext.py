@@ -41,9 +41,7 @@ _VM = "CAST(floor(value * 1000 + 0.5) AS BIGINT)"  # milli-units (C76 recipe)
 _X0 = 1704067200
 
 
-@query(
-    "q_linreg",
-    oracle=f"""
+_LINREG_ORACLE = f"""
     WITH pts AS (
       SELECT event_type,
              epoch_us(ts) // 1000000 - {_X0} AS x,
@@ -69,8 +67,10 @@ _X0 = 1704067200
               * CAST(sx AS DOUBLE))
            / (CAST(n AS DOUBLE) * 1000.0) AS intercept_at_origin
     FROM s
-    """,
-)
+    """
+
+
+@query("q_linreg", oracle=_LINREG_ORACLE)
 def q_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse ``simpleLinearRegression(x, y)`` parity: per
     event_type, the least-squares slope (value units per second) and

@@ -105,6 +105,8 @@ _MODULE_RANK = [
     "kafka_clickhouse_implementation_spark.streaming.analytics_stream",
     "kafka_clickhouse_implementation_spark.operators.gif_codec",
     "kafka_clickhouse_implementation_spark.operators.stats_ext",
+    "kafka_clickhouse_implementation_spark.operators.parity_ext",
+    "kafka_clickhouse_implementation_spark.operators.clustering",
 ]
 
 

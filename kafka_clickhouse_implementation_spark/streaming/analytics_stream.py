@@ -220,3 +220,98 @@ def q_stream_interval_length(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("covered_us", "n_seen").cast("long").alias("covered_us"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# Streaming simpleLinearRegression — the moment-sums -State twin
+# (round 6). Sufficient statistics (n, Σx, Σy, Σx², Σxy) are order-
+# independent exact integers, so a PLAIN complete-mode streaming
+# aggregation carries them in the state store and the batch oracle
+# applies verbatim — the same two-phase -State/-Merge split as the
+# entropy twin, here for a regression.
+# ---------------------------------------------------------------------
+
+
+def valued_event_wire(spark, sf_dir: str) -> tuple[str, str]:
+    """ts-sorted JSON replay of `events` CARRYING the milli-quantized
+    value (the stateful2 wire drops `value`; regression needs it).
+    Quantization happens BEFORE the write so the wire holds exact
+    longs — JSON round-trips them losslessly. Same source-identity
+    caching contract as ordered_event_wire."""
+    import os
+
+    from kafka_clickhouse_implementation_spark.cachedirs import source_tagged_dir
+    from kafka_clickhouse_implementation_spark.io import load
+
+    base = source_tagged_dir("statefulv", sf_dir, "events")
+    wire_dir = os.path.join(base, "wire")
+    if not os.path.exists(os.path.join(wire_dir, "_SUCCESS")):
+        ev = load(spark, sf_dir, "events")
+        (
+            ev.select(
+                "event_id",
+                "event_type",
+                F.unix_micros("ts").alias("e_us"),
+                F.expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").alias("vm"),
+            )
+            .repartitionByRange(4, "e_us", "event_id")
+            .sortWithinPartitions("e_us", "event_id")
+            .write.mode("overwrite")
+            .json(wire_dir)
+        )
+    return wire_dir, base
+
+
+from kafka_clickhouse_implementation_spark.operators.stats_ext import (  # noqa: E402
+    _LINREG_ORACLE,
+    _X0,
+)
+
+
+@query("q_stream_linreg", oracle=_LINREG_ORACLE)
+def q_stream_linreg(spark, sf_dir: str) -> DataFrame:
+    """``simpleLinearRegressionState`` analogue: the events wire
+    replays over 4 micro-batches (maxFilesPerTrigger=1) and a
+    complete-mode streaming aggregation keeps the five exact sufficient
+    statistics (n, Σx, Σy, Σx², Σxy — DECIMAL(38,0), order-independent)
+    per event_type in the state store; the closed-form slope/intercept
+    finish runs over the drained statistics and must hash-match the
+    batch q_linreg oracle exactly. State: 5 decimals per event_type —
+    bounded by the group-key domain, not the stream length."""
+    wire, base = valued_event_wire(spark, sf_dir)
+    ckpt = os.path.join(base, "ckpt_linreg")
+    ev = (
+        spark.readStream.schema("event_id long, event_type string, e_us long, vm long")
+        .option("maxFilesPerTrigger", "1")
+        .json(wire)
+        .select(
+            "event_type",
+            (F.expr("e_us div 1000000") - F.lit(_X0)).alias("x"),
+            F.col("vm").alias("y"),
+        )
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(dec("x") * dec("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(dec("x") * dec("y")).cast("decimal(38,0)").alias("sxy"),
+    )
+    name = "stream_linreg_stats"
+    _drain(spark, stats, name, ckpt, mode="complete")
+
+    s = spark.table(name).localCheckpoint()
+    n_dec = F.col("n").cast("decimal(38,0)")
+    num = (n_dec * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (n_dec * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope_milli = num / den
+    return s.select(
+        "event_type",
+        "n",
+        (slope_milli / F.lit(1000.0)).alias("slope_per_sec"),
+        (
+            (F.col("sy").cast("double") - slope_milli * F.col("sx").cast("double"))
+            / (F.col("n").cast("double") * F.lit(1000.0))
+        ).alias("intercept_at_origin"),
+    )

@@ -1,0 +1,175 @@
+"""Independent numpy reimplementation of the deterministic k-means
+trajectory (operators/clustering.py) plus IVF/SemDeDup invariants —
+the C76/C84 convention: the DuckDB oracle catches engine drift, this
+catches shared-formula mistakes."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from kafka_clickhouse_implementation_spark.io import load
+from kafka_clickhouse_implementation_spark.operators.clustering import (
+    DUP_THRESH,
+    ITERS,
+    K,
+    NPROBE,
+    Q_EVERY,
+    TOPK,
+    q_ann_ivf_exact,
+    q_kmeans_semantic,
+    q_semantic_dedup,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    rows = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    x = np.floor(
+        np.array([r.embedding for r in rows], dtype=np.float64) * 1e6 + 0.5
+    ).astype(np.int64)
+    return ids, x
+
+
+def _lloyd_np(ids, x):
+    cents = x[ids < K].copy()  # seed = k lowest vec_ids
+    cids = np.arange(K, dtype=np.int64)
+    asg = None
+    dists = None
+    for _ in range(ITERS):
+        # dist matrix n×k, exact int64
+        dists = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        # argmin with tie -> smallest cid (np.argmin takes first, and
+        # cids are ascending, so first == smallest cid)
+        asg = cids[np.argmin(dists, axis=1)]
+        new_cents, new_cids = [], []
+        for c in cids:
+            m = asg == c
+            if not m.any():
+                continue
+            s = x[m].sum(axis=0)
+            n = int(m.sum())
+            new_cents.append(np.floor_divide(s, n))  # floor div, matches engine
+            new_cids.append(c)
+        cents = np.array(new_cents, dtype=np.int64)
+        cids = np.array(new_cids, dtype=np.int64)
+    return asg, dists, cents, cids
+
+
+def test_kmeans_matches_numpy(spark, sf_dir, emb):
+    ids, x = emb
+    asg, _, cents, cids = _lloyd_np(ids, x)
+    got = {r.cluster_id: r for r in q_kmeans_semantic(spark, sf_dir).collect()}
+    assert set(got) == set(int(c) for c in cids)
+    for c in cids:
+        m = asg == c
+        g = got[int(c)]
+        assert g.n_members == int(m.sum())
+        assert g.min_vec_id == int(ids[m].min())
+        assert g.sum_vec_ids == int(ids[m].sum())
+    l1 = {int(c): int(np.abs(ce).sum()) for c, ce in zip(cids, cents)}
+    for c in cids:
+        assert got[int(c)].centroid_l1 == l1[int(c)]
+
+
+def test_semantic_dedup_matches_numpy(spark, sf_dir, emb):
+    ids, x = emb
+    asg, _, _, cids = _lloyd_np(ids, x)
+    got = {r.cluster_id: r for r in q_semantic_dedup(spark, sf_dir).collect()}
+    total_close = 0
+    for c in cids:
+        idx = np.where(asg == c)[0]
+        d2 = ((x[idx][:, None, :] - x[idx][None, :, :]) ** 2).sum(axis=2)
+        iu = np.triu_indices(len(idx), 1)
+        pd = d2[iu]
+        close = pd < DUP_THRESH
+        drop = set()
+        for a, b, cl in zip(iu[0], iu[1], close):
+            if cl:
+                drop.add(int(ids[idx[b]]))
+        g = got[int(c)]
+        assert g.n_pairs == len(pd)
+        assert g.n_close == int(close.sum())
+        assert g.n_drop == len(drop)
+        assert g.min_dist2 == int(pd.min())
+        total_close += int(close.sum())
+    assert total_close > 0  # the threshold is non-vacuous at every SF
+
+
+def test_ivf_matches_numpy(spark, sf_dir, emb):
+    ids, x = emb
+    asg, dists, _, cids = _lloyd_np(ids, x)
+    got = q_ann_ivf_exact(spark, sf_dir).collect()
+    rows = {(r.query_id, r.rank): (r.neighbor_id, r.dist2) for r in got}
+    qmask = ids % Q_EVERY == 0
+    for qi in np.where(qmask)[0]:
+        # probe: NPROBE nearest centroids by (dist, cid)
+        order = sorted(range(len(cids)), key=lambda j: (int(dists[qi, j]), int(cids[j])))
+        probe = {int(cids[j]) for j in order[:NPROBE]}
+        cand = [
+            i
+            for i in range(len(ids))
+            if int(asg[i]) in probe and ids[i] != ids[qi]
+        ]
+        scored = sorted(
+            (
+                (int(((x[qi] - x[i]) ** 2).sum()), int(ids[i]))
+                for i in cand
+            ),
+        )
+        for rk, (d2, nid) in enumerate(scored[:TOPK], start=1):
+            assert rows[(int(ids[qi]), rk)] == (nid, d2)
+    # recall sanity: IVF top-1 equals exact top-1 for a majority of
+    # queries (nprobe=2/8 on near-random data still wins usually)
+    n_q = int(qmask.sum())
+    assert len(got) == n_q * TOPK or len(got) >= n_q * (TOPK - 1)
+
+
+def test_chunk_dedup_matches_python(spark, sf_dir):
+    from kafka_clickhouse_implementation_spark.operators.corpus_ext import (
+        CHUNK_W,
+        q_chunk_dedup,
+    )
+
+    got = {r.source: r for r in q_chunk_dedup(spark, sf_dir).collect()}
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .collect()
+    )
+    first: dict[str, tuple[int, int]] = {}
+    chunks = []  # (source, n_words, doc_id, pos, chunk)
+    for r in sorted(docs, key=lambda r: r.doc_id):
+        w = r.text.split(" ")
+        for pos in range((len(w) - 1) // CHUNK_W + 1):
+            cw = w[pos * CHUNK_W : (pos + 1) * CHUNK_W]
+            c = " ".join(cw)
+            chunks.append((r.source, len(cw), r.doc_id, pos, c))
+            if c not in first or (r.doc_id, pos) < first[c]:
+                first[c] = (r.doc_id, pos)
+    agg: dict[str, list[int]] = {}
+    for src, nw, did, pos, c in chunks:
+        kept = int(first[c] == (did, pos))
+        a = agg.setdefault(src, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += kept
+        a[2] += nw
+        a[3] += nw * kept
+    n_dup_total = 0
+    for src, (n_chunks, n_kept, tw, kw) in agg.items():
+        g = got[src]
+        assert (g.n_chunks, g.n_kept, g.n_dup) == (
+            n_chunks,
+            n_kept,
+            n_chunks - n_kept,
+        )
+        assert (g.total_words, g.kept_words) == (tw, kw)
+        assert g.keep_ratio == pytest.approx(n_kept / n_chunks, rel=1e-12)
+        n_dup_total += n_chunks - n_kept
+    assert n_dup_total > 0  # the corpus's injected dups make this non-vacuous

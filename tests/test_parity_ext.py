@@ -1,0 +1,185 @@
+"""Independent plain-Python reimplementations of the round-6 parity
+batch (operators/parity_ext.py) — the C76/C84 testing convention: the
+DuckDB oracle catches engine-vs-engine drift, these catch
+shared-formula mistakes (both engines computing the same wrong
+thing)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from kafka_clickhouse_implementation_spark.io import load
+from kafka_clickhouse_implementation_spark.operators.parity_ext import (
+    _BLOCKS,
+    _GEO_R,
+    _NEEDLES,
+    _TAU_US,
+    q_anova,
+    q_exp_decay,
+    q_geo_distance,
+    q_multi_search,
+    q_sparkbar,
+    q_url_funcs,
+)
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    rows = (
+        load(spark, sf_dir, "events")
+        .selectExpr("event_type", "value", "unix_micros(ts) AS tus", "day(ts) AS dom")
+        .collect()
+    )
+    return [
+        (r.event_type, int(math.floor(r.value * 1000 + 0.5)), r.tus, r.dom)
+        for r in rows
+    ]
+
+
+def test_anova_matches_python(spark, sf_dir, events):
+    got = q_anova(spark, sf_dir).collect()[0]
+    by: dict[str, list[int]] = {}
+    for et, vm, _, _ in events:
+        by.setdefault(et, []).append(vm)
+    k = len(by)
+    n_total = sum(len(v) for v in by.values())
+    ss_tot = sum(vm * vm for v in by.values() for vm in v)
+    s_tot = sum(sum(v) for v in by.values())
+    t_sum = sum(
+        int(math.floor(float(sum(v)) ** 2 / float(len(v)))) for v in by.values()
+    )
+    grand = int(math.floor(float(s_tot) * float(s_tot) / float(n_total)))
+    ssb, ssw = t_sum - grand, ss_tot - t_sum
+    f = (float(ssb) / (k - 1)) / (float(ssw) / (n_total - k))
+    assert got.k == k and got.n_total == n_total
+    assert got.ss_between == pytest.approx(ssb / 1e6, rel=1e-12)
+    assert got.ss_within == pytest.approx(ssw / 1e6, rel=1e-12)
+    assert got.f_stat == pytest.approx(f, rel=1e-12)
+    # sanity: the event types genuinely differ in mean, so F is positive
+    assert got.f_stat > 0.0
+
+
+def test_exp_decay_matches_python(spark, sf_dir, events):
+    got = {r.event_type: r for r in q_exp_decay(spark, sf_dir).collect()}
+    tmax = max(t for _, _, t, _ in events)
+    agg: dict[str, list[int]] = {}
+    for et, vm, tus, _ in events:
+        wn = int(math.floor(math.exp(-((tmax - tus) / float(_TAU_US))) * 1e9))
+        agg.setdefault(et, []).append(vm * wn)
+        agg.setdefault(et + "#w", []).append(wn)
+    for et in {e for e, _, _, _ in events}:
+        swv, sw = sum(agg[et]), sum(agg[et + "#w"])
+        assert got[et].n == len(agg[et])
+        assert got[et].decayed_sum == pytest.approx(swv / 1e12, rel=1e-9)
+        assert got[et].decayed_avg == pytest.approx(swv / sw / 1e3, rel=1e-9)
+    # weights decay: at least one event type must have decayed_sum far
+    # below its raw sum (the month-long tail decays to ~0)
+    raw = {}
+    for et, vm, _, _ in events:
+        raw[et] = raw.get(et, 0) + vm
+    assert all(got[et].decayed_sum < raw[et] / 1e3 for et in got)
+
+
+def test_sparkbar_matches_python(spark, sf_dir, events):
+    got = {r.event_type: r for r in q_sparkbar(spark, sf_dir).collect()}
+    counts: dict[str, dict[int, int]] = {}
+    for et, _, _, dom in events:
+        counts.setdefault(et, {})[dom] = counts.setdefault(et, {}).get(dom, 0) + 1
+    for et, per_day in counts.items():
+        mx = max(per_day.values())
+        bar = "".join(
+            _BLOCKS[(per_day[d] * 7) // mx] for d in sorted(per_day)
+        )
+        assert got[et].bar == bar
+        assert got[et].n_days == len(per_day)
+        assert got[et].max_cnt == mx
+        assert set(got[et].bar) <= set(_BLOCKS)
+
+
+def test_geo_distance_matches_python(spark, sf_dir):
+    got = {r.nation: r for r in q_geo_distance(spark, sf_dir).collect()}
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey").collect()
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name").collect()
+    names = {r.n_nationkey: r.n_name for r in n}
+    sums: dict[str, list[int]] = {}
+    for r in c:
+        lat1 = ((r.c_custkey * 37) % 17000) / 100.0 - 85.0
+        lon1 = ((r.c_custkey * 73) % 35000) / 100.0 - 175.0
+        lat2 = float((r.c_nationkey * 11) % 170) - 85.0
+        lon2 = float((r.c_nationkey * 29) % 350) - 175.0
+        h = (
+            math.sin(math.radians(lat2 - lat1) / 2.0) ** 2
+            + math.cos(math.radians(lat1))
+            * math.cos(math.radians(lat2))
+            * math.sin(math.radians(lon2 - lon1) / 2.0) ** 2
+        )
+        d = 2.0 * _GEO_R * math.asin(math.sqrt(h))
+        sums.setdefault(names[r.c_nationkey], []).append(int(math.floor(d * 1000.0)))
+    for nation, dists in sums.items():
+        assert got[nation].n_cust == len(dists)
+        # mm quantisation: Python libm may differ from JVM by ULPs, so
+        # allow the one-quantum slack the oracle design absorbs
+        want = sum(dists) / len(dists) / 1000.0
+        assert got[nation].avg_dist_m == pytest.approx(want, abs=2e-3)
+        assert 0.0 < got[nation].avg_dist_m < math.pi * _GEO_R
+
+
+def test_multi_search_matches_python(spark, sf_dir):
+    got = {r.source: r for r in q_multi_search(spark, sf_dir).collect()}
+    docs = load(spark, sf_dir, "documents").select("source", "text").collect()
+    agg: dict[str, dict[str, int]] = {}
+    for r in docs:
+        a = agg.setdefault(
+            r.source, {"n_docs": 0, "n_any": 0, "pos": 0, **{n: 0 for n in _NEEDLES}}
+        )
+        a["n_docs"] += 1
+        a["n_any"] += int(any(nd in r.text for nd in _NEEDLES))
+        a["pos"] += r.text.find("spark") + 1  # find is 0-based, -1 absent
+        for nd in _NEEDLES:
+            a[nd] += r.text.count(nd)
+    for src, a in agg.items():
+        g = got[src]
+        assert (g.n_docs, g.n_any, g.pos_spark_sum) == (
+            a["n_docs"],
+            a["n_any"],
+            a["pos"],
+        )
+        assert (g.cnt_table, g.cnt_spark, g.cnt_merge, g.cnt_window) == (
+            a["table"],
+            a["spark"],
+            a["merge"],
+            a["window"],
+        )
+
+
+def test_url_funcs_matches_python(spark, sf_dir):
+    got = {r.source: r for r in q_url_funcs(spark, sf_dir).collect()}
+    docs = load(spark, sf_dir, "documents").select(
+        "source", "lang", "doc_id"
+    ).collect()
+    agg: dict[str, dict] = {}
+    for r in docs:
+        url = (
+            f"https://www.{r.source}.example.com/{r.lang}/doc-{r.doc_id}"
+            f"?page={r.doc_id % 7}&ref=feed"
+        )
+        host = url.split("//")[1].split("/")[0]
+        path = url.split("?")[0][8 + len(host) :]
+        a = agg.setdefault(
+            r.source, {"n": 0, "paths": set(), "pages": 0, "cut": set(), "host": host}
+        )
+        a["n"] += 1
+        a["paths"].add(path)
+        a["pages"] += r.doc_id % 7
+        a["cut"].add(url.split("?")[0])
+    for src, a in agg.items():
+        g = got[src]
+        assert g.n == a["n"]
+        assert g.host_min == a["host"]
+        assert g.tld_min == "com"
+        assert g.n_paths == len(a["paths"])
+        assert g.page_sum == a["pages"]
+        assert g.n_cut == len(a["cut"])
+        assert g.qs_min.startswith("page=")
