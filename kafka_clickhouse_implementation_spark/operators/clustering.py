@@ -92,7 +92,7 @@ def _dist2_arrays(a: str, b: str) -> F.Column:
 
 
 def _lloyd(spark: SparkSession, sf_dir: str):
-    """Run the fixed Lloyd trajectory.
+    """Run the fixed Lloyd trajectory over the full 64-dim vectors.
 
     Returns (final_assignment_df(vec_id, cid),
              point_to_centroid_dists_df(vec_id, cid, dist) for the
@@ -100,14 +100,22 @@ def _lloyd(spark: SparkSession, sf_dir: str):
              dim, x)]).  Per-round driver traffic is k·d centroid
              rows — bounded by the model size, not the data."""
     pts = _pts_long(spark, sf_dir).localCheckpoint()
+    return _lloyd_generic(spark, pts, K, ITERS)
+
+
+def _lloyd_generic(spark: SparkSession, pts: DataFrame, k: int, iters: int):
+    """Parameterized fixed-seed Lloyd over a (vec_id, dim, x) long
+    table (dims may be a subspace slice re-based to 0) — shared by the
+    full-width k-means (C110) and the per-subspace product
+    quantizer (C116)."""
     cents = [
         (int(r.cid), int(r.dim), int(r.x))
-        for r in pts.filter(F.col("vec_id") < K)
+        for r in pts.filter(F.col("vec_id") < k)
         .select(F.col("vec_id").alias("cid"), "dim", "x")
         .collect()
     ]
     asg = d = None
-    for _ in range(ITERS):
+    for _ in range(iters):
         cdf = spark.createDataFrame(cents, schema="cid LONG, dim INT, c LONG")
         d = (
             pts.join(F.broadcast(cdf), "dim")
@@ -142,40 +150,49 @@ def _lloyd(spark: SparkSession, sf_dir: str):
 # --------------------------------------------------------------------------
 
 
-def _lloyd_ctes() -> str:
-    parts = [
-        f"""pts AS (
+_PTS_CTE = f"""pts AS (
   SELECT vec_id,
          CAST(unnest(range({DIM})) AS INTEGER) AS dim,
          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS x
   FROM embeddings
-),
-cent0 AS (
-  SELECT vec_id AS cid, dim, x FROM pts WHERE vec_id < {K}
+)"""
+
+
+def _lloyd_rounds(k: int, iters: int, sfx: str, pts: str) -> str:
+    """The unrolled Lloyd CTE chain (seed + iters rounds) over the CTE
+    named ``pts``; CTE names carry ``sfx`` so several independent runs
+    (the PQ subspaces) can coexist in one statement."""
+    parts = [
+        f"""cent{sfx}0 AS (
+  SELECT vec_id AS cid, dim, x FROM {pts} WHERE vec_id < {k}
 )"""
     ]
-    for i in range(ITERS):
+    for i in range(iters):
         parts.append(
-            f"""d{i} AS (
+            f"""d{sfx}{i} AS (
   SELECT p.vec_id, c.cid, CAST(sum((p.x - c.x) * (p.x - c.x)) AS BIGINT) AS dist
-  FROM pts p JOIN cent{i} c ON p.dim = c.dim
+  FROM {pts} p JOIN cent{sfx}{i} c ON p.dim = c.dim
   GROUP BY p.vec_id, c.cid
 ),
-md{i} AS (SELECT vec_id, min(dist) AS md FROM d{i} GROUP BY vec_id),
-asg{i} AS (
+md{sfx}{i} AS (SELECT vec_id, min(dist) AS md FROM d{sfx}{i} GROUP BY vec_id),
+asg{sfx}{i} AS (
   SELECT d.vec_id, min(d.cid) AS cid
-  FROM d{i} d JOIN md{i} m ON d.vec_id = m.vec_id AND d.dist = m.md
+  FROM d{sfx}{i} d JOIN md{sfx}{i} m ON d.vec_id = m.vec_id AND d.dist = m.md
   GROUP BY d.vec_id
 ),
-cent{i + 1} AS (
+cent{sfx}{i + 1} AS (
   SELECT s.cid, s.dim, (s.sx - (((s.sx % s.n) + s.n) % s.n)) // s.n AS x
   FROM (SELECT g.cid, p.dim, CAST(sum(p.x) AS BIGINT) AS sx,
                CAST(count(*) AS BIGINT) AS n
-        FROM pts p JOIN asg{i} g ON p.vec_id = g.vec_id
+        FROM {pts} p JOIN asg{sfx}{i} g ON p.vec_id = g.vec_id
         GROUP BY g.cid, p.dim) s
 )"""
         )
     return ",\n".join(parts)
+
+
+def _lloyd_ctes() -> str:
+    return _PTS_CTE + ",\n" + _lloyd_rounds(K, ITERS, "", "pts")
 
 
 _LAST = ITERS - 1
@@ -389,3 +406,99 @@ def q_ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nid").alias("neighbor_id"),
         "dist2",
     )
+
+
+# --------------------------------------------------------------------------
+# C116 — product quantization (the vector-compression scale path)
+# --------------------------------------------------------------------------
+
+PQ_SUB = 8  # subspaces (8 dims each)
+PQ_SUBDIM = DIM // PQ_SUB
+PQ_K = 4  # codes per subspace -> 8 x 2 bits = one byte-pair per vector
+PQ_ITERS = 2
+
+
+def _pq_oracle() -> str:
+    blocks, outs = [_PTS_CTE], []
+    for s in range(PQ_SUB):
+        lo, hi = s * PQ_SUBDIM, (s + 1) * PQ_SUBDIM
+        blocks.append(
+            f"""p{s} AS (
+  SELECT vec_id, dim - {lo} AS dim, x FROM pts WHERE dim >= {lo} AND dim < {hi}
+)"""
+        )
+        blocks.append(_lloyd_rounds(PQ_K, PQ_ITERS, f"s{s}_", f"p{s}"))
+        last = PQ_ITERS - 1
+        outs.append(
+            f"""SELECT {s} AS subspace, a.cid AS code,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(e.err) AS BIGINT) AS err_sum,
+       CAST(min(a.vec_id) AS BIGINT) AS min_vec_id
+FROM asgs{s}_{last} a
+JOIN (SELECT p.vec_id, c.cid, CAST(sum((p.x - c.x) * (p.x - c.x)) AS BIGINT) AS err
+      FROM p{s} p JOIN cents{s}_{PQ_ITERS} c ON p.dim = c.dim
+      GROUP BY p.vec_id, c.cid) e
+  ON e.vec_id = a.vec_id AND e.cid = a.cid
+GROUP BY a.cid"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(blocks)
+        + "\n"
+        + "\nUNION ALL\n".join(outs)
+    )
+
+
+@query("q_pq_quantize", oracle=_pq_oracle())
+def q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou et al. 2011, the FAISS PQ
+    compressor): the 64-dim embedding splits into 8 independent 8-dim
+    subspaces, each trained with its own fixed-seed integer Lloyd run
+    (k=4 codes, 2 rounds — the same deterministic machinery as C110,
+    re-based per subspace), and every vector is coded by its nearest
+    final sub-centroid. Reported per (subspace, code): population,
+    exact integer quantization error against the FINAL codebook, and a
+    membership checksum. PQ is the 100 TB embedding-store story — 8
+    codes of 2 bits replace 256 bytes of floats (128× compression
+    here; production uses k=256 for 8 bits/subspace), and the
+    asymmetric-distance tables are k·SUB lookups. Each subspace's
+    training is the same broadcast-join/map-side-agg profile as C110
+    on one-eighth the columns; the 8 runs share one localCheckpointed
+    scan."""
+    pts = _pts_long(spark, sf_dir).localCheckpoint()
+    outs = []
+    for s in range(PQ_SUB):
+        lo = s * PQ_SUBDIM
+        sub = pts.filter(
+            (F.col("dim") >= lo) & (F.col("dim") < lo + PQ_SUBDIM)
+        ).select("vec_id", (F.col("dim") - lo).alias("dim"), "x")
+        sub = sub.localCheckpoint()
+        asg, _, cents = _lloyd_generic(spark, sub, PQ_K, PQ_ITERS)
+        cdf = spark.createDataFrame(cents, schema="cid LONG, dim INT, c LONG")
+        err = (
+            sub.join(F.broadcast(cdf), "dim")
+            .groupBy("vec_id", "cid")
+            .agg(
+                F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias(
+                    "err"
+                )
+            )
+        )
+        coded = asg.join(err, ["vec_id", "cid"])
+        outs.append(
+            coded.groupBy("cid").agg(
+                F.count(F.lit(1)).alias("n_vecs"),
+                F.sum("err").cast("long").alias("err_sum"),
+                F.min("vec_id").cast("long").alias("min_vec_id"),
+            ).select(
+                F.lit(s).cast("int").alias("subspace"),
+                F.col("cid").alias("code"),
+                "n_vecs",
+                "err_sum",
+                "min_vec_id",
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res

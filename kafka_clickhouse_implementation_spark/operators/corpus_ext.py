@@ -223,3 +223,75 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("kept_words"),
         (F.sum("kept").cast("double") / F.count(F.lit(1))).alias("keep_ratio"),
     )
+
+
+# ---------------------------------------------------------------------
+# Character-gram substring-duplication accounting — round 6 (C115).
+# ---------------------------------------------------------------------
+
+GRAM_LEN = 20  # characters per gram (ExactSubstr uses 50-token spans;
+# 20 chars ~ 3-4 words of this corpus)
+GRAM_STRIDE = 4  # sampling stride — bounds gram volume at 1/4 of chars
+
+_SUBSTR_ORACLE = f"""
+WITH g AS (
+  SELECT doc_id, source,
+         md5(unnest(list_transform(range((length(text) - {GRAM_LEN}) // {GRAM_STRIDE} + 1),
+                                   i -> substr(text, i * {GRAM_STRIDE} + 1, {GRAM_LEN}))))
+           AS h
+  FROM documents
+  WHERE length(text) >= {GRAM_LEN}
+),
+cnt AS (
+  SELECT h, count(DISTINCT doc_id) AS n_docs FROM g GROUP BY h
+)
+SELECT g.source,
+       CAST(count(*) AS BIGINT) AS n_positions,
+       CAST(sum(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_positions,
+       CAST(count(DISTINCT g.h) AS BIGINT) AS n_distinct_grams,
+       CAST(sum(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+         AS dup_ratio
+FROM g JOIN cnt c ON g.h = c.h
+GROUP BY g.source
+"""
+
+
+@query("q_substring_dup", oracle=_SUBSTR_ORACLE)
+def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document substring duplication accounting — the
+    measurement half of ExactSubstr dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"),
+    approximated with strided fixed-length character grams instead of
+    a suffix array: every 20-char gram sampled at stride 4 is hashed,
+    grams occurring in MORE THAN ONE distinct document mark their
+    positions as duplicated span, and the per-source duplication ratio
+    is reported. The shuffle carries (md5, doc_id) pairs — never text;
+    a suffix-array build is a single-machine algorithm, while this
+    strided-gram form is two digest-keyed hash aggregations that scale
+    like word-shingle decontamination (C46). Stride and gram length
+    trade recall for volume; both are declared constants."""
+    d = load(spark, sf_dir, "documents").filter(F.length("text") >= GRAM_LEN)
+    g = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, (length(text) - {GRAM_LEN}) div {GRAM_STRIDE}), "
+                f"i -> md5(substr(text, i * {GRAM_STRIDE} + 1, {GRAM_LEN})))"
+            )
+        ).alias("h"),
+    )
+    cnt = g.groupBy("h").agg(F.countDistinct("doc_id").alias("n_docs"))
+    j = g.join(cnt, "h")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_positions"),
+        F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_positions"),
+        F.countDistinct("h").alias("n_distinct_grams"),
+        (
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("dup_ratio"),
+    )

@@ -173,3 +173,89 @@ def test_chunk_dedup_matches_python(spark, sf_dir):
         assert g.keep_ratio == pytest.approx(n_kept / n_chunks, rel=1e-12)
         n_dup_total += n_chunks - n_kept
     assert n_dup_total > 0  # the corpus's injected dups make this non-vacuous
+
+
+def test_pq_quantize_matches_numpy(spark, sf_dir, emb):
+    from kafka_clickhouse_implementation_spark.operators.clustering import (
+        PQ_ITERS,
+        PQ_K,
+        PQ_SUB,
+        PQ_SUBDIM,
+        q_pq_quantize,
+    )
+
+    ids, x = emb
+    got = {(r.subspace, r.code): r for r in q_pq_quantize(spark, sf_dir).collect()}
+    total_err = 0
+    for s in range(PQ_SUB):
+        xs = x[:, s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+        # per-subspace Lloyd with the shared fixed-seed recipe
+        cents = xs[ids < PQ_K].copy()
+        cids = np.arange(PQ_K, dtype=np.int64)
+        asg = None
+        for _ in range(PQ_ITERS):
+            dists = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            asg = cids[np.argmin(dists, axis=1)]
+            nc, ni = [], []
+            for c in cids:
+                m = asg == c
+                if not m.any():
+                    continue
+                nc.append(np.floor_divide(xs[m].sum(axis=0), int(m.sum())))
+                ni.append(c)
+            cents, cids = np.array(nc, dtype=np.int64), np.array(ni, dtype=np.int64)
+        # final coding error vs the FINAL codebook, for the last asg
+        cmap = {int(c): ce for c, ce in zip(cids, cents)}
+        for c in cids:
+            m = asg == c
+            err = int(((xs[m] - cmap[int(c)]) ** 2).sum())
+            g = got[(s, int(c))]
+            assert g.n_vecs == int(m.sum())
+            assert g.err_sum == err
+            assert g.min_vec_id == int(ids[m].min())
+            total_err += err
+    assert total_err > 0
+    # PQ codes compress: every vector is assigned in every subspace
+    n = len(ids)
+    for s in range(PQ_SUB):
+        assert sum(g.n_vecs for (ss, _), g in got.items() if ss == s) == n
+
+
+def test_substring_dup_matches_python(spark, sf_dir):
+    from kafka_clickhouse_implementation_spark.operators.corpus_ext import (
+        GRAM_LEN,
+        GRAM_STRIDE,
+        q_substring_dup,
+    )
+
+    got = {r.source: r for r in q_substring_dup(spark, sf_dir).collect()}
+    docs = (
+        load(spark, sf_dir, "documents").select("doc_id", "source", "text").collect()
+    )
+    gram_docs: dict[str, set[int]] = {}
+    per_doc: list[tuple[str, list[str]]] = []
+    for r in docs:
+        if len(r.text) < GRAM_LEN:
+            continue
+        grams = [
+            r.text[i : i + GRAM_LEN]
+            for i in range(0, len(r.text) - GRAM_LEN + 1, GRAM_STRIDE)
+        ]
+        per_doc.append((r.source, grams))
+        for g in grams:
+            gram_docs.setdefault(g, set()).add(r.doc_id)
+    agg: dict[str, list] = {}
+    for src, grams in per_doc:
+        a = agg.setdefault(src, [0, 0, set()])
+        for g in grams:
+            a[0] += 1
+            a[1] += int(len(gram_docs[g]) > 1)
+            a[2].add(g)
+    dup_total = 0
+    for src, (n_pos, n_dup, distinct) in agg.items():
+        g = got[src]
+        assert (g.n_positions, g.n_dup_positions) == (n_pos, n_dup)
+        assert g.n_distinct_grams == len(distinct)
+        assert g.dup_ratio == pytest.approx(n_dup / n_pos, rel=1e-12)
+        dup_total += n_dup
+    assert dup_total > 0  # injected near-dup docs make this non-vacuous
