@@ -107,6 +107,8 @@ _MODULE_RANK = [
     "kafka_clickhouse_implementation_spark.operators.stats_ext",
     "kafka_clickhouse_implementation_spark.operators.parity_ext",
     "kafka_clickhouse_implementation_spark.operators.clustering",
+    "kafka_clickhouse_implementation_spark.operators.mutations",
+    "kafka_clickhouse_implementation_spark.streaming.vector_stream",
 ]
 
 
