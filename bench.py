@@ -82,6 +82,14 @@ HEADLINE = [
     # downsampler and the order-sensitive incremental interval union
     "q_lttb",
     "q_stream_interval_length",
+    # round 6 additions: the deterministic clustering tier (k-means,
+    # SemDeDup within-cluster pairwise, product quantization) and the
+    # two digest-keyed corpus dedup shapes
+    "q_kmeans_semantic",
+    "q_semantic_dedup",
+    "q_pq_quantize",
+    "q_chunk_dedup",
+    "q_substring_dup",
 ]
 
 

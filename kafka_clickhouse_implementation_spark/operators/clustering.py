@@ -465,40 +465,75 @@ def q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     training is the same broadcast-join/map-side-agg profile as C110
     on one-eighth the columns; the 8 runs share one localCheckpointed
     scan."""
-    pts = _pts_long(spark, sf_dir).localCheckpoint()
-    outs = []
-    for s in range(PQ_SUB):
-        lo = s * PQ_SUBDIM
-        sub = pts.filter(
-            (F.col("dim") >= lo) & (F.col("dim") < lo + PQ_SUBDIM)
-        ).select("vec_id", (F.col("dim") - lo).alias("dim"), "x")
-        sub = sub.localCheckpoint()
-        asg, _, cents = _lloyd_generic(spark, sub, PQ_K, PQ_ITERS)
-        cdf = spark.createDataFrame(cents, schema="cid LONG, dim INT, c LONG")
-        err = (
-            sub.join(F.broadcast(cdf), "dim")
-            .groupBy("vec_id", "cid")
+    # ALL subspaces train jointly: every aggregation keys on (sub, …)
+    # so one Spark job per Lloyd round covers the 8 independent runs
+    # (semantically identical to 8 separate loops — the oracle replays
+    # them separately — but 8× fewer jobs and one shared shuffle).
+    pts = (
+        _pts_long(spark, sf_dir)
+        .select(
+            (F.col("dim") / PQ_SUBDIM).cast("int").alias("sub"),
+            "vec_id",
+            (F.col("dim") % PQ_SUBDIM).alias("dim"),
+            "x",
+        )
+        .localCheckpoint()
+    )
+    cents = [
+        (int(r.sub), int(r.cid), int(r.dim), int(r.x))
+        for r in pts.filter(F.col("vec_id") < PQ_K)
+        .select("sub", F.col("vec_id").alias("cid"), "dim", "x")
+        .collect()
+    ]
+    asg = None
+    for _ in range(PQ_ITERS):
+        cdf = spark.createDataFrame(
+            cents, schema="sub INT, cid LONG, dim INT, c LONG"
+        )
+        d = (
+            pts.join(F.broadcast(cdf), ["sub", "dim"])
+            .groupBy("sub", "vec_id", "cid")
             .agg(
                 F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias(
-                    "err"
+                    "dist"
                 )
             )
         )
-        coded = asg.join(err, ["vec_id", "cid"])
-        outs.append(
-            coded.groupBy("cid").agg(
-                F.count(F.lit(1)).alias("n_vecs"),
-                F.sum("err").cast("long").alias("err_sum"),
-                F.min("vec_id").cast("long").alias("min_vec_id"),
-            ).select(
-                F.lit(s).cast("int").alias("subspace"),
-                F.col("cid").alias("code"),
-                "n_vecs",
-                "err_sum",
-                "min_vec_id",
-            )
+        asg = (
+            d.groupBy("sub", "vec_id")
+            .agg(F.min(F.struct("dist", "cid")).alias("m"))
+            .select("sub", "vec_id", F.col("m.cid").alias("cid"))
         )
-    res = outs[0]
-    for o in outs[1:]:
-        res = res.unionAll(o)
-    return res
+        upd = (
+            pts.join(asg, ["sub", "vec_id"])
+            .groupBy("sub", "cid", "dim")
+            .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+        )
+        newc = upd.select(
+            "sub", "cid", "dim", F.expr("(sx - (((sx % n) + n) % n)) div n").alias("x")
+        )
+        cents = [
+            (int(r.sub), int(r.cid), int(r.dim), int(r.x)) for r in newc.collect()
+        ]
+    cdf = spark.createDataFrame(cents, schema="sub INT, cid LONG, dim INT, c LONG")
+    err = (
+        pts.join(F.broadcast(cdf), ["sub", "dim"])
+        .groupBy("sub", "vec_id", "cid")
+        .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("err"))
+    )
+    coded = asg.join(err, ["sub", "vec_id", "cid"])
+    return (
+        coded.groupBy("sub", "cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("err").cast("long").alias("err_sum"),
+            F.min("vec_id").cast("long").alias("min_vec_id"),
+        )
+        .select(
+            F.col("sub").alias("subspace"),
+            F.col("cid").alias("code"),
+            "n_vecs",
+            "err_sum",
+            "min_vec_id",
+        )
+    )

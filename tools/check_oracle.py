@@ -2,7 +2,8 @@
 run every declared query on Spark and its DuckDB oracle side-by-side,
 compare row count + schema shape + order-insensitive value hash.
 
-Usage:  python tools/check_oracle.py [--json OUT.json] [sf_dir] [query ...]
+Usage:  python tools/check_oracle.py [--json OUT.json] [--skip NAME]...
+                                     [sf_dir] [query ...]
 
 With --json, every checked query's result is also written in the
 driver's CORRECTNESS_r{N}.json row format (rows_match / schema_match /
@@ -94,8 +95,12 @@ def duck_schema_norm(cols: list[str], types: list) -> dict[str, str]:
 def main() -> int:
     argv = sys.argv[1:]
     json_out = None
-    if argv and argv[0] == "--json":
-        json_out = argv[1]
+    skip: set[str] = set()
+    while argv and argv[0] in ("--json", "--skip"):
+        if argv[0] == "--json":
+            json_out = argv[1]
+        else:
+            skip.add(argv[1])
         argv = argv[2:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
@@ -126,6 +131,9 @@ def main() -> int:
     n_pass = n_fail = n_rowsonly = 0
     for name, fn in sorted(qs.items()):
         if only and name not in only:
+            continue
+        if name in skip:
+            print(f"SKIP  {name} (--skip)")
             continue
         t0 = time.time()
         try:
