@@ -295,3 +295,60 @@ def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("dup_ratio"),
     )
+
+
+# ---------------------------------------------------------------------
+# Deterministic curriculum interleave — round 6 (C121).
+# ---------------------------------------------------------------------
+
+_SCHED_N = 64
+
+_SCHED_ORACLE = f"""
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS r,
+         count(*) OVER (PARTITION BY source) AS n_s
+  FROM documents
+)
+SELECT source, doc_id, CAST(r AS BIGINT) AS r, CAST(n_s AS BIGINT) AS n_s,
+       CAST(2 * r - 1 AS DOUBLE) / CAST(2 * n_s AS DOUBLE) AS sched_key
+FROM r
+ORDER BY sched_key, source, doc_id
+LIMIT {_SCHED_N}
+"""
+
+
+@query("q_curriculum_schedule", oracle=_SCHED_ORACLE)
+def q_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order interleave (the data-ordering step
+    of a pretraining pipeline): each source's documents take evenly
+    spaced positions key = (2r−1)/(2·n_s) on [0, 1) — the stratified
+    low-discrepancy interleave, so a batch prefix of the schedule
+    contains every source in proportion without any RNG. The first 64
+    scheduled docs are emitted (TakeOrdered — no global window, no
+    full sort materialization; the per-source rank is a PARTITIONED
+    window). The key is one IEEE division over exact integers —
+    engine-portable bit-for-bit. At 100 TB the schedule is never
+    materialized: the key is a generated column that any consumer
+    sorts or range-partitions by."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("source").orderBy("doc_id")
+    r = d.select(
+        "source",
+        "doc_id",
+        F.row_number().over(w).cast("long").alias("r"),
+        F.count(F.lit(1)).over(W.partitionBy("source")).cast("long").alias("n_s"),
+    )
+    keyed = r.select(
+        "source",
+        "doc_id",
+        "r",
+        "n_s",
+        (
+            (F.lit(2) * F.col("r") - F.lit(1)).cast("double")
+            / (F.lit(2) * F.col("n_s")).cast("double")
+        ).alias("sched_key"),
+    )
+    return keyed.orderBy("sched_key", "source", "doc_id").limit(_SCHED_N)

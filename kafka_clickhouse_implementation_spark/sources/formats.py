@@ -179,3 +179,22 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("cents").alias("n_with_value"),
         F.sum("cents").cast("long").alias("cents_sum"),
     )
+
+
+@query("q_jsonl_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract over JSON-lines — the interchange format every
+    LLM-corpus pipeline actually ships (and the reference's Kafka
+    payload encoding, kafka+clickhouse.md:44-52). Completes the
+    format matrix: parquet (everywhere), CSV, ORC, JSONL, all under
+    the one roundtrip oracle."""
+    out = _fmt_base(sf_dir, "jsonl")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            _events_wire_df(spark, sf_dir)
+            .repartition(4)
+            .write.mode("overwrite")
+            .json(out)
+        )
+    back = spark.read.schema(_EVENTS_WIRE_SCHEMA).json(out)
+    return _roundtrip_agg(back)
