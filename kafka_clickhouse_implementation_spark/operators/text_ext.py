@@ -506,3 +506,103 @@ def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return placed.groupBy("bin_id").agg(
         F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens")
     )
+
+
+# ---------------------------------------------------------------------
+# ngramDistance — round 6 (C122): ClickHouse's fuzzy string match,
+# next to C26's levenshtein.
+# ---------------------------------------------------------------------
+
+_NGD_N = 4  # ClickHouse ngramDistance uses 4-grams
+_NGD_DOCS = 15
+_NGD_HEAD = 60
+
+_NGD_ORACLE = f"""
+WITH heads AS (
+  SELECT doc_id, substr(text, 1, {_NGD_HEAD}) AS head
+  FROM documents WHERE doc_id < {_NGD_DOCS}
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(length(head) - {_NGD_N} + 1),
+                               i -> substr(head, i + 1, {_NGD_N}))) AS g
+  FROM heads
+),
+cnts AS (
+  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM grams GROUP BY doc_id, g
+),
+tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM cnts GROUP BY doc_id),
+ov AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov
+  FROM cnts a JOIN cnts b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT ta.doc_id AS doc_a, tb.doc_id AS doc_b,
+       CAST(ta.n + tb.n - 2 * coalesce(o.ov, 0) AS BIGINT) AS sym_diff,
+       CAST(ta.n + tb.n - 2 * coalesce(o.ov, 0) AS DOUBLE)
+         / CAST(ta.n + tb.n AS DOUBLE) AS ngram_dist
+FROM tot ta
+JOIN tot tb ON ta.doc_id < tb.doc_id
+LEFT JOIN ov o ON o.doc_a = ta.doc_id AND o.doc_b = tb.doc_id
+"""
+
+
+@query("q_ngram_distance", oracle=_NGD_ORACLE)
+def q_ngram_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``ngramDistance`` parity (the fuzzy string matcher
+    next to C26's levenshtein): 4-gram multiset symmetric difference
+    over the bounded candidate head set, normalized by the total gram
+    count — symdiff = n_a + n_b − 2·Σ_g min(c_a, c_b), all exact
+    integers, one IEEE division at the end. The overlap term is an
+    equi-join ON THE GRAM (never an all-pairs string scan), so at
+    corpus scale the same shape runs against LSH-bucketed candidates
+    exactly like C24's verify stage."""
+    heads = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _NGD_DOCS)
+        .select("doc_id", F.substring("text", 1, _NGD_HEAD).alias("head"))
+    )
+    grams = heads.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, length(head) - {_NGD_N}), "
+                f"i -> substr(head, i + 1, {_NGD_N}))"
+            )
+        ).alias("g"),
+    )
+    cnts = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnts.groupBy("doc_id").agg(F.sum("c").cast("long").alias("n"))
+    a = cnts.select(F.col("doc_id").alias("doc_a"), "g", F.col("c").alias("ca"))
+    b = cnts.select(F.col("doc_id").alias("doc_b"), "g", F.col("c").alias("cb"))
+    ov = (
+        a.join(b, ["g"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.least("ca", "cb")).cast("long").alias("ov"))
+    )
+    ta = tot.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    tb = tot.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    pairs = (
+        ta.join(tb, ta.doc_a < tb.doc_b)
+        .join(ov, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("na") + F.col("nb") - F.lit(2) * F.coalesce("ov", F.lit(0))
+            )
+            .cast("long")
+            .alias("sym_diff"),
+            (
+                (
+                    F.col("na")
+                    + F.col("nb")
+                    - F.lit(2) * F.coalesce("ov", F.lit(0))
+                ).cast("double")
+                / (F.col("na") + F.col("nb")).cast("double")
+            ).alias("ngram_dist"),
+        )
+    )
+    return pairs
