@@ -149,3 +149,93 @@ def q_stream_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_after_exact_dedup")
     )
     return spark.table("stream_corpus_counts").crossJoin(F.broadcast(n_exact))
+
+
+# ---------------------------------------------------------------------
+# Streaming chunk-level dedup — round 6 (C123), the -State twin of
+# operators/corpus_ext.q_chunk_dedup (C113).
+# ---------------------------------------------------------------------
+
+from kafka_clickhouse_implementation_spark.operators.corpus_ext import (  # noqa: E402
+    _CHUNK_ORACLE,
+    CHUNK_W,
+)
+
+_CHUNK_EXPR = (
+    f"transform(sequence(0, (size(w) - 1) div {CHUNK_W}), "
+    f"i -> slice(w, i * {CHUNK_W} + 1, {CHUNK_W}))"
+)
+
+
+@query("q_stream_chunk_dedup", oracle=_CHUNK_ORACLE)
+def q_stream_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup maintained IN the stream: documents arrive
+    over 8 micro-batches on the duplicate-injected wire (every file
+    re-arrives later as a dup-*), each batch's 12-word chunks are
+    digested, and a complete-mode streaming aggregation keeps ONE
+    min(struct(doc_id, pos)) per distinct chunk digest — the
+    first-occurrence table as state. min() is order-independent AND
+    idempotent, so batch boundaries and the injected re-deliveries
+    cannot change the winner — which is exactly the keep-lowest rule
+    the batch operator (C113) states, so its oracle applies VERBATIM.
+    The per-source accounting finish joins the drained winner table
+    back against the batch chunk inventory. State: one 16-byte digest
+    + 2 longs per DISTINCT chunk — the inherent dedup state lower
+    bound (the q_stream_dedup class), shardable by digest."""
+    wire, base = document_wire(spark, sf_dir)
+    ckpt = os.path.join(base, "ckpt_chunk_dedup")
+    chunks_stream = (
+        spark.readStream.schema(_DOC_WIRE_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(wire)
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .select("doc_id", F.posexplode(F.expr(_CHUNK_EXPR)).alias("pos", "cw"))
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.md5(F.concat_ws(" ", F.col("cw"))).alias("h"),
+        )
+    )
+    first = chunks_stream.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("f")
+    )
+    name = "stream_chunk_first"
+    _drain(spark, first, name, ckpt, mode="complete")
+
+    winners = spark.table(name).select(
+        "h", F.col("f.doc_id").alias("fd"), F.col("f.pos").alias("fp")
+    ).localCheckpoint()
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("w")
+    )
+    ch = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.expr(_CHUNK_EXPR)).alias("pos", "cw"),
+    ).select(
+        "doc_id",
+        "source",
+        F.col("pos").cast("long").alias("pos"),
+        F.md5(F.concat_ws(" ", F.col("cw"))).alias("h"),
+        F.size("cw").cast("long").alias("n_words"),
+    )
+    marked = ch.join(winners, "h").select(
+        "source",
+        "n_words",
+        F.when(
+            (F.col("doc_id") == F.col("fd")) & (F.col("pos") == F.col("fp")), 1
+        )
+        .otherwise(0)
+        .alias("kept"),
+    )
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("kept").cast("long").alias("n_kept"),
+        (F.count(F.lit(1)) - F.sum("kept")).cast("long").alias("n_dup"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.sum(F.when(F.col("kept") == 1, F.col("n_words")).otherwise(0))
+        .cast("long")
+        .alias("kept_words"),
+        (F.sum("kept").cast("double") / F.count(F.lit(1))).alias("keep_ratio"),
+    )
