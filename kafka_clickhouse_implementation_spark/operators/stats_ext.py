@@ -475,3 +475,80 @@ def q_bitmap_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_andnot"),
     )
+
+
+# --------------------------------------------------------------------------
+# C124 — arrayAUC (exact ROC AUC with the midrank tie convention)
+# --------------------------------------------------------------------------
+
+_AUC_ORACLE = """
+WITH scored AS (
+  SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS sv,
+         CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos
+  FROM embeddings
+),
+agg AS (
+  SELECT sv,
+         CAST(count(*) FILTER (WHERE pos = 1) AS BIGINT) AS pos_c,
+         CAST(count(*) FILTER (WHERE pos = 0) AS BIGINT) AS neg_c
+  FROM scored GROUP BY sv
+),
+ranked AS (
+  SELECT sv, pos_c, neg_c,
+         sum(neg_c) OVER (ORDER BY sv
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_neg
+  FROM agg
+),
+t AS (
+  SELECT CAST(sum(pos_c) AS BIGINT) AS p,
+         CAST(sum(neg_c) AS BIGINT) AS n,
+         sum(CAST(pos_c AS HUGEINT)
+             * CAST(2 * (cum_neg - neg_c) + neg_c AS HUGEINT)) AS two_w
+  FROM ranked
+)
+SELECT p, n,
+       CAST(two_w AS DOUBLE)
+         / (2.0 * CAST(p AS DOUBLE) * CAST(n AS DOUBLE)) AS auc
+FROM t
+"""
+
+
+@query("q_roc_auc", oracle=_AUC_ORACLE)
+def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``arrayAUC`` parity — exact ROC AUC of the first
+    embedding component as a score for the label ≥ 5 class, with the
+    midrank tie convention: 2·P·N·AUC = Σ_v pos(v)·(2·neg_below(v) +
+    neg_at(v)) stays an exact integer (the C100 doubled-midrank
+    recipe — AUC and Mann-Whitney U are the same statistic), finished
+    by ONE IEEE division. Distinct-score table bounded by the
+    quantized domain; the cumulative rides ranged_prefix. The eval-
+    harness operator for any model-quality score stored as a column."""
+    scored = load(spark, sf_dir, "embeddings").select(
+        F.expr(
+            "CAST(floor(CAST(embedding[0] AS DOUBLE) * 1e6 + 0.5) AS BIGINT)"
+        ).alias("sv"),
+        F.when(F.col("label") >= 5, 1).otherwise(0).alias("pos"),
+    )
+    agg = scored.groupBy("sv").agg(
+        F.sum(F.when(F.col("pos") == 1, 1).otherwise(0)).cast("long").alias("pos_c"),
+        F.sum(F.when(F.col("pos") == 0, 1).otherwise(0)).cast("long").alias("neg_c"),
+    )
+    ranked = ranged_prefix(agg, [F.col("sv")], sum_cols={"cum_neg": "neg_c"})
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    two_below_plus_at = (
+        F.lit(2).cast("decimal(38,0)") * (dec("cum_neg") - dec("neg_c"))
+        + dec("neg_c")
+    )
+    t = ranked.agg(
+        F.sum("pos_c").cast("long").alias("p"),
+        F.sum("neg_c").cast("long").alias("n"),
+        F.sum(dec("pos_c") * two_below_plus_at).cast("decimal(38,0)").alias("two_w"),
+    )
+    return t.select(
+        "p",
+        "n",
+        (
+            F.col("two_w").cast("double")
+            / (F.lit(2.0) * F.col("p").cast("double") * F.col("n").cast("double"))
+        ).alias("auc"),
+    )

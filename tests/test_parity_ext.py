@@ -183,3 +183,26 @@ def test_url_funcs_matches_python(spark, sf_dir):
         assert g.page_sum == a["pages"]
         assert g.n_cut == len(a["cut"])
         assert g.qs_min.startswith("page=")
+
+
+def test_roc_auc_matches_python(spark, sf_dir):
+    import math
+
+    from kafka_clickhouse_implementation_spark.operators.stats_ext import q_roc_auc
+
+    got = q_roc_auc(spark, sf_dir).collect()[0]
+    rows = (
+        load(spark, sf_dir, "embeddings").select("embedding", "label").collect()
+    )
+    pts = [
+        (int(math.floor(float(r.embedding[0]) * 1e6 + 0.5)), int(r.label >= 5))
+        for r in rows
+    ]
+    pos = [s for s, p in pts if p]
+    neg = [s for s, p in pts if not p]
+    # O(P*N) ground truth with the midrank tie convention
+    w = sum(1.0 if sp > sn else 0.5 if sp == sn else 0.0 for sp in pos for sn in neg)
+    auc = w / (len(pos) * len(neg))
+    assert (got.p, got.n) == (len(pos), len(neg))
+    assert got.auc == pytest.approx(auc, abs=1e-12)
+    assert 0.0 <= got.auc <= 1.0
