@@ -552,3 +552,102 @@ def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(2.0) * F.col("p").cast("double") * F.col("n").cast("double"))
         ).alias("auc"),
     )
+
+
+# --------------------------------------------------------------------------
+# C125 — corrMatrix (the matrix aggregate-combinator family)
+# --------------------------------------------------------------------------
+
+# Three integer series per event: value milli-units, seconds into 2024,
+# and the props-JSON length — all exact.
+_SERIES = [
+    ("vm", _VM),
+    ("xs", f"epoch_us(ts) // 1000000 - {_X0}"),
+    ("pl", "CAST(length(props) AS BIGINT)"),
+]
+_SERIES_SPARK = {
+    "vm": _VM,
+    "xs": f"unix_micros(ts) div 1000000 - {_X0}",
+    "pl": "CAST(length(props) AS BIGINT)",
+}
+
+
+def _corr_matrix_oracle() -> str:
+    sel = ",\n         ".join(f"{expr} AS {n}" for n, expr in _SERIES)
+    sums = ["CAST(count(*) AS BIGINT) AS n"]
+    for n, _ in _SERIES:
+        sums.append(f"CAST(sum({n}) AS HUGEINT) AS s_{n}")
+    for i, (a, _) in enumerate(_SERIES):
+        for b, _ in _SERIES[i:]:
+            sums.append(
+                f"sum(CAST({a} AS HUGEINT) * CAST({b} AS HUGEINT)) AS s_{a}_{b}"
+            )
+    cells = []
+    for i, (a, _) in enumerate(_SERIES):
+        for j, (b, _) in enumerate(_SERIES):
+            if i > j:
+                continue
+            cells.append(
+                f"""SELECT '{a}' AS series_a, '{b}' AS series_b,
+       CAST(CAST(n AS HUGEINT) * s_{a}_{b} - s_{a} * s_{b} AS DOUBLE)
+       / sqrt(CAST(CAST(n AS HUGEINT) * s_{a}_{a} - s_{a} * s_{a} AS DOUBLE)
+              * CAST(CAST(n AS HUGEINT) * s_{b}_{b} - s_{b} * s_{b} AS DOUBLE))
+         AS corr
+FROM t"""
+            )
+    return (
+        f"WITH v AS (\n  SELECT {sel}\n  FROM events\n),\n"
+        f"t AS (\n  SELECT {', '.join(sums)} FROM v\n)\n"
+        + "\nUNION ALL\n".join(cells)
+    )
+
+
+@query("q_corr_matrix", oracle=_corr_matrix_oracle())
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``corrMatrix`` parity: the full Pearson correlation
+    matrix (upper triangle incl. diagonal) of three exact integer
+    series — value milli-units, event seconds-into-2024, and props
+    length. ONE aggregation computes every Σx, Σx², Σxy exactly
+    (DECIMAL(38,0) ↔ HUGEINT); each matrix cell is the textbook
+    (nΣxy−ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²)) as one identical IEEE
+    tree over exactly-cast integers. The matrix combinator costs the
+    same single map-side-combinable pass as one corr — k(k+1)/2
+    product sums in the partial state."""
+    names = [n for n, _ in _SERIES]
+    v = load(spark, sf_dir, "events").select(
+        *[F.expr(_SERIES_SPARK[n]).alias(n) for n in names]
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for n in names:
+        aggs.append(F.sum(n).cast("decimal(38,0)").alias(f"s_{n}"))
+    for i, a in enumerate(names):
+        for b in names[i:]:
+            aggs.append(
+                F.sum(dec(a) * dec(b)).cast("decimal(38,0)").alias(f"s_{a}_{b}")
+            )
+    t = v.agg(*aggs)
+    nD = F.col("n").cast("decimal(38,0)")
+
+    def cell(a: str, b: str):
+        num = (nD * F.col(f"s_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")).cast(
+            "double"
+        )
+        da = (nD * F.col(f"s_{a}_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")).cast(
+            "double"
+        )
+        db = (nD * F.col(f"s_{b}_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")).cast(
+            "double"
+        )
+        return t.select(
+            F.lit(a).alias("series_a"),
+            F.lit(b).alias("series_b"),
+            (num / F.sqrt(da * db)).alias("corr"),
+        )
+
+    out = None
+    for i, a in enumerate(names):
+        for b in names[i:]:
+            c = cell(a, b)
+            out = c if out is None else out.unionAll(c)
+    return out

@@ -206,3 +206,38 @@ def test_roc_auc_matches_python(spark, sf_dir):
     assert (got.p, got.n) == (len(pos), len(neg))
     assert got.auc == pytest.approx(auc, abs=1e-12)
     assert 0.0 <= got.auc <= 1.0
+
+
+def test_corr_matrix_matches_python(spark, sf_dir):
+    from kafka_clickhouse_implementation_spark.operators.stats_ext import (
+        _X0,
+        q_corr_matrix,
+    )
+
+    got = {(r.series_a, r.series_b): r.corr for r in q_corr_matrix(spark, sf_dir).collect()}
+    rows = (
+        load(spark, sf_dir, "events")
+        .selectExpr("value", "unix_micros(ts) AS tus", "length(props) AS pl")
+        .collect()
+    )
+    series = {
+        "vm": [int(math.floor(r.value * 1000 + 0.5)) for r in rows],
+        "xs": [r.tus // 1000000 - _X0 for r in rows],
+        "pl": [r.pl for r in rows],
+    }
+    names = ["vm", "xs", "pl"]
+    n = len(rows)
+    for i, a in enumerate(names):
+        for b in names[i:]:
+            sa, sb = sum(series[a]), sum(series[b])
+            sab = sum(x * y for x, y in zip(series[a], series[b]))
+            saa = sum(x * x for x in series[a])
+            sbb = sum(y * y for y in series[b])
+            want = (n * sab - sa * sb) / math.sqrt(
+                (n * saa - sa * sa) * (n * sbb - sb * sb)
+            )
+            assert got[(a, b)] == pytest.approx(want, rel=1e-12)
+    # the diagonal is exactly 1 and every cell is a valid correlation
+    for a in names:
+        assert got[(a, a)] == pytest.approx(1.0, abs=1e-12)
+    assert all(-1.0 <= v <= 1.0 for v in got.values())
