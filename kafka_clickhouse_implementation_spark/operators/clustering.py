@@ -57,6 +57,18 @@ DIM = 64
 Q_EVERY = 50  # IVF query set: vec_id % 50 == 0
 NPROBE = 2
 TOPK = 5
+# SemDeDup cluster-count rule (round-7 scale fix): k grows with the
+# corpus so the expected within-cluster block stays ~SEM_BLOCK vectors
+# and the total pair count is ~n·SEM_BLOCK/2 — LINEAR in n, not n²/k.
+# At sf0.01 (n=500) and sf0.1 (n=2000) this floors to K=8, bit-identical
+# to the round-6 fixed-k trajectory; at sf1 (n=20000) k=80 cuts the
+# pair block 10×. Both engine and oracle derive k from count(*).
+SEM_BLOCK = 250
+
+
+def semdedup_k(n: int) -> int:
+    """Deterministic SemDeDup cluster count: max(K, n // SEM_BLOCK)."""
+    return max(K, n // SEM_BLOCK)
 # SemDeDup near-duplicate threshold, micro-units²: ~1st percentile of
 # the global pair-distance distribution at sf0.01 (measured), so
 # within-cluster candidates yield a small, deterministic positive set.
@@ -77,11 +89,19 @@ def _pts_long(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _eq_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, eq: array<long>) micro-quantized arrays."""
+    """(vec_id, eq: array<long>) micro-quantized arrays.
+
+    Repartitioned by vec_id across a PINNED defaultParallelism-way
+    layout: the test corpora arrive as ONE parquet file, and the
+    distance passes are compute-bound but byte-light — left to AQE the
+    shuffle coalesces to a couple of partitions and the n·k zip_with
+    work serializes. An explicit numPartitions is exempt from AQE
+    coalescing. On a real cluster the scan is already many-partition;
+    the explicit spread keeps local[N] honest about plan shape."""
     emb = load(spark, sf_dir, "embeddings")
     return emb.select(
         "vec_id", F.expr(f"transform(embedding, x -> {_QUANT})").alias("eq")
-    )
+    ).repartition(spark.sparkContext.defaultParallelism, "vec_id")
 
 
 def _dist2_arrays(a: str, b: str) -> F.Column:
@@ -99,50 +119,96 @@ def _lloyd(spark: SparkSession, sf_dir: str):
              LAST round's centroid set, final_centroids list[(cid,
              dim, x)]).  Per-round driver traffic is k·d centroid
              rows — bounded by the model size, not the data."""
-    pts = _pts_long(spark, sf_dir).localCheckpoint()
-    return _lloyd_generic(spark, pts, K, ITERS)
+    eq = _eq_arrays(spark, sf_dir).localCheckpoint()
+    return _lloyd_arrays(spark, eq, K, ITERS)
 
 
-def _lloyd_generic(spark: SparkSession, pts: DataFrame, k: int, iters: int):
-    """Parameterized fixed-seed Lloyd over a (vec_id, dim, x) long
-    table (dims may be a subspace slice re-based to 0) — shared by the
-    full-width k-means (C110) and the per-subspace product
-    quantizer (C116)."""
-    cents = [
-        (int(r.cid), int(r.dim), int(r.x))
-        for r in pts.filter(F.col("vec_id") < k)
-        .select(F.col("vec_id").alias("cid"), "dim", "x")
-        .collect()
-    ]
+def _code_points(eq: DataFrame, carr: list[tuple[int, list[int]]]) -> DataFrame:
+    """(vec_id, eq, dists, cid): per-point integer distances to every
+    centroid plus the argmin assignment, computed as ONE stateless
+    projection — the codebook rides the plan as a literal array (the
+    streaming/vector_stream.py coding pattern), so there is no join
+    and no shuffle at all. ``dists`` is bound once as its own column
+    and the argmin indexes into it (no double evaluation); ties pick
+    array_position's FIRST minimum, and carr is sorted ascending by
+    cid, so tie → smallest cid ≡ the oracle's min-dist-then-min-cid."""
+    cids_sql = ",".join(str(c) for c, _ in carr)
+    cents_sql = ",".join(
+        "array(" + ",".join(str(v) + "L" for v in a) + ")" for _, a in carr
+    )
+    return eq.withColumn(
+        "dists",
+        F.expr(
+            f"transform(array({cents_sql}), "
+            "c -> aggregate(zip_with(eq, c, (p, q) -> (p - q) * (p - q)), "
+            "0L, (s, v) -> s + v))"
+        ),
+    ).withColumn(
+        "cid",
+        F.expr(
+            f"CAST(element_at(array({cids_sql}), "
+            "CAST(array_position(dists, array_min(dists)) AS INT)) AS BIGINT)"
+        ),
+    )
+
+
+def _lloyd_arrays(
+    spark: SparkSession, eq: DataFrame, k: int, iters: int, dim: int = DIM
+):
+    """Fixed-seed integer Lloyd entirely in the array domain (round-7
+    rewrite — the round-6 long-format version shuffled an n·d·k
+    distance intermediate plus an n·d update join per round, which
+    dominated the sf1 wall once SemDeDup's k(n) rule pushed k to 80):
+
+    - assignment: a pure projection against the LITERAL centroid
+      codebook (k·d ints baked into the expression — bounded by model
+      size; beyond k·d ≈ 1e5 swap the projection for a broadcast
+      join, same semantics) — zero joins, zero shuffles per round;
+    - update: 64 per-element ``sum(eq[i])`` aggregates over the n
+      coded rows (map-side partials, k-row shuffle output), with the
+      k·d floor divisions done driver-side on the collected model
+      rows — Python ``//`` floors exactly like DuckDB ``//`` and the
+      portable Spark ``(s - ((s%n+n)%n)) div n`` recipe, and the sums
+      are exact int64 on every engine.
+
+    So each round is ONE scan→project→partial-agg job whose output is
+    k·(d+1) model rows. Returns the same (asg, d, cents) triple as
+    before, with ``d`` lazily exploding the per-point distance array
+    into (vec_id, cid, dist) for the IVF probe ranking and cents in
+    (cid, dim, x) long form. The centroid literals are baked per
+    round, so the returned lazy frames keep the correct (pre-final-
+    update) codebook even though ``carr`` rebinds."""
+    carr = sorted(
+        (int(r.vec_id), [int(v) for v in r.eq])
+        for r in eq.filter(F.col("vec_id") < k).collect()
+    )
     asg = d = None
     for _ in range(iters):
-        cdf = spark.createDataFrame(cents, schema="cid LONG, dim INT, c LONG")
-        d = (
-            pts.join(F.broadcast(cdf), "dim")
-            .groupBy("vec_id", "cid")
-            .agg(
-                F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias(
-                    "dist"
-                )
-            )
+        coded = _code_points(eq, carr)
+        cids_sql = ",".join(str(c) for c, _ in carr)
+        d = coded.select(
+            "vec_id", F.posexplode("dists").alias("idx", "dist")
+        ).select(
+            "vec_id",
+            F.expr(
+                f"CAST(element_at(array({cids_sql}), idx + 1) AS BIGINT)"
+            ).alias("cid"),
+            "dist",
         )
-        asg = (
-            d.groupBy("vec_id")
-            .agg(F.min(F.struct("dist", "cid")).alias("m"))
-            .select("vec_id", F.col("m.cid").alias("cid"))
+        asg = coded.select("vec_id", "cid")
+        upd = coded.groupBy("cid").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.col("eq")[i]).alias(f"s{i}") for i in range(dim)],
         )
-        upd = (
-            pts.join(asg, "vec_id")
-            .groupBy("cid", "dim")
-            .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+        carr = sorted(
+            (int(r.cid), [int(r[f"s{i}"]) // int(r.n) for i in range(dim)])
+            for r in upd.collect()
         )
-        newc = upd.select(
-            "cid",
-            "dim",
-            F.expr("(sx - (((sx % n) + n) % n)) div n").alias("x"),
-        )
-        cents = [(int(r.cid), int(r.dim), int(r.x)) for r in newc.collect()]
-    return asg, d, cents
+    cents = [(cid, i, x) for cid, arr in carr for i, x in enumerate(arr)]
+    # the final assignment feeds self-joins (SemDeDup pairs) and
+    # candidate joins (IVF) — pin the n-row result so consumers don't
+    # re-run the n·k distance pass once per branch
+    return asg.localCheckpoint(), d, cents
 
 
 # --------------------------------------------------------------------------
@@ -158,10 +224,12 @@ _PTS_CTE = f"""pts AS (
 )"""
 
 
-def _lloyd_rounds(k: int, iters: int, sfx: str, pts: str) -> str:
+def _lloyd_rounds(k: int | str, iters: int, sfx: str, pts: str) -> str:
     """The unrolled Lloyd CTE chain (seed + iters rounds) over the CTE
     named ``pts``; CTE names carry ``sfx`` so several independent runs
-    (the PQ subspaces) can coexist in one statement."""
+    (the PQ subspaces) can coexist in one statement. ``k`` may be an
+    int literal or a SQL scalar-subquery string (the SemDeDup dynamic
+    k(n) rule) — it only appears in the seed filter."""
     parts = [
         f"""cent{sfx}0 AS (
   SELECT vec_id AS cid, dim, x FROM {pts} WHERE vec_id < {k}
@@ -259,13 +327,18 @@ _PAIR_DIST = (
 )
 
 _SEMDEDUP_ORACLE = f"""
-WITH {_lloyd_ctes()},
+WITH {_PTS_CTE},
+kval AS (
+  SELECT greatest({K}, CAST(count(*) AS BIGINT) // {SEM_BLOCK}) AS k
+  FROM embeddings
+),
+{_lloyd_rounds("(SELECT k FROM kval)", ITERS, "sd", "pts")},
 {_EQ_CTE},
 pairs AS (
   SELECT ga.cid, ga.vec_id AS va, gb.vec_id AS vb,
          CAST({_PAIR_DIST} AS BIGINT) AS dist2
-  FROM asg{_LAST} ga
-  JOIN asg{_LAST} gb ON ga.cid = gb.cid AND ga.vec_id < gb.vec_id
+  FROM asgsd{_LAST} ga
+  JOIN asgsd{_LAST} gb ON ga.cid = gb.cid AND ga.vec_id < gb.vec_id
   JOIN eq a ON a.vec_id = ga.vec_id
   JOIN eq b ON b.vec_id = gb.vec_id
 )
@@ -289,12 +362,17 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed distance threshold and counting the keep-lowest-id drop set
     per cluster. Pair distances ride zip_with over the 64-wide
     quantized arrays — O(pairs within clusters) rows, all codegen.
-    Scale: with balanced clusters the pair count is n²/k per cluster —
-    at real scale k grows with n (k ≈ n/10⁴ in the SemDeDup paper), so
-    the per-cluster block stays bounded; the oracle certifies the
-    fixed-k trajectory end-to-end."""
-    asg, _, _ = _lloyd(spark, sf_dir)
-    eq = _eq_arrays(spark, sf_dir)
+    Scale (round-7 fix): the cluster count is DERIVED from the corpus
+    size — k = max(8, n // SEM_BLOCK) — so the expected block stays
+    ~SEM_BLOCK vectors and total pairs are ~n·SEM_BLOCK/2, linear in n
+    (the SemDeDup paper's k ≈ n/10⁴ rule at its scale; our smaller
+    block suits the test corpora). The DuckDB oracle computes the SAME
+    k via a count(*) scalar subquery, then replays the identical
+    trajectory, so the hash certifies the dynamic-k run end-to-end."""
+    emb = load(spark, sf_dir, "embeddings")
+    k = semdedup_k(emb.count())
+    eq = _eq_arrays(spark, sf_dir).localCheckpoint()
+    asg, _, _ = _lloyd_arrays(spark, eq, k, ITERS)
     a = asg.alias("ga").join(
         eq.select(F.col("vec_id").alias("va"), F.col("eq").alias("ea")),
         F.col("ga.vec_id") == F.col("va"),

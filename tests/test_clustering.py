@@ -15,10 +15,12 @@ from kafka_clickhouse_implementation_spark.operators.clustering import (
     K,
     NPROBE,
     Q_EVERY,
+    SEM_BLOCK,
     TOPK,
     q_ann_ivf_exact,
     q_kmeans_semantic,
     q_semantic_dedup,
+    semdedup_k,
 )
 
 
@@ -37,9 +39,9 @@ def emb(spark, sf_dir):
     return ids, x
 
 
-def _lloyd_np(ids, x):
-    cents = x[ids < K].copy()  # seed = k lowest vec_ids
-    cids = np.arange(K, dtype=np.int64)
+def _lloyd_np(ids, x, k=K):
+    cents = x[ids < k].copy()  # seed = k lowest vec_ids
+    cids = np.arange(k, dtype=np.int64)
     asg = None
     dists = None
     for _ in range(ITERS):
@@ -78,9 +80,21 @@ def test_kmeans_matches_numpy(spark, sf_dir, emb):
         assert got[int(c)].centroid_l1 == l1[int(c)]
 
 
+def test_semdedup_k_rule():
+    # The dynamic-k derivation is the round-7 scale fix: the expected
+    # within-cluster block stays ~SEM_BLOCK so pairs grow LINEARLY.
+    assert SEM_BLOCK == 250
+    assert semdedup_k(500) == K  # sf0.01 — floors to the fixed seed
+    assert semdedup_k(2000) == K  # sf0.1
+    assert semdedup_k(20000) == 80  # sf1-equivalent: 10x smaller block
+    assert semdedup_k(1_000_000) == 4000  # keeps blocks ~250 at any n
+
+
 def test_semantic_dedup_matches_numpy(spark, sf_dir, emb):
     ids, x = emb
-    asg, _, _, cids = _lloyd_np(ids, x)
+    # the engine derives k from the corpus count — the oracle and this
+    # independent reimplementation must derive it the same way
+    asg, _, _, cids = _lloyd_np(ids, x, k=semdedup_k(len(ids)))
     got = {r.cluster_id: r for r in q_semantic_dedup(spark, sf_dir).collect()}
     total_close = 0
     for c in cids:
@@ -108,6 +122,7 @@ def test_ivf_matches_numpy(spark, sf_dir, emb):
     got = q_ann_ivf_exact(spark, sf_dir).collect()
     rows = {(r.query_id, r.rank): (r.neighbor_id, r.dist2) for r in got}
     qmask = ids % Q_EVERY == 0
+    expected_rows = 0
     for qi in np.where(qmask)[0]:
         # probe: NPROBE nearest centroids by (dist, cid)
         order = sorted(range(len(cids)), key=lambda j: (int(dists[qi, j]), int(cids[j])))
@@ -125,10 +140,10 @@ def test_ivf_matches_numpy(spark, sf_dir, emb):
         )
         for rk, (d2, nid) in enumerate(scored[:TOPK], start=1):
             assert rows[(int(ids[qi]), rk)] == (nid, d2)
-    # recall sanity: IVF top-1 equals exact top-1 for a majority of
-    # queries (nprobe=2/8 on near-random data still wins usually)
-    n_q = int(qmask.sum())
-    assert len(got) == n_q * TOPK or len(got) >= n_q * (TOPK - 1)
+        expected_rows += min(TOPK, len(scored))
+    # every (query, rank) row the numpy oracle derives must exist, and
+    # nothing beyond: exact expected row count, not an OR-ed bound
+    assert len(got) == expected_rows
 
 
 def test_chunk_dedup_matches_python(spark, sf_dir):
