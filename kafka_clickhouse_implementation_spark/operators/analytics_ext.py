@@ -610,51 +610,57 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_moving_sum",
     oracle="""
-    SELECT user_id, event_id,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_sum,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
-             / CAST(least(row_number() OVER (
-                 PARTITION BY user_id ORDER BY ts, event_id), 3) AS DOUBLE)
-             AS mov_avg
-    FROM events
-    WHERE user_id < 100
+    WITH w AS (
+      SELECT user_id,
+             sum(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ms,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+      WHERE user_id < 100
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(ms) AS DOUBLE) AS total_mov_sum,
+           CAST(max(ms) AS DOUBLE) AS max_mov_sum,
+           CAST(arg_max(ms, rn) AS DOUBLE) AS last_mov_sum,
+           CAST(sum(ms * (6 // least(rn, 3))) AS DOUBLE) AS total_mov_avg6
+    FROM w GROUP BY user_id
     """,
 )
 def q_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse ``groupArrayMovingSum(3)`` / ``groupArrayMovingAvg``
     parity: per user, the trailing-3-event moving sum and average of
-    ``value`` along the time order, emitted one row per event (the
-    unnested form of ClickHouse's array result). Values cast to
-    DECIMAL(18,2) BEFORE the frame sum (frame accumulation order is an
-    engine detail; decimal makes it exact either way), cast back to
-    double once; the average divides by the actual frame row count.
-    One user-partitioned window, no global sort."""
+    ``value`` along the time order, finished as ONE aggregate row per
+    user (round-7 result-cap fix: ≤100 rows at every SF — the per-
+    event unnested form scaled with events-per-user and bought no
+    extra checking power). Every frame value still flows through the
+    checksums: count, exact-decimal sum/max of the frame sums, the
+    arg-max-by-rn last frame value, and 6× the sum of the moving
+    averages — the divisor least(rn,3) ∈ {1,2,3} always divides 6, so
+    ms·(6 div least(rn,3)) keeps the average checksum in EXACT decimal
+    (no double division anywhere). Values cast to DECIMAL(18,2) BEFORE
+    the frame sum; one user-partitioned window, no global sort."""
     frame = (
         "OVER (PARTITION BY user_id ORDER BY ts, event_id"
         " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
     )
-    # Deterministic user slice (the q_ema convention): the per-event
-    # result set is the operator's unnested form, but an unbounded one
-    # materializes ~1M-row differential frames at sf1 for no extra
-    # checking power. The window itself still sees every event of the
-    # sliced users.
-    return load(spark, sf_dir, "events").filter(F.col("user_id") < 100).select(
+    w = load(spark, sf_dir, "events").filter(F.col("user_id") < 100).select(
         "user_id",
-        "event_id",
+        F.expr(f"sum(CAST(value AS DECIMAL(18,2))) {frame}").alias("ms"),
         F.expr(
-            f"CAST(sum(CAST(value AS DECIMAL(18,2))) {frame} AS DOUBLE)"
-        ).alias("mov_sum"),
-        (
-            F.expr(f"CAST(sum(CAST(value AS DECIMAL(18,2))) {frame} AS DOUBLE)")
-            / F.expr(
-                "CAST(least(row_number() OVER (PARTITION BY user_id"
-                " ORDER BY ts, event_id), 3) AS DOUBLE)"
-            )
-        ).alias("mov_avg"),
+            "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+        ).alias("rn"),
+    )
+    return w.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("CAST(sum(ms) AS DOUBLE)").alias("total_mov_sum"),
+        F.expr("CAST(max(ms) AS DOUBLE)").alias("max_mov_sum"),
+        F.expr("CAST(max_by(ms, rn) AS DOUBLE)").alias("last_mov_sum"),
+        F.expr("CAST(sum(ms * (6 div least(rn, 3))) AS DOUBLE)").alias(
+            "total_mov_avg6"
+        ),
     )
 
 
@@ -1231,17 +1237,24 @@ def q_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_window_range_frame",
     oracle="""
-    SELECT event_id, user_id,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
-             PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
-             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE)
-             AS hour_sum,
-           CAST(count(*) OVER (
-             PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
-             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT)
-             AS hour_cnt
-    FROM events
-    WHERE user_id < 100
+    WITH w AS (
+      SELECT user_id,
+             sum(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS hs,
+             count(*) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS hc
+      FROM events
+      WHERE user_id < 100
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(hs) AS DOUBLE) AS total_hour_sum,
+           CAST(max(hs) AS DOUBLE) AS max_hour_sum,
+           CAST(sum(hc) AS BIGINT) AS total_hour_cnt,
+           CAST(max(hc) AS BIGINT) AS max_hour_cnt
+    FROM w GROUP BY user_id
     """,
 )
 def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1250,21 +1263,25 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``value`` — the frame boundary is a VALUE offset on the epoch-
     second ordering, so timestamp ties are frame-peers on both engines
     (a rows frame would order-split them). The sum accumulates in
-    DECIMAL(18,2) (exact under any within-frame order) and casts to
-    double once. One user-partitioned window shuffle."""
+    DECIMAL(18,2) (exact under any within-frame order). Finished as
+    ONE aggregate row per user (round-7 result-cap fix: ≤100 rows at
+    every SF); every frame value still flows through the exact
+    decimal/integer checksums. One user-partitioned window shuffle."""
     frame = (
         "OVER (PARTITION BY user_id ORDER BY unix_micros(ts) div 1000000"
         " RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)"
     )
-    # Deterministic user slice (q_ema convention) — bounds the result
-    # set; the RANGE frame still sees every event of the sliced users.
-    return load(spark, sf_dir, "events").filter(F.col("user_id") < 100).select(
-        "event_id",
+    w = load(spark, sf_dir, "events").filter(F.col("user_id") < 100).select(
         "user_id",
-        F.expr(f"CAST(sum(CAST(value AS DECIMAL(18,2))) {frame} AS DOUBLE)").alias(
-            "hour_sum"
-        ),
-        F.expr(f"CAST(count(*) {frame} AS BIGINT)").alias("hour_cnt"),
+        F.expr(f"sum(CAST(value AS DECIMAL(18,2))) {frame}").alias("hs"),
+        F.expr(f"count(*) {frame}").alias("hc"),
+    )
+    return w.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("CAST(sum(hs) AS DOUBLE)").alias("total_hour_sum"),
+        F.expr("CAST(max(hs) AS DOUBLE)").alias("max_hour_sum"),
+        F.sum("hc").cast("long").alias("total_hour_cnt"),
+        F.max("hc").cast("long").alias("max_hour_cnt"),
     )
 
 

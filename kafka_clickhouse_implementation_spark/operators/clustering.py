@@ -128,10 +128,13 @@ def _code_points(eq: DataFrame, carr: list[tuple[int, list[int]]]) -> DataFrame:
     centroid plus the argmin assignment, computed as ONE stateless
     projection — the codebook rides the plan as a literal array (the
     streaming/vector_stream.py coding pattern), so there is no join
-    and no shuffle at all. ``dists`` is bound once as its own column
-    and the argmin indexes into it (no double evaluation); ties pick
-    array_position's FIRST minimum, and carr is sorted ascending by
-    cid, so tie → smallest cid ≡ the oracle's min-dist-then-min-cid."""
+    and no shuffle at all. ``dists`` is an array<struct<d,c>> built in
+    a single zip_with pass, and the argmin is ``array_min`` over it —
+    struct ordering compares (d, c) lexicographically, so tie →
+    smallest cid ≡ the oracle's min-dist-then-min-cid, with every
+    distance evaluated exactly once (higher-order functions are
+    CodegenFallback, so a transform referenced twice really would run
+    twice — the r6 ADVICE double-evaluation class)."""
     cids_sql = ",".join(str(c) for c, _ in carr)
     cents_sql = ",".join(
         "array(" + ",".join(str(v) + "L" for v in a) + ")" for _, a in carr
@@ -139,17 +142,13 @@ def _code_points(eq: DataFrame, carr: list[tuple[int, list[int]]]) -> DataFrame:
     return eq.withColumn(
         "dists",
         F.expr(
-            f"transform(array({cents_sql}), "
-            "c -> aggregate(zip_with(eq, c, (p, q) -> (p - q) * (p - q)), "
-            "0L, (s, v) -> s + v))"
+            f"zip_with(array({cents_sql}), array({cids_sql}), (ca, c) -> "
+            "named_struct("
+            "'d', aggregate(zip_with(eq, ca, (p, q) -> (p - q) * (p - q)), "
+            "0L, (s, v) -> s + v), "
+            "'c', c))"
         ),
-    ).withColumn(
-        "cid",
-        F.expr(
-            f"CAST(element_at(array({cids_sql}), "
-            "CAST(array_position(dists, array_min(dists)) AS INT)) AS BIGINT)"
-        ),
-    )
+    ).withColumn("cid", F.expr("CAST(array_min(dists).c AS BIGINT)"))
 
 
 def _lloyd_arrays(
@@ -185,15 +184,10 @@ def _lloyd_arrays(
     asg = d = None
     for _ in range(iters):
         coded = _code_points(eq, carr)
-        cids_sql = ",".join(str(c) for c, _ in carr)
-        d = coded.select(
-            "vec_id", F.posexplode("dists").alias("idx", "dist")
-        ).select(
+        d = coded.select("vec_id", F.explode("dists").alias("s")).select(
             "vec_id",
-            F.expr(
-                f"CAST(element_at(array({cids_sql}), idx + 1) AS BIGINT)"
-            ).alias("cid"),
-            "dist",
+            F.col("s.c").cast("long").alias("cid"),
+            F.col("s.d").alias("dist"),
         )
         asg = coded.select("vec_id", "cid")
         upd = coded.groupBy("cid").agg(

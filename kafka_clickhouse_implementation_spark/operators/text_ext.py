@@ -520,7 +520,8 @@ _NGD_HEAD = 60
 _NGD_ORACLE = f"""
 WITH heads AS (
   SELECT doc_id, substr(text, 1, {_NGD_HEAD}) AS head
-  FROM documents WHERE doc_id < {_NGD_DOCS}
+  FROM documents
+  WHERE doc_id < {_NGD_DOCS} AND length(substr(text, 1, {_NGD_HEAD})) >= {_NGD_N}
 ),
 grams AS (
   SELECT doc_id,
@@ -562,6 +563,12 @@ def q_ngram_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < _NGD_DOCS)
         .select("doc_id", F.substring("text", 1, _NGD_HEAD).alias("head"))
+        # guard degenerate docs: for head shorter than the gram width,
+        # Spark's sequence(0, len-4) would DESCEND (negative step) and
+        # fabricate grams from non-positive substr starts while the
+        # oracle's range() is empty — filter them out on both sides
+        # (the q_substring_dup length-guard convention)
+        .filter(F.length("head") >= _NGD_N)
     )
     grams = heads.select(
         "doc_id",

@@ -106,11 +106,16 @@ def q_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in cids
     )
     cid_arr = "array(" + ", ".join(str(c) for c in cids) + ")"
+    # single-pass argmin: zip_with pairs each centroid's distance with
+    # its cid as a struct and array_min orders (d, c) lexicographically
+    # — min dist, tie → smallest cid — with every distance evaluated
+    # exactly once (HOFs are CodegenFallback: the previous form, which
+    # repeated the transform inside array_position AND array_min, ran
+    # the k·64 distance work twice per row — r6 ADVICE fix)
     code_expr = (
-        f"element_at({cid_arr}, CAST(array_position("
-        f"  transform(array({arrs}), c -> aggregate(zip_with(eq, c, (p, q) -> (p - q) * (p - q)), 0L, (s, v) -> s + v)),"
-        f"  array_min(transform(array({arrs}), c -> aggregate(zip_with(eq, c, (p, q) -> (p - q) * (p - q)), 0L, (s, v) -> s + v)))"
-        f") AS INT))"
+        f"array_min(zip_with(array({arrs}), {cid_arr}, (ca, c) -> "
+        "named_struct('d', aggregate(zip_with(eq, ca, "
+        "(p, q) -> (p - q) * (p - q)), 0L, (s, v) -> s + v), 'c', c))).c"
     )
     wire, base = embedding_wire(spark, sf_dir)
     ckpt = os.path.join(base, "ckpt_ivf_ingest")

@@ -241,3 +241,42 @@ def test_corr_matrix_matches_python(spark, sf_dir):
     for a in names:
         assert got[(a, a)] == pytest.approx(1.0, abs=1e-12)
     assert all(-1.0 <= v <= 1.0 for v in got.values())
+
+
+def test_transcendental_quantization_guard_band(spark, sf_dir, events):
+    """The two queries that floor-quantize AFTER a transcendental
+    (q_exp_decay: floor(exp(·)·1e9); q_geo_distance:
+    floor(haversine·1000)) rely on JVM Math and DuckDB libm agreeing
+    to well under one quantum. ULP-level disagreement (~2e-7 abs at
+    1e9; ~4e-6 at 2e10) only flips a floor when the true value sits
+    essentially ON a boundary — this guard asserts every value in the
+    corpus keeps a wide margin (≥50× the ULP scale) from its nearest
+    integer, so future drift fails HERE with a named value instead of
+    silently flipping a driver hash (r6 ADVICE)."""
+    tmax = max(t for _, _, t, _ in events)
+    worst_exp = 1.0
+    for _, _, tus, _ in events:
+        v = math.exp(-((tmax - tus) / float(_TAU_US))) * 1e9
+        frac = abs(v - round(v))
+        # exp(-0.0) == 1.0 is EXACT on every IEEE libm (the tmax event
+        # itself), and values that decay to ~0 are boundary-safe: only
+        # inexact mid-range values can flip a floor across engines
+        if v > 1e-3 and v != 1e9:
+            worst_exp = min(worst_exp, frac)
+    assert worst_exp > 1e-5, f"exp weight within {worst_exp} of a quantum boundary"
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey").collect()
+    worst_geo = 1.0
+    for r in c:
+        lat1 = ((r.c_custkey * 37) % 17000) / 100.0 - 85.0
+        lon1 = ((r.c_custkey * 73) % 35000) / 100.0 - 175.0
+        lat2 = float((r.c_nationkey * 11) % 170) - 85.0
+        lon2 = float((r.c_nationkey * 29) % 350) - 175.0
+        h = (
+            math.sin(math.radians(lat2 - lat1) / 2.0) ** 2
+            + math.cos(math.radians(lat1))
+            * math.cos(math.radians(lat2))
+            * math.sin(math.radians(lon2 - lon1) / 2.0) ** 2
+        )
+        v = 2.0 * _GEO_R * math.asin(math.sqrt(h)) * 1000.0
+        worst_geo = min(worst_geo, abs(v - round(v)))
+    assert worst_geo > 1e-4, f"geo mm value within {worst_geo} of a quantum boundary"

@@ -93,17 +93,28 @@ def duck_schema_norm(cols: list[str], types: list) -> dict[str, str]:
 
 
 def main() -> int:
+    # flags may appear anywhere; a flag missing its value is an error,
+    # not an IndexError (ADVICE r6)
     argv = sys.argv[1:]
     json_out = None
     skip: set[str] = set()
-    while argv and argv[0] in ("--json", "--skip"):
-        if argv[0] == "--json":
-            json_out = argv[1]
+    positional: list[str] = []
+    i = 0
+    while i < len(argv):
+        if argv[i] in ("--json", "--skip"):
+            if i + 1 >= len(argv):
+                print(f"error: {argv[i]} requires a value", file=sys.stderr)
+                return 2
+            if argv[i] == "--json":
+                json_out = argv[i + 1]
+            else:
+                skip.add(argv[i + 1])
+            i += 2
         else:
-            skip.add(argv[1])
-        argv = argv[2:]
-    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
-    only = set(argv[1:])
+            positional.append(argv[i])
+            i += 1
+    sf_dir = positional[0] if positional else "/root/testdata/sf0.01"
+    only = set(positional[1:])
     results: dict[str, dict] = {}
     # Adversarial-parallelism differential: SPARK_GRAFT_SHUFFLE=<n>
     # reruns the whole surface under a different shuffle partitioning —
