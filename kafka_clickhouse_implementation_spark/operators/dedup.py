@@ -161,7 +161,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_minhash_lsh")  # no-oracle: MinHash is sketch-randomized (seeded, but not SQL-reproducible)
+@query("legacy_minhash_lsh")  # LEGACY rows-only: superseded by the oracle-checked portable twin q_minhash_portable (C24); kept as the Spark-ML reference path
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2 — MinHash+LSH near-dup candidates: shingle → binary feature
     vector → minhash signatures → LSH band-bucket join
@@ -190,7 +190,7 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
 
 
-@query("q_simhash")  # no-oracle: 64-bit simhash bit-twiddling is not reasonably SQL-expressible
+@query("legacy_simhash")  # LEGACY rows-only: superseded by the oracle-checked portable twin q_simhash_portable (C32)
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup fingerprints — 64-bit signature whose Hamming
     distance tracks token-multiset similarity. Deterministic (md5-based

@@ -612,7 +612,9 @@ def q_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B21 — approx_count_distinct (HyperLogLog++): single pass, fixed
     memory, no second shuffle — the scale path for distinct counting.
-    Rows-only check (DuckDB's sketch gives different estimates)."""
+    Rows-only check (DuckDB's sketch gives different estimates); the
+    oracle-checked deterministic twin is q_exact_distinct, and the
+    <=5% error bound vs it is pytest-asserted."""
     ev = load(spark, sf_dir, "events")
     return ev.agg(
         F.approx_count_distinct("user_id", rsd=0.01).alias("n_users_approx"),

@@ -88,7 +88,7 @@ def lsh_bucket_column(n_bits: int = 12, seed: int = 42) -> F.Column:
     return bucket
 
 
-@query("q_ann_lsh")  # no-oracle: LSH candidate sets aren't SQL-reproducible (rows-only check)
+@query("legacy_ann_lsh")  # LEGACY rows-only: superseded by the oracle-checked portable twin q_ann_portable (C60)
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via sign-LSH: bucket every vector (narrow map), keep only the
     probe's bucket, brute-force within. Deterministic (fixed seed).
@@ -338,7 +338,9 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_recall_float(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-evaluation: recall@10 of the sign-LSH candidate path against
     brute-force ground truth over 20 probe vectors — the quality metric
-    you track when tuning n_bits/nprobe at scale. Fully distributed:
+    you track when tuning n_bits/nprobe at scale. Rows-only because the
+    float cosine scores are engine-private; the integer-quantized twin
+    q_ann_recall (C60) is the oracle-checked counterpart. Fully distributed:
     the probe matrix is broadcast, every (probe, corpus) similarity is
     scored in one vectorized mapInPandas pass, top-10s come from one
     window rank; no per-probe driver loop.
@@ -417,7 +419,7 @@ def q_ann_recall_float(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_ann_ivf")  # no-oracle: k-means cell assignment isn't SQL-reproducible (rows-only check)
+@query("legacy_ann_ivf")  # LEGACY rows-only: superseded by the oracle-checked exact-re-rank IVF q_ann_ivf_exact (C112)
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via IVF: k-means coarse quantizer (seeded), assign every
     vector to its nearest centroid cell, probe only the cells nearest

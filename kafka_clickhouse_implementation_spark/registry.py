@@ -24,49 +24,49 @@ _ORACLES: dict[str, str] = {}
 _ORIGIN: dict[str, tuple[str, int]] = {}  # name -> (defining module, registration seq)
 _SEQ = 0
 
-# Round-6 curated correctness window. The driver's harness records the
+# Round-7 curated correctness window. The driver's harness records the
 # FIRST 50 registered queries each round, so this explicit list — not
 # module import order — decides what gets a hard-signal driver row.
 # History: r1 tier_a/tpch slots; r2 reference-parity + LLM tier; r3 the
 # 43 then-never-checked; r4 the never-checked remainder + fixes + 8 new
 # + ts sentinels (after r4 every oracle-backed query had ≥1 green row);
-# r5 all 44 new-that-round queries + 6 r2 picks.
-# Round 6 is the STALE-COHORT rotation the r5 verdict asked for: after
-# r5, 76 queries' most-recent hard driver row dated from r1/r2 (70 of
-# them oracle-backed; the other 6 are rows-only by design and a slot
-# would buy no hash signal). This window spends:
-#   (a) 5 slots on queries whose CODE or ORACLE changed this round
-#       (ADVICE fixes: schema-evolution // division, interval-island
-#       tie order — batch + streaming twin; result-capping:
-#       moving_sum / window_range_frame user slice) — changed queries
+# r5 all 44 new-that-round queries + 6 r2 picks; r6 the r1-stale cohort
+# (38) + ADVICE-changed (5) + 7 r2 picks.
+# Round 7 finishes the staleness rotation the r6 verdict asked for:
+#   (a) 2 slots for queries whose code AND oracle changed this round
+#       (the per-user aggregate-finish result caps) — changed queries
 #       always re-earn a fresh row;
-#   (b) all 38 oracle-backed queries whose latest row is from ROUND 1;
-#   (c) 7 r2-cohort picks (the reference-parity Tier-A five + the two
-#       canonical TPC-H queries).
-# The remaining 25 r2-cohort queries rotate in round 7; until then the
-# committed full-surface sweep artifacts (docs/CORRECTNESS_full_*.json,
-# new this round) are their auditable gate.
+#   (b) all 28 round-6 additions that have never had a driver row
+#       (C98–C125; three of them — semantic_dedup, ngram_distance,
+#       stream_ivf_ingest — also changed this round: the k(n) rule,
+#       the degenerate-doc guard, the single-pass argmin);
+#   (c) the 11 non-TPC-H round-2-stale oracle-backed queries;
+#   (d) 9 of the 14 round-2-stale TPC-H shapes. The remaining 5
+#       (q4/q7/q8/q21/q22 shapes) lead the round-8 window; until then
+#       the committed full-surface sweeps are their auditable gate.
 # Queries not listed here sort after the window, by _MODULE_RANK.
 _WINDOW_50 = [
-    # (a) changed this round (5)
-    "q_schema_evolution", "q_interval_length_sum",
-    "q_stream_interval_length", "q_moving_sum", "q_window_range_frame",
-    # (b) the full round-1-stale oracle-backed cohort (38)
-    "q_agg_suite", "q_argmax_segment", "q_argmin_first_event",
-    "q_array_funcs", "q_case_bucket", "q_cond_agg", "q_corr_cov",
-    "q_cross_join", "q_cte_reuse", "q_cube", "q_date_funcs",
-    "q_distinct_users", "q_exact_distinct", "q_exists_correlated",
-    "q_full_outer", "q_having", "q_in_subquery",
-    "q_join_broadcast_nation", "q_join_orders_customer",
-    "q_left_join_orders", "q_math_funcs", "q_null_funcs", "q_pagination",
-    "q_percentiles", "q_pivot", "q_regex_funcs", "q_revenue_by_nation",
-    "q_rollup_day_type", "q_scalar_subquery", "q_semi_anti", "q_setops",
-    "q_string_funcs", "q_topk_spenders", "q_union_by_name",
-    "q_window_analytics", "q_window_lag", "q_window_rank",
-    "q_window_runsum",
-    # (c) round-2-cohort picks (7)
-    "q_opens_for_campaign", "q_level_totals", "q_summing_reaggregate",
-    "q_enum_encode", "q_default_coalesce", "q_tpch_q3", "q_tpch_q6",
+    # (a) changed result-cap queries (2)
+    "q_moving_sum", "q_window_range_frame",
+    # (b) the 28 never-driver-checked round-6 additions
+    "q_linreg", "q_skew_kurt", "q_mann_whitney", "q_ks_test",
+    "q_avg_weighted", "q_bitmap_ops", "q_roc_auc", "q_corr_matrix",
+    "q_anova", "q_exp_decay", "q_sparkbar", "q_url_funcs",
+    "q_geo_distance", "q_multi_search", "q_kmeans_semantic",
+    "q_semantic_dedup", "q_ann_ivf_exact", "q_pq_quantize",
+    "q_chunk_dedup", "q_substring_dup", "q_curriculum_schedule",
+    "q_jsonl_roundtrip", "q_ngram_distance", "q_lightweight_delete",
+    "q_update_mutation", "q_stream_linreg", "q_stream_chunk_dedup",
+    "q_stream_ivf_ingest",
+    # (c) the non-TPC-H round-2-stale cohort (11)
+    "q_docs_by_lang", "q_fingerprint", "q_lang_id", "q_multimodal_bytes",
+    "q_ngram_jaccard", "q_quality_score", "q_rolling_hash",
+    "q_term_stats", "q_tfidf_top_terms", "q_token_count",
+    "q_token_count_bpe",
+    # (d) 9 round-2-stale TPC-H shapes
+    "q_tpch_q10_shape", "q_tpch_q12_shape", "q_tpch_q13_shape",
+    "q_tpch_q14_shape", "q_tpch_q15_shape", "q_tpch_q16_shape",
+    "q_tpch_q17_shape", "q_tpch_q18_shape", "q_tpch_q19_shape",
 ]
 
 # Canonical module order for queries OUTSIDE the curated window above.

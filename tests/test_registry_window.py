@@ -1,12 +1,12 @@
 """Registry-window guard: the driver's correctness harness records only
-the FIRST 50 registered queries. Round 6 re-curated the window as the
-stale-cohort rotation the r5 verdict asked for: (a) the five queries
-whose code or oracle changed this round (ADVICE fixes + result
-capping), (b) all 38 oracle-backed queries whose most-recent driver row
-dated from round 1, (c) seven round-2-cohort picks (the reference-parity
-Tier-A five + TPC-H Q3/Q6). The window is an explicit name list in
-registry._WINDOW_50; this test pins the exact 50 so any registry change
-that perturbs the driver's view fails loudly.
+the FIRST 50 registered queries. Round 7 finishes the staleness
+rotation the r6 verdict asked for: (a) the two result-cap queries whose
+code and oracle changed this round, (b) all 28 round-6 additions that
+had never earned a driver row (C98–C125), (c) the 11 non-TPC-H
+round-2-stale oracle-backed queries, (d) 9 of the 14 round-2-stale
+TPC-H shapes (the remaining 5 lead round 8). The window is an explicit
+name list in registry._WINDOW_50; this test pins the exact 50 so any
+registry change that perturbs the driver's view fails loudly.
 
 If you intentionally re-curate the window, update registry._WINDOW_50
 AND this pin together, and say so in the commit message."""
@@ -20,25 +20,27 @@ from kafka_clickhouse_implementation_spark.registry import (
 )
 
 WINDOW_50 = [
-    # (a) changed this round (5)
-    "q_schema_evolution", "q_interval_length_sum",
-    "q_stream_interval_length", "q_moving_sum", "q_window_range_frame",
-    # (b) the full round-1-stale oracle-backed cohort (38)
-    "q_agg_suite", "q_argmax_segment", "q_argmin_first_event",
-    "q_array_funcs", "q_case_bucket", "q_cond_agg", "q_corr_cov",
-    "q_cross_join", "q_cte_reuse", "q_cube", "q_date_funcs",
-    "q_distinct_users", "q_exact_distinct", "q_exists_correlated",
-    "q_full_outer", "q_having", "q_in_subquery",
-    "q_join_broadcast_nation", "q_join_orders_customer",
-    "q_left_join_orders", "q_math_funcs", "q_null_funcs", "q_pagination",
-    "q_percentiles", "q_pivot", "q_regex_funcs", "q_revenue_by_nation",
-    "q_rollup_day_type", "q_scalar_subquery", "q_semi_anti", "q_setops",
-    "q_string_funcs", "q_topk_spenders", "q_union_by_name",
-    "q_window_analytics", "q_window_lag", "q_window_rank",
-    "q_window_runsum",
-    # (c) round-2-cohort picks (7)
-    "q_opens_for_campaign", "q_level_totals", "q_summing_reaggregate",
-    "q_enum_encode", "q_default_coalesce", "q_tpch_q3", "q_tpch_q6",
+    # (a) changed result-cap queries (2)
+    "q_moving_sum", "q_window_range_frame",
+    # (b) the 28 never-driver-checked round-6 additions
+    "q_linreg", "q_skew_kurt", "q_mann_whitney", "q_ks_test",
+    "q_avg_weighted", "q_bitmap_ops", "q_roc_auc", "q_corr_matrix",
+    "q_anova", "q_exp_decay", "q_sparkbar", "q_url_funcs",
+    "q_geo_distance", "q_multi_search", "q_kmeans_semantic",
+    "q_semantic_dedup", "q_ann_ivf_exact", "q_pq_quantize",
+    "q_chunk_dedup", "q_substring_dup", "q_curriculum_schedule",
+    "q_jsonl_roundtrip", "q_ngram_distance", "q_lightweight_delete",
+    "q_update_mutation", "q_stream_linreg", "q_stream_chunk_dedup",
+    "q_stream_ivf_ingest",
+    # (c) the non-TPC-H round-2-stale cohort (11)
+    "q_docs_by_lang", "q_fingerprint", "q_lang_id", "q_multimodal_bytes",
+    "q_ngram_jaccard", "q_quality_score", "q_rolling_hash",
+    "q_term_stats", "q_tfidf_top_terms", "q_token_count",
+    "q_token_count_bpe",
+    # (d) 9 round-2-stale TPC-H shapes
+    "q_tpch_q10_shape", "q_tpch_q12_shape", "q_tpch_q13_shape",
+    "q_tpch_q14_shape", "q_tpch_q15_shape", "q_tpch_q16_shape",
+    "q_tpch_q17_shape", "q_tpch_q18_shape", "q_tpch_q19_shape",
 ]
 
 
@@ -56,9 +58,29 @@ def test_window_is_exactly_50_known_names():
 
 
 def test_window_oracle_coverage():
-    """The round-6 window is all-oracle-backed by construction — the six
-    rows-only-by-design stale queries were deliberately excluded (a
-    rows-only row buys no hash signal)."""
+    """The round-7 window is all-oracle-backed by construction — the six
+    rows-only-by-design queries (and the four legacy_-tagged superseded
+    sketches) are deliberately excluded: a rows-only row buys no hash
+    signal."""
     oracles = all_oracles()
     missing = [q for q in WINDOW_50 if q not in oracles]
     assert missing == []
+
+
+def test_legacy_queries_are_tagged_and_out_of_window():
+    """The four superseded rows-only sketches keep their implementations
+    under a legacy_ prefix; each has an oracle-checked portable twin in
+    the registry (C24/C32/C60/C112)."""
+    qs = all_queries()
+    oracles = all_oracles()
+    twins = {
+        "legacy_minhash_lsh": "q_minhash_portable",
+        "legacy_simhash": "q_simhash_portable",
+        "legacy_ann_lsh": "q_ann_portable",
+        "legacy_ann_ivf": "q_ann_ivf_exact",
+    }
+    for legacy, twin in twins.items():
+        assert legacy in qs
+        assert legacy not in oracles
+        assert legacy not in WINDOW_50
+        assert twin in oracles
