@@ -16,6 +16,13 @@ under both state-store providers (HDFS-backed default and RocksDB):
                        — must measure flat).
 - ``user_funnel``    — applyInPandasWithState per-user chain state:
                        state linear in DISTINCT USERS (and only there).
+- ``chunk_first``    — the C123 stateful chunk-dedup twin over a
+                       replicated DOCUMENTS wire: state = one
+                       min(struct(doc_id,pos)) per DISTINCT 12-word
+                       chunk digest. Replication repeats the same
+                       texts, so 4x wire rows must leave state rows
+                       ~flat — the designed linear-in-distinct (not
+                       linear-in-stream) growth, measured.
 
 Per run we record rows/sec (total input rows / total trigger-execution
 seconds) and the final state-operator numRowsTotal / memoryUsedBytes.
@@ -107,6 +114,39 @@ def wire_stream(spark, wire: str) -> DataFrame:
     )
 
 
+def build_doc_wire(spark, sf_dir: str, repl: int) -> str:
+    """documents replicated ``repl``x with offset doc_ids but IDENTICAL
+    texts — so the distinct-chunk set (the dedup state domain) stays
+    constant while the wire row count scales."""
+    wire = os.path.join(BASE, f"docwire_r{repl}")
+    if os.path.exists(os.path.join(wire, "_SUCCESS")):
+        return wire
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    n = d.count()
+    copies = [
+        d.select((F.col("doc_id") + F.lit(i * n)).alias("doc_id"), "text")
+        for i in range(repl)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionAll(c)
+    (
+        out.repartitionByRange(N_WIRE_FILES, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .json(wire)
+    )
+    return wire
+
+
+def doc_wire_stream(spark, wire: str) -> DataFrame:
+    return (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", str(FILES_PER_TRIGGER))
+        .json(wire)
+    )
+
+
 # ---------------------------------------------------------------- workloads
 
 
@@ -162,11 +202,38 @@ def w_user_funnel(spark, ev: DataFrame, run_dir: str):
     return out.writeStream.format("memory").queryName("tp_funnel"), "update"
 
 
+def w_chunk_first(spark, docs: DataFrame, run_dir: str):
+    """The C123 stateful chunk-dedup twin: per distinct 12-word chunk
+    digest, keep min(struct(doc_id, pos)) — state rows == distinct
+    chunks, independent of how many times the stream re-delivers the
+    same text."""
+    from kafka_clickhouse_implementation_spark.operators.corpus_ext import CHUNK_W
+
+    chunk_expr = (
+        f"transform(sequence(0, (size(w) - 1) div {CHUNK_W}), "
+        f"i -> slice(w, i * {CHUNK_W} + 1, {CHUNK_W}))"
+    )
+    chunks = (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .select("doc_id", F.posexplode(F.expr(chunk_expr)).alias("pos", "cw"))
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.md5(F.concat_ws(" ", F.col("cw"))).alias("h"),
+        )
+    )
+    out = chunks.groupBy("h").agg(F.min(F.struct("doc_id", "pos")).alias("f"))
+    return out.writeStream.format("memory").queryName("tp_chunks"), "update"
+
+
+# workload -> (builder, wire kind): the first four replay the events
+# wire; chunk_first replays the replicated documents wire.
 WORKLOADS = {
-    "mv_partials": w_mv_partials,
-    "daily_counts": w_daily_counts,
-    "cms_cells": w_cms_cells,
-    "user_funnel": w_user_funnel,
+    "mv_partials": (w_mv_partials, "events"),
+    "daily_counts": (w_daily_counts, "events"),
+    "cms_cells": (w_cms_cells, "events"),
+    "user_funnel": (w_user_funnel, "events"),
+    "chunk_first": (w_chunk_first, "documents"),
 }
 
 
@@ -180,8 +247,9 @@ def run_one(spark, workload: str, provider: str, wire: str, repl: int) -> dict:
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass", PROVIDERS[provider]
     )
-    ev = wire_stream(spark, wire)
-    writer, mode = WORKLOADS[workload](spark, ev, run_dir)
+    fn, kind = WORKLOADS[workload]
+    ev = (doc_wire_stream if kind == "documents" else wire_stream)(spark, wire)
+    writer, mode = fn(spark, ev, run_dir)
     t0 = time.time()
     q = (
         writer.outputMode(mode)
@@ -230,12 +298,15 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark("stream_throughput")
     os.makedirs(BASE, exist_ok=True)
-    wires = {r: build_wire(spark, sf_dir, r) for r in REPLICATIONS}
+    wires = {
+        "events": {r: build_wire(spark, sf_dir, r) for r in REPLICATIONS},
+        "documents": {r: build_doc_wire(spark, sf_dir, r) for r in REPLICATIONS},
+    }
     results = []
-    for workload in WORKLOADS:
+    for workload, (_, kind) in WORKLOADS.items():
         for provider in PROVIDERS:
             for repl in REPLICATIONS:
-                r = run_one(spark, workload, provider, wires[repl], repl)
+                r = run_one(spark, workload, provider, wires[kind][repl], repl)
                 results.append(r)
                 print(
                     f"{workload:13s} {provider:8s} x{repl}  "
