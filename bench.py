@@ -90,6 +90,9 @@ HEADLINE = [
     "q_pq_quantize",
     "q_chunk_dedup",
     "q_substring_dup",
+    # round 7 addition: the FLAC-subset round trip (sixth compression
+    # paradigm: fixed linear predictors + Rice coding)
+    "q_multimodal_flac",
 ]
 
 
