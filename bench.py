@@ -90,9 +90,11 @@ HEADLINE = [
     "q_pq_quantize",
     "q_chunk_dedup",
     "q_substring_dup",
-    # round 7 addition: the FLAC-subset round trip (sixth compression
-    # paradigm: fixed linear predictors + Rice coding)
+    # round 7 additions: the FLAC-subset round trip (sixth compression
+    # paradigm: fixed linear predictors + Rice coding) and the GIF89a
+    # multi-frame animation round trip
     "q_multimodal_flac",
+    "q_multimodal_gif89a",
 ]
 
 

@@ -300,3 +300,219 @@ def q_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
             "val_sum long, px_fp string"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# C127 — GIF89a ANIMATION (round 7): multi-frame LZW with per-frame
+# Graphic Control Extensions and the NETSCAPE2.0 loop block — the
+# animation machinery real GIFs use, on top of the same real LZW core.
+# --------------------------------------------------------------------------
+
+
+def encode_gif89a(
+    width: int,
+    height: int,
+    palette: list[int],
+    frames: list[tuple[int, list[int]]],
+    loops: int = 0,
+) -> bytes:
+    """GIF89a animation: global palette, NETSCAPE2.0 loop extension,
+    then per frame a Graphic Control Extension (delay in centiseconds,
+    disposal=do-not-dispose, no transparency) + full-frame image
+    descriptor + real LZW data. ``frames`` is [(delay_cs, indices)]."""
+    if not frames:
+        raise ValueError("an animation needs at least one frame")
+    ncol = len(palette) // 3
+    bits = max(2, (ncol - 1).bit_length())
+    full = [0] * (3 * (1 << bits))
+    full[: len(palette)] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack(
+        "<HHBBB", width, height, 0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0
+    )
+    out += bytes(full)
+    # NETSCAPE2.0 application extension: loop count (0 = forever)
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01" + struct.pack("<H", loops) + b"\x00"
+    min_code = max(2, bits)
+    for delay_cs, indices in frames:
+        if len(indices) != width * height:
+            raise ValueError("every frame covers the full logical screen")
+        # GCE: block size 4, packed(disposal=1 keep), delay, no transp
+        out += b"\x21\xf9\x04" + bytes([0x04]) + struct.pack("<H", delay_cs)
+        out += b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        out.append(min_code)
+        data = lzw_encode(indices, min_code)
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def parse_gif89a(payload: bytes) -> dict:
+    """Decode a GIF89a animation: walks every extension (captures GCE
+    delays, skips comment/application blocks by their sub-block
+    structure), LZW-decodes every full-frame image, and returns
+    {width, height, loops, frames: [{delay_cs, values}]} with RGB
+    triples per frame — the multi-frame extension of parse_gif."""
+    if payload[:6] != b"GIF89a":
+        raise ValueError("not a GIF89a (animation needs the 89a signature)")
+    width, height, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    if not packed & 0x80:
+        raise NotImplementedError("GIF without a global color table not supported")
+    ncol = 2 << (packed & 0x07)
+    palette = list(payload[pos : pos + 3 * ncol])
+    pos += 3 * ncol
+    frames: list[dict] = []
+    loops = None
+    pending_delay = 0
+    while True:
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            label = payload[pos]
+            pos += 1
+            if label == 0xF9:  # Graphic Control Extension
+                if payload[pos] != 4:
+                    raise ValueError("GCE block size must be 4")
+                pending_delay = struct.unpack_from("<H", payload, pos + 2)[0]
+                pos += 5
+                if payload[pos] != 0:
+                    raise ValueError("GCE missing terminator")
+                pos += 1
+            else:  # application / comment / plain text: sub-block walk
+                if label == 0xFF and payload[pos] == 11:
+                    app = payload[pos + 1 : pos + 12]
+                    if app == b"NETSCAPE2.0":
+                        loops = struct.unpack_from("<H", payload, pos + 14)[0]
+                while payload[pos]:
+                    pos += payload[pos] + 1
+                pos += 1
+        elif block == 0x2C:
+            left, top, iw, ih, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+            pos += 9
+            if ipacked & 0x80:
+                raise NotImplementedError("local color tables not supported")
+            if ipacked & 0x40:
+                raise NotImplementedError("interlaced frames not supported")
+            if (left, top, iw, ih) != (0, 0, width, height):
+                raise NotImplementedError("sub-rectangle frames not supported")
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos]:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += ln + 1
+            pos += 1
+            indices = lzw_decode(bytes(data), min_code)
+            if len(indices) < width * height:
+                raise ValueError("LZW stream shorter than the frame grid")
+            vals: list[int] = []
+            for idx in indices[: width * height]:
+                vals.extend(palette[3 * idx : 3 * idx + 3])
+            frames.append({"delay_cs": pending_delay, "values": vals})
+            pending_delay = 0
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    if not frames:
+        raise ValueError("trailer before any frame")
+    return {"width": width, "height": height, "loops": loops, "frames": frames}
+
+
+_ANIM_FRAMES = 4
+_ANIM_DELAY = 5  # centiseconds per frame
+
+
+def _anim_indices(doc_id: int, frame: int) -> list[int]:
+    # each frame shifts the phase, so consecutive frames genuinely
+    # differ and every frame's LZW dictionary builds independently
+    return [
+        (doc_id * 7 + frame * 5 + 3 * i) % 16 for i in range(_GIF_W * _GIF_H)
+    ]
+
+
+@query(
+    "q_multimodal_gif89a",
+    # the oracle rebuilds ALL frames' RGB rasters symbolically and
+    # pins the animation geometry: frame count, total delay, loop
+    # count, the RGB sum over every frame, and an md5 over the
+    # delay-tagged concatenation of the per-frame rasters.
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_ANIM_FRAMES} AS INT) AS n_frames,
+           CAST({_ANIM_FRAMES * _ANIM_DELAY} AS INT) AS total_delay_cs,
+           CAST(0 AS INT) AS loops,
+           CAST(list_sum(flatten(list_transform(range(0, {_ANIM_FRAMES}),
+             f -> flatten(list_transform(range(0, {_GIF_W * _GIF_H}),
+                 i -> {_PALETTE_LITERAL}[3 * ((doc_id * 7 + f * 5 + 3 * i) % 16) + 1
+                                         : 3 * ((doc_id * 7 + f * 5 + 3 * i) % 16) + 3])))))
+                AS BIGINT) AS val_sum,
+           md5(array_to_string(flatten(list_transform(range(0, {_ANIM_FRAMES}),
+             f -> list_append(flatten(list_transform(range(0, {_GIF_W * _GIF_H}),
+                 i -> {_PALETTE_LITERAL}[3 * ((doc_id * 7 + f * 5 + 3 * i) % 16) + 1
+                                         : 3 * ((doc_id * 7 + f * 5 + 3 * i) % 16) + 3])),
+               {_ANIM_DELAY}))), ',')) AS anim_fp
+    FROM documents WHERE doc_id < 24
+    """,
+)
+def q_multimodal_gif89a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF89a ANIMATION round trip: each doc synthesizes a 4-frame
+    10x6 animation (phase-shifted index patterns, 5 cs/frame, NETSCAPE
+    infinite loop), encodes it with per-frame Graphic Control
+    Extensions + real LZW, decodes it back walking every extension
+    block, and emits the animation geometry plus checksums over the
+    delay-tagged frame rasters — all of which the DuckDB oracle
+    rebuilds symbolically. Same Arrow-batched mapInPandas plumbing as
+    the still-image codecs; one narrow pass, no shuffle."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 24)
+        .select("doc_id")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = {
+            "doc_id": [], "n_frames": [], "total_delay_cs": [],
+            "loops": [], "val_sum": [], "anim_fp": [],
+        }
+        for pdf in batches:
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                frames = [
+                    (_ANIM_DELAY, _anim_indices(doc_id, f))
+                    for f in range(_ANIM_FRAMES)
+                ]
+                payload = encode_gif89a(_GIF_W, _GIF_H, GIF_PALETTE, frames)
+                dec = parse_gif89a(payload)
+                parts: list[str] = []
+                vs = 0
+                td = 0
+                for fr in dec["frames"]:
+                    vs += sum(fr["values"])
+                    td += fr["delay_cs"]
+                    parts.extend(str(v) for v in fr["values"])
+                    parts.append(str(fr["delay_cs"]))
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(len(dec["frames"]))
+                out["total_delay_cs"].append(td)
+                out["loops"].append(dec["loops"])
+                out["val_sum"].append(vs)
+                out["anim_fp"].append(
+                    hashlib.md5(",".join(parts).encode()).hexdigest()
+                )
+        yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        run,
+        schema=(
+            "doc_id long, n_frames int, total_delay_cs int, loops int, "
+            "val_sum long, anim_fp string"
+        ),
+    )

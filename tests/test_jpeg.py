@@ -372,3 +372,38 @@ def test_jpeg_422_roundtrip():
     assert (dec["width"], dec["height"]) == (16, 8)
     row = rgb(70, 90, 160) * 8 + rgb(180, 90, 160) * 8
     assert dec["values"] == row * 8
+
+
+def test_gif89a_animation_roundtrip_and_extension_walk():
+    """Multi-frame GIF89a: distinct per-frame delays, loop count, and
+    a foreign comment extension that the parser must skip by its
+    sub-block structure."""
+    from kafka_clickhouse_implementation_spark.operators.gif_codec import (
+        GIF_PALETTE,
+        encode_gif89a,
+        parse_gif89a,
+    )
+
+    w, h = 7, 4
+    frames = [
+        (3, [(i + f) % 16 for i in range(w * h)]) for f in range(3)
+    ]
+    frames[1] = (25, frames[1][1])  # one slow frame
+    payload = encode_gif89a(w, h, GIF_PALETTE, frames, loops=7)
+    dec = parse_gif89a(payload)
+    assert dec["loops"] == 7
+    assert [fr["delay_cs"] for fr in dec["frames"]] == [3, 25, 3]
+    for f, fr in enumerate(dec["frames"]):
+        exp = []
+        for idx in frames[f][1]:
+            exp.extend(GIF_PALETTE[3 * idx : 3 * idx + 3])
+        assert fr["values"] == exp
+    # splice a comment extension before the first GCE: still decodes
+    at = payload.index(b"\x21\xf9")
+    spliced = payload[:at] + b"\x21\xfe\x05hello\x00" + payload[at:]
+    assert parse_gif89a(spliced)["frames"][0]["values"] == dec["frames"][0]["values"]
+    # an 87a stream is not an animation
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_gif89a(b"GIF87a" + payload[6:])
