@@ -45,6 +45,9 @@ never all-pairs.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -123,6 +126,46 @@ def _lloyd(spark: SparkSession, sf_dir: str):
     return _lloyd_arrays(spark, eq, K, ITERS)
 
 
+LIT_MAX = 64  # codebook-as-literal ceiling; above it, numpy matmul
+
+
+def _assign_np(eq: DataFrame, carr: list[tuple[int, list[int]]]) -> DataFrame:
+    """(vec_id, eq, cid) via a vectorized numpy assignment — the
+    large-k path (round-7 scale fix #2): with SemDeDup's k(n) rule the
+    per-round assignment work is n·k distances = n²/SEM_BLOCK, and at
+    200k vectors (k=800) the higher-order-function form's per-element
+    overhead made that term dominate (29x wall on 10x data). A dense
+    distance matrix is exactly what BLAS is for: per Arrow batch,
+    dist = x² + c² − 2·X@Cᵀ in float64 — EXACT, because every operand
+    and partial sum is an integer < 2^53 (|eq| ≤ ~2e6 micro-units →
+    x² ≤ 64·4e12 ≈ 2.6e14) — then argmin rows; np.argmin takes the
+    FIRST minimum and carr is sorted ascending by cid, so ties break
+    to the smallest cid ≡ the oracle's two-step. The centroid matrix
+    rides into the closure (k·d ints, model-sized broadcast)."""
+    import numpy as np
+
+    cmat = np.asarray([a for _, a in carr], dtype=np.float64)
+    cids = np.asarray([c for c, _ in carr], dtype=np.int64)
+    c2 = (cmat * cmat).sum(axis=1)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["eq"]])
+            x2 = (x * x).sum(axis=1)
+            dist = x2[:, None] + c2[None, :] - 2.0 * (x @ cmat.T)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "eq": pdf["eq"],
+                    "cid": cids[dist.argmin(axis=1)],
+                }
+            )
+
+    return eq.mapInPandas(run, schema="vec_id long, eq array<bigint>, cid long")
+
+
 def _code_points(eq: DataFrame, carr: list[tuple[int, list[int]]]) -> DataFrame:
     """(vec_id, eq, dists, cid): per-point integer distances to every
     centroid plus the argmin assignment, computed as ONE stateless
@@ -183,12 +226,19 @@ def _lloyd_arrays(
     )
     asg = d = None
     for _ in range(iters):
-        coded = _code_points(eq, carr)
-        d = coded.select("vec_id", F.explode("dists").alias("s")).select(
-            "vec_id",
-            F.col("s.c").cast("long").alias("cid"),
-            F.col("s.d").alias("dist"),
-        )
+        if len(carr) <= LIT_MAX:
+            coded = _code_points(eq, carr)
+            d = coded.select("vec_id", F.explode("dists").alias("s")).select(
+                "vec_id",
+                F.col("s.c").cast("long").alias("cid"),
+                F.col("s.d").alias("dist"),
+            )
+        else:
+            # large-k: vectorized numpy assignment; the all-centroid
+            # distance table is not materialized (only the IVF probe —
+            # which runs at k=K=8, always the literal path — reads d)
+            coded = _assign_np(eq, carr)
+            d = None
         asg = coded.select("vec_id", "cid")
         upd = coded.groupBy("cid").agg(
             F.count(F.lit(1)).alias("n"),

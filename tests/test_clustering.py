@@ -274,3 +274,45 @@ def test_substring_dup_matches_python(spark, sf_dir):
         assert g.dup_ratio == pytest.approx(n_dup / n_pos, rel=1e-12)
         dup_total += n_dup
     assert dup_total > 0  # injected near-dup docs make this non-vacuous
+
+
+def test_large_k_numpy_assignment_matches_literal_semantics(spark, sf_dir, emb):
+    """The k > LIT_MAX assignment path (vectorized numpy matmul in
+    float64 — exact for integer operands < 2^53) must replay the same
+    trajectory as the literal-codebook path / this file's numpy
+    reference. k=100 forces the matmul branch even on the small
+    fixture corpus."""
+    from kafka_clickhouse_implementation_spark.operators.clustering import (
+        _eq_arrays,
+        _lloyd_arrays,
+        LIT_MAX,
+    )
+
+    ids, x = emb
+    k = 100
+    assert k > LIT_MAX
+    eq = _eq_arrays(spark, sf_dir).localCheckpoint()
+    asg, d, cents = _lloyd_arrays(spark, eq, k, 2)
+    assert d is None  # distance table not materialized on the big-k path
+    got = {r.vec_id: r.cid for r in asg.collect()}
+    want_asg, _, want_cents, want_cids = _lloyd_np(ids, x, k=k)
+    # note: _lloyd_np runs ITERS rounds; recompute with 2 rounds inline
+    cents_np = x[ids < k].copy()
+    cids_np = np.arange(k, dtype=np.int64)
+    asg_np = None
+    for _ in range(2):
+        dists = ((x[:, None, :] - cents_np[None, :, :]) ** 2).sum(axis=2)
+        asg_np = cids_np[np.argmin(dists, axis=1)]
+        nc, ni = [], []
+        for c in cids_np:
+            m = asg_np == c
+            if not m.any():
+                continue
+            nc.append(np.floor_divide(x[m].sum(axis=0), int(m.sum())))
+            ni.append(c)
+        cents_np = np.array(nc, dtype=np.int64)
+        cids_np = np.array(ni, dtype=np.int64)
+    for i, vid in enumerate(ids):
+        assert got[int(vid)] == int(asg_np[i])
+    want = {(int(c), int(dim)): int(v) for c, ce in zip(cids_np, cents_np) for dim, v in enumerate(ce)}
+    assert {(c, dim): v for c, dim, v in cents} == want
