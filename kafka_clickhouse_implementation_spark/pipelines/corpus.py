@@ -149,15 +149,67 @@ from kafka_clickhouse_implementation_spark.operators.minhash_portable import (  
 )
 
 
+_CC_ROUNDS = 8  # min-label + pointer-shortcut rounds: diameter <= 2^8
+
+
+def _cc_rounds_sql() -> str:
+    """Unrolled connected components (round-7 rewrite — the original
+    recursive `reach(id, lbl)` CTE enumerates every (node, reachable
+    label) pair, quadratic per component, and stalled DuckDB at the
+    sf1 corpus): _CC_ROUNDS rounds of neighbor-min label propagation
+    each followed by one pointer shortcut (lbl := lbl[lbl]), the
+    label-doubling trick that converges in O(log diameter) rounds.
+    Soundness does NOT rest on the round count being enough: the
+    final CTE re-propagates once more and counts changed labels, and
+    that count is EMITTED as n_unconverged — the engine (which
+    iterates its large-star/small-star rounds to a convergence guard)
+    emits literal 0, so an under-provisioned unroll hash-FAILS loudly
+    instead of silently passing wrong component counts."""
+    # every CTE in the chain is MATERIALIZED: DuckDB inlines
+    # multiply-referenced CTEs by default, and each round references
+    # its predecessor twice — naive inlining re-expands the whole
+    # chain exponentially (observed as "Too many open files" from
+    # 2^k base-table scans)
+    parts = ["nodes AS MATERIALIZED (SELECT DISTINCT a AS id FROM edges)",
+             "l0 AS MATERIALIZED (SELECT id, id AS lbl FROM nodes)"]
+    for i in range(1, _CC_ROUNDS + 1):
+        parts.append(f"""p{i} AS MATERIALIZED (
+      SELECT v.id, least(v.lbl, coalesce(m.mn, v.lbl)) AS lbl
+      FROM l{i - 1} v LEFT JOIN (
+        SELECT e.a AS id, min(l.lbl) AS mn
+        FROM edges e JOIN l{i - 1} l ON l.id = e.b GROUP BY e.a
+      ) m ON m.id = v.id
+    )""")
+        parts.append(f"""l{i} AS MATERIALIZED (
+      SELECT p.id, least(p.lbl, coalesce(q.lbl, p.lbl)) AS lbl
+      FROM p{i} p LEFT JOIN p{i} q ON q.id = p.lbl
+    )""")
+    last = f"l{_CC_ROUNDS}"
+    parts.append(f"""probe AS MATERIALIZED (
+      SELECT v.id, least(v.lbl, coalesce(m.mn, v.lbl)) AS lbl
+      FROM {last} v LEFT JOIN (
+        SELECT e.a AS id, min(l.lbl) AS mn
+        FROM edges e JOIN {last} l ON l.id = e.b GROUP BY e.a
+      ) m ON m.id = v.id
+    )""")
+    parts.append(f"""comp AS MATERIALIZED (SELECT id, lbl FROM {last})""")
+    parts.append(f"""conv AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_unconverged
+      FROM comp c JOIN probe p ON p.id = c.id AND p.lbl <> c.lbl
+    )""")
+    return ",\n    ".join(parts)
+
+
 def _clean_oracle(where: str = "") -> str:
     """The WHOLE composed pipeline replayed in DuckDB: quality gate →
     keep-lowest-id exact dedup → the parametrized portable-MinHash
     pair CTE (identical SQL to q_minhash_portable's oracle) →
-    recursive-CTE connected components → keep-one-per-cluster counts.
-    ``where`` narrows the corpus for the sampled variant — ONE template
-    builds both oracles so they can never diverge."""
+    unrolled label-doubling connected components (convergence-checked
+    via the emitted n_unconverged column) → keep-one-per-cluster
+    counts. ``where`` narrows the corpus for the sampled variant — ONE
+    template builds both oracles so they can never diverge."""
     return f"""
-    WITH RECURSIVE base AS (
+    WITH base AS (
       SELECT doc_id, text, string_split(text, ' ') AS t FROM documents {where}
     ), ok AS (
       SELECT doc_id, text, t FROM base
@@ -167,24 +219,19 @@ def _clean_oracle(where: str = "") -> str:
       SELECT min(doc_id) AS doc_id FROM ok GROUP BY md5(text)
     ), kept AS (
       SELECT o.doc_id, o.t FROM ok o JOIN keep_exact k USING (doc_id)
-    ), {minhash_pairs_cte("kept")}, edges AS (
+    ), {minhash_pairs_cte("kept")}, edges AS MATERIALIZED (
       SELECT doc_a AS a, doc_b AS b FROM pairs
       UNION
       SELECT doc_b, doc_a FROM pairs
-    ), reach(id, lbl) AS (
-      SELECT a, a FROM edges
-      UNION
-      SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id
-    ), comp AS (
-      SELECT id, min(lbl) AS lbl FROM reach GROUP BY id
-    ), losers AS (
+    ), {_cc_rounds_sql()}, losers AS (
       SELECT id FROM comp WHERE id <> lbl
     )
     SELECT (SELECT CAST(count(*) AS BIGINT) FROM base) AS n_raw,
            (SELECT CAST(count(*) AS BIGINT) FROM ok) AS n_after_quality,
            (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_after_exact_dedup,
            (SELECT CAST(count(*) AS BIGINT) FROM kept)
-             - (SELECT CAST(count(*) AS BIGINT) FROM losers) AS n_after_near_dedup
+             - (SELECT CAST(count(*) AS BIGINT) FROM losers) AS n_after_near_dedup,
+           (SELECT n_unconverged FROM conv) AS n_unconverged
     """
 
 
@@ -223,6 +270,12 @@ def _clean_counts(docs: DataFrame) -> DataFrame:
         n_raw.crossJoin(F.broadcast(n_q))
         .crossJoin(F.broadcast(n_e))
         .crossJoin(F.broadcast(n_c))
+        # the engine's connected_components iterates to a convergence
+        # guard, so its unconverged count is 0 by construction; the
+        # oracle COMPUTES this from its unrolled propagation, turning
+        # an under-provisioned unroll into a loud hash FAIL (see
+        # _cc_rounds_sql)
+        .withColumn("n_unconverged", F.lit(0).cast("long"))
     )
 
 
