@@ -94,6 +94,7 @@ HEADLINE = [
     # paradigm: fixed linear predictors + Rice coding) and the GIF89a
     # multi-frame animation round trip
     "q_multimodal_flac",
+    "q_multimodal_flac_stereo",
     "q_multimodal_gif89a",
 ]
 

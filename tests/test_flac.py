@@ -12,7 +12,7 @@ from hypothesis import strategies as st
 
 from kafka_clickhouse_implementation_spark.operators.flac_codec import (
     BLOCK,
-    _best_order,
+    _best_subframe,
     _flac_samples,
     _residuals,
     crc8,
@@ -50,7 +50,8 @@ def test_prediction_compresses_smooth_signals():
     # real compression: under half the raw 16-bit size for ramp+noise
     assert len(payload) < len(samples) * 2 * 0.6
     # and the encoder picked a genuine predictor for the ramp
-    assert _best_order(samples) >= 1
+    kind, _ = _best_subframe(samples, 16)
+    assert kind.startswith(("fixed", "lpc")) and kind not in ("fixed0",)
 
 
 def test_rice_escape_roundtrip():
@@ -88,3 +89,64 @@ def test_invalid_inputs_raise():
         encode_flac([40000] * BLOCK)  # out of 16-bit range
     with pytest.raises(ValueError):
         parse_flac(b"OggS" + b"\x00" * 40)  # wrong container
+
+
+def test_stereo_roundtrip_and_decorrelation_modes():
+    from kafka_clickhouse_implementation_spark.operators.flac_codec import (
+        _CH_INDEP,
+        _CH_LEFT_SIDE,
+        _CH_MID_SIDE,
+        _CH_RIGHT_SIDE,
+        _flac_stereo,
+    )
+
+    for doc_id in (0, 7, 23):
+        left, right = _flac_stereo(doc_id)
+        dec = parse_flac(encode_flac(left, right=right))
+        assert dec["channels"] == 2
+        assert dec["samples"] == left and dec["right"] == right
+        # the correlated channels make a side mode win over independent
+        modes = {m["mode"] for m in dec["frames_meta"]}
+        assert modes <= {_CH_INDEP, _CH_LEFT_SIDE, _CH_RIGHT_SIDE, _CH_MID_SIDE}
+        assert modes & {_CH_LEFT_SIDE, _CH_RIGHT_SIDE, _CH_MID_SIDE}
+
+
+def test_mid_side_reconstruction_negative_odd():
+    # mid = (l+r)>>1 floors and side parity carries the lost bit: the
+    # reconstruction must be exact for negative and odd sums too
+    left = [(-5 + 13 * i) % 700 - 350 for i in range(BLOCK)]
+    right = [(-v if i % 3 else v + 1) for i, v in enumerate(left)]
+    dec = parse_flac(encode_flac(left, right=right))
+    assert dec["samples"] == left and dec["right"] == right
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-32768, max_value=32767),
+        min_size=2 * BLOCK,
+        max_size=2 * BLOCK,
+    )
+)
+def test_stereo_roundtrip_arbitrary(both):
+    left, right = both[:BLOCK], both[BLOCK:]
+    dec = parse_flac(encode_flac(left, right=right))
+    assert dec["samples"] == left and dec["right"] == right
+
+
+def test_lpc_subframe_wins_on_resonant_signal():
+    s = [0, 800]
+    for _ in range(2, BLOCK):
+        s.append(int(1.8 * s[-1] - 0.95 * s[-2]) % 2000 - 1000)
+    kind, _ = _best_subframe(s, 16)
+    assert kind.startswith("lpc"), kind
+    # and the LPC stream round-trips losslessly
+    assert parse_flac(encode_flac(s))["samples"] == s
+
+
+def test_constant_subframe_on_silence():
+    s = [0] * BLOCK + [-7] * BLOCK
+    payload = encode_flac(s)
+    assert parse_flac(payload)["samples"] == s
+    # two constant subframes: the whole stream is near-minimal
+    assert len(payload) < 120
