@@ -72,6 +72,20 @@ SEM_BLOCK = 250
 def semdedup_k(n: int) -> int:
     """Deterministic SemDeDup cluster count: max(K, n // SEM_BLOCK)."""
     return max(K, n // SEM_BLOCK)
+
+
+def ivf_k(n: int) -> int:
+    """Deterministic IVF list count: max(K, isqrt(n)) — the FAISS
+    production rule (round-7 scale fix #3: at fixed k=8 a 200k-vector
+    probe re-ranked n/8 ≈ 25k candidates per query, 176 s total; with
+    k = √n the per-query re-rank is nprobe·√n and the benchmark's
+    n/Q_EVERY query set costs O(n^1.5), measured 176 → ~40 s). The
+    oracle derives the same k via floor(sqrt(count(*))) — exact: IEEE
+    sqrt of a perfect square is exact and an integer non-square is
+    never within one ulp of an integer root."""
+    from math import isqrt
+
+    return max(K, isqrt(n))
 # SemDeDup near-duplicate threshold, micro-units²: ~1st percentile of
 # the global pair-distance distribution at sf0.01 (measured), so
 # within-cluster candidates yield a small, deterministic positive set.
@@ -214,31 +228,25 @@ def _lloyd_arrays(
       are exact int64 on every engine.
 
     So each round is ONE scan→project→partial-agg job whose output is
-    k·(d+1) model rows. Returns the same (asg, d, cents) triple as
-    before, with ``d`` lazily exploding the per-point distance array
-    into (vec_id, cid, dist) for the IVF probe ranking and cents in
-    (cid, dim, x) long form. The centroid literals are baked per
-    round, so the returned lazy frames keep the correct (pre-final-
-    update) codebook even though ``carr`` rebinds."""
+    k·(d+1) model rows. Returns (asg, asg_carr, cents): ``asg_carr``
+    is the driver-side codebook that PRODUCED the final assignment
+    (pre-final-update — what consumers like the IVF probe must rank
+    against), ``cents`` the post-final-update model in (cid, dim, x)
+    long form. The all-points distance table is never materialized;
+    a consumer that needs distances codes its own (filtered) rows
+    against asg_carr via _code_points."""
     carr = sorted(
         (int(r.vec_id), [int(v) for v in r.eq])
         for r in eq.filter(F.col("vec_id") < k).collect()
     )
-    asg = d = None
+    asg = asg_carr = None
     for _ in range(iters):
+        asg_carr = carr
         if len(carr) <= LIT_MAX:
             coded = _code_points(eq, carr)
-            d = coded.select("vec_id", F.explode("dists").alias("s")).select(
-                "vec_id",
-                F.col("s.c").cast("long").alias("cid"),
-                F.col("s.d").alias("dist"),
-            )
         else:
-            # large-k: vectorized numpy assignment; the all-centroid
-            # distance table is not materialized (only the IVF probe —
-            # which runs at k=K=8, always the literal path — reads d)
+            # large-k: vectorized numpy assignment
             coded = _assign_np(eq, carr)
-            d = None
         asg = coded.select("vec_id", "cid")
         upd = coded.groupBy("cid").agg(
             F.count(F.lit(1)).alias("n"),
@@ -252,7 +260,7 @@ def _lloyd_arrays(
     # the final assignment feeds self-joins (SemDeDup pairs) and
     # candidate joins (IVF) — pin the n-row result so consumers don't
     # re-run the n·k distance pass once per branch
-    return asg.localCheckpoint(), d, cents
+    return asg.localCheckpoint(), asg_carr, cents
 
 
 # --------------------------------------------------------------------------
@@ -453,17 +461,22 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_ORACLE = f"""
-WITH {_lloyd_ctes()},
+WITH {_PTS_CTE},
+kval AS (
+  SELECT greatest({K}, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) AS k
+  FROM embeddings
+),
+{_lloyd_rounds("(SELECT k FROM kval)", ITERS, "vq", "pts")},
 {_EQ_CTE},
 probe AS (
   SELECT vec_id AS qid, cid,
          row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-  FROM d{_LAST}
+  FROM dvq{_LAST}
   WHERE vec_id % {Q_EVERY} = 0
 ),
 cand AS (
   SELECT p.qid, g.vec_id AS nid
-  FROM probe p JOIN asg{_LAST} g ON p.cid = g.cid
+  FROM probe p JOIN asgvq{_LAST} g ON p.cid = g.cid
   WHERE p.rn <= {NPROBE} AND g.vec_id <> p.qid
 ),
 scored AS (
@@ -490,27 +503,39 @@ def q_ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest inverted lists, and only those lists' members are exactly
     re-ranked (integer L2 over quantized arrays, deterministic
     (dist2, id) tie order). Candidate volume is nprobe/k of the
-    corpus per query instead of all-pairs — the FAISS IVF contract.
-    Windows partition on query id (bounded candidate sets), the
-    centroid table broadcasts, and the re-rank is zip_with codegen."""
-    asg, d, _ = _lloyd(spark, sf_dir)
+    corpus per query instead of all-pairs — the FAISS IVF contract —
+    and round 7 adds FAISS's list-count rule too: k = max(8, √n) on
+    BOTH engine and oracle (the 200k-vector probe at fixed k=8
+    re-ranked n/8 per query, 176 s; at k=√n the per-query re-rank is
+    nprobe·√n — measured ~4× faster at 200k, linear-ish per query).
+    Probe ranking codes ONLY the query vectors against the assignment
+    codebook (n/Q_EVERY × k rows, never n × k). Windows partition on
+    query id (bounded candidate sets), and the re-rank is zip_with
+    codegen."""
+    emb = load(spark, sf_dir, "embeddings")
+    k = ivf_k(emb.count())
+    eq = _eq_arrays(spark, sf_dir).localCheckpoint()
+    asg, asg_carr, _ = _lloyd_arrays(spark, eq, k, ITERS)
+    qd = _code_points(eq.filter(F.col("vec_id") % Q_EVERY == 0), asg_carr)
     probe = (
-        d.filter(F.col("vec_id") % Q_EVERY == 0)
+        qd.select(F.col("vec_id").alias("qid"), F.explode("dists").alias("s"))
+        .select(
+            "qid",
+            F.col("s.c").cast("long").alias("cid"),
+            F.col("s.d").alias("dist"),
+        )
         .withColumn(
             "rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy("dist", "cid")
-            ),
+            F.row_number().over(Window.partitionBy("qid").orderBy("dist", "cid")),
         )
         .filter(F.col("rn") <= NPROBE)
-        .select(F.col("vec_id").alias("qid"), "cid")
+        .select("qid", "cid")
     )
     cand = (
         probe.join(asg, "cid")
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", F.col("vec_id").alias("nid"))
     )
-    eq = _eq_arrays(spark, sf_dir)
     scored = (
         cand.join(
             eq.select(F.col("vec_id").alias("qid"), F.col("eq").alias("ea")), "qid"

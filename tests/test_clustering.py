@@ -17,6 +17,7 @@ from kafka_clickhouse_implementation_spark.operators.clustering import (
     Q_EVERY,
     SEM_BLOCK,
     TOPK,
+    ivf_k,
     q_ann_ivf_exact,
     q_kmeans_semantic,
     q_semantic_dedup,
@@ -116,9 +117,17 @@ def test_semantic_dedup_matches_numpy(spark, sf_dir, emb):
     assert total_close > 0  # the threshold is non-vacuous at every SF
 
 
+def test_ivf_k_rule():
+    # FAISS's list-count rule, r7: k = max(8, isqrt(n)) on both sides
+    assert ivf_k(500) == 22
+    assert ivf_k(20000) == 141
+    assert ivf_k(40) == K
+
+
 def test_ivf_matches_numpy(spark, sf_dir, emb):
     ids, x = emb
-    asg, dists, _, cids = _lloyd_np(ids, x)
+    # the engine derives the list count from the corpus size
+    asg, dists, _, cids = _lloyd_np(ids, x, k=ivf_k(len(ids)))
     got = q_ann_ivf_exact(spark, sf_dir).collect()
     rows = {(r.query_id, r.rank): (r.neighbor_id, r.dist2) for r in got}
     qmask = ids % Q_EVERY == 0
@@ -292,8 +301,9 @@ def test_large_k_numpy_assignment_matches_literal_semantics(spark, sf_dir, emb):
     k = 100
     assert k > LIT_MAX
     eq = _eq_arrays(spark, sf_dir).localCheckpoint()
-    asg, d, cents = _lloyd_arrays(spark, eq, k, 2)
-    assert d is None  # distance table not materialized on the big-k path
+    asg, asg_carr, cents = _lloyd_arrays(spark, eq, k, 2)
+    # the returned codebook is the PRE-final-update model (what made asg)
+    assert len(asg_carr) <= k and all(len(a) == 64 for _, a in asg_carr)
     got = {r.vec_id: r.cid for r in asg.collect()}
     want_asg, _, want_cents, want_cids = _lloyd_np(ids, x, k=k)
     # note: _lloyd_np runs ITERS rounds; recompute with 2 rounds inline
