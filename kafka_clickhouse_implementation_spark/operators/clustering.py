@@ -414,6 +414,33 @@ FROM pairs GROUP BY cid
 """
 
 
+def _semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cid, va, vb, dist2): every within-cluster pair under the
+    dynamic-k SemDeDup clustering — shared by the cluster-stat query
+    (C111) and the composed document-level clean (C129), so the two
+    can never drift in trajectory or pair semantics."""
+    emb = load(spark, sf_dir, "embeddings")
+    k = semdedup_k(emb.count())
+    eq = _eq_arrays(spark, sf_dir).localCheckpoint()
+    asg, _, _ = _lloyd_arrays(spark, eq, k, ITERS)
+    a = asg.alias("ga").join(
+        eq.select(F.col("vec_id").alias("va"), F.col("eq").alias("ea")),
+        F.col("ga.vec_id") == F.col("va"),
+    )
+    b = asg.alias("gb").join(
+        eq.select(F.col("vec_id").alias("vb"), F.col("eq").alias("eb")),
+        F.col("gb.vec_id") == F.col("vb"),
+    )
+    return a.join(
+        b, (F.col("ga.cid") == F.col("gb.cid")) & (F.col("va") < F.col("vb"))
+    ).select(
+        F.col("ga.cid").alias("cid"),
+        "va",
+        "vb",
+        _dist2_arrays("ea", "eb").alias("dist2"),
+    )
+
+
 @query("q_semantic_dedup", oracle=_SEMDEDUP_ORACLE)
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic near-duplicate detection: pairwise
@@ -435,27 +462,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     term under this rule; beyond ~10M vectors the production form is
     a two-level (coarse → fine) quantizer at n·2√k distances, the
     same oracle machinery applied twice."""
-    emb = load(spark, sf_dir, "embeddings")
-    k = semdedup_k(emb.count())
-    eq = _eq_arrays(spark, sf_dir).localCheckpoint()
-    asg, _, _ = _lloyd_arrays(spark, eq, k, ITERS)
-    a = asg.alias("ga").join(
-        eq.select(F.col("vec_id").alias("va"), F.col("eq").alias("ea")),
-        F.col("ga.vec_id") == F.col("va"),
-    )
-    b = asg.alias("gb").join(
-        eq.select(F.col("vec_id").alias("vb"), F.col("eq").alias("eb")),
-        F.col("gb.vec_id") == F.col("vb"),
-    )
-    pairs = (
-        a.join(b, (F.col("ga.cid") == F.col("gb.cid")) & (F.col("va") < F.col("vb")))
-        .select(
-            F.col("ga.cid").alias("cid"),
-            "va",
-            "vb",
-            _dist2_arrays("ea", "eb").alias("dist2"),
-        )
-    )
+    pairs = _semdedup_pairs(spark, sf_dir)
     return pairs.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum(F.when(F.col("dist2") < DUP_THRESH, 1).otherwise(0))
@@ -471,6 +478,87 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_close",
         "n_drop",
         "min_dist2",
+    )
+
+
+_SEMCLEAN_ORACLE = f"""
+WITH {_PTS_CTE},
+kval AS (
+  SELECT greatest({K}, CAST(count(*) AS BIGINT) // {SEM_BLOCK}) AS k
+  FROM embeddings
+),
+{_lloyd_rounds("(SELECT k FROM kval)", ITERS, "sc", "pts")},
+{_EQ_CTE},
+pairs AS (
+  SELECT ga.vec_id AS va, gb.vec_id AS vb,
+         CAST({_PAIR_DIST} AS BIGINT) AS dist2
+  FROM asgsc{_LAST} ga
+  JOIN asgsc{_LAST} gb ON ga.cid = gb.cid AND ga.vec_id < gb.vec_id
+  JOIN eq a ON a.vec_id = ga.vec_id
+  JOIN eq b ON b.vec_id = gb.vec_id
+),
+drops AS (SELECT DISTINCT vb AS doc_id FROM pairs WHERE dist2 < {DUP_THRESH}),
+d AS (
+  SELECT dd.source,
+         CAST(len(string_split(dd.text, ' ')) AS BIGINT) AS n_words,
+         CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END AS kept
+  FROM documents dd
+  JOIN embeddings e ON e.vec_id = dd.doc_id
+  LEFT JOIN drops dr ON dr.doc_id = dd.doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(1 - kept) AS BIGINT) AS n_dropped,
+       CAST(sum(n_words) AS BIGINT) AS total_words,
+       CAST(sum(kept * n_words) AS BIGINT) AS kept_words
+FROM d GROUP BY source
+"""
+
+
+@query("q_semantic_clean", oracle=_SEMCLEAN_ORACLE)
+def q_semantic_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed DOCUMENT-level SemDeDup clean (C129) — what the
+    embedding-level machinery exists FOR: the keep-lowest-id drop set
+    from the dynamic-k within-cluster pairs (shared _semdedup_pairs,
+    so the trajectory can never drift from C111) is applied to the
+    documents table (inner-joined on doc_id = vec_id — only the
+    embedded subset participates, which is also the realistic shape:
+    you embed what you're willing to semantically dedup), and the
+    result is per-source accounting of docs and whitespace tokens
+    kept vs dropped. Scale shape: the drop set is a distinct
+    16-byte-key frame (bounded by close pairs), the document join is
+    one digest-sized shuffle, and everything upstream is the C111
+    linear-pair machinery."""
+    pairs = _semdedup_pairs(spark, sf_dir)
+    drops = (
+        pairs.filter(F.col("dist2") < DUP_THRESH)
+        .select(F.col("vb").alias("doc_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(1))
+    )
+    emb_ids = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id")
+    )
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.size(F.split("text", " ")).cast("long").alias("n_words"),
+        )
+        .join(emb_ids, "doc_id")
+        .join(drops, "doc_id", "left")
+        .select(
+            "source",
+            "n_words",
+            F.when(F.col("dropped").isNull(), 1).otherwise(0).alias("kept"),
+        )
+    )
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(1 - F.col("kept")).cast("long").alias("n_dropped"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.sum(F.col("kept") * F.col("n_words")).cast("long").alias("kept_words"),
     )
 
 

@@ -326,3 +326,49 @@ def test_large_k_numpy_assignment_matches_literal_semantics(spark, sf_dir, emb):
         assert got[int(vid)] == int(asg_np[i])
     want = {(int(c), int(dim)): int(v) for c, ce in zip(cids_np, cents_np) for dim, v in enumerate(ce)}
     assert {(c, dim): v for c, dim, v in cents} == want
+
+
+def test_semantic_clean_matches_python(spark, sf_dir, emb):
+    """C129 — the composed document-level clean: python recomputes the
+    drop set from the numpy trajectory and the per-source accounting
+    directly from the documents table."""
+    from kafka_clickhouse_implementation_spark.operators.clustering import (
+        q_semantic_clean,
+    )
+
+    ids, x = emb
+    asg, _, _, cids = _lloyd_np(ids, x, k=semdedup_k(len(ids)))
+    drops: set[int] = set()
+    for c in cids:
+        idx = np.where(asg == c)[0]
+        d2 = ((x[idx][:, None, :] - x[idx][None, :, :]) ** 2).sum(axis=2)
+        iu = np.triu_indices(len(idx), 1)
+        for a, b in zip(*iu):
+            if d2[a, b] < DUP_THRESH:
+                drops.add(int(ids[idx[b]]))
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .collect()
+    )
+    emb_ids = set(int(i) for i in ids)
+    agg: dict[str, list[int]] = {}
+    for r in docs:
+        if r.doc_id not in emb_ids:
+            continue
+        nw = len(r.text.split(" "))
+        kept = int(r.doc_id not in drops)
+        a = agg.setdefault(r.source, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += 1 - kept
+        a[2] += nw
+        a[3] += kept * nw
+    got = {r.source: r for r in q_semantic_clean(spark, sf_dir).collect()}
+    assert set(got) == set(agg)
+    total_dropped = 0
+    for src, (n_docs, n_dropped, tw, kw) in agg.items():
+        g = got[src]
+        assert (g.n_docs, g.n_dropped) == (n_docs, n_dropped)
+        assert (g.total_words, g.kept_words) == (tw, kw)
+        total_dropped += n_dropped
+    assert total_dropped > 0  # injected near-dups make this non-vacuous
