@@ -562,6 +562,86 @@ def q_semantic_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROTO_ORACLE = f"""
+WITH {_PTS_CTE},
+kval AS (
+  SELECT greatest({K}, CAST(count(*) AS BIGINT) // {SEM_BLOCK}) AS k
+  FROM embeddings
+),
+{_lloyd_rounds("(SELECT k FROM kval)", ITERS, "pr", "pts")},
+own AS (
+  SELECT a.vec_id, a.cid, m.md AS dist
+  FROM asgpr{_LAST} a JOIN mdpr{_LAST} m ON m.vec_id = a.vec_id
+),
+ranked AS (
+  SELECT cid, vec_id, dist,
+         row_number() OVER (PARTITION BY cid ORDER BY dist, vec_id) AS rn
+  FROM own
+),
+stats AS (
+  SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+         CAST(sum(dist) AS BIGINT) AS inertia
+  FROM own GROUP BY cid
+)
+SELECT r.cid AS cluster_id, s.n_members, s.inertia,
+       r.vec_id AS medoid_id, r.dist AS medoid_dist
+FROM ranked r JOIN stats s ON s.cid = r.cid
+WHERE r.rn = 1
+"""
+
+
+@query("q_cluster_prototypes", oracle=_PROTO_ORACLE)
+def q_cluster_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster prototypes / coreset selection (C130 — the
+    prototype-based data-pruning sibling of SemDeDup: Sorscher et al.
+    2022's SSL-prototypes keep examples by distance to their cluster
+    prototype): under the SAME dynamic-k clustering as C111/C129,
+    emit per cluster its medoid (the member closest to the centroid,
+    ties to the lowest vec_id — min(struct(dist, vec_id)) ≡ the
+    oracle's (dist, vec_id) row_number), the member count, and the
+    EXACT integer inertia (Σ own-centroid squared distances — the
+    k-means objective value, certified end-to-end). The per-point
+    own-centroid distance is array_min(dists).d from the same coding
+    projection as assignment — zero extra distance work; one k-row
+    aggregation finishes it. Prototype tables are the 100 TB corpus-
+    pruning story: model-sized output from one linear pass."""
+    emb = load(spark, sf_dir, "embeddings")
+    k = semdedup_k(emb.count())
+    eq = _eq_arrays(spark, sf_dir).localCheckpoint()
+    _, asg_carr, _ = _lloyd_arrays(spark, eq, k, ITERS)
+    if len(asg_carr) <= LIT_MAX:
+        own = _code_points(eq, asg_carr).select(
+            "vec_id", "cid", F.expr("array_min(dists).d").alias("dist")
+        )
+    else:
+        # large-k: numpy assignment emits the argmin cid; recompute the
+        # own-centroid distance with one zip_with against the single
+        # assigned centroid (k-row broadcast join — never n·k)
+        cdf = spark.createDataFrame(
+            [(c, a) for c, a in asg_carr], schema="cid LONG, ca ARRAY<LONG>"
+        )
+        own = (
+            _assign_np(eq, asg_carr)
+            .join(F.broadcast(cdf), "cid")
+            .select("vec_id", "cid", _dist2_arrays("eq", "ca").alias("dist"))
+        )
+    return (
+        own.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("dist").cast("long").alias("inertia"),
+            F.min(F.struct("dist", "vec_id")).alias("m"),
+        )
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_members",
+            "inertia",
+            F.col("m.vec_id").alias("medoid_id"),
+            F.col("m.dist").alias("medoid_dist"),
+        )
+    )
+
+
 _IVF_ORACLE = f"""
 WITH {_PTS_CTE},
 kval AS (

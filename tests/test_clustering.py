@@ -372,3 +372,24 @@ def test_semantic_clean_matches_python(spark, sf_dir, emb):
         assert (g.total_words, g.kept_words) == (tw, kw)
         total_dropped += n_dropped
     assert total_dropped > 0  # injected near-dups make this non-vacuous
+
+
+def test_cluster_prototypes_matches_numpy(spark, sf_dir, emb):
+    """C130 — medoid, member count, and exact integer inertia per
+    cluster, recomputed from the numpy trajectory."""
+    from kafka_clickhouse_implementation_spark.operators.clustering import (
+        q_cluster_prototypes,
+    )
+
+    ids, x = emb
+    asg, dists, _, cids = _lloyd_np(ids, x, k=semdedup_k(len(ids)))
+    own = dists.min(axis=1)
+    got = {r.cluster_id: r for r in q_cluster_prototypes(spark, sf_dir).collect()}
+    assert set(got) == set(int(c) for c in cids)
+    for c in cids:
+        m = asg == c
+        g = got[int(c)]
+        assert g.n_members == int(m.sum())
+        assert g.inertia == int(own[m].sum())
+        pairs = sorted((int(own[i]), int(ids[i])) for i in np.where(m)[0])
+        assert (g.medoid_dist, g.medoid_id) == pairs[0]
