@@ -277,7 +277,7 @@ def _lloyd_arrays(
 # --------------------------------------------------------------------------
 
 
-_PTS_CTE = f"""pts AS (
+_PTS_CTE = f"""pts AS MATERIALIZED (
   SELECT vec_id,
          CAST(unnest(range({DIM})) AS INTEGER) AS dim,
          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS x
@@ -292,24 +292,24 @@ def _lloyd_rounds(k: int | str, iters: int, sfx: str, pts: str) -> str:
     int literal or a SQL scalar-subquery string (the SemDeDup dynamic
     k(n) rule) — it only appears in the seed filter."""
     parts = [
-        f"""cent{sfx}0 AS (
+        f"""cent{sfx}0 AS MATERIALIZED (
   SELECT vec_id AS cid, dim, x FROM {pts} WHERE vec_id < {k}
 )"""
     ]
     for i in range(iters):
         parts.append(
-            f"""d{sfx}{i} AS (
+            f"""d{sfx}{i} AS MATERIALIZED (
   SELECT p.vec_id, c.cid, CAST(sum((p.x - c.x) * (p.x - c.x)) AS BIGINT) AS dist
   FROM {pts} p JOIN cent{sfx}{i} c ON p.dim = c.dim
   GROUP BY p.vec_id, c.cid
 ),
-md{sfx}{i} AS (SELECT vec_id, min(dist) AS md FROM d{sfx}{i} GROUP BY vec_id),
-asg{sfx}{i} AS (
+md{sfx}{i} AS MATERIALIZED (SELECT vec_id, min(dist) AS md FROM d{sfx}{i} GROUP BY vec_id),
+asg{sfx}{i} AS MATERIALIZED (
   SELECT d.vec_id, min(d.cid) AS cid
   FROM d{sfx}{i} d JOIN md{sfx}{i} m ON d.vec_id = m.vec_id AND d.dist = m.md
   GROUP BY d.vec_id
 ),
-cent{sfx}{i + 1} AS (
+cent{sfx}{i + 1} AS MATERIALIZED (
   SELECT s.cid, s.dim, (s.sx - (((s.sx % s.n) + s.n) % s.n)) // s.n AS x
   FROM (SELECT g.cid, p.dim, CAST(sum(p.x) AS BIGINT) AS sx,
                CAST(count(*) AS BIGINT) AS n
@@ -374,7 +374,7 @@ def q_kmeans_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EQ_CTE = """eq AS (
+_EQ_CTE = """eq AS MATERIALIZED (
   SELECT vec_id,
          list_transform(embedding,
                         x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT))
@@ -734,6 +734,180 @@ def q_ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rk").cast("long").alias("rank"),
         F.col("nid").alias("neighbor_id"),
         "dist2",
+    )
+
+
+# --------------------------------------------------------------------------
+# C131 — two-level (coarse → fine) quantizer: the documented next rung
+# --------------------------------------------------------------------------
+
+ITERS2 = 2  # fine-level Lloyd rounds
+# level sizes: k1·k2 ≈ semdedup_k(n) total cells at n·(k1+k2) ≈ n·2√k
+# assignment distances — the hierarchical form that replaces the flat
+# n·k term beyond ~10M vectors (SCALE.md; FAISS IVF_HNSW lineage).
+
+
+def twolevel_k(n: int) -> tuple[int, int]:
+    from math import isqrt
+
+    k = semdedup_k(n)
+    k1 = max(4, isqrt(k))
+    return k1, max(2, k // k1)
+
+
+def _fine_rounds(iters: int) -> str:
+    """Unrolled joint fine-level Lloyd over (cell, fid) keys — every
+    coarse cell trains its own k2-centroid model in the SAME chain
+    (the PQ grouped trick at the oracle level): seeds are the k2
+    lowest vec_ids per cell, distances join on (cell, dim), argmin
+    ties prefer the lower fid, updates use the portable floor
+    division. base2 = pts + each point's coarse cell."""
+    parts = [
+        """seedr AS MATERIALIZED (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+  FROM (SELECT DISTINCT vec_id, cell FROM base2)
+)""",
+        """centf0 AS MATERIALIZED (
+  SELECT s.cell, s.rn - 1 AS fid, b.dim, b.x
+  FROM seedr s JOIN base2 b ON b.vec_id = s.vec_id
+  WHERE s.rn <= (SELECT k2 FROM kv2)
+)""",
+    ]
+    for i in range(iters):
+        parts.append(f"""df{i} AS MATERIALIZED (
+  SELECT b.vec_id, b.cell, c.fid,
+         CAST(sum((b.x - c.x) * (b.x - c.x)) AS BIGINT) AS dist
+  FROM base2 b JOIN centf{i} c ON c.cell = b.cell AND c.dim = b.dim
+  GROUP BY b.vec_id, b.cell, c.fid
+),
+mdf{i} AS MATERIALIZED (SELECT vec_id, min(dist) AS md FROM df{i} GROUP BY vec_id),
+asgf{i} AS MATERIALIZED (
+  SELECT d.vec_id, d.cell, min(d.fid) AS fid
+  FROM df{i} d JOIN mdf{i} m ON d.vec_id = m.vec_id AND d.dist = m.md
+  GROUP BY d.vec_id, d.cell
+),
+centf{i + 1} AS MATERIALIZED (
+  SELECT s.cell, s.fid, s.dim,
+         (s.sx - (((s.sx % s.n) + s.n) % s.n)) // s.n AS x
+  FROM (SELECT g.cell, g.fid, b.dim, CAST(sum(b.x) AS BIGINT) AS sx,
+               CAST(count(*) AS BIGINT) AS n
+        FROM base2 b JOIN asgf{i} g ON b.vec_id = g.vec_id
+        GROUP BY g.cell, g.fid, b.dim) s
+)""")
+    return ",\n".join(parts)
+
+
+_TWOLEVEL_ORACLE = f"""
+WITH {_PTS_CTE},
+kval AS (
+  SELECT greatest({K}, CAST(count(*) AS BIGINT) // {SEM_BLOCK}) AS k
+  FROM embeddings
+),
+kv1 AS (
+  SELECT greatest(4, CAST(floor(sqrt(CAST(k AS DOUBLE))) AS BIGINT)) AS k1
+  FROM kval
+),
+kv2 AS (
+  SELECT greatest(2, (SELECT k FROM kval) // (SELECT k1 FROM kv1)) AS k2
+),
+{_lloyd_rounds("(SELECT k1 FROM kv1)", ITERS, "cg", "pts")},
+base2 AS MATERIALIZED (
+  SELECT p.vec_id, p.dim, p.x, a.cid AS cell
+  FROM pts p JOIN asgcg{_LAST} a ON a.vec_id = p.vec_id
+),
+{_fine_rounds(ITERS2)},
+m AS (
+  SELECT cell, fid, CAST(count(*) AS BIGINT) AS n_members,
+         min(vec_id) AS min_vec_id,
+         CAST(sum(vec_id) AS BIGINT) AS sum_vec_ids
+  FROM asgf{ITERS2 - 1} GROUP BY cell, fid
+),
+l AS (
+  SELECT cell, fid, CAST(sum(abs(x)) AS BIGINT) AS centroid_l1
+  FROM centf{ITERS2} GROUP BY cell, fid
+)
+SELECT m.cell, m.fid, m.n_members, m.min_vec_id, m.sum_vec_ids, l.centroid_l1
+FROM m JOIN l ON l.cell = m.cell AND l.fid = m.fid
+"""
+
+
+@query("q_twolevel_kmeans", oracle=_TWOLEVEL_ORACLE)
+def q_twolevel_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level (coarse → fine) quantizer (C131) — the hierarchical
+    form SCALE.md names as the next rung past the flat n·k assignment:
+    a coarse Lloyd over k1 = max(4, √k) cells, then a JOINT fine Lloyd
+    (k2 = max(2, k//k1) sub-centroids per cell, seeds = each cell's
+    k2 lowest vec_ids) where one Spark job per round trains EVERY
+    cell's model — distances join on the cell key against the
+    broadcast (cell, fid) centroid table (n·k2 rows, never n·k), the
+    PQ grouped-training trick applied hierarchically. Total
+    assignment work is n·(k1 + k2) ≈ n·2√k. Reported per (cell, fid):
+    population, membership checksums, and the fine centroid L1 — the
+    q_kmeans_semantic contract at two levels, with the oracle
+    replaying BOTH trajectories (coarse chain + joint fine chain with
+    row_number seeding and compound-key floor-division updates)."""
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k1, k2 = twolevel_k(n)
+    eq = _eq_arrays(spark, sf_dir).localCheckpoint()
+    asg1, _, _ = _lloyd_arrays(spark, eq, k1, ITERS)
+    eqc = eq.join(asg1.select("vec_id", F.col("cid").alias("cell")), "vec_id")
+    # fine seeds: the k2 lowest vec_ids per cell
+    seed = (
+        eqc.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("cell").orderBy("vec_id")),
+        )
+        .filter(F.col("rn") <= k2)
+        .select("cell", (F.col("rn") - 1).alias("fid"), "eq")
+    )
+    cents = [
+        (int(r.cell), int(r.fid), [int(v) for v in r.eq]) for r in seed.collect()
+    ]
+    asgf = None
+    for _ in range(ITERS2):
+        cdf = spark.createDataFrame(
+            cents, schema="cell LONG, fid LONG, ca ARRAY<LONG>"
+        )
+        d = eqc.join(F.broadcast(cdf), "cell").select(
+            "vec_id", "cell", "fid", _dist2_arrays("eq", "ca").alias("dist")
+        )
+        asgf = (
+            d.groupBy("vec_id", "cell")
+            .agg(F.min(F.struct("dist", "fid")).alias("m"))
+            .select("vec_id", "cell", F.col("m.fid").alias("fid"))
+        )
+        upd = (
+            eqc.join(asgf, ["vec_id", "cell"])
+            .groupBy("cell", "fid")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(F.col("eq")[i]).alias(f"s{i}") for i in range(DIM)],
+            )
+        )
+        cents = [
+            (
+                int(r.cell),
+                int(r.fid),
+                [int(r[f"s{i}"]) // int(r.n) for i in range(DIM)],
+            )
+            for r in upd.collect()
+        ]
+    m = asgf.groupBy("cell", "fid").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("vec_id").alias("min_vec_id"),
+        F.sum("vec_id").cast("long").alias("sum_vec_ids"),
+    )
+    l1 = spark.createDataFrame(
+        [
+            (cell, fid, sum(abs(v) for v in arr))
+            for cell, fid, arr in cents
+        ],
+        schema="cell LONG, fid LONG, centroid_l1 LONG",
+    )
+    return m.join(l1, ["cell", "fid"]).select(
+        "cell", "fid", "n_members", "min_vec_id", "sum_vec_ids", "centroid_l1"
     )
 
 

@@ -393,3 +393,61 @@ def test_cluster_prototypes_matches_numpy(spark, sf_dir, emb):
         assert g.inertia == int(own[m].sum())
         pairs = sorted((int(own[i]), int(ids[i])) for i in np.where(m)[0])
         assert (g.medoid_dist, g.medoid_id) == pairs[0]
+
+
+def test_twolevel_kmeans_matches_numpy(spark, sf_dir, emb):
+    """C131 — the two-level quantizer's full trajectory (coarse Lloyd,
+    per-cell row_number seeding, joint fine rounds) re-derived in
+    numpy."""
+    from kafka_clickhouse_implementation_spark.operators.clustering import (
+        ITERS2,
+        q_twolevel_kmeans,
+        twolevel_k,
+    )
+
+    ids, x = emb
+    k1, k2 = twolevel_k(len(ids))
+    coarse_asg, _, _, _ = _lloyd_np(ids, x, k=k1)
+    # fine: joint per-cell Lloyd, seeds = k2 lowest vec_ids per cell
+    cents: dict[tuple[int, int], np.ndarray] = {}
+    for cell in set(int(c) for c in coarse_asg):
+        members = sorted(int(ids[i]) for i in np.where(coarse_asg == cell)[0])
+        for fid, vid in enumerate(members[:k2]):
+            cents[(cell, fid)] = x[np.searchsorted(ids, vid)].copy()
+    idx_of = {int(v): i for i, v in enumerate(ids)}
+    asgf: dict[int, tuple[int, int]] = {}
+    for _ in range(ITERS2):
+        asgf = {}
+        for i, vid in enumerate(ids):
+            cell = int(coarse_asg[i])
+            best = None
+            for (c, fid), ce in cents.items():
+                if c != cell:
+                    continue
+                d = int(((x[i] - ce) ** 2).sum())
+                kkey = (d, fid)
+                if best is None or kkey < best[0]:
+                    best = (kkey, fid)
+            asgf[int(vid)] = (cell, best[1])
+        new_cents = {}
+        groups: dict[tuple[int, int], list[int]] = {}
+        for vid, cf in asgf.items():
+            groups.setdefault(cf, []).append(vid)
+        for cf, vids in groups.items():
+            xs = x[[idx_of[v] for v in vids]]
+            new_cents[cf] = np.floor_divide(xs.sum(axis=0), len(vids))
+        cents = new_cents
+    got = {(r.cell, r.fid): r for r in q_twolevel_kmeans(spark, sf_dir).collect()}
+    groups = {}
+    for vid, cf in asgf.items():
+        groups.setdefault(cf, []).append(vid)
+    assert set(got) == set(groups)
+    for cf, vids in groups.items():
+        g = got[cf]
+        assert g.n_members == len(vids)
+        assert g.min_vec_id == min(vids)
+        assert g.sum_vec_ids == sum(vids)
+        assert g.centroid_l1 == int(np.abs(cents[cf]).sum())
+    # two genuine levels: more than one cell, more than one fine id
+    assert len({c for c, _ in groups}) > 1
+    assert len({f for _, f in groups}) > 1
