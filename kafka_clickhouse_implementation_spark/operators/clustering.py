@@ -189,6 +189,47 @@ def _assign_np(eq: DataFrame, carr: list[tuple[int, list[int]]]) -> DataFrame:
     return eq.mapInPandas(run, schema="vec_id long, eq array<bigint>, cid long")
 
 
+def _assign_np_grouped(
+    eqc: DataFrame, cents: list[tuple[int, int, list[int]]]
+) -> DataFrame:
+    """(vec_id, cell, fid) — the fine-level analogue of _assign_np:
+    per Arrow batch, rows group by their coarse cell and each group's
+    distances to ITS OWN cell's fine centroids run as one float64
+    matmul (exact below 2^53; argmin-first tie ≡ lowest fid since
+    fids sort ascending). The whole two-level model (k1·k2·d ints)
+    rides the closure — model-sized, like every codebook here."""
+    import numpy as np
+
+    by_cell: dict[int, list[tuple[int, list[int]]]] = {}
+    for cell, fid, arr in cents:
+        by_cell.setdefault(int(cell), []).append((int(fid), arr))
+    mats = {}
+    for cell, lst in by_cell.items():
+        lst.sort()
+        fids = np.asarray([f for f, _ in lst], dtype=np.int64)
+        cmat = np.asarray([a for _, a in lst], dtype=np.float64)
+        mats[cell] = (fids, cmat, (cmat * cmat).sum(axis=1))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {"vec_id": [], "cell": [], "fid": []}
+            for cell, part in pdf.groupby("cell"):
+                fids, cmat, c2 = mats[int(cell)]
+                x = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in part["eq"]]
+                )
+                x2 = (x * x).sum(axis=1)
+                dist = x2[:, None] + c2[None, :] - 2.0 * (x @ cmat.T)
+                out["vec_id"].extend(int(v) for v in part["vec_id"])
+                out["cell"].extend([int(cell)] * len(part))
+                out["fid"].extend(int(f) for f in fids[dist.argmin(axis=1)])
+            yield pd.DataFrame(out)
+
+    return eqc.mapInPandas(run, schema="vec_id long, cell long, fid long")
+
+
 def _code_points(eq: DataFrame, carr: list[tuple[int, list[int]]]) -> DataFrame:
     """(vec_id, eq, dists, cid): per-point integer distances to every
     centroid plus the argmin assignment, computed as ONE stateless
@@ -218,7 +259,12 @@ def _code_points(eq: DataFrame, carr: list[tuple[int, list[int]]]) -> DataFrame:
 
 
 def _lloyd_arrays(
-    spark: SparkSession, eq: DataFrame, k: int, iters: int, dim: int = DIM
+    spark: SparkSession,
+    eq: DataFrame,
+    k: int,
+    iters: int,
+    dim: int = DIM,
+    force_np: bool = False,
 ):
     """Fixed-seed integer Lloyd entirely in the array domain (round-7
     rewrite — the round-6 long-format version shuffled an n·d·k
@@ -251,10 +297,10 @@ def _lloyd_arrays(
     asg = asg_carr = None
     for _ in range(iters):
         asg_carr = carr
-        if len(carr) <= LIT_MAX:
+        if len(carr) <= LIT_MAX and not force_np:
             coded = _code_points(eq, carr)
         else:
-            # large-k: vectorized numpy assignment
+            # large-k (or caller-hinted large n·k): numpy assignment
             coded = _assign_np(eq, carr)
         asg = coded.select("vec_id", "cid")
         upd = coded.groupBy("cid").agg(
@@ -851,7 +897,11 @@ def q_twolevel_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = emb.count()
     k1, k2 = twolevel_k(n)
     eq = _eq_arrays(spark, sf_dir).localCheckpoint()
-    asg1, _, _ = _lloyd_arrays(spark, eq, k1, ITERS)
+    # route assignment through the numpy matmul once n·k makes the
+    # per-element HOF overhead dominate (the 1M probe measured 318 s
+    # on the zip_with paths vs ~90 s with both levels on BLAS)
+    big = n * max(k1, k2) > 2_000_000
+    asg1, _, _ = _lloyd_arrays(spark, eq, k1, ITERS, force_np=big)
     eqc = eq.join(asg1.select("vec_id", F.col("cid").alias("cell")), "vec_id")
     # fine seeds: the k2 lowest vec_ids per cell
     seed = (
@@ -867,17 +917,20 @@ def q_twolevel_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     asgf = None
     for _ in range(ITERS2):
-        cdf = spark.createDataFrame(
-            cents, schema="cell LONG, fid LONG, ca ARRAY<LONG>"
-        )
-        d = eqc.join(F.broadcast(cdf), "cell").select(
-            "vec_id", "cell", "fid", _dist2_arrays("eq", "ca").alias("dist")
-        )
-        asgf = (
-            d.groupBy("vec_id", "cell")
-            .agg(F.min(F.struct("dist", "fid")).alias("m"))
-            .select("vec_id", "cell", F.col("m.fid").alias("fid"))
-        )
+        if big:
+            asgf = _assign_np_grouped(eqc, cents)
+        else:
+            cdf = spark.createDataFrame(
+                cents, schema="cell LONG, fid LONG, ca ARRAY<LONG>"
+            )
+            d = eqc.join(F.broadcast(cdf), "cell").select(
+                "vec_id", "cell", "fid", _dist2_arrays("eq", "ca").alias("dist")
+            )
+            asgf = (
+                d.groupBy("vec_id", "cell")
+                .agg(F.min(F.struct("dist", "fid")).alias("m"))
+                .select("vec_id", "cell", F.col("m.fid").alias("fid"))
+            )
         upd = (
             eqc.join(asgf, ["vec_id", "cell"])
             .groupBy("cell", "fid")

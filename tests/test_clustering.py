@@ -451,3 +451,37 @@ def test_twolevel_kmeans_matches_numpy(spark, sf_dir, emb):
     # two genuine levels: more than one cell, more than one fine id
     assert len({c for c, _ in groups}) > 1
     assert len({f for _, f in groups}) > 1
+
+
+def test_grouped_numpy_assignment_matches_python(spark, sf_dir, emb):
+    """The fine-level grouped matmul path (engaged only above the
+    n·k routing threshold, i.e. at probe scale) must agree with a
+    plain-python per-cell argmin on arbitrary cells and centroids."""
+    from kafka_clickhouse_implementation_spark.operators.clustering import (
+        _assign_np_grouped,
+        _eq_arrays,
+    )
+    from pyspark.sql import functions as SF
+
+    ids, x = emb
+    eq = _eq_arrays(spark, sf_dir)
+    eqc = eq.withColumn("cell", SF.col("vec_id") % 3)
+    cents = []
+    for cell in range(3):
+        members = [int(v) for v in ids if v % 3 == cell]
+        for fid, vid in enumerate(sorted(members)[:4]):
+            cents.append((cell, fid, [int(v) for v in x[vid]]))
+    got = {
+        r.vec_id: (r.cell, r.fid)
+        for r in _assign_np_grouped(eqc, cents).collect()
+    }
+    by_cell: dict[int, list[tuple[int, int]]] = {}
+    for cell, fid, arr in cents:
+        by_cell.setdefault(cell, []).append((fid, arr))
+    for i, vid in enumerate(ids):
+        cell = int(vid) % 3
+        best = min(
+            (int(((x[i] - np.asarray(arr)) ** 2).sum()), fid)
+            for fid, arr in by_cell[cell]
+        )
+        assert got[int(vid)] == (cell, best[1]), vid
