@@ -1,0 +1,174 @@
+"""Portable transcendental kernels: exp/sin/cos/asin as LITERAL-
+coefficient polynomials over IEEE primitives (+ - * / sqrt floor CASE),
+emitted as SQL text that parses and evaluates BIT-IDENTICALLY in Spark
+and DuckDB.
+
+Why: libm exp/sin/asin are not correctly rounded, and they differ
+between java.lang.Math and DuckDB's libm. The repo's original recipe
+(quantize AFTER the transcendental, guard-band-test the margins) is
+only as safe as the data: round 8's tools/guard_band.py found an
+exp-decay value 4.2e-7 from its floor boundary at sf0.1 and geo
+margins of 3.8e-6 at sf1 — inside the observed cross-libm disagreement
+scale. These kernels remove the risk CLASS: both engines execute the
+exact same finite sequence of correctly-rounded IEEE ops, so the
+doubles (and every downstream floor) are equal BY CONSTRUCTION, with
+no dependence on data margins.
+
+Numerical design (truncation is consistency-irrelevant — both engines
+share it — but kept ≤1e-15 relative so pytest can pin the kernels
+against stdlib math at 1e-11):
+- pexp_neg:  exp(-x), x>=0: n=floor(x), f=x-n; exp(-n) from a 45-entry
+  literal table (beyond n=45, 1e9*exp(-45) floors to 0), exp(-f) as the
+  18-term alternating Taylor Horner.
+- psin/pcos: |x| <= pi: Taylor in x^2, 16 terms (remainder ~ pi^33/33!
+  ≈ 3e-21).
+- pasin:     z in [0,1]: z*A(z^2) for z<=0.7 (61-term Gauss series,
+  remainder ~1e-22 at 0.49); else pi/2 - 2*u*A(u^2), u=sqrt((1-z)/2)
+  <= 0.39 — the classic half-angle reduction that keeps the series in
+  its fast-convergence region. The 0.7 branch compare is on identical
+  doubles, so branch choice is engine-invariant.
+
+Callers bind each polynomial argument to a NAMED COLUMN first (CTE
+stage / selectExpr stage) — the Horner text references the column ~60
+times, which is free for a column but would explode the plan if it
+were a nested subtree.
+
+Coefficients are Python-float exact (big-int ratios correctly rounded
+once) and serialized with repr(), which round-trips to the identical
+double under both engines' decimal parsers.
+"""
+
+from __future__ import annotations
+
+import math
+
+PI = repr(math.pi)
+PI_2 = repr(math.pi / 2.0)
+PI180 = repr(math.pi / 180.0)
+
+
+def horner(var: str, coeffs: list[str]) -> str:
+    """((c0 + v*(c1 + v*(...)))) — explicit parens, left-to-right, so
+    both parsers build the identical evaluation tree."""
+    expr = coeffs[-1]
+    for c in reversed(coeffs[:-1]):
+        expr = f"({c} + {var} * {expr})"
+    return expr
+
+
+# exp(-f), f in [0,1): sum (-1)^k f^k / k!
+EXP_COEFFS = [repr((-1) ** k / math.factorial(k)) for k in range(18)]
+# sin(x) = x * S(x^2): S = sum (-1)^k t^k / (2k+1)!
+SIN_COEFFS = [repr((-1) ** k / math.factorial(2 * k + 1)) for k in range(16)]
+# cos(x) = C(x^2): C = sum (-1)^k t^k / (2k)!
+COS_COEFFS = [repr((-1) ** k / math.factorial(2 * k)) for k in range(16)]
+# asin(z) = z * A(z^2): A = sum comb(2k,k) / (4^k (2k+1)) t^k
+ASIN_COEFFS = [
+    repr(math.comb(2 * k, k) / (4**k * (2 * k + 1))) for k in range(61)
+]
+
+_EXP_N_MAX = 45
+_EXP_TABLE = [repr(math.exp(-n)) for n in range(_EXP_N_MAX)]
+
+
+def exp_int_case(n_col: str) -> str:
+    """exp(-n) for integer column 0 <= n, as a literal CASE chain
+    (identical text in both engines — no array accessor divergence)."""
+    whens = " ".join(
+        f"WHEN {n_col} = {n} THEN {v}" for n, v in enumerate(_EXP_TABLE)
+    )
+    return f"(CASE {whens} ELSE 0.0 END)"
+
+
+def pexp_neg(n_col: str, f_col: str) -> str:
+    """exp(-(n+f)) given bound integer/fraction columns."""
+    return f"({exp_int_case(n_col)} * {horner(f_col, EXP_COEFFS)})"
+
+
+def psin(x_col: str, t_col: str) -> str:
+    """sin(x) given x and a bound t = x*x column; |x| <= pi."""
+    return f"({x_col} * {horner(t_col, SIN_COEFFS)})"
+
+
+def pcos(t_col: str) -> str:
+    """cos(x) given a bound t = x*x column; |x| <= pi."""
+    return horner(t_col, COS_COEFFS)
+
+
+_ASIN_CHUNK = 16
+
+
+def _chunked_horner(var: str, var16: str, coeffs: list[str]) -> str:
+    """Horner in 16-coefficient chunks stitched with a bound t^16
+    column — same value ordering as a flat Horner would give chunk by
+    chunk, but expression depth stays under DuckDB's 128-deep binder
+    recursion limit (a flat 61-term nest exceeds it)."""
+    chunks = [coeffs[i : i + _ASIN_CHUNK] for i in range(0, len(coeffs), _ASIN_CHUNK)]
+    expr = horner(var, chunks[-1])
+    for ch in reversed(chunks[:-1]):
+        expr = f"({horner(var, ch)} + {var16} * {expr})"
+    return expr
+
+
+def pasin(
+    z_col: str, tz_col: str, tz16_col: str, u_col: str, tu_col: str, tu16_col: str
+) -> str:
+    """asin(z), z in [0,1], given bound columns z, tz=z*z, tz16=tz^16
+    (via repeated squaring), u=sqrt((1-z)/2), tu=u*u, tu16=tu^16."""
+    small = f"({z_col} * {_chunked_horner(tz_col, tz16_col, ASIN_COEFFS)})"
+    large = (
+        f"({PI_2} - 2.0 * ({u_col} * {_chunked_horner(tu_col, tu16_col, ASIN_COEFFS)}))"
+    )
+    return f"(CASE WHEN {z_col} > 0.7 THEN {large} ELSE {small} END)"
+
+
+# pure-Python references for pytest pinning (same algorithm, evaluated
+# by the CPython float engine — a THIRD independent IEEE implementation)
+def pexp_neg_py(x: float) -> float:
+    n = math.floor(x)
+    if n >= _EXP_N_MAX:
+        return 0.0
+    f = x - float(n)
+    acc = float(EXP_COEFFS[-1])
+    for c in reversed(EXP_COEFFS[:-1]):
+        acc = float(c) + f * acc
+    return float(_EXP_TABLE[int(n)]) * acc
+
+
+def _horner_py(t: float, coeffs: list[str]) -> float:
+    acc = float(coeffs[-1])
+    for c in reversed(coeffs[:-1]):
+        acc = float(c) + t * acc
+    return acc
+
+
+def psin_py(x: float) -> float:
+    return x * _horner_py(x * x, SIN_COEFFS)
+
+
+def pcos_py(x: float) -> float:
+    return _horner_py(x * x, COS_COEFFS)
+
+
+def _pow16_py(t: float) -> float:
+    t2 = t * t
+    t4 = t2 * t2
+    t8 = t4 * t4
+    return t8 * t8
+
+
+def _chunked_horner_py(t: float, t16: float, coeffs: list[str]) -> float:
+    chunks = [coeffs[i : i + _ASIN_CHUNK] for i in range(0, len(coeffs), _ASIN_CHUNK)]
+    acc = _horner_py(t, chunks[-1])
+    for ch in reversed(chunks[:-1]):
+        acc = _horner_py(t, ch) + t16 * acc
+    return acc
+
+
+def pasin_py(z: float) -> float:
+    if z > 0.7:
+        u = math.sqrt((1.0 - z) / 2.0)
+        tu = u * u
+        return float(PI_2) - 2.0 * (u * _chunked_horner_py(tu, _pow16_py(tu), ASIN_COEFFS))
+    tz = z * z
+    return z * _chunked_horner_py(tz, _pow16_py(tz), ASIN_COEFFS)

@@ -37,6 +37,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_clickhouse_implementation_spark.functions.portable_math import (
+    PI_2,
+    PI180,
+    pasin,
+    pcos,
+    pexp_neg,
+    psin,
+)
 from kafka_clickhouse_implementation_spark.io import load
 from kafka_clickhouse_implementation_spark.registry import query
 
@@ -134,14 +142,38 @@ def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TAU_US = 86_400_000_000  # one-day time constant, in microseconds
 
+# the exp weight is computed by the PORTABLE kernel (functions/
+# portable_math.pexp_neg): floor(x) / x-n / literal-table exp(-n) /
+# 18-term Horner — identical IEEE text on both engines, so the nano
+# floor can never disagree no matter how close a weight sits to a
+# boundary (tools/guard_band.py found a 4.2e-7 margin at sf0.1 — the
+# libm version was one ulp-drift away from a hash flip).
+_DECAY_W_SQL = (
+    f"CAST(floor({pexp_neg('nn', 'ff')} * 1e9) AS BIGINT)"
+)
+
+
+# shared projection-stage fragments (bound column names, so the Horner
+# text references columns, never nested subtrees)
+def _decay_x_sql(tus_sql: str) -> str:
+    return f"CAST(tmax - {tus_sql} AS DOUBLE) / {float(_TAU_US)!r} AS x"
+
+
+_DECAY_N_SQL = "CAST(floor(x) AS BIGINT) AS nn"
+_DECAY_F_SQL = "x - CAST(floor(x) AS DOUBLE) AS ff"
+
+
 _DECAY_ORACLE = f"""
 WITH t AS (SELECT max(epoch_us(ts)) AS tmax FROM events),
-w AS (
-  SELECT event_type,
-         {_VM} AS vm,
-         CAST(floor(exp(-(CAST(t.tmax - epoch_us(ts) AS DOUBLE)
-                          / {float(_TAU_US)})) * 1e9) AS BIGINT) AS wn
+x0 AS (
+  SELECT event_type, {_VM} AS vm, {_decay_x_sql('epoch_us(ts)')}
   FROM events, t
+),
+x1 AS (
+  SELECT event_type, vm, {_DECAY_N_SQL}, {_DECAY_F_SQL} FROM x0
+),
+w AS (
+  SELECT event_type, vm, {_DECAY_W_SQL} AS wn FROM x1
 )
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,
@@ -160,30 +192,28 @@ def q_exp_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     at the corpus's latest event time: per event_type, the exp-decayed
     value sum and weighted average with a one-day time constant.
 
-    exp() is not correctly rounded across Java Math.exp and libm, so
-    each row's weight quantizes to integer NANO-units immediately
-    after the (IEEE-identical) exp tree — the ln recipe of C77/C82
-    applied to exp. vm·w products (≤ 5e14/row) and Σw then accumulate
-    exactly in DECIMAL(38,0) ↔ HUGEINT; the two emitted doubles are
-    single IEEE divisions. The global max-ts is a 1-row aggregate
-    broadcast via crossJoin (the cohort-stat pattern, analytics_ext
-    C76). Decayed sums are mergeable partial states — this is exactly
-    the aggregate a streaming `-State` would keep."""
+    exp() is not correctly rounded across Java Math.exp and libm —
+    and since round 8 it is not ASKED to be: the weight comes from the
+    portable polynomial kernel (functions/portable_math.py), a finite
+    sequence of correctly-rounded IEEE ops stated identically on both
+    engines, so the integer NANO-unit quantization is boundary-proof
+    by construction (no guard band needed). vm·w products (≤ 5e14/row)
+    and Σw then accumulate exactly in DECIMAL(38,0) ↔ HUGEINT; the two
+    emitted doubles are single IEEE divisions. The global max-ts is a
+    1-row aggregate broadcast via crossJoin (the cohort-stat pattern,
+    analytics_ext C76). Decayed sums are mergeable partial states —
+    this is exactly the aggregate a streaming `-State` would keep.
+    Cost shape is unchanged: the kernel is one narrow codegen
+    projection (a CASE table + 18 fused multiply-adds per row)."""
     ev = load(spark, sf_dir, "events").select(
         "event_type", F.expr(_VM).alias("vm"), F.expr("unix_micros(ts)").alias("tus")
     )
     tmax = ev.agg(F.max("tus").alias("tmax"))
-    w = ev.crossJoin(F.broadcast(tmax)).select(
-        "event_type",
-        "vm",
-        F.floor(
-            F.exp(
-                -((F.col("tmax") - F.col("tus")).cast("double") / F.lit(float(_TAU_US)))
-            )
-            * F.lit(1e9)
-        )
-        .cast("long")
-        .alias("wn"),
+    w = (
+        ev.crossJoin(F.broadcast(tmax))
+        .selectExpr("event_type", "vm", _decay_x_sql("tus"))
+        .selectExpr("event_type", "vm", _DECAY_N_SQL, _DECAY_F_SQL)
+        .selectExpr("event_type", "vm", f"{_DECAY_W_SQL} AS wn")
     )
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     s = w.groupBy("event_type").agg(
@@ -376,13 +406,75 @@ _GEO_DIST_MM = (
     + ") * 1000.0) AS BIGINT)"
 )
 
+# Portable-haversine projection stages (round 8): every trig value is
+# a literal-coefficient polynomial from functions/portable_math.py, so
+# the mm floor is boundary-proof by construction — tools/guard_band.py
+# measured real 3.8e-6 margins at sf1 under the old libm formulation,
+# inside the observed cross-libm disagreement scale.
+_GEO_STAGE_RAD = [
+    f"(({_LATC}) * {PI180}) AS rlat1",
+    f"(({_LATN}) * {PI180}) AS rlat2",
+    f"((({_LATN}) - ({_LATC})) * {PI180}) / 2.0 AS hdlat",
+    f"((({_LONN}) - ({_LONC})) * {PI180}) / 2.0 AS hdlon",
+]
+_GEO_STAGE_SQ = [
+    "rlat1 * rlat1 AS t1", "rlat2 * rlat2 AS t2",
+    "hdlat * hdlat AS td1", "hdlon * hdlon AS td2",
+]
+_GEO_STAGE_TRIG = [
+    f"{psin('hdlat', 'td1')} AS sdlat",
+    f"{psin('hdlon', 'td2')} AS sdlon",
+    f"{pcos('t1')} AS clat1",
+    f"{pcos('t2')} AS clat2",
+]
+# h <= 1 mathematically; least() guards the ulp-above-1 case so the
+# half-angle branch's sqrt((1-z)/2) can never see a negative argument
+_GEO_STAGE_Z = [
+    "least(sqrt((sdlat * sdlat) + (((clat1 * clat2) * sdlon) * sdlon)), 1.0) AS z",
+]
+_GEO_STAGE_ZU = [
+    "z * z AS tz",
+    "sqrt((1.0 - z) / 2.0) AS u",
+]
+_GEO_STAGE_TU = ["u * u AS tu"]
+# t^16 by repeated squaring, each power a bound column (the chunked
+# Horner stitches 16-coefficient blocks with these)
+_GEO_STAGE_P2 = ["tz * tz AS tz2", "tu * tu AS tu2"]
+_GEO_STAGE_P4 = ["tz2 * tz2 AS tz4", "tu2 * tu2 AS tu4"]
+_GEO_STAGE_P8 = ["tz4 * tz4 AS tz8", "tu4 * tu4 AS tu8"]
+_GEO_STAGE_P16 = ["tz8 * tz8 AS tz16", "tu8 * tu8 AS tu16"]
+_GEO_STAGE_DMM = [
+    f"CAST(floor(2.0 * {_GEO_R!r} * "
+    f"{pasin('z', 'tz', 'tz16', 'u', 'tu', 'tu16')} * 1000.0)"
+    " AS BIGINT) AS dmm",
+]
+
+
+def _geo_cte(select_cols: list[str], prev: str, keep: str) -> str:
+    return f"SELECT {keep}, {', '.join(select_cols)} FROM {prev}"
+
+
 _GEO_ORACLE = f"""
-SELECT n.n_name AS nation,
+WITH g0 AS (
+  SELECT n.n_name AS nation, c.c_custkey, c.c_nationkey, n.n_nationkey
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+g1 AS ({_geo_cte(_GEO_STAGE_RAD, 'g0', 'nation')}),
+g2 AS ({_geo_cte(_GEO_STAGE_SQ, 'g1', 'nation, rlat1, rlat2, hdlat, hdlon')}),
+g3 AS ({_geo_cte(_GEO_STAGE_TRIG, 'g2', 'nation')}),
+g4 AS ({_geo_cte(_GEO_STAGE_Z, 'g3', 'nation')}),
+g5 AS ({_geo_cte(_GEO_STAGE_ZU, 'g4', 'nation, z')}),
+g5b AS ({_geo_cte(_GEO_STAGE_TU, 'g5', 'nation, z, tz, u')}),
+p2 AS ({_geo_cte(_GEO_STAGE_P2, 'g5b', 'nation, z, tz, u, tu')}),
+p4 AS ({_geo_cte(_GEO_STAGE_P4, 'p2', 'nation, z, tz, u, tu')}),
+p8 AS ({_geo_cte(_GEO_STAGE_P8, 'p4', 'nation, z, tz, u, tu')}),
+p16 AS ({_geo_cte(_GEO_STAGE_P16, 'p8', 'nation, z, tz, u, tu')}),
+g6 AS ({_geo_cte(_GEO_STAGE_DMM, 'p16', 'nation')})
+SELECT nation,
        CAST(count(*) AS BIGINT) AS n_cust,
-       CAST(CAST(sum(CAST({_GEO_DIST_MM} AS HUGEINT)) AS DOUBLE)
+       CAST(CAST(sum(CAST(dmm AS HUGEINT)) AS DOUBLE)
             / count(*) / 1000.0 AS DOUBLE) AS avg_dist_m
-FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-GROUP BY n.n_name
+FROM g6 GROUP BY nation
 """
 
 
@@ -391,17 +483,30 @@ def q_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse ``greatCircleDistance`` parity: haversine distance
     (R = 6 371 000 m, ClickHouse's constant) from each customer's
     deterministic synthetic coordinate to its nation's anchor,
-    averaged per nation. The sin/cos/asin chain is stated as one
-    identical IEEE tree on both engines, then each row's distance
-    quantizes to integer MILLIMETRES (libm sin/cos differ in ULPs
-    across engines; a 1e-3 m quantum is ~6 orders above the ULP of a
-    1e7 m double) before the exact-integer per-nation sum — the ln/exp
-    recipe applied to trig. Broadcast 25-row nation join; one hash
-    aggregation."""
+    averaged per nation. Since round 8 the whole sin/cos/asin chain is
+    the PORTABLE polynomial kernel (functions/portable_math.py): both
+    engines evaluate the identical finite IEEE op sequence, so the
+    integer-millimetre quantization before the exact per-nation sum
+    can never flip across engines — no data-margin guard required
+    (the libm formulation measured margins as low as 3.8e-6 mm at sf1).
+    Broadcast 25-row nation join; the kernel stages are narrow
+    projections; one hash aggregation."""
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
-    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).selectExpr(
-        "n_name AS nation", f"{_GEO_DIST_MM} AS dmm"
+    j = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .selectExpr("n_name AS nation", "c_custkey", "c_nationkey", "n_nationkey")
+        .selectExpr("nation", *_GEO_STAGE_RAD)
+        .selectExpr("nation", "rlat1", "rlat2", "hdlat", "hdlon", *_GEO_STAGE_SQ)
+        .selectExpr("nation", *_GEO_STAGE_TRIG)
+        .selectExpr("nation", *_GEO_STAGE_Z)
+        .selectExpr("nation", "z", *_GEO_STAGE_ZU)
+        .selectExpr("nation", "z", "tz", "u", *_GEO_STAGE_TU)
+        .selectExpr("nation", "z", "tz", "u", "tu", *_GEO_STAGE_P2)
+        .selectExpr("nation", "z", "tz", "u", "tu", *_GEO_STAGE_P4)
+        .selectExpr("nation", "z", "tz", "u", "tu", *_GEO_STAGE_P8)
+        .selectExpr("nation", "z", "tz", "u", "tu", *_GEO_STAGE_P16)
+        .selectExpr("nation", *_GEO_STAGE_DMM)
     )
     return (
         j.groupBy("nation")

@@ -12,12 +12,15 @@ build rules.
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_clickhouse_implementation_spark.functions.numeric import dsum
 from kafka_clickhouse_implementation_spark.io import load
+from kafka_clickhouse_implementation_spark.operators.sketches import _nibble_value_sql
 from kafka_clickhouse_implementation_spark.registry import query
 
 
@@ -648,9 +651,11 @@ def q_bit_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_hll_sketch_union")  # rows-only: DataSketches HLL estimates have no
-# DuckDB twin; the error bound vs the exact count is pytest-asserted
-def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("legacy_hll_sketch")  # LEGACY rows-only: DataSketches HLL — its
+# hash family is engine-private so no DuckDB twin exists; superseded by
+# the register-exact portable HLL below. Kept as the production-library
+# form; its error bound vs the exact count stays pytest-asserted.
+def legacy_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches (Spark 3.5+ DataSketches HLL):
     one sketch per day, unioned at query time — the 100 TB pattern
     where per-partition sketches are PERSISTED (a few KB each) and any
@@ -665,6 +670,128 @@ def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_day.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("est_users"),
         F.count("*").alias("n_days"),
+    )
+
+
+# ---- portable HLL (register-exact, oracle-checked) -------------------
+#
+# Flajolet et al.'s HyperLogLog rebuilt from engine-portable primitives
+# so the WHOLE sketch — register values, zero-register count, and the
+# final estimate — is differentially checked against DuckDB:
+#   register index = first 2 md5 nibbles mod 64  (256/64 exact -> uniform)
+#   rank input w   = next 13 nibbles (52 bits, exactly a double mantissa)
+#   rho            = leading-zeros(w in 52 bits) + 1 = 53 - bitlen(w)
+#                    (bin() renders identical strings in both engines)
+# The harmonic mean is kept EXACT in integers: sum over registers of
+# 2^(53 - M_j) fits a BIGINT (<= 64 * 2^53 = 2^59), absent registers
+# contribute 2^53 each; the only float ops are one literal division
+# and the small-range branch, whose ln() values are COMPILE-TIME
+# literals below (V has only 64 possible values), so no engine ever
+# evaluates a transcendental at query time.
+_HLL_M = 64
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)  # Flajolet bias constant
+_HLL_NUMER = repr(_HLL_ALPHA * _HLL_M * _HLL_M * float(1 << 53))
+# linear-counting lookup: est = m * ln(m / V) for V zero registers
+_HLL_LC = [repr(_HLL_M * math.log(_HLL_M / v)) for v in range(1, _HLL_M + 1)]
+_HLL_RHO = (
+    "CASE WHEN w = 0 THEN CAST(53 AS BIGINT)"
+    " ELSE CAST(53 - length(bin(w)) AS BIGINT) END"
+)
+_HLL_FINISH = f"""
+      CAST(sum(CAST(1 AS BIGINT) << (53 - m_j)) AS BIGINT)
+        + ({_HLL_M} - CAST(count(*) AS BIGINT)) * {1 << 53} AS s_total,
+      {_HLL_M} - CAST(count(*) AS BIGINT) AS v_zero,
+      CAST(count(*) AS BIGINT) AS n_regs,
+      CAST(sum(m_j) AS BIGINT) AS reg_sum
+"""
+
+
+def _hll_estimate_sql(lc_array: str) -> str:
+    """Shared estimate expression: raw harmonic-mean estimate with the
+    standard small-range (linear counting) branch; quantized to integer
+    milli-users by floor AFTER the single IEEE division so both engines
+    see bit-identical doubles."""
+    raw = f"(CAST({_HLL_NUMER} AS DOUBLE) / CAST(s_total AS DOUBLE))"
+    est = (
+        f"CASE WHEN v_zero > 0 AND {raw} <= {2.5 * _HLL_M!r}"
+        f" THEN CAST({lc_array} AS DOUBLE)"
+        f" ELSE {raw} END"
+    )
+    return f"CAST(floor({est} * 1000.0) AS BIGINT)"
+
+
+@query(
+    "q_hll_sketch_union",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT CAST(ts AS DATE) AS day, md5(CAST(user_id AS VARCHAR)) AS h
+      FROM events
+    ), slotted AS (
+      SELECT day,
+             ({_nibble_value_sql("h", 2)}) % {_HLL_M} AS idx,
+             {_nibble_value_sql("h", 13, start=3)} AS w
+      FROM hashed
+    ), per_day AS (
+      SELECT day, idx, max({_HLL_RHO}) AS m_j
+      FROM slotted GROUP BY day, idx
+    ), unioned AS (
+      SELECT idx, max(m_j) AS m_j FROM per_day GROUP BY idx
+    ), finish AS (
+      SELECT {_HLL_FINISH} FROM unioned
+    ), days AS (
+      SELECT CAST(count(DISTINCT day) AS BIGINT) AS n_days FROM per_day
+    ), exact AS (
+      SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+      FROM events
+    )
+    SELECT {_hll_estimate_sql(f"list_extract([{', '.join(_HLL_LC)}], CAST(v_zero AS INT))")}
+             AS est_users_milli,
+           n_regs, reg_sum, n_days, exact_users
+    FROM finish CROSS JOIN days CROSS JOIN exact
+    """,
+)
+def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog, value-checked END TO END: per-day register
+    vectors (max-rho per slot) are built independently, then UNIONED by
+    register max — the real sketch-merge law, same as persisting a few
+    hundred bytes per partition at 100 TB and answering any date-range
+    distinct count without re-scanning. The driver hash covers the
+    register checksum (n_regs, reg_sum), the exact distinct count, and
+    the milli-quantized estimate, so a single flipped register bit in
+    either engine fails the row. DataSketches production form retained
+    as legacy_hll_sketch; exact twin q_distinct_users."""
+    ev = load(spark, sf_dir, "events")
+    slotted = ev.select(
+        F.to_date("ts").alias("day"),
+        F.md5(F.col("user_id").cast("string").cast("binary")).alias("h"),
+    ).selectExpr(
+        "day",
+        f"({_nibble_value_sql('h', 2)}) % {_HLL_M} AS idx",
+        f"{_nibble_value_sql('h', 13, start=3)} AS w",
+    )
+    per_day = (
+        slotted.selectExpr("day", "idx", f"{_HLL_RHO} AS rho")
+        .groupBy("day", "idx")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    unioned = per_day.groupBy("idx").agg(F.max("m_j").alias("m_j"))
+    finish = unioned.selectExpr("idx", "m_j").agg(
+        F.expr("CAST(sum(shiftleft(CAST(1 AS BIGINT), 53 - m_j)) AS BIGINT)"
+               f" + ({_HLL_M} - count(*)) * {1 << 53}").alias("s_total"),
+        F.expr(f"{_HLL_M} - count(*)").alias("v_zero"),
+        F.count("*").alias("n_regs"),
+        F.sum("m_j").alias("reg_sum"),
+    )
+    days = per_day.agg(F.countDistinct("day").alias("n_days"))
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_users"))
+    lc = f"element_at(array({', '.join(v + 'D' for v in _HLL_LC)}), CAST(v_zero AS INT))"
+    return (
+        finish.crossJoin(F.broadcast(days))
+        .crossJoin(F.broadcast(exact))
+        .selectExpr(
+            f"{_hll_estimate_sql(lc)} AS est_users_milli",
+            "n_regs", "reg_sum", "n_days", "exact_users",
+        )
     )
 
 

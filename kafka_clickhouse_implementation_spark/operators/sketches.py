@@ -32,14 +32,15 @@ _HEX = "0123456789abcdef"
 _TWO_52 = 1 << 52
 
 
-def _nibble_value_sql(col: str, n_nibbles: int = 13) -> str:
-    """Integer value of the first `n_nibbles` hex chars of `col` —
-    identical SQL in Spark and DuckDB (instr/substr/integer math)."""
+def _nibble_value_sql(col: str, n_nibbles: int = 13, start: int = 1) -> str:
+    """Integer value of `n_nibbles` hex chars of `col` beginning at
+    1-based position `start` — identical SQL in Spark and DuckDB
+    (instr/substr/integer math)."""
     # CAST to BIGINT: Spark's instr returns INT and small power-of-16
     # literals are INT too, so the raw product overflows 32 bits under
     # ANSI mode; DuckDB is BIGINT-native and unaffected by the cast.
     return " + ".join(
-        f"CAST(instr('{_HEX}', substr({col}, {j + 1}, 1)) - 1 AS BIGINT)"
+        f"CAST(instr('{_HEX}', substr({col}, {start + j}, 1)) - 1 AS BIGINT)"
         f" * {16 ** (n_nibbles - 1 - j)}"
         for j in range(n_nibbles)
     )

@@ -284,9 +284,12 @@ def _mg_partial(max_counters: int):
     return f
 
 
-@query("q_heavy_hitters")  # rows-only: estimates depend on partition layout;
-# the exact twin is q_term_stats, and the MG bound is pytest-asserted
-def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("legacy_heavy_hitters")  # LEGACY rows-only: per-Spark-partition
+# incremental MG — estimates depend on physical batch order; superseded
+# by the deterministic bucketed one-shot MG below (same guarantee,
+# oracle-checked). Kept because it is the constant-memory streaming
+# form of the sketch; its lower-bound property stays pytest-asserted.
+def legacy_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse ``topK`` analogue: top-10 tokens by a mergeable
     Misra-Gries sketch — per-partition summaries via mapInPandas
     (narrow, Arrow-batched), merged by a tiny additive groupBy. The
@@ -296,6 +299,102 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     tokens = docs.select(F.explode(F.split("text", " ")).alias("token"))
     sketch = tokens.mapInPandas(_mg_partial(64), "token string, est long")
+    return (
+        sketch.groupBy("token")
+        .agg(F.sum("est").alias("est"))
+        .orderBy(F.desc("est"), "token")
+        .limit(10)
+    )
+
+
+_MG_K = 64
+_MG_BUCKETS = 32
+
+
+def _mg_oneshot(k: int):
+    """Per-bucket ONE-SHOT Misra-Gries: exact per-bucket counts first
+    (additive across Arrow batches, so arrival order cannot matter),
+    then a single prune — subtract the (k+1)-th largest count, keep the
+    strictly-positive survivors. Equivalent to running classic MG over
+    the bucket with the decrement total theta = c_(k+1), so every
+    surviving counter keeps the textbook guarantee
+    ``true - n/(k+1) <= est <= true`` while being a pure function of
+    the bucket's multiset — the property that makes it oracle-checkable
+    under any partition layout."""
+    import pandas as pd
+
+    def f(batches):
+        acc = None
+        for pdf in batches:
+            vc = pdf.groupby(["bucket", "token"]).size()
+            acc = vc if acc is None else acc.add(vc, fill_value=0)
+        if acc is None:
+            return
+        outs = []
+        for _, grp in acc.groupby(level=0):
+            g = grp.droplevel(0).astype("int64")
+            if len(g) > k:
+                sub = g.nlargest(k + 1).iloc[-1]
+                g = g[g > sub] - sub
+            outs.append(pd.DataFrame({"token": g.index, "est": g.values}))
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+    return f
+
+
+@query(
+    "q_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id % {_MG_BUCKETS} AS bucket,
+             unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ), cnt AS (
+      SELECT bucket, token, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY bucket, token
+    ), ranked AS (
+      SELECT bucket, token, c,
+             row_number() OVER (PARTITION BY bucket ORDER BY c DESC) AS rn
+      FROM cnt
+    ), thr AS (
+      SELECT bucket,
+             max(CASE WHEN rn = {_MG_K + 1} THEN c ELSE 0 END) AS sub
+      FROM ranked GROUP BY bucket
+    ), pruned AS (
+      SELECT r.token, r.c - t.sub AS est
+      FROM ranked r JOIN thr t USING (bucket)
+      WHERE r.c - t.sub > 0
+    )
+    SELECT token, CAST(sum(est) AS BIGINT) AS est
+    FROM pruned GROUP BY token
+    ORDER BY est DESC, token LIMIT 10
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``topK`` analogue, oracle-checked: top-10 tokens by a
+    mergeable Misra-Gries summary. Documents are split into 32 buckets
+    by ``doc_id % 32`` (a data-derived partitioner, so the summary is a
+    pure function of the corpus, never of Spark's physical layout);
+    each bucket builds a one-shot MG summary (see _mg_oneshot — exact
+    histogram, single (k+1)-th-largest decrement, same undercount bound
+    as the streaming form); summaries merge by additive groupBy. The
+    value at rank k+1 is a multiset order statistic, so tie order
+    inside the window never changes the subtrahend — DuckDB's
+    row_number over the same counts prunes identically.
+
+    Scale: the shuffle carries O(buckets x k) summary rows, never the
+    vocab; the per-bucket histogram inside mapInPandas is
+    vocab/buckets-sized (the constant-memory incremental form is
+    retained as legacy_heavy_hitters / _mg_partial)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.col("doc_id") % _MG_BUCKETS).alias("bucket"),
+        F.explode(F.split("text", " ")).alias("token"),
+    )
+    sketch = toks.repartition(_MG_BUCKETS, "bucket").mapInPandas(
+        _mg_oneshot(_MG_K), "token string, est long"
+    )
     return (
         sketch.groupBy("token")
         .agg(F.sum("est").alias("est"))

@@ -110,6 +110,7 @@ _MODULE_RANK = [
     "kafka_clickhouse_implementation_spark.operators.mutations",
     "kafka_clickhouse_implementation_spark.streaming.vector_stream",
     "kafka_clickhouse_implementation_spark.operators.flac_codec",
+    "kafka_clickhouse_implementation_spark.operators.pvalues",
 ]
 
 

@@ -62,18 +62,28 @@ def test_anova_matches_python(spark, sf_dir, events):
 
 
 def test_exp_decay_matches_python(spark, sf_dir, events):
+    """Replays the PORTABLE exp kernel (pexp_neg_py — CPython doubles,
+    a third IEEE implementation alongside JVM codegen and DuckDB), so
+    the integer nano weights and both emitted doubles must now match
+    BIT-EXACTLY; a separate grid test pins the kernel against libm
+    truth (test_portable_math.py)."""
+    from kafka_clickhouse_implementation_spark.functions.portable_math import (
+        pexp_neg_py,
+    )
+
     got = {r.event_type: r for r in q_exp_decay(spark, sf_dir).collect()}
     tmax = max(t for _, _, t, _ in events)
     agg: dict[str, list[int]] = {}
     for et, vm, tus, _ in events:
-        wn = int(math.floor(math.exp(-((tmax - tus) / float(_TAU_US))) * 1e9))
+        x = float(tmax - tus) / float(_TAU_US)
+        wn = int(math.floor(pexp_neg_py(x) * 1e9))
         agg.setdefault(et, []).append(vm * wn)
         agg.setdefault(et + "#w", []).append(wn)
     for et in {e for e, _, _, _ in events}:
         swv, sw = sum(agg[et]), sum(agg[et + "#w"])
         assert got[et].n == len(agg[et])
-        assert got[et].decayed_sum == pytest.approx(swv / 1e12, rel=1e-9)
-        assert got[et].decayed_avg == pytest.approx(swv / sw / 1e3, rel=1e-9)
+        assert got[et].decayed_sum == float(swv) / 1e12
+        assert got[et].decayed_avg == float(swv) / float(sw) / 1e3
     # weights decay: at least one event type must have decayed_sum far
     # below its raw sum (the month-long tail decays to ~0)
     raw = {}
@@ -99,30 +109,40 @@ def test_sparkbar_matches_python(spark, sf_dir, events):
 
 
 def test_geo_distance_matches_python(spark, sf_dir):
+    """Replays the PORTABLE haversine kernel (psin/pcos/pasin_py —
+    CPython doubles, a third IEEE implementation), so the integer mm
+    distances and the per-nation averages must match BIT-EXACTLY (the
+    old libm replay needed a one-quantum slack; the kernel removed the
+    boundary dependence entirely)."""
+    from kafka_clickhouse_implementation_spark.functions.portable_math import (
+        PI180,
+        pasin_py,
+        pcos_py,
+        psin_py,
+    )
+
     got = {r.nation: r for r in q_geo_distance(spark, sf_dir).collect()}
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey").collect()
     n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name").collect()
     names = {r.n_nationkey: r.n_name for r in n}
+    rad = float(PI180)
     sums: dict[str, list[int]] = {}
     for r in c:
         lat1 = ((r.c_custkey * 37) % 17000) / 100.0 - 85.0
         lon1 = ((r.c_custkey * 73) % 35000) / 100.0 - 175.0
         lat2 = float((r.c_nationkey * 11) % 170) - 85.0
         lon2 = float((r.c_nationkey * 29) % 350) - 175.0
-        h = (
-            math.sin(math.radians(lat2 - lat1) / 2.0) ** 2
-            + math.cos(math.radians(lat1))
-            * math.cos(math.radians(lat2))
-            * math.sin(math.radians(lon2 - lon1) / 2.0) ** 2
-        )
-        d = 2.0 * _GEO_R * math.asin(math.sqrt(h))
+        sdlat = psin_py(((lat2 - lat1) * rad) / 2.0)
+        sdlon = psin_py(((lon2 - lon1) * rad) / 2.0)
+        clat1, clat2 = pcos_py(lat1 * rad), pcos_py(lat2 * rad)
+        h = (sdlat * sdlat) + (((clat1 * clat2) * sdlon) * sdlon)
+        z = min(math.sqrt(h), 1.0)
+        d = 2.0 * _GEO_R * pasin_py(z)
         sums.setdefault(names[r.c_nationkey], []).append(int(math.floor(d * 1000.0)))
     for nation, dists in sums.items():
         assert got[nation].n_cust == len(dists)
-        # mm quantisation: Python libm may differ from JVM by ULPs, so
-        # allow the one-quantum slack the oracle design absorbs
-        want = sum(dists) / len(dists) / 1000.0
-        assert got[nation].avg_dist_m == pytest.approx(want, abs=2e-3)
+        smm = sum(dists)
+        assert got[nation].avg_dist_m == float(smm) / float(len(dists)) / 1000.0
         assert 0.0 < got[nation].avg_dist_m < math.pi * _GEO_R
 
 
@@ -243,40 +263,12 @@ def test_corr_matrix_matches_python(spark, sf_dir):
     assert all(-1.0 <= v <= 1.0 for v in got.values())
 
 
-def test_transcendental_quantization_guard_band(spark, sf_dir, events):
-    """The two queries that floor-quantize AFTER a transcendental
-    (q_exp_decay: floor(exp(·)·1e9); q_geo_distance:
-    floor(haversine·1000)) rely on JVM Math and DuckDB libm agreeing
-    to well under one quantum. ULP-level disagreement (~2e-7 abs at
-    1e9; ~4e-6 at 2e10) only flips a floor when the true value sits
-    essentially ON a boundary — this guard asserts every value in the
-    corpus keeps a wide margin (≥50× the ULP scale) from its nearest
-    integer, so future drift fails HERE with a named value instead of
-    silently flipping a driver hash (r6 ADVICE)."""
-    tmax = max(t for _, _, t, _ in events)
-    worst_exp = 1.0
-    for _, _, tus, _ in events:
-        v = math.exp(-((tmax - tus) / float(_TAU_US))) * 1e9
-        frac = abs(v - round(v))
-        # exp(-0.0) == 1.0 is EXACT on every IEEE libm (the tmax event
-        # itself), and values that decay to ~0 are boundary-safe: only
-        # inexact mid-range values can flip a floor across engines
-        if v > 1e-3 and v != 1e9:
-            worst_exp = min(worst_exp, frac)
-    assert worst_exp > 1e-5, f"exp weight within {worst_exp} of a quantum boundary"
-    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey").collect()
-    worst_geo = 1.0
-    for r in c:
-        lat1 = ((r.c_custkey * 37) % 17000) / 100.0 - 85.0
-        lon1 = ((r.c_custkey * 73) % 35000) / 100.0 - 175.0
-        lat2 = float((r.c_nationkey * 11) % 170) - 85.0
-        lon2 = float((r.c_nationkey * 29) % 350) - 175.0
-        h = (
-            math.sin(math.radians(lat2 - lat1) / 2.0) ** 2
-            + math.cos(math.radians(lat1))
-            * math.cos(math.radians(lat2))
-            * math.sin(math.radians(lon2 - lon1) / 2.0) ** 2
-        )
-        v = 2.0 * _GEO_R * math.asin(math.sqrt(h)) * 1000.0
-        worst_geo = min(worst_geo, abs(v - round(v)))
-    assert worst_geo > 1e-4, f"geo mm value within {worst_geo} of a quantum boundary"
+# The former guard-band test (margins of libm exp/haversine values from
+# their floor boundaries) is retired: round 8 found real sub-ULP-scale
+# margins in the data (4.2e-7 at sf0.1 exp, 3.8e-6 at sf1 geo) and
+# replaced the libm formulations with the portable polynomial kernels
+# (functions/portable_math.py), which are boundary-proof by
+# construction. The kernels themselves are pinned against libm truth in
+# tests/test_portable_math.py, and tools/guard_band.py now monitors
+# kernel-vs-libm accuracy over full datasets (invoked by
+# make_scale_data and the sf1 sweep).

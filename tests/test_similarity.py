@@ -91,3 +91,62 @@ def test_ann_bucket_matches_independent_python_implementation(spark):
         for i in range(len(vecs))
     }
     assert got == want
+
+
+def test_float_recall_query_matches_numpy_ground_truth(spark, sf_dir):
+    """Ties q_ann_recall_float (the one non-legacy rows-only query
+    without an oracle) to ground truth: an end-to-end numpy replay —
+    float buckets, brute-force cosine truth, Hamming<=1 multiprobe,
+    per-probe hits — must reproduce the query's reported recall. The
+    bucket dot replays the JVM's SEQUENTIAL fold exactly (column-order
+    accumulation, not numpy pairwise sums); the cosine matmul may
+    differ in the last ulp under different BLAS blocking, so the
+    contract allows at most ONE flipped candidate across the 200
+    (probe, slot) pairs."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from kafka_clickhouse_implementation_spark.operators.similarity import (
+        _hyperplanes,
+    )
+    from kafka_clickhouse_implementation_spark.registry import all_queries
+
+    row = all_queries()["q_ann_recall_float"](spark, sf_dir).head()
+
+    tab = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
+    ids = np.asarray(tab["vec_id"], dtype=np.int64)
+    emb = np.asarray([list(v) for v in tab["embedding"]], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, emb = ids[order], emb[order]
+
+    n_bits = 6
+    planes = np.asarray(_hyperplanes(n_bits=n_bits), dtype=np.float64)
+    # sequential fold per plane, vectorized across rows (JVM dot order)
+    buckets = np.zeros(len(ids), dtype=np.int64)
+    for i in range(n_bits):
+        acc = np.zeros(len(ids))
+        for j in range(emb.shape[1]):
+            acc = acc + emb[:, j] * planes[i, j]
+        buckets |= (acc >= 0).astype(np.int64) << i
+
+    normed = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    probe_ids = ids[:20]
+    sims = normed[:20] @ normed.T  # (20, n)
+
+    total_hits, min_hits = 0, 10
+    for p in range(20):
+        s = sims[p].copy()
+        mask_self = ids == probe_ids[p]
+        s[mask_self] = -np.inf
+        rank_key = sorted(range(len(ids)), key=lambda i: (-s[i], ids[i]))
+        truth = {ids[i] for i in rank_key[:10]}
+        allowed = {int(buckets[p])} | {int(buckets[p]) ^ (1 << b) for b in range(n_bits)}
+        cand = [i for i in rank_key if int(buckets[i]) in allowed and not mask_self[i]]
+        got = {ids[i] for i in cand[:10]}
+        nh = len(truth & got)
+        total_hits += nh
+        min_hits = min(min_hits, nh)
+
+    assert row.n_probes == 20
+    assert abs(row.mean_recall_at_10 - round(total_hits / 200.0, 4)) <= 0.0051
+    assert abs(row.min_recall_at_10 - round(min_hits / 10.0, 4)) <= 0.1001

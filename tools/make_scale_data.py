@@ -129,3 +129,9 @@ if __name__ == "__main__":
     for t in ("lineitem", "events", "documents", "embeddings"):
         n = spark.read.parquet(os.path.join(out, f"{t}.parquet")).count()
         print(f"{t}: {n} rows")
+    # portable-kernel accuracy over the freshly scaled inputs (round-8
+    # verdict item 4: monitor at the scale where new input values appear)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import guard_band
+
+    guard_band.main(out)
