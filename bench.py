@@ -96,6 +96,11 @@ HEADLINE = [
     "q_multimodal_flac",
     "q_multimodal_flac_stereo",
     "q_multimodal_gif89a",
+    # round 8 additions: the AggregatingMergeTree state-table rollup
+    # (daily -State build + weekly merge + -Merge finish, incl. the
+    # portable-HLL register fold) and the Adam7 interlaced PNG
+    "q_agg_state_merge",
+    "q_multimodal_png_adam7",
 ]
 
 

@@ -377,18 +377,71 @@ def parse_png(payload: bytes) -> dict:
     if ihdr is None or not idat:
         raise ValueError("missing IHDR/IDAT chunk")
     width, height, bitdepth, color, comp, filt, interlace = ihdr
-    if (bitdepth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+    if (bitdepth, color, comp, filt) != (8, 2, 0, 0) or interlace not in (0, 1):
         raise NotImplementedError(
-            "only 8-bit non-interlaced RGB PNG is parsed without codec libs"
+            "only 8-bit RGB PNG (interlace 0 or Adam7) is parsed without codec libs"
         )
     raw = zlib.decompress(idat)
-    stride = width * 3
-    if len(raw) != height * (stride + 1):
-        raise ValueError("IDAT length does not match dimensions")
-    arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
-    out = np.zeros((height, stride), dtype=np.uint8)
+    if interlace == 0:
+        stride = width * 3
+        if len(raw) != height * (stride + 1):
+            raise ValueError("IDAT length does not match dimensions")
+        arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+        out = _defilter_lines(arr, width)
+    else:
+        # Adam7 (round 8): seven independently-filtered sub-images,
+        # stored consecutively in the inflated stream, scattered back
+        # onto the full-resolution grid by the per-pass offset/stride
+        out = np.zeros((height, width, 3), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            wp = max(0, (width - x0 + dx - 1) // dx)
+            hp = max(0, (height - y0 + dy - 1) // dy)
+            if wp == 0 or hp == 0:
+                continue  # empty pass contributes no scanlines (spec)
+            nbytes = hp * (wp * 3 + 1)
+            seg = raw[pos : pos + nbytes]
+            if len(seg) != nbytes:
+                raise ValueError("IDAT shorter than the Adam7 pass layout")
+            pos += nbytes
+            arr = np.frombuffer(seg, dtype=np.uint8).reshape(hp, wp * 3 + 1)
+            sub = _defilter_lines(arr, wp).reshape(hp, wp, 3)
+            out[y0::dy, x0::dx, :] = sub
+        if pos != len(raw):
+            raise ValueError("IDAT longer than the Adam7 pass layout")
+        out = out.reshape(height, width * 3)
+    return {
+        "format": "png",
+        "width": width,
+        "height": height,
+        "values": out.reshape(-1).tolist(),
+    }
+
+
+# Adam7 pass grid (PNG spec §8.2): (x-start, y-start, x-step, y-step)
+_ADAM7_PASSES = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+
+def _defilter_lines(arr: "np.ndarray", width: int) -> "np.ndarray":
+    """Reverse the five PNG scanline filters over a (rows, stride+1)
+    byte matrix (filter byte + filtered bytes per row); shared by the
+    sequential and every Adam7 pass decode (each pass filters against
+    its OWN prior scanline, which falls out of starting prior=0 per
+    call)."""
+    import numpy as np
+
+    rows, stride = arr.shape[0], arr.shape[1] - 1
+    out = np.zeros((rows, stride), dtype=np.uint8)
     prior = np.zeros(stride, dtype=np.int64)
-    for r in range(height):
+    for r in range(rows):
         ftype = int(arr[r, 0])
         line = arr[r, 1:].astype(np.int64)
         if ftype == 0:  # None
@@ -412,34 +465,23 @@ def parse_png(payload: bytes) -> dict:
             raise ValueError(f"unknown PNG filter type {ftype}")
         out[r] = recon.astype(np.uint8)
         prior = recon
-    return {
-        "format": "png",
-        "width": width,
-        "height": height,
-        "values": out.reshape(-1).tolist(),
-    }
+    return out
 
 
-def encode_png(
-    width: int, height: int, rgb_vals: list[int], row_filters: list[int] | None = None
-) -> bytes:
-    """Minimal RGB8 PNG writer (round-trip twin of parse_png).
-    ``row_filters`` picks the filter type per scanline (default cycles
-    0..4 so every decoder branch is exercised); filtering is against the
-    raw prior row, which equals the reconstructed row in a lossless
-    codec."""
-    import struct
-    import zlib
-
+def _filter_rows(px: "np.ndarray", row_filters: list[int] | None) -> bytearray:
+    """Apply PNG scanline filters to a (rows, stride) pixel matrix,
+    returning filter-byte-prefixed lines; shared by the sequential
+    writer and every Adam7 pass (prior starts at zero per call, which
+    is the per-pass rule)."""
     import numpy as np
 
-    px = np.asarray(rgb_vals, dtype=np.int64).reshape(height, width * 3)
+    rows, stride = px.shape
     if row_filters is None:
-        row_filters = [r % 5 for r in range(height)]
+        row_filters = [r % 5 for r in range(rows)]
     lines = bytearray()
-    prior = np.zeros(width * 3, dtype=np.int64)
+    prior = np.zeros(stride, dtype=np.int64)
     zero3 = np.zeros(3, dtype=np.int64)
-    for r in range(height):
+    for r in range(rows):
         cur = px[r]
         left = np.concatenate([zero3, cur[:-3]])
         ftype = row_filters[r]
@@ -459,7 +501,7 @@ def encode_png(
                     for a, b, c in zip(left, prior, prior_left)
                 ),
                 dtype=np.int64,
-                count=width * 3,
+                count=stride,
             )
             filt = (cur - pred) % 256
         else:
@@ -467,6 +509,24 @@ def encode_png(
         lines.append(ftype)
         lines.extend(filt.astype(np.uint8).tobytes())
         prior = cur
+    return lines
+
+
+def encode_png(
+    width: int, height: int, rgb_vals: list[int], row_filters: list[int] | None = None
+) -> bytes:
+    """Minimal RGB8 PNG writer (round-trip twin of parse_png).
+    ``row_filters`` picks the filter type per scanline (default cycles
+    0..4 so every decoder branch is exercised); filtering is against the
+    raw prior row, which equals the reconstructed row in a lossless
+    codec."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(rgb_vals, dtype=np.int64).reshape(height, width * 3)
+    lines = _filter_rows(px, row_filters)
 
     def chunk(cid: bytes, body: bytes) -> bytes:
         return (
@@ -477,6 +537,44 @@ def encode_png(
         )
 
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_png_adam7(width: int, height: int, rgb_vals: list[int]) -> bytes:
+    """Adam7-interlaced RGB8 PNG writer (round-trip twin of the
+    interlaced parse_png branch): gather each pass's sub-image by the
+    spec's offset/stride grid, filter its scanlines independently
+    (cycling 0..4 so every filter executes inside interlaced passes
+    too), concatenate, compress once. Progressive decoders render a
+    recognizable 1/64-resolution image after the first pass — the
+    property that matters when scanning truncated multimodal blobs."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(rgb_vals, dtype=np.int64).reshape(height, width, 3)
+    lines = bytearray()
+    for x0, y0, dx, dy in _ADAM7_PASSES:
+        sub = px[y0::dy, x0::dx, :]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        lines.extend(_filter_rows(sub.reshape(sub.shape[0], -1), None))
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + cid
+            + body
+            + struct.pack(">I", zlib.crc32(cid + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 1)
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
@@ -791,6 +889,79 @@ def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
                 dec = decode_image(encode_png(_PNG_W, _PNG_H, _png_pixels(doc_id)))
+                vals = dec["values"]
+                out["doc_id"].append(doc_id)
+                out["width"].append(dec["width"])
+                out["height"].append(dec["height"])
+                out["n_vals"].append(len(vals))
+                out["val_sum"].append(sum(vals))
+                out["px_fp"].append(
+                    hashlib.md5(",".join(str(v) for v in vals).encode()).hexdigest()
+                )
+        yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        run,
+        schema=(
+            "doc_id long, width int, height int, n_vals long, "
+            "val_sum long, px_fp string"
+        ),
+    )
+
+
+# Adam7 test geometry: 9x10 makes all seven passes non-empty AND
+# exercises the ceil-division edges (width 9 = 8k+1, height 10 = 8k+2).
+_A7_W, _A7_H = 9, 10
+
+
+def _adam7_pixels(doc_id: int) -> list[int]:
+    return [(doc_id * 13 + 7 * i) % 256 for i in range(3 * _A7_W * _A7_H)]
+
+
+@query(
+    "q_multimodal_png_adam7",
+    # Symbolic-moments oracle, same contract as q_multimodal_png:
+    # DuckDB rebuilds the pixel sequence arithmetically; Spark writes a
+    # REAL Adam7-interlaced PNG (7 independently-filtered passes),
+    # inflates it, reverses every pass's filters, de-interlaces, and
+    # must recover the exact row-major pixel stream.
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_A7_W} AS INT) AS width,
+           CAST({_A7_H} AS INT) AS height,
+           CAST({3 * _A7_W * _A7_H} AS BIGINT) AS n_vals,
+           CAST(list_sum(list_transform(range(0, {3 * _A7_W * _A7_H}),
+                                        i -> (doc_id * 13 + 7 * i) % 256))
+                AS BIGINT) AS val_sum,
+           md5(array_to_string(list_transform(range(0, {3 * _A7_W * _A7_H}),
+                                              i -> (doc_id * 13 + 7 * i) % 256),
+                               ',')) AS px_fp
+    FROM documents WHERE doc_id < 30
+    """,
+)
+def q_multimodal_png_adam7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C133 — PROGRESSIVE (Adam7-interlaced) PNG round trip: the
+    decode path a scanner needs for interlaced web images. Each doc
+    synthesizes a 9x10 RGB image (all seven Adam7 passes non-empty,
+    both ceil-division edges exercised), writes it interlaced via
+    ``encode_png_adam7`` (per-pass filter cycle — every filter type
+    runs INSIDE interlaced passes, where the prior-row rule differs
+    from sequential mode), then ``parse_png`` walks the seven pass
+    sub-images out of one inflated stream and scatters them back to
+    the full-resolution grid. Oracle pins dims, pixel sum, and the
+    md5 pixel fingerprint — a wrong pass offset/stride or a filter
+    seeded with the wrong prior row moves the fingerprint. Arrow-
+    batched mapInPandas; zero shuffle."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 30).select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = {"doc_id": [], "width": [], "height": [], "n_vals": [], "val_sum": [], "px_fp": []}
+        for pdf in batches:
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                dec = decode_image(
+                    encode_png_adam7(_A7_W, _A7_H, _adam7_pixels(doc_id))
+                )
                 vals = dec["values"]
                 out["doc_id"].append(doc_id)
                 out["width"].append(dec["width"])

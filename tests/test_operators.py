@@ -242,3 +242,50 @@ def test_png_codec_roundtrip_all_filters():
     )
     with pytest.raises(ValueError, match="length"):
         parse_png(bad)
+
+
+def test_png_adam7_truncation_and_layout_guards():
+    """The Adam7 branch must reject streams whose inflated length
+    disagrees with the seven-pass layout, in BOTH directions, with the
+    named error — proving it walks the pass structure rather than
+    trusting the buffer."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from kafka_clickhouse_implementation_spark.operators.multimodal import (
+        _PNG_SIG,
+        encode_png_adam7,
+        parse_png,
+    )
+
+    px = [(i * 5 + 1) % 256 for i in range(3 * 9 * 10)]
+    good = encode_png_adam7(9, 10, px)
+    assert parse_png(good)["values"] == px
+
+    def rebuild(idat_body: bytes) -> bytes:
+        def chunk(cid: bytes, body: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(body))
+                + cid
+                + body
+                + struct.pack(">I", zlib.crc32(cid + body) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", 9, 10, 8, 2, 0, 0, 1)
+        return (
+            _PNG_SIG
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(idat_body))
+            + chunk(b"IEND", b"")
+        )
+
+    # reconstruct the raw (pre-compression) pass stream, then perturb
+    raw = zlib.decompress(
+        good[good.index(b"IDAT") + 4 : good.rindex(b"IEND") - 8]
+    )
+    with pytest.raises(ValueError, match="shorter than the Adam7"):
+        parse_png(rebuild(raw[:-1]))
+    with pytest.raises(ValueError, match="longer than the Adam7"):
+        parse_png(rebuild(raw + b"\x00"))

@@ -106,6 +106,37 @@ def test_png_roundtrip_property(width, height, data):
     assert dec["values"] == px
 
 
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=17),
+    st.integers(min_value=1, max_value=17),
+    st.data(),
+)
+def test_png_adam7_roundtrip_property(width, height, data):
+    """Any RGB8 image must survive the Adam7 interlaced round trip
+    exactly, for every geometry class (empty passes at tiny sizes,
+    ceil-division edges at 8k±1) — the property behind
+    q_multimodal_png_adam7's oracle check. The interlaced and
+    sequential decodes must also agree with each other."""
+    from kafka_clickhouse_implementation_spark.operators.multimodal import (
+        encode_png,
+        encode_png_adam7,
+        parse_png,
+    )
+
+    px = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=255),
+            min_size=3 * width * height,
+            max_size=3 * width * height,
+        )
+    )
+    dec = parse_png(encode_png_adam7(width, height, px))
+    assert (dec["width"], dec["height"]) == (width, height)
+    assert dec["values"] == px
+    assert dec["values"] == parse_png(encode_png(width, height, px))["values"]
+
+
 @settings(max_examples=20, deadline=None)
 @given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
                           allow_nan=False, allow_infinity=False),

@@ -1,15 +1,14 @@
 """Registry-window guard: the driver's correctness harness records only
-the FIRST 50 registered queries. Round 7 finishes the staleness
-rotation the r6 verdict asked for: (a) the two result-cap queries whose
-code and oracle changed this round, (b) all 28 round-6 additions that
-had never earned a driver row (C98–C125), (c) the 11 non-TPC-H
-round-2-stale oracle-backed queries, (d) 9 of the 14 round-2-stale
-TPC-H shapes (the remaining 5 lead round 8). The window is an explicit
-name list in registry._WINDOW_50; this test pins the exact 50 so any
-registry change that perturbs the driver's view fails loudly.
+the FIRST 50 registered queries. Since round 8 the window is DERIVED by
+tools/make_window.py from the recorded CORRECTNESS_r* history (changed/
+new queries first, then never-checked, then oldest-green-row first,
+hash-signal queries before rows-only) — the r7 verdict asked for
+exactly this after hand-curation drifted once. This test pins the
+derived 50 so any registry change that perturbs the driver's view
+fails loudly.
 
-If you intentionally re-curate the window, update registry._WINDOW_50
-AND this pin together, and say so in the commit message."""
+To re-curate: re-run the tool with this round's --changed list and
+paste its output into registry._WINDOW_50 AND this pin together."""
 
 from __future__ import annotations
 
@@ -19,28 +18,56 @@ from kafka_clickhouse_implementation_spark.registry import (
     all_queries,
 )
 
-WINDOW_50 = [
-    # (a) changed result-cap queries (2)
-    "q_moving_sum", "q_window_range_frame",
-    # (b) the 28 never-driver-checked round-6 additions
-    "q_linreg", "q_skew_kurt", "q_mann_whitney", "q_ks_test",
-    "q_avg_weighted", "q_bitmap_ops", "q_roc_auc", "q_corr_matrix",
-    "q_anova", "q_exp_decay", "q_sparkbar", "q_url_funcs",
-    "q_geo_distance", "q_multi_search", "q_kmeans_semantic",
-    "q_semantic_dedup", "q_ann_ivf_exact", "q_pq_quantize",
-    "q_chunk_dedup", "q_substring_dup", "q_curriculum_schedule",
-    "q_jsonl_roundtrip", "q_ngram_distance", "q_lightweight_delete",
-    "q_update_mutation", "q_stream_linreg", "q_stream_chunk_dedup",
-    "q_stream_ivf_ingest",
-    # (c) the non-TPC-H round-2-stale cohort (11)
-    "q_docs_by_lang", "q_fingerprint", "q_lang_id", "q_multimodal_bytes",
-    "q_ngram_jaccard", "q_quality_score", "q_rolling_hash",
-    "q_term_stats", "q_tfidf_top_terms", "q_token_count",
-    "q_token_count_bpe",
-    # (d) 9 round-2-stale TPC-H shapes
-    "q_tpch_q10_shape", "q_tpch_q12_shape", "q_tpch_q13_shape",
-    "q_tpch_q14_shape", "q_tpch_q15_shape", "q_tpch_q16_shape",
-    "q_tpch_q17_shape", "q_tpch_q18_shape", "q_tpch_q19_shape",
+WINDOW_50 = ["q_heavy_hitters",  # changed/new
+    "q_hll_sketch_union",  # changed/new
+    "q_exp_decay",  # changed/new
+    "q_geo_distance",  # changed/new
+    "q_agg_state_merge",  # changed/new
+    "q_multimodal_png_adam7",  # changed/new
+    "q_mwu_pvalue",  # changed/new
+    "q_welch_pvalue",  # changed/new
+    "q_student_pvalue",  # changed/new
+    "q_ks_pvalue",  # changed/new
+    "q_cluster_prototypes",  # last green r-never-
+    "q_multimodal_flac",  # last green r-never-
+    "q_multimodal_flac_stereo",  # last green r-never-
+    "q_multimodal_gif89a",  # last green r-never-
+    "q_semantic_clean",  # last green r-never-
+    "q_twolevel_kmeans",  # last green r-never-
+    "q_tpch_q21_shape",  # last green r2
+    "q_tpch_q22_shape",  # last green r2
+    "q_tpch_q4_shape",  # last green r2
+    "q_tpch_q7_shape",  # last green r2
+    "q_tpch_q8_shape",  # last green r2
+    "q_asof_join",  # last green r3
+    "q_bigram_counts",  # last green r3
+    "q_bit_aggs",  # last green r3
+    "q_collect_tokens",  # last green r3
+    "q_collocations",  # last green r3
+    "q_corpus_funnel",  # last green r3
+    "q_delta_sum",  # last green r3
+    "q_doc_chunks",  # last green r3
+    "q_edit_distance",  # last green r3
+    "q_embedding_norms",  # last green r3
+    "q_embedding_quantize",  # last green r3
+    "q_event_paths",  # last green r3
+    "q_gap_fill",  # last green r3
+    "q_grouping_sets",  # last green r3
+    "q_histogram",  # last green r3
+    "q_map_funcs",  # last green r3
+    "q_pii_mask",  # last green r3
+    "q_range_join",  # last green r3
+    "q_salted_agg",  # last green r3
+    "q_scd2_join",  # last green r3
+    "q_sequence_count",  # last green r3
+    "q_sequence_match",  # last green r3
+    "q_session_bounds",  # last green r3
+    "q_sliding_counts",  # last green r3
+    "q_sliding_window",  # last green r3
+    "q_stratified_sample",  # last green r3
+    "q_systematic_sample",  # last green r3
+    "q_weekly_rollup",  # last green r3
+    "q_zipf_rank",  # last green r3
 ]
 
 
@@ -57,20 +84,35 @@ def test_window_is_exactly_50_known_names():
     assert missing == []
 
 
+# the only rows-only queries allowed a window slot: the four p-value
+# companions, rows-only BY DESIGN (libm erf/lgamma are not correctly
+# rounded cross-engine; operators/pvalues.py module doc) and
+# quantitatively bounded in tests/test_pvalues.py instead
+_ROWS_ONLY_BY_DESIGN = {
+    "q_mwu_pvalue",
+    "q_welch_pvalue",
+    "q_student_pvalue",
+    "q_ks_pvalue",
+}
+
+
 def test_window_oracle_coverage():
-    """The round-7 window is all-oracle-backed by construction — the six
-    rows-only-by-design queries (and the four legacy_-tagged superseded
-    sketches) are deliberately excluded: a rows-only row buys no hash
-    signal."""
+    """Every window slot is oracle-backed except the declared p-value
+    companions — a rows-only row buys no hash signal, so rows-only
+    queries only enter the window when they are NEW (to record that
+    they execute under the driver's vanilla session)."""
     oracles = all_oracles()
-    missing = [q for q in WINDOW_50 if q not in oracles]
+    missing = [
+        q for q in WINDOW_50 if q not in oracles and q not in _ROWS_ONLY_BY_DESIGN
+    ]
     assert missing == []
 
 
 def test_legacy_queries_are_tagged_and_out_of_window():
-    """The four superseded rows-only sketches keep their implementations
-    under a legacy_ prefix; each has an oracle-checked portable twin in
-    the registry (C24/C32/C60/C112)."""
+    """Superseded rows-only sketches keep their implementations under a
+    legacy_ prefix; each has an oracle-checked twin in the registry
+    (C24/C32/C60/C112, and since round 8 the deterministic one-shot MG
+    C29 and the portable register-exact HLL C31)."""
     qs = all_queries()
     oracles = all_oracles()
     twins = {
@@ -78,6 +120,8 @@ def test_legacy_queries_are_tagged_and_out_of_window():
         "legacy_simhash": "q_simhash_portable",
         "legacy_ann_lsh": "q_ann_portable",
         "legacy_ann_ivf": "q_ann_ivf_exact",
+        "legacy_heavy_hitters": "q_heavy_hitters",
+        "legacy_hll_sketch": "q_hll_sketch_union",
     }
     for legacy, twin in twins.items():
         assert legacy in qs

@@ -60,7 +60,10 @@ def load_history(repo_root: str) -> dict[str, int]:
             if not isinstance(v, dict):
                 continue
             green = v.get("hash_match") is True or (
-                v.get("hash_match") is None and v.get("rows_match") is True
+                # rows-only rows: no oracle, a row count was recorded
+                v.get("err") == "no_oracle"
+                and (v.get("spark_rows") or 0) >= 0
+                and v.get("spark_rows") is not None
             )
             if green:
                 latest[q] = max(latest.get(q, 0), rnd)
@@ -78,10 +81,12 @@ def propose(changed: list[str], size: int = 50) -> list[str]:
 
     def rank(q: str) -> tuple:
         if q in changed:
-            return (0, changed.index(q), "")
+            return (0, 0, changed.index(q), "")
         last = latest.get(q, 0)
+        # hash rows are the hard signal: every oracle-backed query
+        # outranks every rows-only query, then oldest-first
         oracle_first = 0 if q in oracles else 1
-        return (1, last, oracle_first, q)
+        return (1, oracle_first, last, q)
 
     ordered = sorted((q for q in qs), key=rank)
     return ordered[:size]
@@ -108,7 +113,12 @@ def main() -> None:
         print(f"queries: {len(qs)}  with-green-row: {len(latest)}")
         print(f"never-checked and NOT in current window: {never or 'none'}")
         print(f"oracle-backed with latest green row < r4: {stale or 'none'}")
-        uncovered = [q for q in never if q not in _WINDOW_50]
+        print(f"stale rows NOT already queued in the window: "
+              f"{[q for q in stale if q not in _WINDOW_50] or 'none'}")
+        # blocking: an oracle-backed query the driver has never hashed
+        # and that the current window does not queue (rows-only queries
+        # carry their evidence in pytest, not driver rows)
+        uncovered = [q for q in never if q in oracles]
         sys.exit(1 if uncovered else 0)
 
     window = propose(args.changed, args.size)
