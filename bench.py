@@ -100,6 +100,7 @@ HEADLINE = [
     # (daily -State build + weekly merge + -Merge finish, incl. the
     # portable-HLL register fold) and the Adam7 interlaced PNG
     "q_agg_state_merge",
+    "q_stream_agg_state",
     "q_multimodal_png_adam7",
 ]
 

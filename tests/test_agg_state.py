@@ -88,3 +88,107 @@ def test_weekly_rollup_never_rescans_raw(spark):
     )
     plan = weekly._jdf.queryExecution().executedPlan().toString()
     assert "events.parquet" not in plan
+
+
+def test_streaming_states_cross_batch_boundaries(spark):
+    """C134 contract: the streaming-maintained daily states must equal
+    the batch-built state table EXACTLY even when the wire is forced
+    through one-file-per-trigger micro-batches (4 files -> 4 batches),
+    i.e. the state store genuinely accumulates across batches."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from kafka_clickhouse_implementation_spark.operators.agg_state import (
+        _VM,
+        build_state_table,
+    )
+    from kafka_clickhouse_implementation_spark.operators.relational_ext import (
+        _HLL_M,
+    )
+    from kafka_clickhouse_implementation_spark.streaming.agg_state_stream import (
+        _value_wire,
+    )
+    from kafka_clickhouse_implementation_spark.streaming.funnel import _drain
+
+    wire_dir, base = _value_wire(spark, SF)
+    # read the wire with forced multi-batch replay (the query itself
+    # drains availableNow over whole files; _hashed_stream unused here)
+    from kafka_clickhouse_implementation_spark.streaming.agg_state_stream import (
+        _WIRE_SCHEMA,
+    )
+    from kafka_clickhouse_implementation_spark.operators.sketches import (
+        _nibble_value_sql,
+    )
+    from kafka_clickhouse_implementation_spark.operators.relational_ext import (
+        _HLL_RHO,
+    )
+
+    ev = (
+        spark.readStream.schema(_WIRE_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(wire_dir)
+        .select(
+            F.to_date(F.timestamp_micros("e_us")).alias("day"),
+            "value",
+            F.md5(F.col("user_id").cast("string").cast("binary")).alias("uh"),
+        )
+        .selectExpr(
+            "day", "value", "uh",
+            f"({_nibble_value_sql('uh', 2)}) % {_HLL_M} AS idx",
+            f"{_nibble_value_sql('uh', 13, start=3)} AS w",
+        )
+        .selectExpr("day", "value", "uh", "idx", f"{_HLL_RHO} AS rho")
+    )
+    nums = ev.groupBy("day").agg(
+        F.count(F.lit(1)).alias("s_cnt"),
+        F.sum(F.expr(_VM)).cast("long").alias("s_sum"),
+        F.min(F.expr(_VM)).alias("s_min"),
+        F.max(F.expr(_VM)).alias("s_max"),
+    )
+    _drain(spark, nums, "t_mb_nums", os.path.join(base, "ckpt_t_nums"),
+           mode="complete")
+    regs = ev.groupBy("day", "idx").agg(F.max("rho").alias("m"))
+    _drain(spark, regs, "t_mb_regs", os.path.join(base, "ckpt_t_regs"),
+           mode="complete")
+    dig = ev.groupBy("day", "uh").agg(F.count(F.lit(1)).alias("n"))
+    _drain(spark, dig, "t_mb_dig", os.path.join(base, "ckpt_t_dig"),
+           mode="complete")
+
+    hll = (
+        spark.table("t_mb_regs")
+        .groupBy("day")
+        .agg(F.expr("map_from_entries(collect_list(struct(idx, m)))").alias("mm"))
+        .selectExpr(
+            "day",
+            f"transform(sequence(0, {_HLL_M - 1}),"
+            " s -> coalesce(mm[CAST(s AS BIGINT)], CAST(0 AS BIGINT))) AS s_hll",
+        )
+    )
+    from kafka_clickhouse_implementation_spark.operators.agg_state import _KMV_K
+
+    w = Window.partitionBy("day").orderBy("uh")
+    kmv = (
+        spark.table("t_mb_dig")
+        .select("day", "uh")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _KMV_K)
+        .groupBy("day")
+        .agg(F.expr("array_sort(collect_list(uh))").alias("s_kmv"))
+    )
+    streamed = spark.table("t_mb_nums").join(hll, "day").join(kmv, "day")
+
+    def snap(df):
+        return {
+            r.day.isoformat(): (
+                r.s_cnt, r.s_sum, r.s_min, r.s_max,
+                tuple(r.s_hll), tuple(r.s_kmv),
+            )
+            for r in df.collect()
+        }
+
+    assert snap(streamed) == snap(build_state_table(spark, SF))
+    # multi-batch actually happened: the wire has 4 data files
+    n_files = len([f for f in os.listdir(wire_dir) if f.startswith("part-")])
+    assert n_files >= 2

@@ -346,3 +346,37 @@ def test_bare_window_detector_catches_global_windows(spark):
         " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s",
     )
     assert not _bare_windows(_plan(ok))
+
+
+def test_heavy_hitters_shuffles_summaries_not_vocab(spark):
+    """C29 (r8 oracle upgrade): the merge after the one-shot MG must
+    aggregate the mapInPandas SUMMARY rows (<= buckets x k), and the
+    final top-10 must be TakeOrdered, never a global sort."""
+    df = all_queries()["q_heavy_hitters"](spark, SF)
+    plan = _plan(df)
+    assert "MapInPandas" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", ""), plan
+
+
+def test_portable_hll_is_pure_codegen(spark):
+    """C31 (r8 rewrite): the register-exact HLL is md5/instr/bin
+    arithmetic — no Python evaluator anywhere in the plan, and the
+    1-row finishers ride broadcast joins."""
+    df = all_queries()["q_hll_sketch_union"](spark, SF)
+    plan = _plan(df)
+    assert "EvalPython" not in plan and "MapInPandas" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_portable_kernels_stay_codegen(spark):
+    """C105/C108 (r8 rewrite): the polynomial exp/haversine kernels are
+    plain expressions — WholeStageCodegen covers them, no Python (the
+    frame is executed first so AQE finalizes the plan)."""
+    for name in ("q_exp_decay", "q_geo_distance"):
+        df = all_queries()[name](spark, SF)
+        df.collect()
+        plan = _plan(df)
+        assert "EvalPython" not in plan and "MapInPandas" not in plan, (name, plan)
+        # AQE final plans render whole-stage codegen as "*(n)" markers
+        assert "*(" in plan, (name, plan)

@@ -23,11 +23,8 @@ WINDOW_50 = ["q_heavy_hitters",  # changed/new
     "q_exp_decay",  # changed/new
     "q_geo_distance",  # changed/new
     "q_agg_state_merge",  # changed/new
+    "q_stream_agg_state",  # changed/new
     "q_multimodal_png_adam7",  # changed/new
-    "q_mwu_pvalue",  # changed/new
-    "q_welch_pvalue",  # changed/new
-    "q_student_pvalue",  # changed/new
-    "q_ks_pvalue",  # changed/new
     "q_cluster_prototypes",  # last green r-never-
     "q_multimodal_flac",  # last green r-never-
     "q_multimodal_flac_stereo",  # last green r-never-
@@ -68,6 +65,9 @@ WINDOW_50 = ["q_heavy_hitters",  # changed/new
     "q_systematic_sample",  # last green r3
     "q_weekly_rollup",  # last green r3
     "q_zipf_rank",  # last green r3
+    "q_mwu_pvalue",  # changed/new
+    "q_welch_pvalue",  # changed/new
+    "q_student_pvalue",  # changed/new
 ]
 
 

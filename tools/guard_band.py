@@ -47,6 +47,15 @@ GEO_R = 6_371_000.0  # mirrors parity_ext._GEO_R
 REL_BOUND = 1e-11
 
 
+def _pq(sf_dir: str, table: str) -> str:
+    """Parquet path that works for both layouts: a single file (driver
+    testdata) or a Spark-written directory (scaled datasets)."""
+    import os
+
+    p = f"{sf_dir}/{table}.parquet"
+    return f"{p}/*.parquet" if os.path.isdir(p) else p
+
+
 def _horner_np(t: np.ndarray, coeffs: list[str]) -> np.ndarray:
     acc = np.full_like(t, float(coeffs[-1]))
     for c in reversed(coeffs[:-1]):
@@ -68,9 +77,10 @@ def _chunked_horner_np(t: np.ndarray, coeffs: list[str]) -> np.ndarray:
 
 def check_exp(sf_dir: str) -> float:
     con = duckdb.connect()
+    events_pq = _pq(sf_dir, "events")
     tus = np.asarray(
         con.execute(
-            f"SELECT epoch_us(ts) AS tus FROM '{sf_dir}/events.parquet'"
+            f"SELECT epoch_us(ts) AS tus FROM '{events_pq}'"
         ).fetchnumpy()["tus"],
         dtype=np.int64,
     )
@@ -93,8 +103,9 @@ def check_exp(sf_dir: str) -> float:
 
 def check_geo(sf_dir: str) -> float:
     con = duckdb.connect()
+    cust_pq = _pq(sf_dir, "customer")
     res = con.execute(
-        f"SELECT c_custkey, c_nationkey FROM '{sf_dir}/customer.parquet'"
+        f"SELECT c_custkey, c_nationkey FROM '{cust_pq}'"
     ).fetchnumpy()
     ck = np.asarray(res["c_custkey"], dtype=np.int64)
     nk = np.asarray(res["c_nationkey"], dtype=np.int64)

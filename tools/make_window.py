@@ -44,6 +44,9 @@ from kafka_clickhouse_implementation_spark.registry import (  # noqa: E402
     all_queries,
 )
 
+# rows older than this round count as stale (advance as rounds accrue)
+STALE_HORIZON = 4
+
 
 def load_history(repo_root: str) -> dict[str, int]:
     """Latest round with a green driver row per query (hash green for
@@ -80,13 +83,25 @@ def propose(changed: list[str], size: int = 50) -> list[str]:
         raise SystemExit(f"--changed names not in registry: {unknown}")
 
     def rank(q: str) -> tuple:
-        if q in changed:
-            return (0, 0, changed.index(q), "")
+        # Tiers, highest priority first. Hash rows are the hard
+        # signal, so every oracle-backed need (changed, never-checked,
+        # stale) outranks rows-only queries; rows-only NEW queries
+        # still beat refreshing rows inside the staleness horizon
+        # (their window slot records vanilla-session execution, the
+        # only driver evidence a rows-only query can earn).
+        oracle = q in oracles
         last = latest.get(q, 0)
-        # hash rows are the hard signal: every oracle-backed query
-        # outranks every rows-only query, then oldest-first
-        oracle_first = 0 if q in oracles else 1
-        return (1, oracle_first, last, q)
+        if oracle and q in changed:
+            return (0, changed.index(q), "")
+        if oracle and last == 0:
+            return (1, 0, q)  # never driver-checked
+        if oracle and last < STALE_HORIZON:
+            return (2, last, q)  # stale hash row
+        if q in changed:
+            return (3, changed.index(q), "")  # new rows-only
+        if oracle:
+            return (4, last, q)  # refresh oldest fresh-enough rows
+        return (5, last, q)  # rows-only backlog
 
     ordered = sorted((q for q in qs), key=rank)
     return ordered[:size]
@@ -107,7 +122,7 @@ def main() -> None:
         oracles = all_oracles()
         never = [q for q in qs if q not in latest and q not in _WINDOW_50]
         stale = sorted(
-            (q for q in qs if q in oracles and 0 < latest.get(q, 0) < 4),
+            (q for q in qs if q in oracles and 0 < latest.get(q, 0) < STALE_HORIZON),
             key=lambda q: latest[q],
         )
         print(f"queries: {len(qs)}  with-green-row: {len(latest)}")
