@@ -102,6 +102,9 @@ HEADLINE = [
     "q_agg_state_merge",
     "q_stream_agg_state",
     "q_multimodal_png_adam7",
+    # round 8: BPE tokenizer training (corpus pass + 12 vocab-sized
+    # merge rounds)
+    "q_bpe_train",
 ]
 
 

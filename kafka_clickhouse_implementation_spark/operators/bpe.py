@@ -1,0 +1,223 @@
+"""C135 — distributed BPE merge learning (tokenizer training).
+
+The one first-class LLM-training-data operation the corpus tier did
+not yet cover: LEARNING a byte-pair-encoding merge table from the
+corpus (Sennrich et al. 2016 — the algorithm every GPT/Llama tokenizer
+descends from), as opposed to merely counting tokens with a fixed
+BPE-ish regex (q_token_count_bpe). Reference repo scope: the tutorial
+(kafka+clickhouse.md) processes raw event/text rows; tokenizer
+training is part of the Tier-C training-pipeline closure, not a
+reference operator.
+
+Spark-first shape — the classic two-phase factorization:
+
+1. ONE corpus pass builds the word-frequency table (groupBy word,
+   map-side partial agg). Everything after runs on the VOCABULARY
+   (distinct words), which is heavy-hitter-bounded: millions of rows
+   at 100 TB, never corpus-sized.
+2. Per merge round over the vocab: adjacent-symbol pairs via
+   zip_with(slice, slice) → explode → one vocab-sized shuffle keyed on
+   the pair → the winner is a TakeOrdered(1) with a deterministic tie
+   order (count DESC, then lexicographic pair). The only driver
+   traffic per round is that ONE model row (the winning pair) plus a
+   1-row symbol total — bounded by the model, like the Lloyd loops in
+   clustering.py.
+
+Merge application is CANONICAL greedy left-to-right, expressed as a
+left fold that both engines run with identical semantics: each word is
+kept as a space-delimited symbol string ``' s1 s2 ... sk '`` and the
+fold appends one symbol at a time, collapsing ``... a | x=b`` into
+``... ab`` when the accumulated tail is exactly ``' a '`` (symbols
+never contain spaces, so the check is boundary-exact; a freshly merged
+token can never cascade within the same round because ``a || b`` is
+strictly longer than either side). Spark runs it as an ``aggregate``
+HOF, DuckDB as ``list_reduce`` with a prepended ``' '`` seed — a plain
+string ``replace`` is NOT canonical on same-symbol runs (a run of six
+``a`` must merge to ``aa aa aa``, but space-consuming replace strands
+``aa a aa a``; unit-tested in tests/test_bpe.py).
+
+The DuckDB oracle replays the full training loop independently: R
+unrolled rounds of MATERIALIZED CTEs (pair counts → winner → fold
+apply), the same trick as the Lloyd/connected-components oracles —
+MATERIALIZED is load-bearing, DuckDB's default inlining re-expands the
+multiply-referenced round chain exponentially.
+
+Portability: symbols are drawn from [a-z] plus the ``_`` end-of-word
+marker, so every literal embedded in the fold expression is SQL-safe
+and string comparisons are pure-ASCII binary in both engines; all
+counts are BIGINT sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_clickhouse_implementation_spark.io import load
+from kafka_clickhouse_implementation_spark.registry import query
+
+# Number of learned merges. At the test corpus's 31-word vocabulary
+# the pair table never exhausts inside 12 rounds (guarded in pytest);
+# real corpora exhaust only at vocab-sized R.
+BPE_ROUNDS = 12
+
+# End-of-word marker appended as its own symbol (the '</w>' of the
+# original paper, shortened to keep fold literals single-char).
+_EOW = "_"
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("merge_rank", T.IntegerType(), False),
+        T.StructField("left_sym", T.StringType(), False),
+        T.StructField("right_sym", T.StringType(), False),
+        T.StructField("merged", T.StringType(), False),
+        T.StructField("pair_count", T.LongType(), False),
+        T.StructField("syms_before", T.LongType(), False),
+    ]
+)
+
+
+def _fold_step_sql(wa: str, wb: str) -> str:
+    """Spark-side canonical-greedy fold step for merging (wa, wb); the
+    pair is a driver-known literal (it IS the model, like a Lloyd
+    centroid codebook)."""
+    return (
+        f"CASE WHEN x = '{wb}' AND endswith(acc, ' {wa} ') "
+        f"THEN concat(substring(acc, 1, length(acc) - {len(wa) + 1}), "
+        f"'{wa}{wb} ') "
+        "ELSE concat(acc, x, ' ') END"
+    )
+
+
+def _pair_frame(cur: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts over the vocab, weighted by word
+    frequency — zip_with over two slices (one evaluation per row; HOFs
+    get no CSE, so the structs are built in a single lambda)."""
+    return (
+        cur.selectExpr("split(trim(s), ' ') AS l", "f")
+        .selectExpr(
+            "explode(zip_with(slice(l, 1, size(l) - 1),"
+            " slice(l, 2, size(l) - 1),"
+            " (x, y) -> struct(x AS a, y AS b))) AS p",
+            "f",
+        )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("f").alias("cnt"))
+    )
+
+
+def _oracle_sql(rounds: int = BPE_ROUNDS) -> str:
+    """Full independent replay: R unrolled MATERIALIZED rounds of
+    (pair counts -> deterministic winner -> canonical fold apply)."""
+    ctes = [
+        "w0 AS MATERIALIZED (\n"
+        "  SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') || '"
+        + _EOW
+        + " ' AS s,\n"
+        "         CAST(count(*) AS BIGINT) AS f\n"
+        "  FROM (SELECT unnest(string_split(text, ' ')) AS w"
+        " FROM documents) u\n"
+        "  WHERE w <> '' GROUP BY w\n"
+        ")",
+        "tot AS MATERIALIZED (SELECT CAST(sum(f) AS BIGINT) AS wsum"
+        " FROM w0)",
+    ]
+    selects = []
+    for r in range(1, rounds + 1):
+        prev = f"w{r - 1}"
+        ctes.append(
+            f"p{r} AS MATERIALIZED (\n"
+            f"  SELECT a, b, CAST(sum(f) AS BIGINT) AS cnt FROM (\n"
+            f"    SELECT unnest(l[1:len(l) - 1]) AS a,"
+            f" unnest(l[2:len(l)]) AS b, f\n"
+            f"    FROM (SELECT string_split(trim(s), ' ') AS l, f"
+            f" FROM {prev}) t{r}) pp{r}\n"
+            f"  GROUP BY a, b\n"
+            f")"
+        )
+        ctes.append(
+            f"s{r} AS MATERIALIZED (SELECT a AS wa, b AS wb, cnt"
+            f" FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1)"
+        )
+        ctes.append(
+            f"w{r} AS MATERIALIZED (\n"
+            f"  SELECT list_reduce(list_prepend(' ',"
+            f" string_split(trim(s), ' ')),\n"
+            f"         (acc, x) -> CASE WHEN x = wb AND"
+            f" suffix(acc, ' ' || wa || ' ')\n"
+            f"           THEN substr(acc, 1, len(acc) - len(wa) - 1)"
+            f" || wa || wb || ' '\n"
+            f"           ELSE acc || x || ' ' END) AS s, f\n"
+            f"  FROM {prev}, s{r}\n"
+            f")"
+        )
+        selects.append(
+            f"SELECT CAST({r} AS INT) AS merge_rank, wa AS left_sym,"
+            f" wb AS right_sym,\n"
+            f"       wa || wb AS merged, cnt AS pair_count,\n"
+            f"       (SELECT CAST(sum(cnt) AS BIGINT) FROM p{r})"
+            f" + (SELECT wsum FROM tot) AS syms_before\n"
+            f"FROM s{r}"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT * FROM (\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\n) ORDER BY merge_rank"
+    )
+
+
+@query("q_bpe_train", oracle=_oracle_sql())
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C135: learn the first BPE_ROUNDS BPE merges from `documents`.
+
+    Output, one row per merge round: the learned pair, its weighted
+    pair count, and the weighted corpus symbol total BEFORE the merge
+    (the compression trajectory; = sum(pair counts) + weighted word
+    count, since each word of k symbols contributes k-1 pairs).
+    """
+    docs = load(spark, sf_dir, "documents")
+    sc = spark.sparkContext
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter("w <> ''")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+        .select(
+            F.concat(
+                F.lit(" "),
+                F.regexp_replace("w", "(.)", "$1 "),
+                F.lit(_EOW + " "),
+            ).alias("s"),
+            "f",
+        )
+        # vocab is the loop's working set: distribute it (single-file
+        # scans arrive as 1 partition) and truncate the scan lineage
+        .repartition(min(8, sc.defaultParallelism))
+        .localCheckpoint()
+    )
+    wsum = int(vocab.agg(F.sum("f")).first()[0])
+
+    out: list[tuple] = []
+    cur = vocab
+    for r in range(1, BPE_ROUNDS + 1):
+        pairs = _pair_frame(cur).persist()
+        # ONE model row (the argmax pair) + one 1-row total: bounded
+        # driver traffic, the Lloyd-codebook pattern
+        top = pairs.orderBy(F.desc("cnt"), "a", "b").limit(1).collect()
+        if not top:  # vocabulary fully merged (never at our SFs)
+            pairs.unpersist()
+            break
+        wa, wb, cnt = top[0].a, top[0].b, int(top[0].cnt)
+        syms_before = int(pairs.agg(F.sum("cnt")).first()[0]) + wsum
+        pairs.unpersist()
+        out.append((r, wa, wb, wa + wb, cnt, syms_before))
+        cur = cur.selectExpr(
+            f"aggregate(split(trim(s), ' '), ' ', "
+            f"(acc, x) -> {_fold_step_sql(wa, wb)}) AS s",
+            "f",
+        )
+        if r % 4 == 0:
+            # truncate the nested-HOF lineage every few rounds
+            cur = cur.localCheckpoint()
+    return spark.createDataFrame(out, _SCHEMA).orderBy("merge_rank")

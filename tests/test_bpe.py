@@ -1,0 +1,113 @@
+"""C135 BPE merge-learning tests: an independent pure-Python BPE
+(Sennrich-style pair counting + canonical greedy apply) must reproduce
+the query's full merge trajectory, and the fold expression must be
+canonical on the same-symbol runs where naive string replace is not."""
+
+from __future__ import annotations
+
+import collections
+
+import pyarrow.parquet as pq
+
+from kafka_clickhouse_implementation_spark.operators.bpe import (
+    BPE_ROUNDS,
+    _EOW,
+    q_bpe_train,
+)
+from tests.conftest import SF_DIR as SF
+
+
+def _python_bpe(word_freq: dict[str, int], rounds: int):
+    """Reference BPE: symbols per word, overlap-counting pair stats,
+    (count DESC, pair ASC) winner, greedy leftmost non-overlap apply."""
+    vocab = {
+        tuple(w) + (_EOW,): f for w, f in word_freq.items()
+    }
+    out = []
+    for r in range(1, rounds + 1):
+        pairs: dict[tuple[str, str], int] = collections.defaultdict(int)
+        syms_before = 0
+        for syms, f in vocab.items():
+            syms_before += f * len(syms)
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        if not pairs:
+            break
+        (wa, wb), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        out.append((r, wa, wb, wa + wb, cnt, syms_before))
+        nv: dict[tuple, int] = collections.defaultdict(int)
+        for syms, f in vocab.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == wa and syms[i + 1] == wb:
+                    merged.append(wa + wb)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            nv[tuple(merged)] += f
+        vocab = dict(nv)
+    return out
+
+
+def test_bpe_trajectory_matches_python_reference(spark):
+    words = collections.Counter()
+    for text in pq.read_table(f"{SF}/documents.parquet", columns=["text"])[
+        "text"
+    ].to_pylist():
+        words.update(w for w in text.split(" ") if w)
+    want = _python_bpe(dict(words), BPE_ROUNDS)
+    got = [
+        (
+            r.merge_rank,
+            r.left_sym,
+            r.right_sym,
+            r.merged,
+            r.pair_count,
+            r.syms_before,
+        )
+        for r in q_bpe_train(spark, SF).collect()
+    ]
+    assert got == want
+    # the corpus is rich enough that 12 rounds never exhaust
+    assert len(got) == BPE_ROUNDS
+    # trajectory sanity: totals strictly decrease (every merge round
+    # collapses at least one occurrence)
+    totals = [t[5] for t in got]
+    assert totals == sorted(totals, reverse=True) and len(set(totals)) == len(
+        totals
+    )
+
+
+def test_fold_is_canonical_where_replace_is_not(spark):
+    """A run of six identical symbols must merge leftmost-aligned
+    ([aa,aa,aa]) — the case where boundary-space replace strands
+    [aa,a,aa,a] because each match consumes the next match's leading
+    separator. Runs the ACTUAL engine expressions."""
+    from kafka_clickhouse_implementation_spark.operators.bpe import (
+        _fold_step_sql,
+    )
+
+    row = spark.sql(
+        "SELECT aggregate(split(trim(' a a a a a a z _ '), ' '), ' ',"
+        f" (acc, x) -> {_fold_step_sql('a', 'a')}) AS folded,"
+        " replace(' a a a a a a z _ ', ' a a ', ' aa ') AS replaced"
+    ).first()
+    assert row.folded == " aa aa aa z _ "
+    assert row.replaced == " aa a aa a z _ "  # the documented trap
+
+
+def test_merged_token_never_cascades_within_round(spark):
+    """Merging (a,b) must not let the fresh 'ab' immediately merge with
+    a following 'b' in the same round ([a,b,b] -> [ab,b], not [abb])."""
+    from kafka_clickhouse_implementation_spark.operators.bpe import (
+        _fold_step_sql,
+    )
+
+    row = spark.sql(
+        "SELECT aggregate(split(trim(' a b b _ '), ' '), ' ',"
+        f" (acc, x) -> {_fold_step_sql('a', 'b')}) AS folded"
+    ).first()
+    assert row.folded == " ab b _ "
