@@ -105,6 +105,7 @@ HEADLINE = [
     # round 8: BPE tokenizer training (corpus pass + 12 vocab-sized
     # merge rounds)
     "q_bpe_train",
+    "q_kmv_setops",
 ]
 
 

@@ -221,3 +221,129 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             # truncate the nested-HOF lineage every few rounds
             cur = cur.localCheckpoint()
     return spark.createDataFrame(out, _SCHEMA).orderBy("merge_rank")
+
+
+# ---------------------------------------------------------------------------
+# C136 — KMV set-operation estimates (ClickHouse uniq-state set algebra;
+# the Theta-sketch-style intersection/Jaccard that ClickHouse itself
+# approximates by combining uniq states). Lives next to the BPE trainer
+# purely for module-registration convenience this round.
+# ---------------------------------------------------------------------------
+
+from kafka_clickhouse_implementation_spark.operators.sketches import (  # noqa: E402
+    _EST_SQL,
+    K,
+)
+
+_SETOPS_ORACLE = f"""
+WITH uh AS (
+  SELECT DISTINCT (CAST(ts AS DATE) - DATE '1970-01-01') % 2 AS p,
+         md5(CAST(user_id AS VARCHAR)) AS h
+  FROM events
+),
+ka AS (SELECT h FROM uh WHERE p = 0 ORDER BY h LIMIT {K}),
+kb AS (SELECT h FROM uh WHERE p = 1 ORDER BY h LIMIT {K}),
+ku AS (
+  SELECT h FROM (
+    SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb) uu
+  ) d ORDER BY h LIMIT {K}
+),
+j AS (
+  SELECT CAST(count(*) AS BIGINT) AS k_kept,
+         max(h) AS kth_hash,
+         CAST(sum(CASE WHEN h IN (SELECT h FROM ka)
+                        AND h IN (SELECT h FROM kb)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS j_num
+  FROM ku
+),
+ex AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_union,
+         CAST(sum(CASE WHEN np = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS exact_inter
+  FROM (SELECT h, count(DISTINCT p) AS np FROM uh GROUP BY h) g
+)
+SELECT k_kept, j_num,
+       CAST(j_num AS DOUBLE) / CAST(k_kept AS DOUBLE) AS jaccard_est,
+       ({_EST_SQL})
+         * (CAST(j_num AS DOUBLE) / CAST(k_kept AS DOUBLE)) AS est_inter,
+       exact_inter, exact_union,
+       CAST(exact_inter AS DOUBLE) / CAST(exact_union AS DOUBLE)
+         AS exact_jaccard
+FROM j CROSS JOIN ex
+"""
+
+
+@query("q_kmv_setops", oracle=_SETOPS_ORACLE)
+def q_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C136: KMV set algebra — Jaccard / intersection estimates from
+    bottom-k sketches (Beyer et al. 2007; the Theta-sketch idea), over
+    the even- vs odd-epoch-day user sets of `events`.
+
+    The estimator is exact-by-construction to replay: J = |bottom_k(A
+    UNION B) ∩ A ∩ B| / k, where membership of a union-bottom-k digest
+    in A is EQUIVALENT to membership in bottom_k(A) (a digest among the
+    k smallest of the union and belonging to A is necessarily among the
+    k smallest of A) — so the whole computation touches only three
+    64-row sketches after the distinct pass, and every output column
+    (integer counters + IEEE-exact quotients/products) hashes
+    bit-identically on both engines. Exact intersection/union ride
+    along to show the estimate against the truth.
+
+    Plan shape: one distinct shuffle on (parity, digest), TakeOrdered
+    bottom-k per side (never a global sort), broadcast joins of 64-row
+    sketches, one exact groupBy(digest) pass.
+    """
+    ev = load(spark, sf_dir, "events")
+    uh = ev.select(
+        F.expr(
+            "datediff(CAST(ts AS DATE), DATE '1970-01-01') % 2"
+        ).alias("p"),
+        F.md5(F.col("user_id").cast("string").cast("binary")).alias("h"),
+    ).distinct()
+    ka = uh.filter("p = 0").select("h").orderBy("h").limit(K)
+    kb = uh.filter("p = 1").select("h").orderBy("h").limit(K)
+    ku = ka.union(kb).distinct().orderBy("h").limit(K)
+    j = (
+        ku.join(
+            F.broadcast(ka.withColumnRenamed("h", "ha")),
+            F.col("h") == F.col("ha"),
+            "left",
+        )
+        .join(
+            F.broadcast(kb.withColumnRenamed("h", "hb")),
+            F.col("h") == F.col("hb"),
+            "left",
+        )
+        .agg(
+            F.count("*").cast("long").alias("k_kept"),
+            F.max("h").alias("kth_hash"),
+            F.sum(
+                F.when(
+                    F.col("ha").isNotNull() & F.col("hb").isNotNull(), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("j_num"),
+        )
+    )
+    ex = (
+        uh.groupBy("h")
+        .agg(F.countDistinct("p").alias("np"))
+        .agg(
+            F.count("*").cast("long").alias("exact_union"),
+            F.sum(F.when(F.col("np") == 2, 1).otherwise(0))
+            .cast("long")
+            .alias("exact_inter"),
+        )
+    )
+    return j.crossJoin(F.broadcast(ex)).selectExpr(
+        "k_kept",
+        "j_num",
+        "CAST(j_num AS DOUBLE) / CAST(k_kept AS DOUBLE) AS jaccard_est",
+        f"({_EST_SQL})"
+        " * (CAST(j_num AS DOUBLE) / CAST(k_kept AS DOUBLE)) AS est_inter",
+        "exact_inter",
+        "exact_union",
+        "CAST(exact_inter AS DOUBLE) / CAST(exact_union AS DOUBLE)"
+        " AS exact_jaccard",
+    )

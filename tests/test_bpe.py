@@ -111,3 +111,42 @@ def test_merged_token_never_cascades_within_round(spark):
         f" (acc, x) -> {_fold_step_sql('a', 'b')}) AS folded"
     ).first()
     assert row.folded == " ab b _ "
+
+
+def test_kmv_setops_matches_python_replay(spark):
+    """C136: full hashlib replay of the sketch algebra — bottom-k per
+    parity set, union re-truncate, Jaccard numerator — plus the exact
+    intersection/union, all bit-equal to the query row."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from kafka_clickhouse_implementation_spark.operators.bpe import (
+        q_kmv_setops,
+    )
+    from kafka_clickhouse_implementation_spark.operators.sketches import K
+
+    from datetime import date
+
+    tab = pq.read_table(f"{SF}/events.parquet", columns=["ts", "user_id"])
+    epoch = date(1970, 1, 1).toordinal()
+    # unit-agnostic (the driver parquet is µs at this SF, ns at others)
+    days = [dt.date().toordinal() - epoch for dt in tab["ts"].to_pylist()]
+    users = tab["user_id"].to_pylist()
+    sets = {0: set(), 1: set()}
+    for d, u in zip(days, users):
+        sets[d % 2].add(hashlib.md5(str(u).encode()).hexdigest())
+    ka, kb = (sorted(sets[p])[:K] for p in (0, 1))
+    ku = sorted(set(ka) | set(kb))[:K]
+    j_num = sum(1 for h in ku if h in sets[0] and h in sets[1])
+    exact_union = len(sets[0] | sets[1])
+    exact_inter = len(sets[0] & sets[1])
+
+    row = q_kmv_setops(spark, SF).first()
+    assert (row.k_kept, row.j_num) == (len(ku), j_num)
+    assert (row.exact_inter, row.exact_union) == (exact_inter, exact_union)
+    assert row.jaccard_est == j_num / len(ku)
+    assert row.exact_jaccard == exact_inter / exact_union
+    # membership-in-sketch == membership-in-set for union-bottom-k
+    # digests (the equivalence the docstring claims)
+    assert j_num == sum(1 for h in ku if h in set(ka) and h in set(kb))
