@@ -106,6 +106,7 @@ HEADLINE = [
     # merge rounds)
     "q_bpe_train",
     "q_kmv_setops",
+    "q_multimodal_jpeg_prog",
 ]
 
 

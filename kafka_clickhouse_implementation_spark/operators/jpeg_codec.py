@@ -987,3 +987,375 @@ def encode_jpeg_422(
     )
     sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     return b"\xff\xd8" + dqt + sof0 + dht + sos + bytes(w.buf) + b"\xff\xd9"
+
+
+# --------------------------------------------------------------------
+# C137 — PROGRESSIVE JPEG (SOF2), grayscale: DC successive
+# approximation (first pass + refinement scan) and AC spectral
+# selection with EOB-run coding, per T.81 Annex G. Per-scan AC Huffman
+# tables are OPTIMIZED (two-pass: collect the scan's symbol stream,
+# build a canonical table over exactly those symbols — the libjpeg
+# `-optimize` idea), which is also what makes EOBn symbols encodable:
+# the Annex K AC table has no EOBn entries above EOB0.
+# --------------------------------------------------------------------
+
+# scan script: (Ss, Se, Ah, Al) — DC first at Al=1, two AC bands at
+# Al=0, DC refinement delivering the withheld low bit
+_PROG_SCANS = [(0, 0, 0, 1), (1, 5, 0, 0), (6, 63, 0, 0), (0, 0, 1, 0)]
+
+
+def _optimized_table(symbols: list[int]) -> tuple[list[int], list[int]]:
+    """BITS/HUFFVAL for a canonical table holding exactly `symbols`,
+    all at one length L with 2**L > n (so the all-ones code stays
+    unused, as T.81 C.2 requires). Deterministic: values sorted."""
+    vals = sorted(set(symbols))
+    n = len(vals)
+    length = max(1, n.bit_length())  # smallest L with 2**L > n... (n+1 guard below)
+    if (1 << length) <= n:
+        length += 1
+    bits = [0] * 16
+    bits[length - 1] = n
+    return bits, vals
+
+
+def encode_jpeg_progressive(
+    blocks: list[list[int]], width: int, height: int,
+    quant: list[int] | None = None,
+) -> bytes:
+    """Progressive grayscale JPEG from QUANTIZED natural-order
+    coefficient blocks (same caller contract as encode_jpeg_gray).
+    Emits the 4-scan script in _PROG_SCANS; every AC scan carries its
+    own optimized DHT immediately before its SOS."""
+    quant = quant or [1] * 64
+    dc_tab = _canonical_codes(_DC_BITS, _DC_VALS)
+    zzs = [[blk[ZIGZAG[k]] for k in range(64)] for blk in blocks]
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    zz_quant = bytes(quant[ZIGZAG[k]] for k in range(64))
+    out += seg(0xFFDB, b"\x00" + zz_quant)
+    out += seg(
+        0xFFC2, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
+    )
+    out += seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+
+    for ss, se, ah, al in _PROG_SCANS:
+        w = _BitWriter()
+        if ss == 0 and ah == 0:  # DC first: category-coded (dc >> Al)
+            pred = 0
+            for zz in zzs:
+                v = zz[0] >> al  # arithmetic shift (python semantics)
+                diff = v - pred
+                pred = v
+                s = _category(diff)
+                code, ln = dc_tab[s]
+                w.write(code, ln)
+                if s:
+                    w.write(_amplitude_bits(diff, s), s)
+        elif ss == 0:  # DC refinement: the next lower bit, raw
+            for zz in zzs:
+                w.write((zz[0] >> al) & 1, 1)
+        else:  # AC first scan (Ah == 0) over band [Ss, Se]
+            # two-pass: symbol stream first, optimized table, then bits
+            stream: list[tuple[int, int, int]] = []  # (sym, extra, nbits)
+            eobrun = 0
+
+            def flush_eob() -> None:
+                nonlocal eobrun
+                if eobrun:
+                    r_ = eobrun.bit_length() - 1
+                    stream.append((r_ << 4, eobrun - (1 << r_), r_))
+                    eobrun = 0
+
+            for zz in zzs:
+                band = zz[ss : se + 1]
+                if not any(band):
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                run = 0
+                last_nz = max(i for i, v in enumerate(band) if v)
+                for i, v in enumerate(band):
+                    if i > last_nz:
+                        eobrun += 1  # trailing zeros: this block EOBs
+                        break
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        stream.append((0xF0, 0, 0))
+                        run -= 16
+                    sv = v << al
+                    s = _category(sv)
+                    stream.append(((run << 4) | s, _amplitude_bits(sv, s), s))
+                    run = 0
+            flush_eob()
+            bits, vals = _optimized_table([sym for sym, _, _ in stream])
+            out += seg(0xFFC4, b"\x11" + bytes(bits) + bytes(vals))
+            ac_tab = _canonical_codes(bits, vals)
+            for sym, extra, nbits in stream:
+                code, ln = ac_tab[sym]
+                w.write(code, ln)
+                if nbits:
+                    w.write(extra, nbits)
+        w.flush()
+        out += seg(0xFFDA, bytes([1, 1, 0x01 if ss else 0x00, ss, se, (ah << 4) | al]))
+        out += bytes(w.buf)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def parse_jpeg_progressive(payload: bytes) -> dict:
+    """Decode a progressive (SOF2) grayscale JPEG: walk ALL scans,
+    accumulating zigzag-order coefficients per block — DC first
+    (<< Al), DC refinement (OR in the Al bit, two's-complement exact
+    for negative coefficients), AC spectral-selection bands with
+    EOB-run decoding — then dezigzag/dequantize/IDCT once at EOI.
+    Returns {width, height, values, n_scans}."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    quant: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    width = height = 0
+    tq_used = 0
+    coefs: list[list[int]] | None = None
+    n_scans = 0
+    saw_sof = False
+
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        body = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quantization tables not supported")
+                zz = list(body[b + 1 : b + 65])
+                nat = [0] * 64
+                for k in range(64):
+                    nat[ZIGZAG[k]] = zz[k]
+                quant[tq] = nat
+                b += 65
+        elif marker == 0xC4:
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0x0F
+                bits = list(body[b + 1 : b + 17])
+                n = sum(bits)
+                vals = list(body[b + 17 : b + 17 + n])
+                huff[(tc, th)] = _decode_tables(bits, vals)
+                b += 17 + n
+        elif marker == 0xC2:  # SOF2 progressive
+            precision, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if precision != 8 or ncomp != 1:
+                raise NotImplementedError(
+                    "progressive subset is 8-bit single-component"
+                )
+            _cid, sampling, tq_used = body[6:9]
+            if sampling != 0x11:
+                raise NotImplementedError("progressive subset is 1x1 sampling")
+            mx = (width + 7) // 8
+            my = (height + 7) // 8
+            coefs = [[0] * 64 for _ in range(mx * my)]
+            saw_sof = True
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("parse_jpeg_progressive handles SOF2 only")
+        elif marker == 0xDD:
+            (interval,) = struct.unpack_from(">H", body, 0)
+            if interval:
+                raise NotImplementedError("restart intervals not supported")
+        elif marker == 0xDA:
+            if not saw_sof or coefs is None:
+                raise ValueError("SOS before SOF2")
+            ns = body[0]
+            if ns != 1:
+                raise NotImplementedError("progressive subset scans 1 component")
+            dc_tid, ac_tid = body[2] >> 4, body[2] & 0x0F
+            ss, se, ahal = body[3], body[4], body[5]
+            ah, al = ahal >> 4, ahal & 0x0F
+            r = _BitReader(payload, pos + seglen)
+            n_scans += 1
+            if ss == 0 and ah == 0:  # DC first
+                table = huff[(0, dc_tid)]
+                pred = 0
+                for cf in coefs:
+                    s = _read_symbol(r, table)
+                    pred += _extend(r.bits(s), s) if s else 0
+                    cf[0] = pred << al
+            elif ss == 0:  # DC refinement
+                for cf in coefs:
+                    if r.bit():
+                        cf[0] |= 1 << al
+            elif ah == 0:  # AC first scan over [ss, se]
+                table = huff[(1, ac_tid)]
+                eobrun = 0
+                for cf in coefs:
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        sym = _read_symbol(r, table)
+                        run, size = sym >> 4, sym & 0x0F
+                        if size == 0:
+                            if run == 15:
+                                k += 16
+                                continue
+                            eobrun = (1 << run) - 1 + (r.bits(run) if run else 0)
+                            break
+                        k += run
+                        if k > se:
+                            raise ValueError("AC index beyond spectral band")
+                        cf[k] = _extend(r.bits(size), size) << al
+                        k += 1
+            else:
+                raise NotImplementedError(
+                    "AC refinement scans outside the declared subset"
+                )
+            pos = r.pos
+            continue
+        pos += seglen
+
+    if coefs is None:
+        raise ValueError("truncated JPEG: missing SOF2/SOS")
+    q = quant[tq_used]
+    mx = (width + 7) // 8
+    my = (height + 7) // 8
+    plane = np.zeros((my * 8, mx * 8), dtype=np.uint8)
+    for b, zz in enumerate(coefs):
+        nat = np.zeros(64, dtype=np.int64)
+        for kk in range(64):
+            nat[ZIGZAG[kk]] = zz[kk] * q[ZIGZAG[kk]]
+        by, bx = divmod(b, mx)
+        plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _idct_block(nat)
+    crop = plane[:height, :width]
+    return {
+        "width": width,
+        "height": height,
+        "values": [int(v) for v in crop.ravel()],
+        "n_scans": n_scans,
+    }
+
+
+def _prog_pattern_block() -> list[int]:
+    """The fixed AC block for the progressive query: the baseline
+    pattern plus one extra coefficient at zigzag 40, whose 19-zero gap
+    from zigzag 20 forces a ZRL INSIDE the 6..63 spectral band."""
+    blk = _ac_pattern_block()
+    blk[ZIGZAG[40]] = 7
+    return blk
+
+
+def _prog_doc_blocks(doc_id: int) -> list[list[int]]:
+    """Constant blocks with the doc parity folded into the DC low bit
+    (8*(v-128) + (v&1) still decodes to pixel v: the IDCT adds v&1 / 8
+    < 0.5 before the half-up round) — so the DC-refinement scan carries
+    real 1-bits for odd values while the symbolic oracle stays the
+    plain constant rebuild. The pattern block comes LAST so the two
+    empty-band blocks ahead of it force EOBRUN = 2 (an EOB1 symbol
+    with one appended bit) in both AC scans."""
+    a, b = _ab(doc_id)
+    blk_a = [0] * 64
+    blk_a[0] = 8 * (a - 128) + (a & 1)
+    blk_b = [0] * 64
+    blk_b[0] = 8 * (b - 128) + (b & 1)
+    return [blk_a, blk_b, _prog_pattern_block()]
+
+
+_PROGPAT = [int(v) for v in _idct_block(np.array(_prog_pattern_block())).ravel()]
+_PROGPAT_ROWS = [
+    "[" + ", ".join(str(v) for v in _PROGPAT[8 * y : 8 * y + 8]) + "]"
+    for y in range(8)
+]
+_PROGPAT_LITERAL = "[" + ", ".join(_PROGPAT_ROWS) + "]"
+_PROGPAT_SUM = sum(_PROGPAT)
+
+
+@query(
+    "q_multimodal_jpeg_prog",
+    oracle=f"""
+    WITH params AS (
+      SELECT doc_id,
+             (doc_id * 37 + 11) % 256 AS a,
+             (doc_id * 73 + 5) % 256 AS b
+      FROM documents WHERE doc_id < 24
+    )
+    SELECT doc_id,
+           CAST({_JPEG_W} AS INT) AS width,
+           CAST({_JPEG_H} AS INT) AS height,
+           CAST(4 AS INT) AS n_scans,
+           CAST({_JPEG_W * _JPEG_H} AS BIGINT) AS n_vals,
+           CAST(64 * a + 64 * b + {_PROGPAT_SUM} AS BIGINT) AS val_sum,
+           md5(array_to_string(flatten(list_transform(range(0, 8),
+                 y -> list_concat(list_concat(
+                        list_transform(range(0, 8), i -> a),
+                        list_transform(range(0, 8), i -> b)),
+                        {_PROGPAT_LITERAL}[y + 1]))), ',')) AS px_fp
+    FROM params
+    """,
+)
+def q_multimodal_jpeg_prog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C137: PROGRESSIVE JPEG round trip (the r7 verdict's suggested
+    codec-tier extension next to Adam7 PNG): each doc synthesizes a
+    4-scan SOF2 grayscale JPEG — DC successive approximation at Al=1,
+    two AC spectral-selection bands with EOB-run coding and per-scan
+    optimized Huffman tables, then the DC refinement bit — and
+    ``parse_jpeg_progressive`` walks every scan, accumulating
+    coefficients across scans before one dezigzag/dequant/IDCT. The
+    doc parity rides in the DC low bit so refinement carries real
+    1-bits; the pattern block's zigzag-40 coefficient forces ZRL
+    inside a band, and the two empty-band blocks ahead of it force
+    EOBRUN with an appended bit. The oracle pins dims, scan count,
+    pixel sum, and the md5 raster fingerprint — identical symbolic
+    rebuild to the sequential query, which is itself the
+    progressive == sequential agreement, per doc, value-hashed."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 24).select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = {
+            "doc_id": [], "width": [], "height": [], "n_scans": [],
+            "n_vals": [], "val_sum": [], "px_fp": [],
+        }
+        for pdf in batches:
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                payload = encode_jpeg_progressive(
+                    _prog_doc_blocks(doc_id), _JPEG_W, _JPEG_H
+                )
+                dec = parse_jpeg_progressive(payload)
+                vals = dec["values"]
+                out["doc_id"].append(doc_id)
+                out["width"].append(dec["width"])
+                out["height"].append(dec["height"])
+                out["n_scans"].append(dec["n_scans"])
+                out["n_vals"].append(len(vals))
+                out["val_sum"].append(sum(vals))
+                out["px_fp"].append(
+                    hashlib.md5(",".join(str(v) for v in vals).encode()).hexdigest()
+                )
+        yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        run,
+        schema=(
+            "doc_id long, width int, height int, n_scans int, "
+            "n_vals long, val_sum long, px_fp string"
+        ),
+    )

@@ -407,3 +407,134 @@ def test_gif89a_animation_roundtrip_and_extension_walk():
 
     with _pytest.raises(ValueError):
         parse_gif89a(b"GIF87a" + payload[6:])
+
+
+# ----------------------------- C137: progressive -----------------------------
+
+
+def _prog_seq_agree(blocks, w, h):
+    from kafka_clickhouse_implementation_spark.operators.jpeg_codec import (
+        encode_jpeg_gray,
+        encode_jpeg_progressive,
+        parse_jpeg,
+        parse_jpeg_progressive,
+    )
+
+    seq = parse_jpeg(encode_jpeg_gray(blocks, w, h))
+    pro = parse_jpeg_progressive(encode_jpeg_progressive(blocks, w, h))
+    assert (seq["width"], seq["height"]) == (pro["width"], pro["height"])
+    assert seq["values"] == pro["values"]
+    return pro
+
+
+def test_progressive_equals_sequential_across_layouts():
+    """The defining progressive contract: the 4-scan SOF2 stream must
+    reconstruct the EXACT pixels of the baseline stream for the same
+    coefficient blocks — odd DCs (refinement 1-bits), empty-band runs
+    (EOBRUN with appended bits), in-band ZRL gaps all included."""
+    import random
+
+    from kafka_clickhouse_implementation_spark.operators.jpeg_codec import (
+        ZIGZAG,
+    )
+
+    rng = random.Random(20260814)
+    for _ in range(25):
+        nb = rng.randint(1, 9)
+        blocks = []
+        for _i in range(nb):
+            blk = [0] * 64
+            blk[0] = rng.randint(-1024, 1016)
+            if rng.random() < 0.6:
+                for _j in range(rng.randint(1, 5)):
+                    blk[ZIGZAG[rng.randint(1, 63)]] = rng.randint(-255, 255)
+            blocks.append(blk)
+        pro = _prog_seq_agree(blocks, 8 * nb, 8)
+        assert pro["n_scans"] == 4
+
+
+def test_progressive_eobrun_and_zrl_actually_occur():
+    """The query's block layout must really exercise EOBn (appended
+    bit) and in-band ZRL: the optimized per-scan DHTs must contain the
+    EOB1 symbol (0x10) in the 1..5 band scan and ZRL (0xF0) in the
+    6..63 band scan."""
+    import struct
+
+    from kafka_clickhouse_implementation_spark.operators.jpeg_codec import (
+        _JPEG_H,
+        _JPEG_W,
+        _prog_doc_blocks,
+        encode_jpeg_progressive,
+    )
+
+    payload = encode_jpeg_progressive(_prog_doc_blocks(3), _JPEG_W, _JPEG_H)
+    ac_tables = []
+    pos = 2
+    while pos < len(payload) - 1:
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = payload[pos + 1]
+        if marker == 0xC4:
+            (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+            body = payload[pos + 4 : pos + 2 + seglen]
+            if body[0] == 0x11:  # AC table 1 (per-scan optimized)
+                n = sum(body[1:17])
+                ac_tables.append(list(body[17 : 17 + n]))
+            pos += 2 + seglen
+        else:
+            pos += 1
+    assert len(ac_tables) == 2
+    assert 0x10 in ac_tables[0]  # EOB1 in the 1..5 band scan
+    assert 0xF0 in ac_tables[1]  # ZRL inside the 6..63 band scan
+    assert 0x10 in ac_tables[1]
+
+
+def test_progressive_dc_low_bit_decodes_to_same_pixel():
+    """8*(v-128) + (v&1) must still decode to constant v (the +1/8 is
+    under the half-up threshold) — for both parities and the extremes."""
+    from kafka_clickhouse_implementation_spark.operators.jpeg_codec import (
+        encode_jpeg_progressive,
+        parse_jpeg_progressive,
+    )
+
+    for v in (0, 1, 2, 127, 128, 129, 254, 255):
+        blk = [0] * 64
+        blk[0] = 8 * (v - 128) + (v & 1)
+        dec = parse_jpeg_progressive(encode_jpeg_progressive([blk], 8, 8))
+        assert dec["values"] == [v] * 64
+
+
+def test_progressive_subset_guards_and_tamper():
+    import pytest
+
+    from kafka_clickhouse_implementation_spark.operators.jpeg_codec import (
+        _JPEG_H,
+        _JPEG_W,
+        _prog_doc_blocks,
+        encode_jpeg_gray,
+        encode_jpeg_progressive,
+        parse_jpeg,
+        parse_jpeg_progressive,
+    )
+
+    blocks = _prog_doc_blocks(5)
+    prog = encode_jpeg_progressive(blocks, _JPEG_W, _JPEG_H)
+    base = encode_jpeg_gray(blocks, _JPEG_W, _JPEG_H)
+    # cross-parser rejection: each parser owns exactly its SOF type
+    with pytest.raises(NotImplementedError):
+        parse_jpeg(prog)
+    with pytest.raises(NotImplementedError):
+        parse_jpeg_progressive(base)
+    # tampering with entropy data changes the output or fails loudly
+    good = parse_jpeg_progressive(prog)["values"]
+    sos2 = prog.index(b"\xff\xda", prog.index(b"\xff\xda") + 2)
+    flip = bytearray(prog)
+    tb = sos2 + 10
+    flip[tb] ^= 0x40
+    if flip[tb] in (0xFF, 0x00) or flip[tb - 1] == 0xFF:
+        flip[tb] ^= 0x60
+    try:
+        assert parse_jpeg_progressive(bytes(flip))["values"] != good
+    except (ValueError, KeyError, IndexError, NotImplementedError):
+        pass
