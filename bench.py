@@ -107,6 +107,7 @@ HEADLINE = [
     "q_bpe_train",
     "q_kmv_setops",
     "q_multimodal_jpeg_prog",
+    "q_stream_bpe",
 ]
 
 

@@ -177,13 +177,22 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, since each word of k symbols contributes k-1 pairs).
     """
     docs = load(spark, sf_dir, "documents")
-    sc = spark.sparkContext
-    vocab = (
+    vocab = _symbolized_vocab(
         docs.select(F.explode(F.split("text", " ")).alias("w"))
         .filter("w <> ''")
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("f"))
-        .select(
+    )
+    return _train(spark, vocab)
+
+
+def _symbolized_vocab(word_freq: DataFrame) -> DataFrame:
+    """(w, f) -> (' c1 c2 ... _ ', f), distributed + lineage-truncated
+    (vocab is the loop's working set; single-file scans arrive as 1
+    partition otherwise)."""
+    spark = word_freq.sparkSession
+    return (
+        word_freq.select(
             F.concat(
                 F.lit(" "),
                 F.regexp_replace("w", "(.)", "$1 "),
@@ -191,11 +200,13 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
             "f",
         )
-        # vocab is the loop's working set: distribute it (single-file
-        # scans arrive as 1 partition) and truncate the scan lineage
-        .repartition(min(8, sc.defaultParallelism))
+        .repartition(min(8, spark.sparkContext.defaultParallelism))
         .localCheckpoint()
     )
+
+
+def _train(spark: SparkSession, vocab: DataFrame) -> DataFrame:
+    """The shared BPE_ROUNDS merge loop over a symbolized vocab."""
     wsum = int(vocab.agg(F.sum("f")).first()[0])
 
     out: list[tuple] = []
@@ -347,3 +358,51 @@ def q_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(exact_inter AS DOUBLE) / CAST(exact_union AS DOUBLE)"
         " AS exact_jaccard",
     )
+
+
+# ---------------------------------------------------------------------------
+# C138 — streaming-maintained BPE vocabulary: the word-frequency table
+# is itself an AggregatingMergeTree-style running state (the C132/C134
+# pattern applied to the tokenizer), composed with stateful document
+# dedup because the wire re-delivers every file as a duplicate.
+# ---------------------------------------------------------------------------
+
+
+@query("q_stream_bpe", oracle=_oracle_sql())
+def q_stream_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C138: q_bpe_train with the vocabulary maintained INCREMENTALLY
+    by the streaming engine — documents arrive over micro-batches on
+    the duplicate-injecting corpus wire (corpus_stream.document_wire),
+    pass through stateful doc_id dedup (the state store must remember
+    ids across batches or duplicated files double every count), and a
+    complete-mode groupBy(word) keeps the running frequencies. The
+    drained table feeds the SAME _train loop and the SAME DuckDB
+    oracle as the batch query, so one hash certifies
+    streaming-maintained vocab == batch vocab == independent replay.
+    Dedup state is linear in distinct doc ids (the C9/C123 guarantee,
+    measured in STREAM_THROUGHPUT.json); the word state is
+    vocabulary-sized."""
+    import os
+
+    from kafka_clickhouse_implementation_spark.streaming.corpus_stream import (
+        _DOC_WIRE_SCHEMA,
+        document_wire,
+    )
+    from kafka_clickhouse_implementation_spark.streaming.funnel import _drain
+
+    wire, base = document_wire(spark, sf_dir)
+    vocab_counts = (
+        spark.readStream.schema(_DOC_WIRE_SCHEMA)
+        .option("maxFilesPerTrigger", "4")
+        .json(wire)
+        .dropDuplicates(["doc_id"])
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter("w <> ''")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    _drain(
+        spark, vocab_counts, "bpe_vocab_stream",
+        os.path.join(base, "ckpt_bpe_vocab"), mode="complete",
+    )
+    return _train(spark, _symbolized_vocab(spark.table("bpe_vocab_stream")))

@@ -150,3 +150,30 @@ def test_kmv_setops_matches_python_replay(spark):
     # membership-in-sketch == membership-in-set for union-bottom-k
     # digests (the equivalence the docstring claims)
     assert j_num == sum(1 for h in ku if h in set(ka) and h in set(kb))
+
+
+def test_stream_vocab_dedups_duplicated_wire(spark):
+    """C138: the duplicate-injecting wire would double every frequency
+    without cross-batch doc_id dedup state — the drained streaming
+    vocab must equal the batch word counts exactly."""
+    from kafka_clickhouse_implementation_spark.operators.bpe import (
+        q_stream_bpe,
+    )
+    from pyspark.sql import functions as F
+
+    from kafka_clickhouse_implementation_spark.io import load
+
+    q_stream_bpe(spark, SF).collect()  # drains bpe_vocab_stream
+    got = {
+        r.w: r.f for r in spark.table("bpe_vocab_stream").collect()
+    }
+    want = {
+        r.w: r.f
+        for r in load(spark, SF, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter("w <> ''")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+        .collect()
+    }
+    assert got == want
