@@ -108,6 +108,7 @@ HEADLINE = [
     "q_kmv_setops",
     "q_multimodal_jpeg_prog",
     "q_stream_bpe",
+    "q_multimodal_jpeg_sa",
 ]
 
 

@@ -990,13 +990,15 @@ def encode_jpeg_422(
 
 
 # --------------------------------------------------------------------
-# C137 — PROGRESSIVE JPEG (SOF2), grayscale: DC successive
-# approximation (first pass + refinement scan) and AC spectral
-# selection with EOB-run coding, per T.81 Annex G. Per-scan AC Huffman
-# tables are OPTIMIZED (two-pass: collect the scan's symbol stream,
-# build a canonical table over exactly those symbols — the libjpeg
-# `-optimize` idea), which is also what makes EOBn symbols encodable:
-# the Annex K AC table has no EOBn entries above EOB0.
+# C137/C139 — PROGRESSIVE JPEG (SOF2), grayscale, the FULL Annex G
+# feature set: DC and AC successive approximation (first pass +
+# refinement scans, arbitrary Al chains) and AC spectral selection,
+# both with EOB-run coding. Per-scan AC Huffman tables are OPTIMIZED
+# (two-pass: collect the scan's symbol stream, build a canonical table
+# over exactly those symbols — the libjpeg `-optimize` idea), which is
+# also what makes EOBn symbols encodable: the Annex K AC table has no
+# EOBn entries above EOB0. Remaining subset limits: grayscale, 8-bit,
+# no restart intervals (guarded loudly, as everywhere in the tier).
 # --------------------------------------------------------------------
 
 # scan script: (Ss, Se, Ah, Al) — DC first at Al=1, two AC bands at
@@ -1018,14 +1020,119 @@ def _optimized_table(symbols: list[int]) -> tuple[list[int], list[int]]:
     return bits, vals
 
 
+def _ac_first_ops(zzs: list[list[int]], ss: int, se: int, al: int) -> list[tuple]:
+    """Op stream for an AC FIRST scan (Ah = 0): run/size coding of the
+    point-transformed magnitudes (t = |v| >> Al, re-signed — a |v| that
+    shifts to zero is part of the zero run, delivered by later
+    refinement scans), with EOB-run coding across blocks. Ops are
+    ("sym", sym, extra, nbits) — Huffman symbol plus appended bits."""
+    ops: list[tuple] = []
+    eobrun = 0
+
+    def flush_eob() -> None:
+        nonlocal eobrun
+        if eobrun:
+            r_ = eobrun.bit_length() - 1
+            ops.append(("sym", r_ << 4, eobrun - (1 << r_), r_))
+            eobrun = 0
+
+    for zz in zzs:
+        band = zz[ss : se + 1]
+        tvals = [abs(v) >> al for v in band]
+        if not any(tvals):
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        run = 0
+        last_nz = max(i for i, t in enumerate(tvals) if t)
+        for i, t in enumerate(tvals):
+            if i > last_nz:
+                eobrun += 1  # trailing (effective) zeros: block EOBs
+                break
+            if t == 0:
+                run += 1
+                continue
+            while run >= 16:
+                ops.append(("sym", 0xF0, 0, 0))
+                run -= 16
+            sv = t if band[i] >= 0 else -t
+            s = _category(sv)
+            ops.append(("sym", (run << 4) | s, _amplitude_bits(sv, s), s))
+            run = 0
+    flush_eob()
+    return ops
+
+
+def _ac_refine_ops(zzs: list[list[int]], ss: int, se: int, al: int) -> list[tuple]:
+    """Op stream for an AC REFINEMENT scan (Ah = Al + 1): newly
+    significant coefficients (|v| >> Al == 1) are coded as (run, 1)
+    symbols — the run counting only ZERO-HISTORY positions — followed
+    by a raw sign bit; already-significant coefficients contribute one
+    buffered correction bit (the Al-th magnitude bit) emitted after
+    the next symbol; blocks with no new significance fold into the
+    EOB run, their correction bits buffered behind the EOBn symbol
+    (T.81 G.1.2.3, the libjpeg encode_mcu_AC_refine structure). Ops
+    are ("sym", ...) as above or ("raw", value, 1)."""
+    ops: list[tuple] = []
+    eobrun = 0
+    pending: list[int] = []  # correction bits owed to the next EOBn
+
+    def flush_eob() -> None:
+        nonlocal eobrun, pending
+        if eobrun:
+            r_ = eobrun.bit_length() - 1
+            ops.append(("sym", r_ << 4, eobrun - (1 << r_), r_))
+            ops.extend(("raw", b, 1) for b in pending)
+            pending = []
+            eobrun = 0
+
+    for zz in zzs:
+        band = zz[ss : se + 1]
+        tvals = [abs(v) >> al for v in band]
+        eob_idx = max((i for i, t in enumerate(tvals) if t == 1), default=-1)
+        run = 0
+        br: list[int] = []  # correction bits since the last emission
+        for i, t in enumerate(tvals):
+            if t == 0:
+                run += 1
+                continue
+            while run > 15 and i <= eob_idx:
+                flush_eob()
+                ops.append(("sym", 0xF0, 0, 0))
+                run -= 16
+                ops.extend(("raw", b, 1) for b in br)
+                br = []
+            if t > 1:  # already significant: buffer the next lower bit
+                br.append(t & 1)
+                continue
+            flush_eob()  # newly significant: (run, 1) + sign + buffered
+            ops.append(("sym", (run << 4) | 1, 0, 0))
+            run = 0
+            ops.append(("raw", 0 if band[i] < 0 else 1, 1))
+            ops.extend(("raw", b, 1) for b in br)
+            br = []
+        if run > 0 or br:
+            eobrun += 1
+            pending.extend(br)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+    return ops
+
+
 def encode_jpeg_progressive(
     blocks: list[list[int]], width: int, height: int,
     quant: list[int] | None = None,
+    scans: list[tuple[int, int, int, int]] | None = None,
 ) -> bytes:
     """Progressive grayscale JPEG from QUANTIZED natural-order
     coefficient blocks (same caller contract as encode_jpeg_gray).
-    Emits the 4-scan script in _PROG_SCANS; every AC scan carries its
-    own optimized DHT immediately before its SOS."""
+    Emits the (Ss, Se, Ah, Al) scan script — default _PROG_SCANS —
+    covering DC successive approximation + refinement and AC first +
+    refinement scans; every AC scan carries its own optimized DHT
+    immediately before its SOS."""
     quant = quant or [1] * 64
     dc_tab = _canonical_codes(_DC_BITS, _DC_VALS)
     zzs = [[blk[ZIGZAG[k]] for k in range(64)] for blk in blocks]
@@ -1041,7 +1148,7 @@ def encode_jpeg_progressive(
     )
     out += seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
 
-    for ss, se, ah, al in _PROG_SCANS:
+    for ss, se, ah, al in (scans if scans is not None else _PROG_SCANS):
         w = _BitWriter()
         if ss == 0 and ah == 0:  # DC first: category-coded (dc >> Al)
             pred = 0
@@ -1057,51 +1164,25 @@ def encode_jpeg_progressive(
         elif ss == 0:  # DC refinement: the next lower bit, raw
             for zz in zzs:
                 w.write((zz[0] >> al) & 1, 1)
-        else:  # AC first scan (Ah == 0) over band [Ss, Se]
-            # two-pass: symbol stream first, optimized table, then bits
-            stream: list[tuple[int, int, int]] = []  # (sym, extra, nbits)
-            eobrun = 0
-
-            def flush_eob() -> None:
-                nonlocal eobrun
-                if eobrun:
-                    r_ = eobrun.bit_length() - 1
-                    stream.append((r_ << 4, eobrun - (1 << r_), r_))
-                    eobrun = 0
-
-            for zz in zzs:
-                band = zz[ss : se + 1]
-                if not any(band):
-                    eobrun += 1
-                    if eobrun == 0x7FFF:
-                        flush_eob()
-                    continue
-                flush_eob()
-                run = 0
-                last_nz = max(i for i, v in enumerate(band) if v)
-                for i, v in enumerate(band):
-                    if i > last_nz:
-                        eobrun += 1  # trailing zeros: this block EOBs
-                        break
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run >= 16:
-                        stream.append((0xF0, 0, 0))
-                        run -= 16
-                    sv = v << al
-                    s = _category(sv)
-                    stream.append(((run << 4) | s, _amplitude_bits(sv, s), s))
-                    run = 0
-            flush_eob()
-            bits, vals = _optimized_table([sym for sym, _, _ in stream])
+        else:  # AC scan: two-pass (symbol stream, optimized table, bits)
+            ops = (
+                _ac_first_ops(zzs, ss, se, al)
+                if ah == 0
+                else _ac_refine_ops(zzs, ss, se, al)
+            )
+            syms = [op[1] for op in ops if op[0] == "sym"]
+            bits, vals = _optimized_table(syms or [0x00])
             out += seg(0xFFC4, b"\x11" + bytes(bits) + bytes(vals))
             ac_tab = _canonical_codes(bits, vals)
-            for sym, extra, nbits in stream:
-                code, ln = ac_tab[sym]
-                w.write(code, ln)
-                if nbits:
-                    w.write(extra, nbits)
+            for op in ops:
+                if op[0] == "sym":
+                    _tag, sym, extra, nbits = op
+                    code, ln = ac_tab[sym]
+                    w.write(code, ln)
+                    if nbits:
+                        w.write(extra, nbits)
+                else:
+                    w.write(op[1], op[2])
         w.flush()
         out += seg(0xFFDA, bytes([1, 1, 0x01 if ss else 0x00, ss, se, (ah << 4) | al]))
         out += bytes(w.buf)
@@ -1225,10 +1306,56 @@ def parse_jpeg_progressive(payload: bytes) -> dict:
                             raise ValueError("AC index beyond spectral band")
                         cf[k] = _extend(r.bits(size), size) << al
                         k += 1
-            else:
-                raise NotImplementedError(
-                    "AC refinement scans outside the declared subset"
-                )
+            else:  # AC refinement scan (Ah = Al + 1) over [ss, se]
+                table = huff[(1, ac_tid)]
+                p1, m1 = 1 << al, -(1 << al)
+                eobrun = 0
+                for cf in coefs:
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            sym = _read_symbol(r, table)
+                            run, size = sym >> 4, sym & 0x0F
+                            s_val = 0
+                            if size == 0:
+                                if run != 15:  # EOBn: run incl. this block
+                                    eobrun = (1 << run) + (
+                                        r.bits(run) if run else 0
+                                    )
+                                    break
+                                # ZRL: skip 16 zero-history positions
+                            else:
+                                if size != 1:
+                                    raise ValueError(
+                                        "refinement scan size must be 1"
+                                    )
+                                s_val = p1 if r.bit() else m1
+                            # advance over zero-history positions,
+                            # applying correction bits to nonzero ones
+                            while k <= se:
+                                if cf[k] != 0:
+                                    if r.bit() and (cf[k] & p1) == 0:
+                                        cf[k] += p1 if cf[k] >= 0 else m1
+                                else:
+                                    run -= 1
+                                    if run < 0:
+                                        break
+                                k += 1
+                            if s_val:
+                                if k > se:
+                                    raise ValueError(
+                                        "refinement coefficient beyond band"
+                                    )
+                                cf[k] = s_val
+                            k += 1
+                    if eobrun > 0:
+                        # rest of this block (and whole subsequent run
+                        # members): correction bits only
+                        while k <= se:
+                            if cf[k] != 0 and r.bit() and (cf[k] & p1) == 0:
+                                cf[k] += p1 if cf[k] >= 0 else m1
+                            k += 1
+                        eobrun -= 1
             pos = r.pos
             continue
         pos += seglen
@@ -1338,6 +1465,112 @@ def q_multimodal_jpeg_prog(spark: SparkSession, sf_dir: str) -> DataFrame:
                 doc_id = int(doc_id)
                 payload = encode_jpeg_progressive(
                     _prog_doc_blocks(doc_id), _JPEG_W, _JPEG_H
+                )
+                dec = parse_jpeg_progressive(payload)
+                vals = dec["values"]
+                out["doc_id"].append(doc_id)
+                out["width"].append(dec["width"])
+                out["height"].append(dec["height"])
+                out["n_scans"].append(dec["n_scans"])
+                out["n_vals"].append(len(vals))
+                out["val_sum"].append(sum(vals))
+                out["px_fp"].append(
+                    hashlib.md5(",".join(str(v) for v in vals).encode()).hexdigest()
+                )
+        yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        run,
+        schema=(
+            "doc_id long, width int, height int, n_scans int, "
+            "n_vals long, val_sum long, px_fp string"
+        ),
+    )
+
+
+# scan script with AC successive approximation: the AC band ships its
+# magnitudes' high bits first (Al=1), then a refinement scan delivers
+# the withheld bit — newly significant ±1<<0 coefficients included
+_SA_SCANS = [(0, 0, 0, 1), (1, 63, 0, 1), (0, 0, 1, 0), (1, 63, 1, 0)]
+
+
+def _sa_pattern_block() -> list[int]:
+    """AC block for the successive-approximation query: the
+    progressive pattern plus two ±1 coefficients, which are INVISIBLE
+    to the Al=1 first scan (|v| >> 1 == 0) and materialize only as
+    newly-significant sign-coded coefficients in the refinement scan;
+    the even/odd mix at 40/-25/13/7 makes the correction bits 0/1/1/1."""
+    blk = _prog_pattern_block()
+    blk[ZIGZAG[10]] = -1
+    blk[ZIGZAG[50]] = 1
+    return blk
+
+
+def _sa_doc_blocks(doc_id: int) -> list[list[int]]:
+    a, b = _ab(doc_id)
+    blk_a = [0] * 64
+    blk_a[0] = 8 * (a - 128) + (a & 1)
+    blk_b = [0] * 64
+    blk_b[0] = 8 * (b - 128) + (b & 1)
+    return [blk_a, blk_b, _sa_pattern_block()]
+
+
+_SAPAT = [int(v) for v in _idct_block(np.array(_sa_pattern_block())).ravel()]
+_SAPAT_ROWS = [
+    "[" + ", ".join(str(v) for v in _SAPAT[8 * y : 8 * y + 8]) + "]"
+    for y in range(8)
+]
+_SAPAT_LITERAL = "[" + ", ".join(_SAPAT_ROWS) + "]"
+_SAPAT_SUM = sum(_SAPAT)
+
+
+@query(
+    "q_multimodal_jpeg_sa",
+    oracle=f"""
+    WITH params AS (
+      SELECT doc_id,
+             (doc_id * 37 + 11) % 256 AS a,
+             (doc_id * 73 + 5) % 256 AS b
+      FROM documents WHERE doc_id < 24
+    )
+    SELECT doc_id,
+           CAST({_JPEG_W} AS INT) AS width,
+           CAST({_JPEG_H} AS INT) AS height,
+           CAST(4 AS INT) AS n_scans,
+           CAST({_JPEG_W * _JPEG_H} AS BIGINT) AS n_vals,
+           CAST(64 * a + 64 * b + {_SAPAT_SUM} AS BIGINT) AS val_sum,
+           md5(array_to_string(flatten(list_transform(range(0, 8),
+                 y -> list_concat(list_concat(
+                        list_transform(range(0, 8), i -> a),
+                        list_transform(range(0, 8), i -> b)),
+                        {_SAPAT_LITERAL}[y + 1]))), ',')) AS px_fp
+    FROM params
+    """,
+)
+def q_multimodal_jpeg_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C139: FULL successive approximation — the AC refinement half of
+    progressive JPEG that C137's spectral-selection script does not
+    reach (T.81 G.1.2.3): the AC band's magnitudes ship right-shifted
+    in the Al=1 first scan, then a refinement scan delivers one
+    correction bit per already-significant coefficient and introduces
+    the ±1 coefficients as newly-significant sign-coded entries whose
+    zero-runs count only zero-HISTORY positions, with EOB-run members'
+    correction bits buffered behind the EOBn symbol. The pattern
+    block's ±1 pair exists ONLY in the refinement scan; the oracle is
+    the same symbolic constant rebuild, so the hash certifies
+    sa == progressive == sequential pixels per document."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 24).select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = {
+            "doc_id": [], "width": [], "height": [], "n_scans": [],
+            "n_vals": [], "val_sum": [], "px_fp": [],
+        }
+        for pdf in batches:
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                payload = encode_jpeg_progressive(
+                    _sa_doc_blocks(doc_id), _JPEG_W, _JPEG_H, scans=_SA_SCANS
                 )
                 dec = parse_jpeg_progressive(payload)
                 vals = dec["values"]

@@ -538,3 +538,101 @@ def test_progressive_subset_guards_and_tamper():
         assert parse_jpeg_progressive(bytes(flip))["values"] != good
     except (ValueError, KeyError, IndexError, NotImplementedError):
         pass
+
+
+# ------------------------- C139: successive approximation -------------------
+
+
+def test_successive_approximation_equals_sequential():
+    """AC refinement round trip across three scan scripts — single
+    refinement (Al 1->0), a two-level Al 2->1->0 chain, and mixed
+    spectral-selection + approximation — against the baseline pixels,
+    over layouts dense in ±1 coefficients (newly-significant-only),
+    pure correction blocks, and EOB-run members."""
+    import random
+
+    from kafka_clickhouse_implementation_spark.operators.jpeg_codec import (
+        _SA_SCANS,
+        ZIGZAG,
+        encode_jpeg_gray,
+        encode_jpeg_progressive,
+        parse_jpeg,
+        parse_jpeg_progressive,
+    )
+
+    sa2 = [(0, 0, 0, 2), (1, 63, 0, 2), (0, 0, 1, 1), (1, 63, 1, 1),
+           (0, 0, 1, 0), (1, 63, 1, 0)]
+    mix = [(0, 0, 0, 1), (1, 5, 0, 1), (6, 63, 0, 0), (0, 0, 1, 0),
+           (1, 5, 1, 0)]
+    rng = random.Random(20260815)
+    for _ in range(40):
+        nb = rng.randint(1, 9)
+        blocks = []
+        for _i in range(nb):
+            blk = [0] * 64
+            blk[0] = rng.randint(-1024, 1016)
+            style = rng.random()
+            if style < 0.3:
+                for _j in range(rng.randint(1, 4)):
+                    blk[ZIGZAG[rng.randint(1, 63)]] = rng.choice([-1, 1])
+            elif style < 0.8:
+                for _j in range(rng.randint(1, 8)):
+                    blk[ZIGZAG[rng.randint(1, 63)]] = rng.randint(-300, 300)
+            blocks.append(blk)
+        want = parse_jpeg(encode_jpeg_gray(blocks, 8 * nb, 8))["values"]
+        for scans in (_SA_SCANS, sa2, mix):
+            got = parse_jpeg_progressive(
+                encode_jpeg_progressive(blocks, 8 * nb, 8, scans=scans)
+            )
+            assert got["values"] == want
+            assert got["n_scans"] == len(scans)
+
+
+def test_sa_pattern_pm1_exists_only_in_refinement():
+    """Decoding only the first two scans (truncate before the DC/AC
+    refinement SOS) must yield the pattern WITHOUT the ±1 pair — i.e.
+    the refinement scan is genuinely load-bearing for them."""
+    import numpy as np
+
+    from kafka_clickhouse_implementation_spark.operators.jpeg_codec import (
+        _JPEG_H,
+        _JPEG_W,
+        _SA_SCANS,
+        _idct_block,
+        _prog_pattern_block,
+        _sa_doc_blocks,
+        _sa_pattern_block,
+        encode_jpeg_progressive,
+        parse_jpeg_progressive,
+    )
+
+    payload = encode_jpeg_progressive(_sa_doc_blocks(7), _JPEG_W, _JPEG_H,
+                                      scans=_SA_SCANS)
+    # cut after the second entropy segment: find the 3rd SOS and
+    # truncate there, closing with EOI
+    sos_positions = []
+    at = 0
+    while True:
+        at = payload.find(b"\xff\xda", at + 1)
+        if at < 0:
+            break
+        sos_positions.append(at)
+    assert len(sos_positions) == 4
+    partial = payload[: sos_positions[2]] + b"\xff\xd9"
+    dec = parse_jpeg_progressive(partial)
+    assert dec["n_scans"] == 2
+    full = parse_jpeg_progressive(payload)
+    assert dec["values"] != full["values"]
+    # the partial image is exactly (coeff >> 1) << 1 of the originals
+    def halved(blk):
+        return [((v >> 1) << 1) if i == 0 else (abs(v) >> 1 << 1) * (1 if v >= 0 else -1)
+                for i, v in enumerate(blk)]
+    want_pat = _idct_block(np.array(halved(_sa_pattern_block()))).ravel()
+    got_pat = np.array(dec["values"]).reshape(8, 24)[:, 16:24].ravel()
+    assert list(got_pat) == [int(v) for v in want_pat]
+    # and the full decode restores the C137 pattern + the ±1 pair
+    assert full["values"] != parse_jpeg_progressive(
+        encode_jpeg_progressive(
+            [_sa_doc_blocks(7)[0], _sa_doc_blocks(7)[1], _prog_pattern_block()],
+            _JPEG_W, _JPEG_H, scans=_SA_SCANS)
+    )["values"]
