@@ -109,6 +109,7 @@ HEADLINE = [
     "q_multimodal_jpeg_prog",
     "q_stream_bpe",
     "q_multimodal_jpeg_sa",
+    "q_bpe_tokenize",
 ]
 
 

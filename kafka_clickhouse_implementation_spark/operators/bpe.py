@@ -107,12 +107,15 @@ def _pair_frame(cur: DataFrame) -> DataFrame:
     )
 
 
-def _oracle_sql(rounds: int = BPE_ROUNDS) -> str:
+def _oracle_sql(rounds: int = BPE_ROUNDS, final_select: str | None = None) -> str:
     """Full independent replay: R unrolled MATERIALIZED rounds of
-    (pair counts -> deterministic winner -> canonical fold apply)."""
+    (pair counts -> deterministic winner -> canonical fold apply).
+    `final_select` overrides the trajectory output (the tokenize query
+    reads the final segmented vocab w{rounds} instead); the word
+    column rides through every round either way."""
     ctes = [
         "w0 AS MATERIALIZED (\n"
-        "  SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') || '"
+        "  SELECT w, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') || '"
         + _EOW
         + " ' AS s,\n"
         "         CAST(count(*) AS BIGINT) AS f\n"
@@ -142,7 +145,7 @@ def _oracle_sql(rounds: int = BPE_ROUNDS) -> str:
         )
         ctes.append(
             f"w{r} AS MATERIALIZED (\n"
-            f"  SELECT list_reduce(list_prepend(' ',"
+            f"  SELECT w, list_reduce(list_prepend(' ',"
             f" string_split(trim(s), ' ')),\n"
             f"         (acc, x) -> CASE WHEN x = wb AND"
             f" suffix(acc, ' ' || wa || ' ')\n"
@@ -159,6 +162,10 @@ def _oracle_sql(rounds: int = BPE_ROUNDS) -> str:
             f"       (SELECT CAST(sum(cnt) AS BIGINT) FROM p{r})"
             f" + (SELECT wsum FROM tot) AS syms_before\n"
             f"FROM s{r}"
+        )
+    if final_select is not None:
+        return "WITH " + ",\n".join(ctes) + "\n" + final_select.format(
+            final=f"w{rounds}"
         )
     return (
         "WITH " + ",\n".join(ctes) + "\nSELECT * FROM (\n"
@@ -193,6 +200,7 @@ def _symbolized_vocab(word_freq: DataFrame) -> DataFrame:
     spark = word_freq.sparkSession
     return (
         word_freq.select(
+            "w",
             F.concat(
                 F.lit(" "),
                 F.regexp_replace("w", "(.)", "$1 "),
@@ -205,8 +213,11 @@ def _symbolized_vocab(word_freq: DataFrame) -> DataFrame:
     )
 
 
-def _train(spark: SparkSession, vocab: DataFrame) -> DataFrame:
-    """The shared BPE_ROUNDS merge loop over a symbolized vocab."""
+def _train_full(
+    spark: SparkSession, vocab: DataFrame
+) -> tuple[list[tuple], DataFrame]:
+    """The shared BPE_ROUNDS merge loop over a symbolized vocab.
+    Returns (trajectory rows, final segmented vocab (w, s, f))."""
     wsum = int(vocab.agg(F.sum("f")).first()[0])
 
     out: list[tuple] = []
@@ -223,14 +234,21 @@ def _train(spark: SparkSession, vocab: DataFrame) -> DataFrame:
         syms_before = int(pairs.agg(F.sum("cnt")).first()[0]) + wsum
         pairs.unpersist()
         out.append((r, wa, wb, wa + wb, cnt, syms_before))
-        cur = cur.selectExpr(
-            f"aggregate(split(trim(s), ' '), ' ', "
-            f"(acc, x) -> {_fold_step_sql(wa, wb)}) AS s",
-            "f",
+        cur = cur.withColumn(
+            "s",
+            F.expr(
+                f"aggregate(split(trim(s), ' '), ' ', "
+                f"(acc, x) -> {_fold_step_sql(wa, wb)})"
+            ),
         )
         if r % 4 == 0:
             # truncate the nested-HOF lineage every few rounds
             cur = cur.localCheckpoint()
+    return out, cur
+
+
+def _train(spark: SparkSession, vocab: DataFrame) -> DataFrame:
+    out, _final = _train_full(spark, vocab)
     return spark.createDataFrame(out, _SCHEMA).orderBy("merge_rank")
 
 
@@ -406,3 +424,69 @@ def q_stream_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(base, "ckpt_bpe_vocab"), mode="complete",
     )
     return _train(spark, _symbolized_vocab(spark.table("bpe_vocab_stream")))
+
+
+# ---------------------------------------------------------------------------
+# C140 — BPE corpus tokenization (inference): apply the learned merge
+# table back to the corpus and account tokens per source — the
+# production half of the tokenizer story (train once, encode 100 TB).
+# ---------------------------------------------------------------------------
+
+_TOKENIZE_FINAL = """
+, dw AS MATERIALIZED (
+  SELECT source, w
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        FROM documents) u
+  WHERE w <> ''
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(len(string_split(trim(s), ' '))) AS BIGINT) AS n_tokens,
+       CAST(sum(length(w)) AS BIGINT) AS n_chars,
+       CAST((1000 * CAST(sum(len(string_split(trim(s), ' '))) AS BIGINT))
+            // CAST(count(*) AS BIGINT) AS BIGINT) AS fertility_milli
+FROM dw JOIN {final} USING (w)
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("q_bpe_tokenize", oracle=_oracle_sql(final_select=_TOKENIZE_FINAL))
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C140: tokenize the corpus with the learned BPE merges — the
+    inference path: train the BPE_ROUNDS merge table (same loop as
+    C135), keep the final per-WORD segmentation, and join it back to
+    the corpus words (the vocabulary factorization again: segmentation
+    runs once per distinct word, the corpus join is a plain equi-join
+    on the word — broadcast here, shuffle-join at 100 TB vocab). Per
+    source: word/token/char totals and fertility (tokens per 1000
+    words, floor-divided — positive ints, so Spark div == DuckDB //).
+    Token counts include the fused end-of-word marker symbol, the
+    Sennrich convention."""
+    docs = load(spark, sf_dir, "documents")
+    vocab = _symbolized_vocab(
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter("w <> ''")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    _trajectory, final = _train_full(spark, vocab)
+    seg = final.selectExpr("w", "size(split(trim(s), ' ')) AS ntok")
+    dw = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .filter("w <> ''")
+    )
+    return (
+        dw.join(F.broadcast(seg), "w")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("ntok").cast("long").alias("n_tokens"),
+            F.sum(F.length("w")).cast("long").alias("n_chars"),
+        )
+        .selectExpr(
+            "source", "n_words", "n_tokens", "n_chars",
+            "(1000 * n_tokens) div n_words AS fertility_milli",
+        )
+        .orderBy("source")
+    )

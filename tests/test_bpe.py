@@ -177,3 +177,51 @@ def test_stream_vocab_dedups_duplicated_wire(spark):
         .collect()
     }
     assert got == want
+
+
+def test_tokenize_matches_python_segmentation(spark):
+    """C140: apply the pure-Python reference BPE's final segmentation
+    to the corpus and reproduce every per-source counter of the
+    query (words, tokens incl. the fused end-of-word marker, chars,
+    floor-divided fertility)."""
+    from kafka_clickhouse_implementation_spark.operators.bpe import (
+        q_bpe_tokenize,
+    )
+
+    words = collections.Counter()
+    tab = pq.read_table(f"{SF}/documents.parquet", columns=["text", "source"])
+    texts, sources = tab["text"].to_pylist(), tab["source"].to_pylist()
+    for text in texts:
+        words.update(w for w in text.split(" ") if w)
+
+    # rebuild the final segmentation with the reference implementation
+    vocab = {tuple(w) + (_EOW,): (w, f) for w, f in words.items()}
+    seg = {w: len(syms) for syms, (w, _f) in vocab.items()}
+    merges = _python_bpe(dict(words), BPE_ROUNDS)
+    segmap = {w: list(w) + [_EOW] for w in words}
+    for _r, wa, wb, _m, _c, _s in merges:
+        for w, syms in segmap.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == wa and syms[i + 1] == wb:
+                    out.append(wa + wb)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            segmap[w] = out
+
+    want: dict[str, list[int]] = {}
+    for text, src in zip(texts, sources):
+        acc = want.setdefault(src, [0, 0, 0])
+        for w in text.split(" "):
+            if not w:
+                continue
+            acc[0] += 1
+            acc[1] += len(segmap[w])
+            acc[2] += len(w)
+    rows = q_bpe_tokenize(spark, SF).collect()
+    got = {r.source: [r.n_words, r.n_tokens, r.n_chars] for r in rows}
+    assert got == want
+    for r in rows:
+        assert r.fertility_milli == (1000 * r.n_tokens) // r.n_words
