@@ -419,3 +419,53 @@ def q_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ema"),
         )
     )
+
+
+_VM_WT = "CAST(floor(value * 1000 + 0.5) AS BIGINT)"  # the C76 milli recipe
+
+
+@query(
+    "q_with_totals",
+    oracle=f"""
+    SELECT CASE WHEN grouping(event_type) = 1 THEN '' ELSE event_type END
+             AS event_type,
+           CAST(grouping(event_type) AS INT) AS is_total,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum({_VM_WT}) AS BIGINT) AS sum_vm,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY ROLLUP (event_type)
+    ORDER BY is_total, event_type
+    """,
+)
+def q_with_totals(spark, sf_dir):
+    """ClickHouse `GROUP BY ... WITH TOTALS` (SELECT docs): grouped
+    rows PLUS one totals row aggregating the whole input, the totals
+    group key taking the type's default value ('' for String — the
+    ClickHouse convention, distinguished by an explicit is_total flag
+    since '' could collide with a real key). Spark-first: ROLLUP with
+    a grouping() marker IS the semantics — one pass, partial aggs
+    map-side, no second scan for the totals row; n_users shows it
+    composing with count(DISTINCT) (totals users <= sum of per-group
+    users, the reaggregation-vs-union distinction WITH TOTALS exists
+    for)."""
+    from kafka_clickhouse_implementation_spark.io import load
+
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.rollup("event_type")
+        .agg(
+            F.grouping("event_type").cast("int").alias("is_total"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.expr(_VM_WT)).cast("long").alias("sum_vm"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("")).alias("event_type"),
+            "is_total",
+            "n_events",
+            "sum_vm",
+            "n_users",
+        )
+        .orderBy("is_total", "event_type")
+    )

@@ -20,3 +20,36 @@ def test_approx_quartiles_within_bound_of_exact(spark):
     for flag, ex in exact.items():
         for e, a in zip(ex, approx[flag]):
             assert abs(e - a) <= 1.0, (flag, ex, approx[flag])
+
+
+def test_with_totals_matches_python_replay(spark, sf_dir):
+    """ClickHouse WITH TOTALS (rollup + grouping marker): the totals
+    row must re-aggregate the input — distinct users in particular is
+    NOT the sum of per-group distincts."""
+    import pyarrow.parquet as pq
+
+    from kafka_clickhouse_implementation_spark.registry import all_queries
+
+    tab = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value", "user_id"]
+    )
+    et, vals, uids = (tab[c].to_pylist() for c in ("event_type", "value", "user_id"))
+    import collections
+    import math
+
+    agg: dict[str, list] = collections.defaultdict(lambda: [0, 0, set()])
+    for t, v, u in zip(et, vals, uids):
+        for key in (t, ""):
+            a = agg[key]
+            a[0] += 1
+            a[1] += int(math.floor(v * 1000 + 0.5))
+            a[2].add(u)
+    rows = all_queries()["q_with_totals"](spark, sf_dir).collect()
+    for r in rows:
+        a = agg[r.event_type if not r.is_total else ""]
+        assert (r.n_events, r.sum_vm, r.n_users) == (a[0], a[1], len(a[2]))
+    totals = [r for r in rows if r.is_total == 1]
+    assert len(totals) == 1 and totals[0].event_type == ""
+    # distinct-user totals really re-aggregate (strictly less than the
+    # per-group sum when users span types)
+    assert totals[0].n_users <= sum(r.n_users for r in rows if not r.is_total)
