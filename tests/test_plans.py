@@ -380,3 +380,44 @@ def test_portable_kernels_stay_codegen(spark):
         assert "EvalPython" not in plan and "MapInPandas" not in plan, (name, plan)
         # AQE final plans render whole-stage codegen as "*(n)" markers
         assert "*(" in plan, (name, plan)
+
+
+def test_bpe_winner_is_takeordered_and_join_broadcasts(spark):
+    """C135/C140 (r8): the per-round winner must be TakeOrdered(1),
+    never a global sort over the pair table, and the corpus-side
+    tokenize join must broadcast the segmented vocab, not shuffle the
+    corpus words."""
+    from kafka_clickhouse_implementation_spark.operators.bpe import (
+        _pair_frame,
+        _symbolized_vocab,
+    )
+    from kafka_clickhouse_implementation_spark.io import load
+
+    docs = load(spark, SF, "documents")
+    vocab = _symbolized_vocab(
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter("w <> ''")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    winner = _pair_frame(vocab).orderBy(F.desc("cnt"), "a", "b").limit(1)
+    assert "TakeOrderedAndProject" in _plan(winner)
+    tok = all_queries()["q_bpe_tokenize"](spark, SF)
+    assert "BroadcastHashJoin" in _plan(tok)
+
+
+def test_kmv_setops_sketches_never_globally_sort(spark):
+    """C136 (r8): every bottom-k is TakeOrdered; the only joins are
+    broadcast (64-row sketches)."""
+    plan = _plan(all_queries()["q_kmv_setops"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_with_totals_is_single_pass_expand(spark):
+    """C141 (r8): WITH TOTALS must be ONE scan through an Expand (the
+    rollup), not a union of two aggregations."""
+    plan = _plan(all_queries()["q_with_totals"](spark, SF))
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1, plan
