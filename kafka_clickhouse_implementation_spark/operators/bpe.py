@@ -223,16 +223,21 @@ def _train_full(
     out: list[tuple] = []
     cur = vocab
     for r in range(1, BPE_ROUNDS + 1):
-        pairs = _pair_frame(cur).persist()
-        # ONE model row (the argmax pair) + one 1-row total: bounded
-        # driver traffic, the Lloyd-codebook pattern
-        top = pairs.orderBy(F.desc("cnt"), "a", "b").limit(1).collect()
-        if not top:  # vocabulary fully merged (never at our SFs)
-            pairs.unpersist()
+        # ONE job per round: the argmax pair and the symbol total fold
+        # into a single final aggregation over the pair table —
+        # min(struct(-cnt, a, b)) is (count DESC, pair ASC), the same
+        # deterministic tie order the oracle's ORDER BY uses. Driver
+        # traffic stays one model row per round (the Lloyd pattern).
+        row = _pair_frame(cur).agg(
+            F.sum("cnt").alias("tot"),
+            F.min(
+                F.struct((-F.col("cnt")).alias("nc"), "a", "b")
+            ).alias("win"),
+        ).first()
+        if row.tot is None:  # vocabulary fully merged (never at our SFs)
             break
-        wa, wb, cnt = top[0].a, top[0].b, int(top[0].cnt)
-        syms_before = int(pairs.agg(F.sum("cnt")).first()[0]) + wsum
-        pairs.unpersist()
+        wa, wb, cnt = row.win.a, row.win.b, int(-row.win.nc)
+        syms_before = int(row.tot) + wsum
         out.append((r, wa, wb, wa + wb, cnt, syms_before))
         cur = cur.withColumn(
             "s",

@@ -382,9 +382,10 @@ def test_portable_kernels_stay_codegen(spark):
         assert "*(" in plan, (name, plan)
 
 
-def test_bpe_winner_is_takeordered_and_join_broadcasts(spark):
-    """C135/C140 (r8): the per-round winner must be TakeOrdered(1),
-    never a global sort over the pair table, and the corpus-side
+def test_bpe_round_is_one_sortless_job_and_join_broadcasts(spark):
+    """C135/C140 (r8): each training round is ONE aggregation job —
+    winner and symbol total fused via min(struct(-cnt,a,b)) — with
+    map-side partial aggregation and NO sort anywhere; the corpus-side
     tokenize join must broadcast the segmented vocab, not shuffle the
     corpus words."""
     from kafka_clickhouse_implementation_spark.operators.bpe import (
@@ -400,8 +401,15 @@ def test_bpe_winner_is_takeordered_and_join_broadcasts(spark):
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("f"))
     )
-    winner = _pair_frame(vocab).orderBy(F.desc("cnt"), "a", "b").limit(1)
-    assert "TakeOrderedAndProject" in _plan(winner)
+    round_job = _pair_frame(vocab).agg(
+        F.sum("cnt").alias("tot"),
+        F.min(F.struct((-F.col("cnt")).alias("nc"), "a", "b")).alias("win"),
+    )
+    plan = _plan(round_job)
+    # struct-min compiles to SortAggregate (key=[], sorts nothing);
+    # what must NOT appear is a row-sorting Sort node
+    assert "Sort [" not in plan, plan
+    assert "partial_min" in plan and "partial_sum" in plan, plan
     tok = all_queries()["q_bpe_tokenize"](spark, SF)
     assert "BroadcastHashJoin" in _plan(tok)
 
