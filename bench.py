@@ -110,6 +110,7 @@ HEADLINE = [
     "q_stream_bpe",
     "q_multimodal_jpeg_sa",
     "q_bpe_tokenize",
+    "q_kn_quality",
 ]
 
 

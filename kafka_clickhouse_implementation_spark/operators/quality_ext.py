@@ -282,3 +282,161 @@ def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sum("cnt").cast("double") * F.lit(1e9))
         ).alias("mean_interp_surprisal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C142 — Kneser-Ney smoothed bigram LM scoring on a train/held-out
+# split (the CCNet-style corpus-quality filter; Kneser & Ney 1995,
+# Chen & Goodman 1998). EXACT-RATIONAL portability: with discount
+# d = 3/4, interpolated KN is
+#     P(w2|w1) = max(c12 - 3/4, 0)/c1 + (3/4 · N1+(w1·)/c1) · Pcont(w2)
+#              = [ max(4·c12 - 3, 0)·Ntot + 3·N1·Ncont ] / (4·c1·Ntot)
+# — one BIGINT numerator over one BIGINT denominator, micro-quantized
+# by INTEGER division on both engines. No float exists anywhere in the
+# pipeline, so there is no summation-order or quantization-boundary
+# risk at all (a step beyond the nano-quantized-ln recipe of C82).
+# ---------------------------------------------------------------------------
+
+_KN_ORACLE = """
+WITH t AS (
+  SELECT doc_id, source, string_split(text, ' ') AS l FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+), train AS (
+  SELECT unnest(l[1:len(l) - 1]) AS w1, unnest(l[2:len(l)]) AS w2
+  FROM t WHERE doc_id % 2 = 0
+), bgc AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM train GROUP BY w1, w2
+), ctx AS (
+  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+         CAST(count(*) AS BIGINT) AS n1
+  FROM bgc GROUP BY w1
+), cont AS (
+  SELECT w2, CAST(count(*) AS BIGINT) AS ncont FROM bgc GROUP BY w2
+), ntot AS (
+  SELECT CAST(count(*) AS BIGINT) AS nt FROM bgc
+), held AS (
+  SELECT source, doc_id,
+         unnest(l[1:len(l) - 1]) AS w1, unnest(l[2:len(l)]) AS w2
+  FROM t WHERE doc_id % 2 = 1
+), db AS (
+  SELECT source, w1, w2, CAST(count(*) AS BIGINT) AS cnt
+  FROM held GROUP BY source, w1, w2
+), scored AS (
+  SELECT db.source, db.cnt,
+         CASE WHEN ctx.c1 IS NULL THEN coalesce(cont.ncont, 0) * 1000000 // nt
+              ELSE (greatest(4 * coalesce(bgc.c12, 0) - 3, 0) * nt
+                    + 3 * ctx.n1 * coalesce(cont.ncont, 0)) * 1000000
+                   // (4 * ctx.c1 * nt)
+         END AS p_micro,
+         CASE WHEN bgc.c12 IS NULL THEN 1 ELSE 0 END AS unseen_pair,
+         CASE WHEN ctx.c1 IS NULL THEN 1 ELSE 0 END AS unseen_ctx
+  FROM db
+  LEFT JOIN bgc USING (w1, w2)
+  LEFT JOIN ctx USING (w1)
+  LEFT JOIN cont USING (w2)
+  CROSS JOIN ntot
+), docs_n AS (
+  SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM held GROUP BY source
+)
+SELECT s.source,
+       d.n_docs,
+       CAST(sum(s.cnt) AS BIGINT) AS n_bigrams,
+       CAST(sum(s.cnt * s.p_micro) AS BIGINT) AS sum_p_micro,
+       CAST(CAST(sum(s.cnt * s.p_micro) AS BIGINT)
+            // CAST(sum(s.cnt) AS BIGINT) AS BIGINT) AS mean_p_micro,
+       CAST(sum(s.cnt * s.unseen_pair) AS BIGINT) AS n_unseen_pairs,
+       CAST(sum(s.cnt * s.unseen_ctx) AS BIGINT) AS n_unseen_ctx
+FROM scored s JOIN docs_n d USING (source)
+GROUP BY s.source, d.n_docs
+ORDER BY s.source
+"""
+
+
+@query("q_kn_quality", oracle=_KN_ORACLE)
+def q_kn_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C142: interpolated Kneser-Ney bigram LM, trained on the
+    even-doc_id half of the corpus and scoring the HELD-OUT odd half —
+    the proper split that makes unseen bigram pairs and unseen
+    contexts actually occur, exercising the continuation-probability
+    backoff KN exists for (an LM scored on its own training data never
+    backs off). Per source: held-out doc/bigram totals, the
+    micro-quantized mean KN probability (the quality signal — higher
+    = more fluent under the train LM), and unseen pair/context rates.
+
+    All arithmetic is BIGINT (see module comment): the d = 3/4
+    discount makes every P an exact small-integer ratio, quantized by
+    integer division — Spark `div` == DuckDB `//` on nonnegative
+    values. Plan shape: one explode per split, three hash-agg model
+    tables keyed on words (equi-joined, never broadcast by hand — the
+    vocabulary scales with the corpus), the 1-row Ntot attached via
+    broadcast cross join, map-side-combined final rollup per source."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "source", F.split("text", " ").alias("l"))
+        .filter(F.size("l") >= 2)
+    )
+    pairs = (
+        "explode(zip_with(slice(l, 1, size(l) - 1), slice(l, 2, size(l) - 1),"
+        " (x, y) -> struct(x AS w1, y AS w2))) AS p"
+    )
+    train = (
+        docs.filter("doc_id % 2 = 0")
+        .selectExpr(pairs)
+        .select("p.w1", "p.w2")
+    )
+    bgc = train.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    )
+    ctx = bgc.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1"),
+    )
+    cont = bgc.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("ncont"))
+    ntot = bgc.agg(F.count(F.lit(1)).cast("long").alias("nt"))
+
+    held = (
+        docs.filter("doc_id % 2 = 1")
+        .selectExpr("source", "doc_id", pairs)
+        .select("source", "doc_id", "p.w1", "p.w2")
+    )
+    db = held.groupBy("source", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    scored = (
+        db.join(bgc, ["w1", "w2"], "left")
+        .join(ctx, ["w1"], "left")
+        .join(cont, ["w2"], "left")
+        .crossJoin(F.broadcast(ntot))
+        .selectExpr(
+            "source",
+            "cnt",
+            "CASE WHEN c1 IS NULL THEN (coalesce(ncont, CAST(0 AS BIGINT))"
+            " * 1000000) div nt"
+            " ELSE (greatest(4 * coalesce(c12, CAST(0 AS BIGINT)) - 3,"
+            " CAST(0 AS BIGINT)) * nt + 3 * n1"
+            " * coalesce(ncont, CAST(0 AS BIGINT))) * 1000000"
+            " div (4 * c1 * nt) END AS p_micro",
+            "CASE WHEN c12 IS NULL THEN 1 ELSE 0 END AS unseen_pair",
+            "CASE WHEN c1 IS NULL THEN 1 ELSE 0 END AS unseen_ctx",
+        )
+    )
+    docs_n = held.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_bigrams"),
+            F.sum(F.col("cnt") * F.col("p_micro")).cast("long").alias("sum_p_micro"),
+            F.sum(F.col("cnt") * F.col("unseen_pair")).cast("long").alias("n_unseen_pairs"),
+            F.sum(F.col("cnt") * F.col("unseen_ctx")).cast("long").alias("n_unseen_ctx"),
+        )
+        .join(docs_n, "source")
+        .selectExpr(
+            "source", "n_docs", "n_bigrams", "sum_p_micro",
+            "sum_p_micro div n_bigrams AS mean_p_micro",
+            "n_unseen_pairs", "n_unseen_ctx",
+        )
+        .orderBy("source")
+    )

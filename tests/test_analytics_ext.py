@@ -357,3 +357,67 @@ def test_stream_interval_length_equals_batch(spark, sf_dir):
         for r in q_interval_length_sum(spark, sf_dir).collect()
     }
     assert streamed == batch
+
+
+def test_kn_quality_matches_python_replay(spark, sf_dir):
+    """C142: pure-Python interpolated Kneser-Ney (d = 3/4 exact
+    fractions) over the even-doc train split, scoring the odd held-out
+    split, must reproduce every per-source counter bit-for-bit —
+    including the integer micro-quantization and the unseen pair/
+    context backoff accounting."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from kafka_clickhouse_implementation_spark.registry import all_queries
+
+    tab = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    rows = list(
+        zip(tab["doc_id"].to_pylist(), tab["source"].to_pylist(),
+            tab["text"].to_pylist())
+    )
+    bgc: dict = collections.Counter()
+    for did, _src, text in rows:
+        toks = text.split(" ")
+        if did % 2 == 0 and len(toks) >= 2:
+            bgc.update(zip(toks, toks[1:]))
+    c1 = collections.Counter()
+    n1 = collections.Counter()
+    ncont = collections.Counter()
+    for (w1, w2), c in bgc.items():
+        c1[w1] += c
+        n1[w1] += 1
+        ncont[w2] += 1
+    nt = len(bgc)
+
+    agg: dict = collections.defaultdict(lambda: [set(), 0, 0, 0, 0])
+    for did, src, text in rows:
+        toks = text.split(" ")
+        if did % 2 != 1 or len(toks) < 2:
+            continue
+        a = agg[src]
+        a[0].add(did)
+        for w1, w2 in zip(toks, toks[1:]):
+            if w1 in c1:
+                num = (max(4 * bgc.get((w1, w2), 0) - 3, 0) * nt
+                       + 3 * n1[w1] * ncont.get(w2, 0))
+                p = (1_000_000 * num) // (4 * c1[w1] * nt)
+            else:
+                p = (1_000_000 * ncont.get(w2, 0)) // nt
+            a[1] += 1
+            a[2] += p
+            a[3] += 0 if (w1, w2) in bgc else 1
+            a[4] += 0 if w1 in c1 else 1
+
+    got = {r.source: r for r in all_queries()["q_kn_quality"](spark, sf_dir).collect()}
+    assert set(got) == set(agg)
+    for src, a in agg.items():
+        r = got[src]
+        assert (r.n_docs, r.n_bigrams, r.sum_p_micro) == (len(a[0]), a[1], a[2])
+        assert r.mean_p_micro == a[2] // a[1]
+        assert (r.n_unseen_pairs, r.n_unseen_ctx) == (a[3], a[4])
+    # the held-out split genuinely exercises the backoff at some SF?
+    # (not guaranteed at every SF; assert only non-negative)
+    assert all(r.n_unseen_pairs >= 0 for r in got.values())

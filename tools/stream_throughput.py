@@ -226,6 +226,21 @@ def w_chunk_first(spark, docs: DataFrame, run_dir: str):
     return out.writeStream.format("memory").queryName("tp_chunks"), "update"
 
 
+def w_bpe_vocab(spark, docs: DataFrame, run_dir: str):
+    """The C138 streaming BPE vocabulary state: a complete-mode
+    groupBy(word) running count. State rows == VOCABULARY size (31 on
+    this corpus) — flat under replication AND under wire growth, the
+    strongest bounded-state claim in the suite (the key domain is the
+    language, not the data)."""
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter("w <> ''")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    return words.writeStream.format("memory").queryName("tp_bpe_vocab"), "complete"
+
+
 # workload -> (builder, wire kind): the first four replay the events
 # wire; chunk_first replays the replicated documents wire.
 WORKLOADS = {
@@ -234,6 +249,7 @@ WORKLOADS = {
     "cms_cells": (w_cms_cells, "events"),
     "user_funnel": (w_user_funnel, "events"),
     "chunk_first": (w_chunk_first, "documents"),
+    "bpe_vocab": (w_bpe_vocab, "documents"),
 }
 
 
