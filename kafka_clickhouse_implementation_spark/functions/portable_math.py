@@ -18,7 +18,8 @@ Numerical design (truncation is consistency-irrelevant — both engines
 share it — but kept ≤1e-15 relative so pytest can pin the kernels
 against stdlib math at 1e-11):
 - pexp_neg:  exp(-x), x>=0: n=floor(x), f=x-n; exp(-n) from a 45-entry
-  literal table (beyond n=45, 1e9*exp(-45) floors to 0), exp(-f) as the
+  literal table covering n=0..44 (from n=45 on the kernel returns 0.0
+  exactly; 1e9*exp(-45) < 1 floors to 0 anyway), exp(-f) as the
   18-term alternating Taylor Horner.
 - psin/pcos: |x| <= pi: Taylor in x^2, 16 terms (remainder ~ pi^33/33!
   ≈ 3e-21).

@@ -197,6 +197,10 @@ def finalize(merged: DataFrame, lc_array_sql: str, key_alias: str) -> DataFrame:
 # declared query: weekly rollup answered FROM DAILY STATES ONLY
 # ---------------------------------------------------------------------------
 
+# Spark `div` and DuckDB integer `//` BOTH truncate toward zero
+# (DuckDB floors only for FLOAT operands; DATE - DATE is BIGINT), so
+# the week key agrees cross-engine even for pre-1970 timestamps —
+# pinned by tests/test_agg_state.py::test_week_key_portable_pre_epoch.
 _WEEK_SPARK = "CAST(datediff(day, DATE '1970-01-01') AS BIGINT) div 7"
 
 _AGG_STATE_ORACLE = f"""

@@ -81,7 +81,19 @@ _SCHEMA = T.StructType(
 def _fold_step_sql(wa: str, wb: str) -> str:
     """Spark-side canonical-greedy fold step for merging (wa, wb); the
     pair is a driver-known literal (it IS the model, like a Lloyd
-    centroid codebook)."""
+    centroid codebook).
+
+    The symbols are interpolated into SQL string literals, so the
+    [a-z_] alphabet the module docstring promises is enforced HERE,
+    not assumed: a corpus token containing a quote or backslash would
+    otherwise break the fold expression (or, worse, diverge from the
+    oracle, which binds wa/wb as columns rather than literals)."""
+    for sym in (wa, wb):
+        if not sym or not all("a" <= c <= "z" or c == _EOW for c in sym):
+            raise ValueError(
+                f"BPE symbol {sym!r} outside the SQL-literal-safe "
+                f"[a-z{_EOW}] alphabet; refusing to interpolate"
+            )
     return (
         f"CASE WHEN x = '{wb}' AND endswith(acc, ' {wa} ') "
         f"THEN concat(substring(acc, 1, length(acc) - {len(wa) + 1}), "
@@ -328,6 +340,11 @@ def q_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches, one exact groupBy(digest) pass.
     """
     ev = load(spark, sf_dir, "events")
+    # Parity via `%`: Spark and DuckDB both use truncated remainder
+    # (sign follows the dividend), so pre-epoch odd days land in p=-1
+    # on BOTH engines — a third, cross-engine-consistent group rather
+    # than a divergence (same truncation agreement pinned by
+    # tests/test_agg_state.py::test_week_key_portable_pre_epoch).
     uh = ev.select(
         F.expr(
             "datediff(CAST(ts AS DATE), DATE '1970-01-01') % 2"
@@ -456,18 +473,31 @@ ORDER BY source
 """
 
 
+# Segmentation-join broadcast ceiling (distinct words). Below it the
+# per-word segmentation table is hinted broadcast (it is vocab-sized,
+# tiny at every tested SF); above it the hint is DROPPED so the join
+# shuffles on the word key — a 100 TB corpus's vocabulary does not fit
+# an executor, and a forced broadcast there is an OOM, not a speedup.
+# Same shape as clustering.LIT_MAX: the driver-known small-model fast
+# path with an explicit size guard instead of a docstring promise.
+BROADCAST_VOCAB_MAX = 1_000_000
+
+
 @query("q_bpe_tokenize", oracle=_oracle_sql(final_select=_TOKENIZE_FINAL))
-def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_bpe_tokenize(
+    spark: SparkSession, sf_dir: str, force_shuffle: bool = False
+) -> DataFrame:
     """C140: tokenize the corpus with the learned BPE merges — the
     inference path: train the BPE_ROUNDS merge table (same loop as
     C135), keep the final per-WORD segmentation, and join it back to
     the corpus words (the vocabulary factorization again: segmentation
     runs once per distinct word, the corpus join is a plain equi-join
-    on the word — broadcast here, shuffle-join at 100 TB vocab). Per
-    source: word/token/char totals and fertility (tokens per 1000
-    words, floor-divided — positive ints, so Spark div == DuckDB //).
-    Token counts include the fused end-of-word marker symbol, the
-    Sennrich convention."""
+    on the word — broadcast below BROADCAST_VOCAB_MAX distinct words,
+    shuffle-join above; `force_shuffle` pins the big-vocab path in
+    tests). Per source: word/token/char totals and fertility (tokens
+    per 1000 words, floor-divided — positive ints, so Spark div ==
+    DuckDB //). Token counts include the fused end-of-word marker
+    symbol, the Sennrich convention."""
     docs = load(spark, sf_dir, "documents")
     vocab = _symbolized_vocab(
         docs.select(F.explode(F.split("text", " ")).alias("w"))
@@ -477,12 +507,15 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _trajectory, final = _train_full(spark, vocab)
     seg = final.selectExpr("w", "size(split(trim(s), ' ')) AS ntok")
+    # vocab is localCheckpointed, so this count is a cheap cached scan,
+    # and its row count IS the distinct-word count seg will carry.
+    small_vocab = not force_shuffle and vocab.count() <= BROADCAST_VOCAB_MAX
     dw = (
         docs.select("source", F.explode(F.split("text", " ")).alias("w"))
         .filter("w <> ''")
     )
     return (
-        dw.join(F.broadcast(seg), "w")
+        dw.join(F.broadcast(seg) if small_vocab else seg, "w")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_words"),

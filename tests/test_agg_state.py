@@ -192,3 +192,33 @@ def test_streaming_states_cross_batch_boundaries(spark):
     # multi-batch actually happened: the wire has 4 data files
     n_files = len([f for f in os.listdir(wire_dir) if f.startswith("part-")])
     assert n_files >= 2
+
+
+def test_week_key_portable_pre_epoch(spark):
+    """Negative-epoch-day portability pin for the weekly rollup key:
+    Spark `div` truncates toward zero, and DuckDB's integer `//` ALSO
+    truncates (it floors only for FLOAT operands; DATE - DATE is
+    BIGINT), so the two engines agree on week keys even for events
+    before 1970-01-01. This pins that agreement so a DuckDB semantics
+    change (or a refactor to float division) fails loudly."""
+    import duckdb
+
+    days = [-15, -8, -7, -6, -1, 0, 1, 6, 7, 8, 15]
+    got_spark = [
+        r.wk
+        for r in spark.sql(
+            "SELECT CAST(d AS BIGINT) div 7 AS wk FROM VALUES "
+            + ", ".join(f"({d})" for d in days)
+            + " AS t(d) ORDER BY d"
+        ).collect()
+    ]
+    got_duck = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT CAST(d AS BIGINT) // 7 AS wk FROM (VALUES "
+            + ", ".join(f"({d})" for d in days)
+            + ") t(d) ORDER BY d"
+        ).fetchall()
+    ]
+    trunc = [int(d / 7) for d in sorted(days)]
+    assert got_spark == got_duck == trunc

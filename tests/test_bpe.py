@@ -225,3 +225,50 @@ def test_tokenize_matches_python_segmentation(spark):
     assert got == want
     for r in rows:
         assert r.fertility_milli == (1000 * r.n_tokens) // r.n_words
+
+
+def test_fold_step_rejects_sql_unsafe_symbols():
+    """The fold expression interpolates learned symbols as SQL string
+    literals; _fold_step_sql must refuse anything outside the [a-z_]
+    alphabet the module guarantees (a quote/backslash symbol would
+    break the expression or silently diverge from the oracle, which
+    binds the pair as columns)."""
+    import pytest
+
+    from kafka_clickhouse_implementation_spark.operators.bpe import (
+        _fold_step_sql,
+    )
+
+    assert "don" in _fold_step_sql("don", "t_")  # safe path unchanged
+    for bad in ("don'", "a\\", "", "A", "é", "a b"):
+        with pytest.raises(ValueError, match="alphabet"):
+            _fold_step_sql(bad, "ok")
+        with pytest.raises(ValueError, match="alphabet"):
+            _fold_step_sql("ok", bad)
+
+
+def test_tokenize_broadcast_guard(spark):
+    """The segmentation join must be broadcast at test scale (vocab <<
+    BROADCAST_VOCAB_MAX) and must DROP the hint on the force_shuffle
+    path — with identical results either way (the guard changes the
+    physical join strategy only)."""
+    from kafka_clickhouse_implementation_spark.operators.bpe import (
+        q_bpe_tokenize,
+    )
+
+    bc = q_bpe_tokenize(spark, SF)
+    assert "BroadcastHashJoin" in bc._jdf.queryExecution().executedPlan().toString()
+    # force_shuffle drops the HINT; at test scale Catalyst would still
+    # auto-broadcast the tiny side (at 100 TB vocab it would not — the
+    # size estimate exceeds the threshold), so pin the big-vocab
+    # physical plan by disabling auto-broadcast for this check.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sh = q_bpe_tokenize(spark, SF, force_shuffle=True)
+        plan = sh._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        rows_sh = sorted(map(tuple, sh.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert sorted(map(tuple, bc.collect())) == rows_sh

@@ -18,56 +18,57 @@ from kafka_clickhouse_implementation_spark.registry import (
     all_queries,
 )
 
-WINDOW_50 = ["q_heavy_hitters",  # changed/new
-    "q_hll_sketch_union",  # changed/new
-    "q_exp_decay",  # changed/new
-    "q_geo_distance",  # changed/new
-    "q_agg_state_merge",  # changed/new
-    "q_stream_agg_state",  # changed/new
-    "q_multimodal_png_adam7",  # changed/new
-    "q_cluster_prototypes",  # last green r-never-
-    "q_multimodal_flac",  # last green r-never-
-    "q_multimodal_flac_stereo",  # last green r-never-
-    "q_multimodal_gif89a",  # last green r-never-
-    "q_semantic_clean",  # last green r-never-
-    "q_twolevel_kmeans",  # last green r-never-
-    "q_tpch_q21_shape",  # last green r2
-    "q_tpch_q22_shape",  # last green r2
-    "q_tpch_q4_shape",  # last green r2
-    "q_tpch_q7_shape",  # last green r2
-    "q_tpch_q8_shape",  # last green r2
-    "q_asof_join",  # last green r3
-    "q_bigram_counts",  # last green r3
-    "q_bit_aggs",  # last green r3
-    "q_collect_tokens",  # last green r3
-    "q_collocations",  # last green r3
-    "q_corpus_funnel",  # last green r3
-    "q_delta_sum",  # last green r3
-    "q_doc_chunks",  # last green r3
-    "q_edit_distance",  # last green r3
-    "q_embedding_norms",  # last green r3
-    "q_embedding_quantize",  # last green r3
-    "q_event_paths",  # last green r3
-    "q_gap_fill",  # last green r3
-    "q_grouping_sets",  # last green r3
-    "q_histogram",  # last green r3
-    "q_map_funcs",  # last green r3
-    "q_pii_mask",  # last green r3
-    "q_range_join",  # last green r3
-    "q_salted_agg",  # last green r3
-    "q_scd2_join",  # last green r3
-    "q_sequence_count",  # last green r3
-    "q_sequence_match",  # last green r3
-    "q_session_bounds",  # last green r3
-    "q_sliding_counts",  # last green r3
-    "q_sliding_window",  # last green r3
-    "q_stratified_sample",  # last green r3
-    "q_systematic_sample",  # last green r3
-    "q_weekly_rollup",  # last green r3
-    "q_zipf_rank",  # last green r3
-    "q_mwu_pvalue",  # changed/new
-    "q_welch_pvalue",  # changed/new
-    "q_student_pvalue",  # changed/new
+WINDOW_50 = [
+    "q_bpe_train",  # changed/new
+    "q_stream_bpe",  # changed/new
+    "q_bpe_tokenize",  # changed/new
+    "q_kn_quality",  # changed/new
+    "q_kmv_setops",  # changed/new
+    "q_multimodal_jpeg_prog",  # changed/new
+    "q_multimodal_jpeg_sa",  # changed/new
+    "q_with_totals",  # changed/new
+    "q_ann_recall_float",  # changed/new
+    "q_ks_pvalue",  # changed/new
+    "q_ann_portable",  # last green r4
+    "q_ann_recall",  # last green r4
+    "q_corpus_clean_portable",  # last green r4
+    "q_cosine_topk",  # last green r4
+    "q_csv_roundtrip",  # last green r4
+    "q_decontaminate",  # last green r4
+    "q_doc_signals",  # last green r4
+    "q_embedding_near_dup",  # last green r4
+    "q_embedding_truncate",  # last green r4
+    "q_first_seen_cumulative",  # last green r4
+    "q_group_array",  # last green r4
+    "q_inverted_index",  # last green r4
+    "q_json_extract",  # last green r4
+    "q_kmv_sketch",  # last green r4
+    "q_kmv_union",  # last green r4
+    "q_limit_by",  # last green r4
+    "q_minhash_portable",  # last green r4
+    "q_mixture_weights",  # last green r4
+    "q_mode_by_type",  # last green r4
+    "q_multimodal_decode",  # last green r4
+    "q_multimodal_features",  # last green r4
+    "q_mv_daily",  # last green r4
+    "q_near_dup_components",  # last green r4
+    "q_orc_roundtrip",  # last green r4
+    "q_partition_prune",  # last green r4
+    "q_pivot_events",  # last green r4
+    "q_pricing_summary",  # last green r4
+    "q_qualify_latest",  # last green r4
+    "q_quartiles",  # last green r4
+    "q_retention",  # last green r4
+    "q_sessionize",  # last green r4
+    "q_simhash_portable",  # last green r4
+    "q_stream_corpus_funnel",  # last green r4
+    "q_stream_dedup",  # last green r4
+    "q_stream_funnel",  # last green r4
+    "q_stream_funnel_ttl",  # last green r4
+    "q_stream_join",  # last green r4
+    "q_stream_late_drop",  # last green r4
+    "q_stream_mv_daily",  # last green r4
+    "q_stream_retention",  # last green r4
 ]
 
 
@@ -87,12 +88,15 @@ def test_window_is_exactly_50_known_names():
 # the only rows-only queries allowed a window slot: the four p-value
 # companions, rows-only BY DESIGN (libm erf/lgamma are not correctly
 # rounded cross-engine; operators/pvalues.py module doc) and
-# quantitatively bounded in tests/test_pvalues.py instead
+# quantitatively bounded in tests/test_pvalues.py instead, plus the
+# float-LSH recall probe (recall vs brute force is evaluated inside
+# the query itself; numpy replay in tests/test_similarity.py)
 _ROWS_ONLY_BY_DESIGN = {
     "q_mwu_pvalue",
     "q_welch_pvalue",
     "q_student_pvalue",
     "q_ks_pvalue",
+    "q_ann_recall_float",
 }
 
 
