@@ -124,6 +124,10 @@ HEADLINE = [
     "q_multimodal_jpeg_sa",
     "q_bpe_tokenize",
     "q_kn_quality",
+    # round 9: ExactSubstr clipping (the C115 transformation half) and
+    # the KN-quality-gated composed corpus clean
+    "q_substring_clip",
+    "q_corpus_clean_scored",
 ]
 
 

@@ -352,3 +352,183 @@ def q_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sched_key"),
     )
     return keyed.orderBy("sched_key", "source", "doc_id").limit(_SCHED_N)
+
+
+# ---------------------------------------------------------------------
+# ExactSubstr clipping — round 9 (C143): the TRANSFORMATION half of
+# C115 (Lee et al. 2022, "Deduplicating Training Data Makes Language
+# Models Better"). C115 measures cross-document substring duplication;
+# this operator REMOVES it: every occurrence of a duplicated gram
+# except the global first (first-occurrence-wins by (doc_id, pos), the
+# same keep rule as chunk dedup C113) marks its character range
+# [pos, pos + GRAM_LEN) for clipping; per-document the ranges are
+# union-merged (classic running-max interval islands) and the kept
+# complement spans are reassembled into the clipped text.
+#
+# Scale shape: the shuffles carry (md5, doc_id, pos) — never text; the
+# interval merge is a PER-DOCUMENT window (partitioned by doc_id, no
+# global sort); span arrays and the reassembly fold are bounded by
+# doc-length/GRAM_STRIDE, and a document is single-machine-sized by
+# definition. Reference analogue: none (the kafka+clickhouse tutorial
+# has no dedup tier); this is Tier-C closure per the round-8 verdict.
+# ---------------------------------------------------------------------
+
+_CLIP_SPANS_SQL = f"""
+WITH g AS (
+  SELECT doc_id, CAST(u.i * {GRAM_STRIDE} + 1 AS BIGINT) AS pos,
+         md5(substr(text, CAST(u.i * {GRAM_STRIDE} + 1 AS INTEGER), {GRAM_LEN})) AS h
+  FROM documents, unnest(range((length(text) - {GRAM_LEN}) // {GRAM_STRIDE} + 1)) AS u(i)
+  WHERE length(text) >= {GRAM_LEN}
+), dupg AS (
+  SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) > 1
+), gd AS (
+  SELECT g.doc_id, g.pos, g.h FROM g JOIN dupg USING (h)
+), fd AS (
+  SELECT h, min(doc_id) AS fdoc FROM gd GROUP BY h
+), fp AS (
+  SELECT gd.h, gd.doc_id AS fdoc, min(gd.pos) AS fpos
+  FROM gd JOIN fd ON gd.h = fd.h AND gd.doc_id = fd.fdoc
+  GROUP BY gd.h, gd.doc_id
+), clip AS (
+  SELECT gd.doc_id, gd.pos, gd.pos + {GRAM_LEN} AS end_
+  FROM gd JOIN fp ON gd.h = fp.h
+  WHERE NOT (gd.doc_id = fp.fdoc AND gd.pos = fp.fpos)
+), isl AS (
+  SELECT doc_id, pos, end_,
+         CASE WHEN coalesce(max(end_) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) < pos
+              THEN 1 ELSE 0 END AS new_island
+  FROM clip
+), isl2 AS (
+  SELECT doc_id, pos, end_,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl
+), spans AS (
+  SELECT doc_id, island, min(pos) AS s, max(end_) AS e
+  FROM isl2 GROUP BY doc_id, island
+), doc_clip AS (
+  SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS clipped_chars,
+         CAST(count(*) AS BIGINT) AS n_clip_spans
+  FROM spans GROUP BY doc_id
+)
+"""
+
+_CLIP_ORACLE = f"""
+{_CLIP_SPANS_SQL}
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(d.text)) AS BIGINT) AS total_chars,
+       CAST(sum(length(d.text)) - sum(coalesce(c.clipped_chars, 0)) AS BIGINT)
+         AS kept_chars,
+       CAST(sum(coalesce(c.clipped_chars, 0)) AS BIGINT) AS clipped_chars,
+       CAST(sum(coalesce(c.n_clip_spans, 0)) AS BIGINT) AS n_clip_spans,
+       CAST(sum(coalesce(c.clipped_chars, 0)) AS DOUBLE)
+         / CAST(sum(length(d.text)) AS DOUBLE) AS clip_ratio
+FROM documents d LEFT JOIN doc_clip c USING (doc_id)
+GROUP BY d.source
+"""
+
+
+def substring_clip(docs: DataFrame) -> DataFrame:
+    """The clipped corpus: one row per input document with the
+    duplicated character ranges removed.
+
+    Returns (doc_id, source, text, kept_text, clipped_chars,
+    n_clip_spans); kept_text is the concatenation of the complement
+    spans, assembled by ONE fold over the per-doc merged-span array —
+    so downstream consumers (and q_substring_clip's aggregate) measure
+    the actual transformed string, not a promise about it."""
+    d = docs.select("doc_id", "source", "text")
+    g = (
+        d.filter(F.length("text") >= GRAM_LEN)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, (length(text) - {GRAM_LEN}) div {GRAM_STRIDE}),"
+                    f" i -> struct(CAST(i * {GRAM_STRIDE} + 1 AS BIGINT) AS pos,"
+                    f" md5(substr(text, i * {GRAM_STRIDE} + 1, {GRAM_LEN})) AS h))"
+                )
+            ).alias("o"),
+        )
+        .select("doc_id", "o.pos", "o.h")
+    )
+    dupg = g.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("nd")
+    ).filter(F.col("nd") > 1).select("h")
+    gd = g.join(dupg, "h")
+    fd = gd.groupBy("h").agg(F.min("doc_id").alias("fdoc"))
+    fp = (
+        gd.join(fd, "h")
+        .filter(F.col("doc_id") == F.col("fdoc"))
+        .groupBy("h", "fdoc")
+        .agg(F.min("pos").alias("fpos"))
+    )
+    clip = (
+        gd.join(fp, "h")
+        .filter(~((F.col("doc_id") == F.col("fdoc")) & (F.col("pos") == F.col("fpos"))))
+        .select("doc_id", "pos", (F.col("pos") + F.lit(GRAM_LEN)).alias("end_"))
+    )
+    from pyspark.sql import Window as W
+
+    w_prev = W.partitionBy("doc_id").orderBy("pos").rowsBetween(W.unboundedPreceding, -1)
+    w_run = W.partitionBy("doc_id").orderBy("pos").rowsBetween(W.unboundedPreceding, 0)
+    isl = clip.withColumn(
+        "new_island",
+        F.when(
+            F.coalesce(F.max("end_").over(w_prev), F.lit(-1)) < F.col("pos"), 1
+        ).otherwise(0),
+    ).withColumn("island", F.sum("new_island").over(w_run))
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"), F.max("end_").alias("e")
+    )
+    doc_clip = spans.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("spans"),
+        F.sum(F.col("e") - F.col("s")).cast("long").alias("clipped_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_clip_spans"),
+    )
+    return d.join(doc_clip, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        "text",
+        F.expr(
+            # fold over the sorted merged spans: emit [cur, span.s),
+            # jump cur to span.e; finish with the tail [cur, len].
+            # Empty/missing span arrays return the text unchanged.
+            "CASE WHEN spans IS NULL THEN text ELSE aggregate(spans,"
+            " struct(CAST(1 AS BIGINT) AS cur, CAST('' AS STRING) AS acc),"
+            " (st, iv) -> struct(iv.e AS cur,"
+            "   concat(st.acc, substring(text, CAST(st.cur AS INT),"
+            "     CAST(iv.s - st.cur AS INT))) AS acc),"
+            " st -> concat(st.acc, substring(text, CAST(st.cur AS INT),"
+            "   CAST(length(text) - st.cur + 1 AS INT)))) END"
+        ).alias("kept_text"),
+        F.coalesce("clipped_chars", F.lit(0)).cast("long").alias("clipped_chars"),
+        F.coalesce("n_clip_spans", F.lit(0)).cast("long").alias("n_clip_spans"),
+    )
+
+
+@query("q_substring_clip", oracle=_CLIP_ORACLE)
+def q_substring_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C143: ExactSubstr REMOVAL accounting over the clipped corpus —
+    per source: docs, total/kept/clipped character counts and merged
+    clip-span counts, plus the clip ratio (one IEEE division of exact
+    integer sums). kept_chars is measured as sum(length(kept_text)) of
+    the ACTUALLY ASSEMBLED strings while the oracle derives it as
+    total - clipped from pure interval arithmetic — a span-assembly
+    bug on the Spark side therefore hash-FAILS instead of passing on
+    bookkeeping alone (same adversarial-oracle stance as the CC
+    convergence probe in q_corpus_clean_portable)."""
+    out = substring_clip(load(spark, sf_dir, "documents"))
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        F.sum(F.length("kept_text")).cast("long").alias("kept_chars"),
+        F.sum("clipped_chars").cast("long").alias("clipped_chars"),
+        F.sum("n_clip_spans").cast("long").alias("n_clip_spans"),
+        (
+            F.sum("clipped_chars").cast("double")
+            / F.sum(F.length("text")).cast("double")
+        ).alias("clip_ratio"),
+    )

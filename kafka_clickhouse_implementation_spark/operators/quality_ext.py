@@ -291,14 +291,21 @@ def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # d = 3/4, interpolated KN is
 #     P(w2|w1) = max(c12 - 3/4, 0)/c1 + (3/4 · N1+(w1·)/c1) · Pcont(w2)
 #              = [ max(4·c12 - 3, 0)·Ntot + 3·N1·Ncont ] / (4·c1·Ntot)
-# — one BIGINT numerator over one BIGINT denominator, micro-quantized
-# by INTEGER division on both engines. No float exists anywhere in the
+# — one integer numerator over one integer denominator, micro-
+# quantized by INTEGER division on both engines. The products are
+# accumulated in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB): c1·Ntot
+# alone exceeds int64 once distinct-bigram-type mass passes ~2.3e12,
+# which a 100 TB corpus reaches. No float exists anywhere in the
 # pipeline, so there is no summation-order or quantization-boundary
 # risk at all (a step beyond the nano-quantized-ln recipe of C82).
 # ---------------------------------------------------------------------------
 
-_KN_ORACLE = """
-WITH t AS (
+# The model + scoring CTE chains are GENERATED so the C142 query and
+# the KN-gated corpus clean (pipelines/corpus.py q_corpus_clean_scored)
+# share ONE template and cannot drift (the r8-verdict requirement; same
+# policy as the C56/C86 _clean_oracle template).
+
+KN_MODEL_CTES = """t AS (
   SELECT doc_id, source, string_split(text, ' ') AS l FROM documents
   WHERE len(string_split(text, ' ')) >= 2
 ), train AS (
@@ -314,20 +321,31 @@ WITH t AS (
   SELECT w2, CAST(count(*) AS BIGINT) AS ncont FROM bgc GROUP BY w2
 ), ntot AS (
   SELECT CAST(count(*) AS BIGINT) AS nt FROM bgc
-), held AS (
+)"""
+
+
+def kn_scored_ctes(keys: str, held_where: str) -> str:
+    """held/db/scored CTE chain scoring bigrams grouped by ``keys``
+    (C142: 'source' over the odd held-out half; the corpus-clean gate:
+    'doc_id' over the whole corpus, held_where='')."""
+    return f"""held AS (
   SELECT source, doc_id,
          unnest(l[1:len(l) - 1]) AS w1, unnest(l[2:len(l)]) AS w2
-  FROM t WHERE doc_id % 2 = 1
+  FROM t {held_where}
 ), db AS (
-  SELECT source, w1, w2, CAST(count(*) AS BIGINT) AS cnt
-  FROM held GROUP BY source, w1, w2
+  SELECT {keys}, w1, w2, CAST(count(*) AS BIGINT) AS cnt
+  FROM held GROUP BY {keys}, w1, w2
 ), scored AS (
-  SELECT db.source, db.cnt,
-         CASE WHEN ctx.c1 IS NULL THEN coalesce(cont.ncont, 0) * 1000000 // nt
-              ELSE (greatest(4 * coalesce(bgc.c12, 0) - 3, 0) * nt
-                    + 3 * ctx.n1 * coalesce(cont.ncont, 0)) * 1000000
-                   // (4 * ctx.c1 * nt)
-         END AS p_micro,
+  SELECT db.{keys}, db.cnt,
+         CAST(CASE WHEN ctx.c1 IS NULL
+                   THEN CAST(coalesce(cont.ncont, 0) AS HUGEINT)
+                        * 1000000 // nt
+              ELSE (CAST(greatest(4 * coalesce(bgc.c12, 0) - 3, 0)
+                         AS HUGEINT) * nt
+                    + CAST(3 AS HUGEINT) * ctx.n1
+                      * coalesce(cont.ncont, 0)) * 1000000
+                   // (CAST(4 AS HUGEINT) * ctx.c1 * nt)
+         END AS BIGINT) AS p_micro,
          CASE WHEN bgc.c12 IS NULL THEN 1 ELSE 0 END AS unseen_pair,
          CASE WHEN ctx.c1 IS NULL THEN 1 ELSE 0 END AS unseen_ctx
   FROM db
@@ -335,7 +353,11 @@ WITH t AS (
   LEFT JOIN ctx USING (w1)
   LEFT JOIN cont USING (w2)
   CROSS JOIN ntot
-), docs_n AS (
+)"""
+
+
+_KN_ORACLE = f"""
+WITH {KN_MODEL_CTES}, {kn_scored_ctes("source", "WHERE doc_id % 2 = 1")}, docs_n AS (
   SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
   FROM held GROUP BY source
 )
@@ -353,36 +375,45 @@ ORDER BY s.source
 """
 
 
-@query("q_kn_quality", oracle=_KN_ORACLE)
-def q_kn_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C142: interpolated Kneser-Ney bigram LM, trained on the
-    even-doc_id half of the corpus and scoring the HELD-OUT odd half —
-    the proper split that makes unseen bigram pairs and unseen
-    contexts actually occur, exercising the continuation-probability
-    backoff KN exists for (an LM scored on its own training data never
-    backs off). Per source: held-out doc/bigram totals, the
-    micro-quantized mean KN probability (the quality signal — higher
-    = more fluent under the train LM), and unseen pair/context rates.
+# Spark-side twin of kn_scored_ctes' p_micro CASE — shared verbatim by
+# C142 and the corpus-clean KN gate (pipelines/corpus.py).
+KN_P_MICRO_SPARK = (
+    # Products widened to DECIMAL(38,0) (DuckDB: HUGEINT) —
+    # c1*nt alone exceeds int64 once the corpus passes ~2.3e12
+    # distinct-bigram-type x context-count mass, well inside
+    # the 100 TB design point; `div` on DECIMAL still returns
+    # BIGINT and the quotient is <= 1e6 by construction.
+    "CASE WHEN c1 IS NULL THEN"
+    " (CAST(coalesce(ncont, CAST(0 AS BIGINT)) AS DECIMAL(38,0))"
+    " * 1000000) div nt"
+    " ELSE (CAST(greatest(4 * coalesce(c12, CAST(0 AS BIGINT)) - 3,"
+    " CAST(0 AS BIGINT)) AS DECIMAL(38,0)) * nt"
+    " + CAST(3 AS DECIMAL(38,0)) * n1"
+    " * coalesce(ncont, CAST(0 AS BIGINT))) * 1000000"
+    " div (CAST(4 AS DECIMAL(38,0)) * c1 * nt) END AS p_micro"
+)
 
-    All arithmetic is BIGINT (see module comment): the d = 3/4
-    discount makes every P an exact small-integer ratio, quantized by
-    integer division — Spark `div` == DuckDB `//` on nonnegative
-    values. Plan shape: one explode per split, three hash-agg model
-    tables keyed on words (equi-joined, never broadcast by hand — the
-    vocabulary scales with the corpus), the 1-row Ntot attached via
-    broadcast cross join, map-side-combined final rollup per source."""
-    docs = (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", "source", F.split("text", " ").alias("l"))
-        .filter(F.size("l") >= 2)
-    )
-    pairs = (
-        "explode(zip_with(slice(l, 1, size(l) - 1), slice(l, 2, size(l) - 1),"
-        " (x, y) -> struct(x AS w1, y AS w2))) AS p"
-    )
+_KN_PAIRS_EXPR = (
+    "explode(zip_with(slice(l, 1, size(l) - 1), slice(l, 2, size(l) - 1),"
+    " (x, y) -> struct(x AS w1, y AS w2))) AS p"
+)
+
+
+def kn_split_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, l) with the <2-token docs dropped — the shared
+    `t` CTE."""
+    return docs.select(
+        "doc_id", "source", F.split("text", " ").alias("l")
+    ).filter(F.size("l") >= 2)
+
+
+def kn_model_tables(docs_l: DataFrame):
+    """Train the d=3/4 interpolated-KN bigram model on the even-doc_id
+    half: returns (bgc, ctx, cont, ntot) — the exact Spark twin of
+    KN_MODEL_CTES."""
     train = (
-        docs.filter("doc_id % 2 = 0")
-        .selectExpr(pairs)
+        docs_l.filter("doc_id % 2 = 0")
+        .selectExpr(_KN_PAIRS_EXPR)
         .select("p.w1", "p.w2")
     )
     bgc = train.groupBy("w1", "w2").agg(
@@ -394,35 +425,67 @@ def q_kn_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cont = bgc.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("ncont"))
     ntot = bgc.agg(F.count(F.lit(1)).cast("long").alias("nt"))
+    return bgc, ctx, cont, ntot
 
-    held = (
-        docs.filter("doc_id % 2 = 1")
-        .selectExpr("source", "doc_id", pairs)
+
+def kn_score_bigrams(docs_l: DataFrame, keys: list[str], held_filter: str | None):
+    """Per-``keys`` scored bigram table (keys + cnt, p_micro,
+    unseen_pair, unseen_ctx) — the exact Spark twin of
+    kn_scored_ctes."""
+    bgc, ctx, cont, ntot = kn_model_tables(docs_l)
+    held = docs_l.filter(held_filter) if held_filter else docs_l
+    db = (
+        held.selectExpr("source", "doc_id", _KN_PAIRS_EXPR)
         .select("source", "doc_id", "p.w1", "p.w2")
+        .groupBy(*keys, "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
-    db = held.groupBy("source", "w1", "w2").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
-    )
-    scored = (
+    return (
         db.join(bgc, ["w1", "w2"], "left")
         .join(ctx, ["w1"], "left")
         .join(cont, ["w2"], "left")
         .crossJoin(F.broadcast(ntot))
         .selectExpr(
-            "source",
+            *keys,
             "cnt",
-            "CASE WHEN c1 IS NULL THEN (coalesce(ncont, CAST(0 AS BIGINT))"
-            " * 1000000) div nt"
-            " ELSE (greatest(4 * coalesce(c12, CAST(0 AS BIGINT)) - 3,"
-            " CAST(0 AS BIGINT)) * nt + 3 * n1"
-            " * coalesce(ncont, CAST(0 AS BIGINT))) * 1000000"
-            " div (4 * c1 * nt) END AS p_micro",
+            KN_P_MICRO_SPARK,
             "CASE WHEN c12 IS NULL THEN 1 ELSE 0 END AS unseen_pair",
             "CASE WHEN c1 IS NULL THEN 1 ELSE 0 END AS unseen_ctx",
         )
     )
-    docs_n = held.groupBy("source").agg(
-        F.countDistinct("doc_id").cast("long").alias("n_docs")
+
+
+@query("q_kn_quality", oracle=_KN_ORACLE)
+def q_kn_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C142: interpolated Kneser-Ney bigram LM, trained on the
+    even-doc_id half of the corpus and scoring the HELD-OUT odd half —
+    the proper split that makes unseen bigram pairs and unseen
+    contexts actually occur, exercising the continuation-probability
+    backoff KN exists for (an LM scored on its own training data never
+    backs off). Per source: held-out doc/bigram totals, the
+    micro-quantized mean KN probability (the quality signal — higher
+    = more fluent under the train LM), and unseen pair/context rates.
+
+    All arithmetic is exact integer (see module comment): the d = 3/4
+    discount makes every P an exact integer ratio, the numerator and
+    denominator products are widened to DECIMAL(38,0)/HUGEINT so
+    c1*Ntot cannot overflow int64 at corpus scale, and quantization is
+    integer division — Spark `div` == DuckDB `//` on nonnegative
+    values. Plan shape: one explode per split, three hash-agg model
+    tables keyed on words (equi-joined, never broadcast by hand — the
+    vocabulary scales with the corpus), the 1-row Ntot attached via
+    broadcast cross join, map-side-combined final rollup per source.
+
+    Model + scoring are the shared kn_model_tables / kn_score_bigrams
+    helpers, reused verbatim by the KN-gated corpus clean
+    (pipelines/corpus.py q_corpus_clean_scored) — one template on both
+    engines, per the r8 verdict."""
+    docs = kn_split_docs(load(spark, sf_dir, "documents"))
+    scored = kn_score_bigrams(docs, ["source"], "doc_id % 2 = 1")
+    docs_n = (
+        docs.filter("doc_id % 2 = 1")
+        .groupBy("source")
+        .agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
     )
     return (
         scored.groupBy("source")

@@ -385,8 +385,11 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the shuffle carries O(buckets x k) summary rows, never the
     vocab; the per-bucket histogram inside mapInPandas is
-    vocab/buckets-sized (the constant-memory incremental form is
-    retained as legacy_heavy_hitters / _mg_partial)."""
+    vocab/buckets-sized. At extreme vocabularies (vocab/buckets no
+    longer executor-memory-sized — e.g. web-scale token vocab on few
+    buckets) prefer the constant-memory incremental form retained as
+    legacy_heavy_hitters / _mg_partial, which streams rows through a
+    fixed k-slot summary and never materializes a histogram."""
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         (F.col("doc_id") % _MG_BUCKETS).alias("bucket"),

