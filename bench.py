@@ -128,6 +128,9 @@ HEADLINE = [
     # the KN-quality-gated composed corpus clean
     "q_substring_clip",
     "q_corpus_clean_scored",
+    # round 9: unigram-LM tokenizer (hard-EM train + corpus tokenize)
+    "q_unigram_train",
+    "q_unigram_tokenize",
 ]
 
 

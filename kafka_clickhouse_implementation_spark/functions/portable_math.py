@@ -123,6 +123,80 @@ def pasin(
     return f"(CASE WHEN {z_col} > 0.7 THEN {large} ELSE {small} END)"
 
 
+# ---------------------------------------------------------------------------
+# pln: ln(p) for p in [2^-64, 1] (round 9 — needed by the unigram-LM
+# tokenizer's Viterbi scores, where a last-ulp libm disagreement would
+# flip a DISCRETE argmax, not just nudge a sum: the floor-guard-band
+# recipe is not acceptable there).
+#
+# Exact-reduction design: e = the unique integer with m = p * 2^-e in
+# [1, 2), found by a 65-branch CASE ladder comparing against EXACT
+# power-of-two literals (comparisons on identical doubles — branch
+# choice engine-invariant); m = p * 2^-e is an EXACT scaling (power-of-
+# two multiply, no rounding); ln(m) = 2*atanh(t), t = (m-1)/(m+1) in
+# [0, 1/3], as a 20-term odd series in t^2 (term ratio <= 1/9 —
+# remainder ~ 9^-20); ln(p) = e*ln2 + 2*t*L(t^2) with ln2 a literal.
+# Identical expression text on both engines => identical doubles =>
+# every downstream floor is equal BY CONSTRUCTION.
+# ---------------------------------------------------------------------------
+
+def dlit(x: float) -> str:
+    """A literal BOTH engines parse as DOUBLE: scientific notation.
+    Plain decimal literals ('0.5', '-1.0') parse as DECIMAL in DuckDB
+    (and Spark), which is only harmless when a double column appears in
+    the same expression; a literal-times-literal product (e * ln2)
+    stays DECIMAL and overflows. 'e0'-suffixing forces DOUBLE with the
+    identical value."""
+    r = repr(float(x))
+    return r if ("e" in r or "E" in r) else r + "e0"
+
+
+LN2 = dlit(math.log(2.0))
+_LN_E_MIN = -64
+# L(s) = 1 + s/3 + s^2/5 + ...  (atanh series over t^2)
+LN_COEFFS = [repr(1.0 / (2 * k + 1)) for k in range(20)]
+# 2^-e for e = 0..-64 — exact double literals (repr round-trips)
+_POW2 = [dlit(2.0**k) for k in range(0, -(_LN_E_MIN) + 1)]
+
+
+def ln_exp_case(p_col: str) -> str:
+    """e (as a DOUBLE-typed integer CASE) with p * 2^-e in [1,2);
+    domain p in [2^-64, 1]. The >= boundaries are exact powers of two,
+    so the chosen branch is identical on identical doubles."""
+    whens = " ".join(
+        f"WHEN {p_col} >= {dlit(2.0 ** (-k))} THEN {dlit(float(-k))}"
+        for k in range(0, -_LN_E_MIN)
+    )
+    return f"(CASE {whens} ELSE {dlit(float(_LN_E_MIN))} END)"
+
+
+def ln_scale_case(p_col: str) -> str:
+    """2^-e for the same ladder — the exact scaling that maps p to m."""
+    whens = " ".join(
+        f"WHEN {p_col} >= {dlit(2.0 ** (-k))} THEN {_POW2[k]}"
+        for k in range(0, -_LN_E_MIN)
+    )
+    return f"(CASE {whens} ELSE {_POW2[-_LN_E_MIN]} END)"
+
+
+def pln(e_col: str, t_col: str, t2_col: str) -> str:
+    """ln(p) given bound columns e (ln_exp_case), t = (m-1)/(m+1) with
+    m = p * ln_scale_case(p), and t2 = t*t."""
+    return (
+        f"({e_col} * {LN2} + 2.0e0 * ({t_col} * {horner(t2_col, LN_COEFFS)}))"
+    )
+
+
+def pln_py(p: float) -> float:
+    """Pure-Python reference (third IEEE engine) for pytest pinning."""
+    e = 0
+    while p < 2.0**e and e > _LN_E_MIN:
+        e -= 1
+    m = p * (2.0**-e)
+    t = (m - 1.0) / (m + 1.0)
+    return float(LN2) * e + 2.0 * (t * _horner_py(t * t, LN_COEFFS))
+
+
 # pure-Python references for pytest pinning (same algorithm, evaluated
 # by the CPython float engine — a THIRD independent IEEE implementation)
 def pexp_neg_py(x: float) -> float:

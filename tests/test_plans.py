@@ -465,3 +465,24 @@ def test_kn_gated_clean_model_joins_never_broadcast_vocab(spark):
     hints = [l for l in analyzed.splitlines() if "ResolvedHint" in l]
     assert len(hints) == 1, hints
     assert "w1" not in hints[0] and "w2" not in hints[0], hints[0]
+
+
+def test_unigram_prune_is_takeordered_and_estep_windowless(spark):
+    """C145 (r9): the per-round multi-piece prune must plan as
+    TakeOrderedAndProject (top-K, never a global sort of the piece
+    table), and the Viterbi E-step is joins + HOF folds — no window
+    operator anywhere (a window would serialize the vocab)."""
+    from kafka_clickhouse_implementation_spark.io import load
+    from kafka_clickhouse_implementation_spark.operators import unigram_lm as U
+
+    words = U._seed_words(load(spark, SF, "documents"))
+    cand = U._candidates(words)
+    counts = U._substr_counts(cand)
+    m = (
+        counts.filter(F.length("piece") >= 2)
+        .orderBy(F.col("cnt").desc(), "piece")
+        .limit(U.UNI_MULTI)
+    )
+    assert "TakeOrderedAndProject" in _plan(m)
+    seg = U._viterbi(cand, U._spark_scores(counts))
+    assert "windowspecdefinition" not in _plan(seg)

@@ -152,3 +152,55 @@ def test_asin_coefficient_integrity():
     assert float(ASIN_COEFFS[1]) == 1.0 / 6.0
     assert float(ASIN_COEFFS[2]) == 3.0 / 40.0
     assert float(ASIN_COEFFS[3]) == 15.0 / 336.0
+
+
+def test_pln_kernel_tracks_libm():
+    """pln accuracy vs math.log across the [2^-64, 1] domain."""
+    import random
+
+    from kafka_clickhouse_implementation_spark.functions.portable_math import (
+        pln_py,
+    )
+
+    rng = random.Random(7)
+    pts = [math.exp(rng.uniform(math.log(2**-64), 0.0)) for _ in range(5000)]
+    pts += [1.0, 0.5, 2**-64, 2**-63, 1 - 2**-52, 1e-6, 1 / 3]
+    for p in pts:
+        assert abs(pln_py(p) - math.log(p)) <= 1e-12 * max(
+            1.0, abs(math.log(p))
+        ), p
+
+
+def test_pln_sql_bit_identical_across_engines(spark, _duck):
+    """The pln SQL text must evaluate to bit-identical doubles on
+    Spark, DuckDB, and the CPython replay — the property that makes
+    the unigram-LM Viterbi's nano-floor scores engine-invariant (a
+    last-ulp ln disagreement there flips a DISCRETE argmax, so the
+    guard-band recipe is not acceptable)."""
+    import random
+
+    from kafka_clickhouse_implementation_spark.functions.portable_math import (
+        ln_exp_case,
+        ln_scale_case,
+        pln,
+        pln_py,
+    )
+
+    rng = random.Random(11)
+    xs = [math.exp(rng.uniform(math.log(2**-64), 0.0)) for _ in range(500)]
+    xs += [1.0, 0.5, 0.25, 2**-64, 2**-63, 1 - 2**-52, 1 / 3, 0.7, 1e-6]
+    prelude = """
+    WITH a AS (SELECT CAST(v AS DOUBLE) AS p FROM lgrid),
+    b AS (SELECT p, {e} AS e, p * {s} AS m FROM a),
+    c AS (SELECT p, e, (m - 1.0) / (m + 1.0) AS t FROM b),
+    d AS (SELECT p, e, t, t * t AS t2 FROM c)
+    SELECT p, {lnp} AS lnp FROM d ORDER BY p
+    """.format(e=ln_exp_case("p"), s=ln_scale_case("p"), lnp=pln("e", "t", "t2"))
+    _duck.execute("CREATE OR REPLACE TABLE lgrid(v DOUBLE)")
+    _duck.executemany("INSERT INTO lgrid VALUES (?)", [(x,) for x in xs])
+    duck_rows = [r[1] for r in _duck.execute(prelude).fetchall()]
+    sdf = spark.createDataFrame([(x,) for x in xs], "v double")
+    sdf.createOrReplaceTempView("lgrid")
+    spark_rows = [r[1] for r in spark.sql(prelude).collect()]
+    py_rows = [pln_py(x) for x in sorted(xs)]
+    assert duck_rows == spark_rows == py_rows

@@ -1,0 +1,174 @@
+"""C145/C146 — independent pure-Python replay of the whole hard-EM
+unigram-LM loop (seed → scores → Viterbi → recount → prune, UNI_ROUNDS
+rounds), compared against the Spark trajectory and tokenize outputs on
+crafted docs AND the real sf0.001 corpus. The Python Viterbi uses exact
+ints and pln_py (the CPython leg of the three-engine pln identity), so
+a match certifies every dp cell, backpointer, and prune decision."""
+
+from __future__ import annotations
+
+import collections
+import math
+
+import pyarrow.parquet as pq
+
+from tests.conftest import SF_DIR
+
+from kafka_clickhouse_implementation_spark.functions.portable_math import pln_py
+from kafka_clickhouse_implementation_spark.operators.unigram_lm import (
+    UNI_L,
+    UNI_MULTI,
+    UNI_ROUNDS,
+    _MAX_WLEN,
+    _SENT,
+)
+
+
+def _replay(word_freq: dict[str, int]):
+    """Full EM replay. Returns (trajectory rows, final {w: npieces})."""
+    sub: collections.Counter = collections.Counter()
+    for w, f in word_freq.items():
+        pieces = set()
+        for i in range(len(w)):
+            for l in range(1, min(UNI_L, len(w) - i) + 1):
+                pieces.add(w[i : i + l])
+        for p in pieces:
+            sub[p] += f
+    singles = sorted(p for p in sub if len(p) == 1)
+
+    def prune(counts):
+        v = {p: counts.get(p, 0) + 1 for p in singles}
+        multis = sorted(
+            ((p, c) for p, c in counts.items() if len(p) >= 2),
+            key=lambda x: (-x[1], x[0]),
+        )[:UNI_MULTI]
+        v.update(dict(multis))
+        return v
+
+    def viterbi(w, sc):
+        n = len(w)
+        dp = [(0, 0)]
+        for i in range(1, n + 1):
+            best = None
+            for j in range(max(0, i - UNI_L), i):
+                s = dp[j][0] + sc.get(w[j:i], _SENT)
+                enc = (s + 2**50) * 128 + (127 - j)
+                if best is None or enc > best[0]:
+                    best = (enc, j, s)
+            dp.append((best[2], best[1]))
+        path = [n]
+        while path[0] != 0:
+            path.insert(0, dp[path[0]][1])
+        segs = [w[path[k] : path[k + 1]] for k in range(len(path) - 1)]
+        return segs, dp[n][0]
+
+    v = prune(sub)
+    traj = []
+    final_np: dict[str, int] = {}
+    for r in range(1, UNI_ROUNDS + 1):
+        t_total = sum(v.values())
+        top = min(((-c, p) for p, c in v.items()))
+        sc = {p: math.floor(pln_py(c / t_total) * 1e9) for p, c in v.items()}
+        seg = {w: viterbi(w, sc) for w in word_freq}
+        n_seg = sum(word_freq[w] * len(s[0]) for w, s in seg.items())
+        sll = sum(word_freq[w] * s[1] for w, s in seg.items())
+        traj.append(
+            (
+                r,
+                len(v),
+                t_total,
+                top[1],
+                -top[0],
+                n_seg,
+                -((-sll) // 1000),
+            )
+        )
+        final_np = {w: len(s[0]) for w, s in seg.items()}
+        if r < UNI_ROUNDS:
+            rc: collections.Counter = collections.Counter()
+            for w, s in seg.items():
+                for p in s[0]:
+                    rc[p] += word_freq[w]
+            v = prune(rc)
+    return traj, final_np
+
+
+def _freqs(docs):
+    wf: collections.Counter = collections.Counter()
+    for _d, _s, text in docs:
+        for w in text.split(" "):
+            if w and len(w) <= _MAX_WLEN:
+                wf[w] += 1
+    return wf
+
+
+def _check(spark, docs):
+    from kafka_clickhouse_implementation_spark.operators.unigram_lm import (
+        _em_rounds,
+    )
+
+    sdf = spark.createDataFrame(
+        docs, "doc_id long, source string, text string"
+    )
+    traj_frames, seg = _em_rounds(sdf)
+    got_traj = [tuple(r) for r in traj_frames[0].orderBy("round").collect()]
+    want_traj, want_np = _replay(_freqs(docs))
+    assert got_traj == want_traj
+    got_np = {r.w: r.npieces for r in seg.select("w", "npieces").collect()}
+    assert got_np == want_np
+
+
+def test_unigram_crafted_docs(spark):
+    docs = [
+        (0, "s0", "banana bandana banned ban nab anna anna banana"),
+        (1, "s0", "the theater there then theory these than that"),
+        (2, "s1", "abcabcabc abcabc abc cba bcbcbc"),
+        (3, "s1", "x xy xyz xyzw xyzwv"),  # singles + growing pieces
+    ]
+    _check(spark, docs)
+
+
+def test_unigram_replays_real_corpus(spark):
+    tbl = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    docs = list(
+        zip(
+            tbl.column("doc_id").to_pylist(),
+            tbl.column("source").to_pylist(),
+            tbl.column("text").to_pylist(),
+        )
+    )
+    _check(spark, docs)
+
+
+def test_unigram_tokenize_matches_replay(spark, sf_dir, tmp_path):
+    """C146 fertility accounting vs the replay's final segmentation."""
+    from kafka_clickhouse_implementation_spark.registry import all_queries
+
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    docs = list(
+        zip(
+            tbl.column("doc_id").to_pylist(),
+            tbl.column("source").to_pylist(),
+            tbl.column("text").to_pylist(),
+        )
+    )
+    _traj, want_np = _replay(_freqs(docs))
+    want: dict[str, list[int]] = collections.defaultdict(lambda: [0, 0])
+    for _d, src, text in docs:
+        for w in text.split(" "):
+            if w and len(w) <= _MAX_WLEN:
+                want[src][0] += 1
+                want[src][1] += want_np[w]
+    got = {
+        r.source: r
+        for r in all_queries()["q_unigram_tokenize"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for src, (nw, nt) in want.items():
+        r = got[src]
+        assert (r.n_words, r.n_tokens) == (nw, nt)
+        assert r.fertility_milli == (1000 * nt) // nw
