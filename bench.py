@@ -128,9 +128,11 @@ HEADLINE = [
     # the KN-quality-gated composed corpus clean
     "q_substring_clip",
     "q_corpus_clean_scored",
-    # round 9: unigram-LM tokenizer (hard-EM train + corpus tokenize)
+    # round 9: unigram-LM tokenizer (hard-EM train + corpus tokenize +
+    # streaming-maintained vocab)
     "q_unigram_train",
     "q_unigram_tokenize",
+    "q_stream_unigram",
 ]
 
 

@@ -217,9 +217,16 @@ def _recount(seg: DataFrame) -> DataFrame:
 
 
 def _em_rounds(docs: DataFrame) -> tuple[list[DataFrame], DataFrame]:
-    """Run UNI_ROUNDS of hard EM. Returns (per-round 1-row trajectory
-    frames, final segmented vocab (w, f, segs, ll, npieces))."""
-    words = _seed_words(docs)
+    """Run UNI_ROUNDS of hard EM over `documents`. Returns (per-round
+    1-row trajectory frames, final segmented vocab (w, f, segs, ll,
+    npieces))."""
+    return _em_rounds_from_words(_seed_words(docs))
+
+
+def _em_rounds_from_words(words: DataFrame) -> tuple[list[DataFrame], DataFrame]:
+    """The EM loop proper, from any (w, f) word-frequency table — the
+    batch query seeds it from one corpus pass, the streaming twin from
+    the drained complete-mode word state (C147)."""
     cand = _candidates(words)
     sub0 = _substr_counts(cand)
     singles = sub0.filter(F.length("piece") == 1).select("piece").localCheckpoint()
@@ -407,6 +414,53 @@ def q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulated BIGINT — exact, so the hash certifies every per-word
     Viterbi DP value across the whole vocabulary)."""
     traj, _seg = _em_rounds(load(spark, sf_dir, "documents"))
+    return traj[0].orderBy("round")
+
+
+# ---------------------------------------------------------------------
+# C147 — streaming-maintained unigram-LM vocabulary: the C138 pattern
+# (stateful doc dedup over the duplicate-injecting wire + complete-mode
+# word counts) feeding the SAME EM loop and the SAME oracle, so one
+# hash certifies streaming-maintained vocab == batch vocab ==
+# independent replay.
+# ---------------------------------------------------------------------
+
+
+@query("q_stream_unigram", oracle=_oracle())
+def q_stream_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C147: q_unigram_train with the word-frequency table maintained
+    INCREMENTALLY by the streaming engine — documents arrive over
+    micro-batches on the duplicate-injecting corpus wire, pass through
+    stateful doc_id dedup (without it every duplicated file would
+    double the counts and the EM trajectory would diverge from the
+    oracle), and a complete-mode groupBy(word) keeps the running
+    frequencies; the drained table enters _em_rounds_from_words.
+    Dedup state is linear in distinct doc ids; the word state is
+    vocabulary-sized — both the C138-measured guarantees."""
+    import os
+
+    from kafka_clickhouse_implementation_spark.streaming.corpus_stream import (
+        _DOC_WIRE_SCHEMA,
+        document_wire,
+    )
+    from kafka_clickhouse_implementation_spark.streaming.funnel import _drain
+
+    wire, base = document_wire(spark, sf_dir)
+    vocab_counts = (
+        spark.readStream.schema(_DOC_WIRE_SCHEMA)
+        .option("maxFilesPerTrigger", "4")
+        .json(wire)
+        .dropDuplicates(["doc_id"])
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(f"w <> '' AND length(w) <= {_MAX_WLEN}")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    _drain(
+        spark, vocab_counts, "unigram_vocab_stream",
+        os.path.join(base, "ckpt_unigram_vocab"), mode="complete",
+    )
+    traj, _seg = _em_rounds_from_words(spark.table("unigram_vocab_stream"))
     return traj[0].orderBy("round")
 
 

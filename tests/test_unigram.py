@@ -172,3 +172,23 @@ def test_unigram_tokenize_matches_replay(spark, sf_dir, tmp_path):
         r = got[src]
         assert (r.n_words, r.n_tokens) == (nw, nt)
         assert r.fertility_milli == (1000 * nt) // nw
+
+
+def test_stream_unigram_vocab_dedups_duplicated_wire(spark):
+    """C147: the duplicate-injecting wire would double every word
+    frequency without cross-batch doc_id dedup state — the drained
+    streaming vocab must equal the batch seed word counts exactly."""
+    import pyspark.sql.functions as F
+
+    from kafka_clickhouse_implementation_spark.io import load
+    from kafka_clickhouse_implementation_spark.operators.unigram_lm import (
+        _seed_words,
+        q_stream_unigram,
+    )
+
+    q_stream_unigram(spark, SF_DIR).collect()  # drains unigram_vocab_stream
+    got = {r.w: r.f for r in spark.table("unigram_vocab_stream").collect()}
+    want = {
+        r.w: r.f for r in _seed_words(load(spark, SF_DIR, "documents")).collect()
+    }
+    assert got == want
