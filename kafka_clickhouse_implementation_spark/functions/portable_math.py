@@ -197,6 +197,59 @@ def pln_py(p: float) -> float:
     return float(LN2) * e + 2.0 * (t * _horner_py(t * t, LN_COEFFS))
 
 
+# ---------------------------------------------------------------------------
+# dcast: correctly-rounded wide-integer -> DOUBLE (round 9).
+#
+# DuckDB's CAST(HUGEINT AS DOUBLE) is NOT correctly rounded (measured:
+# ~2% of random 64-76-bit integers differ from the correctly-rounded
+# value by 1 ulp), while Spark's DECIMAL -> DOUBLE goes through
+# BigDecimal.doubleValue and IS correctly rounded — so any exact
+# integer accumulator that exceeds 2^53 and is cast to DOUBLE can
+# hash-diverge between the engines (first observed on q_skew_kurt's
+# third/fourth central-moment sums after a testdata regeneration moved
+# one cohort onto a mis-rounded value).
+#
+# The split cast removes the engine dependence: s = sign * (hi*2^40 +
+# lo) with hi = abs(s) div 2^40 and lo = abs(s) % 2^40, both exact in
+# DOUBLE (hi < 2^53 for |s| < 2^93, lo < 2^40), hi*2^40 exact
+# (power-of-two multiply), so the single IEEE add rounds ONCE — the
+# result is the correctly rounded double of s on any IEEE engine, by
+# construction. Domain |s| < 2^93; callers' accumulators are far
+# smaller (milli-unit fourth powers at 10^12 rows reach ~2^80).
+# ---------------------------------------------------------------------------
+
+_DC_SHIFT = 2**40
+
+
+def dcast(expr: str, dialect: str = "spark") -> str:
+    """Correctly-rounded DOUBLE of a wide exact-integer SQL expression
+    (DECIMAL(38,0) on Spark, HUGEINT on DuckDB); |value| < 2^93.
+
+    Dialect differences: the integer-division spelling (Spark `div`,
+    DuckDB `//`), and the DuckDB side first casts to HUGEINT — DuckDB
+    `//` on DECIMAL operands is FLOAT division + floor (measured: not
+    even integral), while HUGEINT `//` is exact; DECIMAL(38,0) ->
+    HUGEINT is itself exact (both int128-backed). Every step is then
+    EXACT integer arithmetic on nonnegative operands until the final
+    add, so the value is engine-identical by construction."""
+    idiv = "div" if dialect == "spark" else "//"
+    a = (
+        f"abs({expr})"
+        if dialect == "spark"
+        else f"abs(CAST({expr} AS HUGEINT))"
+    )
+    mag = (
+        f"(CAST({a} {idiv} {_DC_SHIFT} AS DOUBLE) * {float(_DC_SHIFT)!r}e0"
+        f" + CAST({a} % {_DC_SHIFT} AS DOUBLE))"
+    )
+    return f"(CASE WHEN {expr} < 0 THEN -{mag} ELSE {mag} END)"
+
+
+def dcast_py(v: int) -> float:
+    """Reference: Python's int->float IS correctly rounded."""
+    return float(v)
+
+
 # pure-Python references for pytest pinning (same algorithm, evaluated
 # by the CPython float engine — a THIRD independent IEEE implementation)
 def pexp_neg_py(x: float) -> float:

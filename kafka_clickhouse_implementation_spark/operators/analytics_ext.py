@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_clickhouse_implementation_spark.io import load
+from kafka_clickhouse_implementation_spark.functions.portable_math import dcast
 from kafka_clickhouse_implementation_spark.registry import query
 
 # Shared event-interval definition (integer micros; duration from
@@ -291,7 +292,7 @@ def q_bounding_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ranked GROUP BY event_type
     )
     SELECT event_type, n,
-           1.0 - (6.0 * CAST(sumd2 AS DOUBLE))
+           1.0 - (6.0 * (CASE WHEN sumd2 < 0 THEN -(CAST(abs(CAST(sumd2 AS HUGEINT)) // 1099511627776 AS DOUBLE) * 1099511627776.0e0 + CAST(abs(CAST(sumd2 AS HUGEINT)) % 1099511627776 AS DOUBLE)) ELSE (CAST(abs(CAST(sumd2 AS HUGEINT)) // 1099511627776 AS DOUBLE) * 1099511627776.0e0 + CAST(abs(CAST(sumd2 AS HUGEINT)) % 1099511627776 AS DOUBLE)) END))
                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0))
              AS spearman_rho
     FROM s
@@ -329,7 +330,7 @@ def q_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (
             F.lit(1.0)
-            - (F.lit(6.0) * F.col("sumd2").cast("double"))
+            - (F.lit(6.0) * F.expr(dcast("sumd2", "spark")))
             / (
                 F.col("n").cast("double")
                 * (F.col("n").cast("double") * F.col("n").cast("double") - F.lit(1.0))
@@ -360,7 +361,7 @@ _VM = "CAST(floor(value * 1000 + 0.5) AS BIGINT)"
     m AS (
       SELECT cohort, n,
              CAST(s1 AS DOUBLE) / 1000.0 / CAST(n AS DOUBLE) AS mean,
-             (CAST(s2 AS DOUBLE)
+             ((CASE WHEN s2 < 0 THEN -(CAST(abs(CAST(s2 AS HUGEINT)) // 1099511627776 AS DOUBLE) * 1099511627776.0e0 + CAST(abs(CAST(s2 AS HUGEINT)) % 1099511627776 AS DOUBLE)) ELSE (CAST(abs(CAST(s2 AS HUGEINT)) // 1099511627776 AS DOUBLE) * 1099511627776.0e0 + CAST(abs(CAST(s2 AS HUGEINT)) % 1099511627776 AS DOUBLE)) END)
               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
              / 1000000.0 / (CAST(n AS DOUBLE) - 1.0) AS var
       FROM s
@@ -404,7 +405,7 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s1").cast("double") / F.lit(1000.0) / nD).alias("mean"),
         (
             (
-                F.col("s2").cast("double")
+                F.expr(dcast("s2", "spark"))
                 - F.col("s1").cast("double") * F.col("s1").cast("double") / nD
             )
             / F.lit(1000000.0)
@@ -452,7 +453,7 @@ _ENTROPY_ORACLE = """
       FROM counts c JOIN tot t ON c.cohort = t.cohort
     )
     SELECT cohort, CAST(max(total) AS BIGINT) AS n_events,
-           -CAST(sum(term) AS DOUBLE) / (CAST(max(total) AS DOUBLE) * 1e9)
+           -(CASE WHEN sum(term) < 0 THEN -(CAST(abs(CAST(sum(term) AS HUGEINT)) // 1099511627776 AS DOUBLE) * 1099511627776.0e0 + CAST(abs(CAST(sum(term) AS HUGEINT)) % 1099511627776 AS DOUBLE)) ELSE (CAST(abs(CAST(sum(term) AS HUGEINT)) // 1099511627776 AS DOUBLE) * 1099511627776.0e0 + CAST(abs(CAST(sum(term) AS HUGEINT)) % 1099511627776 AS DOUBLE)) END) / (CAST(max(total) AS DOUBLE) * 1e9)
              AS entropy_nats
     FROM terms GROUP BY cohort
     """
@@ -484,11 +485,16 @@ def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long")
         ).alias("term"),
     )
-    return terms.groupBy("cohort").agg(
+    st = terms.groupBy("cohort").agg(
         F.max("total").cast("long").alias("n_events"),
+        F.sum(F.col("term").cast("decimal(38,0)")).alias("s_term"),
+    )
+    return st.select(
+        "cohort",
+        "n_events",
         (
-            -F.sum("term").cast("double")
-            / (F.max("total").cast("double") * F.lit(1e9))
+            -F.expr(dcast("s_term", "spark"))
+            / (F.col("n_events").cast("double") * F.lit(1e9))
         ).alias("entropy_nats"),
     )
 
@@ -725,7 +731,7 @@ def q_min_max_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
       SELECT cohort, n,
              CAST(s1 AS DOUBLE) / 1000.0 / CAST(n AS DOUBLE) AS mean,
-             (CAST(s2 AS DOUBLE)
+             ((CASE WHEN s2 < 0 THEN -(CAST(abs(CAST(s2 AS HUGEINT)) // 1099511627776 AS DOUBLE) * 1099511627776.0e0 + CAST(abs(CAST(s2 AS HUGEINT)) % 1099511627776 AS DOUBLE)) ELSE (CAST(abs(CAST(s2 AS HUGEINT)) // 1099511627776 AS DOUBLE) * 1099511627776.0e0 + CAST(abs(CAST(s2 AS HUGEINT)) % 1099511627776 AS DOUBLE)) END)
               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
              / 1000000.0 / (CAST(n AS DOUBLE) - 1.0) AS var
       FROM s
@@ -765,7 +771,7 @@ def q_student_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s1").cast("double") / F.lit(1000.0) / nD).alias("mean"),
         (
             (
-                F.col("s2").cast("double")
+                F.expr(dcast("s2", "spark"))
                 - F.col("s1").cast("double") * F.col("s1").cast("double") / nD
             )
             / F.lit(1000000.0)

@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from kafka_clickhouse_implementation_spark.functions.portable_math import (
     PI_2,
     PI180,
+    dcast,
     pasin,
     pcos,
     pexp_neg,
@@ -63,26 +64,36 @@ WITH g AS (
          sum(CAST({_VM} AS HUGEINT) * CAST({_VM} AS HUGEINT)) AS ss_g
   FROM events GROUP BY event_type
 ),
+g2 AS (
+  SELECT n_g, s_g, ss_g, s_g * s_g AS sq_g FROM g
+),
 q AS (
   SELECT count(*) AS k,
          CAST(sum(n_g) AS BIGINT) AS n_total,
          CAST(sum(s_g) AS HUGEINT) AS s_tot,
          CAST(sum(ss_g) AS HUGEINT) AS ss_tot,
-         CAST(sum(CAST(floor(CAST(s_g * s_g AS DOUBLE) / CAST(n_g AS DOUBLE))
+         CAST(sum(CAST(floor({dcast('sq_g', 'duck')} / CAST(n_g AS DOUBLE))
                        AS HUGEINT)) AS HUGEINT) AS t_sum
-  FROM g
+  FROM g2
+),
+q2 AS (
+  SELECT k, n_total, ss_tot, t_sum, s_tot * s_tot AS sq_tot,
+         ss_tot - t_sum AS ssw_i
+  FROM q
+),
+q3 AS (
+  SELECT k, n_total, ssw_i,
+         t_sum - CAST(floor({dcast('sq_tot', 'duck')}
+                            / CAST(n_total AS DOUBLE)) AS HUGEINT) AS ssb_i
+  FROM q2
 )
 SELECT CAST(k AS BIGINT) AS k, n_total,
-       CAST(t_sum - CAST(floor(CAST(s_tot * s_tot AS DOUBLE)
-                               / CAST(n_total AS DOUBLE)) AS HUGEINT)
-            AS DOUBLE) / 1e6 AS ss_between,
-       CAST(ss_tot - t_sum AS DOUBLE) / 1e6 AS ss_within,
-       (CAST(t_sum - CAST(floor(CAST(s_tot * s_tot AS DOUBLE)
-                                / CAST(n_total AS DOUBLE)) AS HUGEINT)
-             AS DOUBLE) / CAST(k - 1 AS DOUBLE))
-       / (CAST(ss_tot - t_sum AS DOUBLE) / CAST(n_total - k AS DOUBLE))
+       {dcast('ssb_i', 'duck')} / 1e6 AS ss_between,
+       {dcast('ssw_i', 'duck')} / 1e6 AS ss_within,
+       ({dcast('ssb_i', 'duck')} / CAST(k - 1 AS DOUBLE))
+       / ({dcast('ssw_i', 'duck')} / CAST(n_total - k AS DOUBLE))
          AS f_stat
-FROM q
+FROM q3
 """
 
 
@@ -109,25 +120,43 @@ def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("vm").cast("decimal(38,0)").alias("s_g"),
         F.sum(dec("vm") * dec("vm")).cast("decimal(38,0)").alias("ss_g"),
     )
+    # s_g² (~1e22) and s_tot² pass 2^53: split-cast on both engines
+    # (portable_math.dcast) so the floors can never disagree.
+    g2 = g.select("n_g", "s_g", "ss_g", (F.col("s_g") * F.col("s_g")).alias("sq_g"))
     term = F.floor(
-        (F.col("s_g") * F.col("s_g")).cast("double") / F.col("n_g").cast("double")
+        F.expr(dcast("sq_g", "spark")) / F.col("n_g").cast("double")
     ).cast("decimal(38,0)")
-    q = g.agg(
+    q = g2.agg(
         F.count(F.lit(1)).cast("long").alias("k"),
         F.sum("n_g").cast("long").alias("n_total"),
         F.sum("s_g").cast("decimal(38,0)").alias("s_tot"),
         F.sum("ss_g").cast("decimal(38,0)").alias("ss_tot"),
         F.sum(term).cast("decimal(38,0)").alias("t_sum"),
     )
-    grand = F.floor(
-        (F.col("s_tot") * F.col("s_tot")).cast("double")
-        / F.col("n_total").cast("double")
-    ).cast("decimal(38,0)")
-    ssb = (F.col("t_sum") - grand).cast("double")
-    ssw = (F.col("ss_tot") - F.col("t_sum")).cast("double")
+    q2 = q.select(
+        "k",
+        "n_total",
+        "ss_tot",
+        "t_sum",
+        (F.col("s_tot") * F.col("s_tot")).alias("sq_tot"),
+        (F.col("ss_tot") - F.col("t_sum")).alias("ssw_i"),
+    )
+    q3 = q2.select(
+        "k",
+        "n_total",
+        "ssw_i",
+        (
+            F.col("t_sum")
+            - F.floor(
+                F.expr(dcast("sq_tot", "spark")) / F.col("n_total").cast("double")
+            ).cast("decimal(38,0)")
+        ).alias("ssb_i"),
+    )
+    ssb = F.expr(dcast("ssb_i", "spark"))
+    ssw = F.expr(dcast("ssw_i", "spark"))
     kD = F.col("k").cast("double")
     nD = F.col("n_total").cast("double")
-    return q.select(
+    return q3.select(
         "k",
         "n_total",
         (ssb / F.lit(1e6)).alias("ss_between"),
@@ -175,14 +204,19 @@ x1 AS (
 w AS (
   SELECT event_type, vm, {_DECAY_W_SQL} AS wn FROM x1
 )
-SELECT event_type,
-       CAST(count(*) AS BIGINT) AS n,
-       CAST(CAST(sum(CAST(vm AS HUGEINT) * CAST(wn AS HUGEINT)) AS DOUBLE)
-            / 1e12 AS DOUBLE) AS decayed_sum,
-       CAST(sum(CAST(vm AS HUGEINT) * CAST(wn AS HUGEINT)) AS DOUBLE)
-         / CAST(CAST(sum(CAST(wn AS HUGEINT)) AS DOUBLE) AS DOUBLE) / 1e3
+, sums AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(vm AS HUGEINT) * CAST(wn AS HUGEINT)) AS swv,
+         CAST(sum(CAST(wn AS HUGEINT)) AS HUGEINT) AS sw
+  FROM w GROUP BY event_type
+)
+SELECT event_type, n,
+       CAST((CASE WHEN swv < 0 THEN -(CAST(abs(CAST(swv AS HUGEINT)) // 1099511627776 AS DOUBLE) * 1099511627776.0e0 + CAST(abs(CAST(swv AS HUGEINT)) % 1099511627776 AS DOUBLE)) ELSE (CAST(abs(CAST(swv AS HUGEINT)) // 1099511627776 AS DOUBLE) * 1099511627776.0e0 + CAST(abs(CAST(swv AS HUGEINT)) % 1099511627776 AS DOUBLE)) END) / 1e12 AS DOUBLE) AS decayed_sum,
+       (CASE WHEN swv < 0 THEN -(CAST(abs(CAST(swv AS HUGEINT)) // 1099511627776 AS DOUBLE) * 1099511627776.0e0 + CAST(abs(CAST(swv AS HUGEINT)) % 1099511627776 AS DOUBLE)) ELSE (CAST(abs(CAST(swv AS HUGEINT)) // 1099511627776 AS DOUBLE) * 1099511627776.0e0 + CAST(abs(CAST(swv AS HUGEINT)) % 1099511627776 AS DOUBLE)) END)
+         / CAST(CAST(sw AS DOUBLE) AS DOUBLE) / 1e3
          AS decayed_avg
-FROM w GROUP BY event_type
+FROM sums
 """
 
 
@@ -221,13 +255,16 @@ def q_exp_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec("vm") * dec("wn")).cast("decimal(38,0)").alias("swv"),
         F.sum("wn").cast("decimal(38,0)").alias("sw"),
     )
+    # swv (vm*wn sums) reaches ~1e20 at sf1: split-cast on both engines
     return s.select(
         "event_type",
         "n",
-        (F.col("swv").cast("double") / F.lit(1e12)).alias("decayed_sum"),
-        (F.col("swv").cast("double") / F.col("sw").cast("double") / F.lit(1e3)).alias(
-            "decayed_avg"
-        ),
+        (F.expr(dcast("swv", "spark")) / F.lit(1e12)).alias("decayed_sum"),
+        (
+            F.expr(dcast("swv", "spark"))
+            / F.col("sw").cast("double")
+            / F.lit(1e3)
+        ).alias("decayed_avg"),
     )
 
 
@@ -470,11 +507,15 @@ p4 AS ({_geo_cte(_GEO_STAGE_P4, 'p2', 'nation, z, tz, u, tu')}),
 p8 AS ({_geo_cte(_GEO_STAGE_P8, 'p4', 'nation, z, tz, u, tu')}),
 p16 AS ({_geo_cte(_GEO_STAGE_P16, 'p8', 'nation, z, tz, u, tu')}),
 g6 AS ({_geo_cte(_GEO_STAGE_DMM, 'p16', 'nation')})
-SELECT nation,
-       CAST(count(*) AS BIGINT) AS n_cust,
-       CAST(CAST(sum(CAST(dmm AS HUGEINT)) AS DOUBLE)
-            / count(*) / 1000.0 AS DOUBLE) AS avg_dist_m
-FROM g6 GROUP BY nation
+, g7 AS (
+  SELECT nation, CAST(count(*) AS BIGINT) AS n_cust,
+         CAST(sum(CAST(dmm AS HUGEINT)) AS HUGEINT) AS smm
+  FROM g6 GROUP BY nation
+)
+SELECT nation, n_cust,
+       CAST({dcast('smm', 'duck')}
+            / n_cust / 1000.0 AS DOUBLE) AS avg_dist_m
+FROM g7
 """
 
 
@@ -517,8 +558,9 @@ def q_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "nation",
             F.col("n_cust").cast("long").alias("n_cust"),
+            # smm ~ 1.5e15 at sf1 — within 6x of 2^53: split-cast
             (
-                F.col("smm").cast("double")
+                F.expr(dcast("smm", "spark"))
                 / F.col("n_cust").cast("double")
                 / F.lit(1000.0)
             ).alias("avg_dist_m"),

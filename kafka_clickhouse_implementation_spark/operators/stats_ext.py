@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_clickhouse_implementation_spark.functions.portable_math import dcast
 from kafka_clickhouse_implementation_spark.io import load
 from kafka_clickhouse_implementation_spark.plans.prefix import ranged_prefix
 from kafka_clickhouse_implementation_spark.registry import query
@@ -57,16 +58,20 @@ _LINREG_ORACLE = f"""
              sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
       FROM pts GROUP BY event_type
     )
+    , s2 AS (
+      SELECT event_type, n, sx, sy,
+             CAST(n AS HUGEINT) * sxy - sx * sy AS num_i,
+             CAST(n AS HUGEINT) * sxx - sx * sx AS den_i
+      FROM s
+    )
     SELECT event_type, n,
-           (CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
-            / CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)) / 1000.0
+           ({dcast('num_i', 'duck')} / {dcast('den_i', 'duck')}) / 1000.0
              AS slope_per_sec,
            (CAST(sy AS DOUBLE)
-            - (CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
-               / CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE))
+            - ({dcast('num_i', 'duck')} / {dcast('den_i', 'duck')})
               * CAST(sx AS DOUBLE))
            / (CAST(n AS DOUBLE) * 1000.0) AS intercept_at_origin
-    FROM s
+    FROM s2
     """
 
 
@@ -96,10 +101,20 @@ def q_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec("x") * dec("y")).cast("decimal(38,0)").alias("sxy"),
     )
     n_dec = F.col("n").cast("decimal(38,0)")
-    num = (n_dec * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    den = (n_dec * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    slope_milli = num / den
-    return s.select(
+    # num/den reach ~1e24-1e26: dcast (split cast), not .cast("double")
+    # — DuckDB's wide-int->double cast is not correctly rounded, so
+    # both engines use the construction-identical split (see
+    # portable_math.dcast; sx/sy stay under 2^53, plain casts exact).
+    s2 = s.select(
+        "event_type",
+        "n",
+        "sx",
+        "sy",
+        (n_dec * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num_i"),
+        (n_dec * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den_i"),
+    )
+    slope_milli = F.expr(dcast("num_i", "spark")) / F.expr(dcast("den_i", "spark"))
+    return s2.select(
         "event_type",
         "n",
         (slope_milli / F.lit(1000.0)).alias("slope_per_sec"),
@@ -132,10 +147,10 @@ _DM = f"({_VM} - {_A})"
     ),
     m AS (
       SELECT cohort, n,
-             CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
-             CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS m2r,
-             CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS m3r,
-             CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS m4r
+             {dcast('s1', 'duck')} / CAST(n AS DOUBLE) AS m1,
+             {dcast('s2', 'duck')} / CAST(n AS DOUBLE) AS m2r,
+             {dcast('s3', 'duck')} / CAST(n AS DOUBLE) AS m3r,
+             {dcast('s4', 'duck')} / CAST(n AS DOUBLE) AS m4r
       FROM s
     ),
     c AS (
@@ -176,11 +191,15 @@ def q_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,0)")
         .alias("s4"),
     )
+    # dcast, not .cast("double"): Spark's DECIMAL->DOUBLE is correctly
+    # rounded but DuckDB's HUGEINT->DOUBLE is NOT — both sides use the
+    # split cast so the doubles are equal by construction (s3/s4 pass
+    # 2^53 even at sf0.001).
     nd = F.col("n").cast("double")
-    m1 = F.col("s1").cast("double") / nd
-    m2r = F.col("s2").cast("double") / nd
-    m3r = F.col("s3").cast("double") / nd
-    m4r = F.col("s4").cast("double") / nd
+    m1 = F.expr(dcast("s1", "spark")) / nd
+    m2r = F.expr(dcast("s2", "spark")) / nd
+    m3r = F.expr(dcast("s3", "spark")) / nd
+    m4r = F.expr(dcast("s4", "spark")) / nd
     c2 = m2r - m1 * m1
     c3 = m3r - F.lit(3.0) * m1 * m2r + F.lit(2.0) * m1 * m1 * m1
     c4 = (
@@ -582,6 +601,17 @@ def _corr_matrix_oracle() -> str:
             sums.append(
                 f"sum(CAST({a} AS HUGEINT) * CAST({b} AS HUGEINT)) AS s_{a}_{b}"
             )
+    # central-moment terms reach ~n^2*var(xs) ~ 1e26 at sf1: name them
+    # in a derived CTE and split-cast (portable_math.dcast) — DuckDB's
+    # wide-int -> DOUBLE cast is not correctly rounded.
+    derived = []
+    for i, (a, _) in enumerate(_SERIES):
+        for j, (b, _) in enumerate(_SERIES):
+            if i > j:
+                continue
+            derived.append(
+                f"CAST(n AS HUGEINT) * s_{a}_{b} - s_{a} * s_{b} AS d_{a}_{b}"
+            )
     cells = []
     for i, (a, _) in enumerate(_SERIES):
         for j, (b, _) in enumerate(_SERIES):
@@ -589,15 +619,16 @@ def _corr_matrix_oracle() -> str:
                 continue
             cells.append(
                 f"""SELECT '{a}' AS series_a, '{b}' AS series_b,
-       CAST(CAST(n AS HUGEINT) * s_{a}_{b} - s_{a} * s_{b} AS DOUBLE)
-       / sqrt(CAST(CAST(n AS HUGEINT) * s_{a}_{a} - s_{a} * s_{a} AS DOUBLE)
-              * CAST(CAST(n AS HUGEINT) * s_{b}_{b} - s_{b} * s_{b} AS DOUBLE))
+       {dcast(f'd_{a}_{b}', 'duck')}
+       / sqrt({dcast(f'd_{a}_{a}', 'duck')}
+              * {dcast(f'd_{b}_{b}', 'duck')})
          AS corr
-FROM t"""
+FROM t2"""
             )
     return (
         f"WITH v AS (\n  SELECT {sel}\n  FROM events\n),\n"
-        f"t AS (\n  SELECT {', '.join(sums)} FROM v\n)\n"
+        f"t AS (\n  SELECT {', '.join(sums)} FROM v\n),\n"
+        f"t2 AS (\n  SELECT {', '.join(derived)} FROM t\n)\n"
         + "\nUNION ALL\n".join(cells)
     )
 
@@ -628,17 +659,21 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     t = v.agg(*aggs)
     nD = F.col("n").cast("decimal(38,0)")
+    # split-cast the ~1e26 central-moment terms (see oracle note)
+    t = t.select(
+        *[
+            (nD * F.col(f"s_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")).alias(
+                f"d_{a}_{b}"
+            )
+            for i, a in enumerate(names)
+            for b in names[i:]
+        ]
+    ).localCheckpoint()
 
     def cell(a: str, b: str):
-        num = (nD * F.col(f"s_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")).cast(
-            "double"
-        )
-        da = (nD * F.col(f"s_{a}_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")).cast(
-            "double"
-        )
-        db = (nD * F.col(f"s_{b}_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")).cast(
-            "double"
-        )
+        num = F.expr(dcast(f"d_{a}_{b}", "spark"))
+        da = F.expr(dcast(f"d_{a}_{a}", "spark"))
+        db = F.expr(dcast(f"d_{b}_{b}", "spark"))
         return t.select(
             F.lit(a).alias("series_a"),
             F.lit(b).alias("series_b"),

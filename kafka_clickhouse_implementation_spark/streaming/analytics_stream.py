@@ -22,6 +22,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_clickhouse_implementation_spark.functions.portable_math import dcast
 from kafka_clickhouse_implementation_spark.operators.analytics_ext import (
     _ENTROPY_ORACLE,
 )
@@ -303,10 +304,17 @@ def q_stream_linreg(spark, sf_dir: str) -> DataFrame:
 
     s = spark.table(name).localCheckpoint()
     n_dec = F.col("n").cast("decimal(38,0)")
-    num = (n_dec * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    den = (n_dec * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    slope_milli = num / den
-    return s.select(
+    # split-cast finish, same as batch q_linreg (num/den pass 2^53)
+    s2 = s.select(
+        "event_type",
+        "n",
+        "sx",
+        "sy",
+        (n_dec * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num_i"),
+        (n_dec * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den_i"),
+    )
+    slope_milli = F.expr(dcast("num_i", "spark")) / F.expr(dcast("den_i", "spark"))
+    return s2.select(
         "event_type",
         "n",
         (slope_milli / F.lit(1000.0)).alias("slope_per_sec"),

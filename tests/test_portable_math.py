@@ -204,3 +204,36 @@ def test_pln_sql_bit_identical_across_engines(spark, _duck):
     spark_rows = [r[1] for r in spark.sql(prelude).collect()]
     py_rows = [pln_py(x) for x in sorted(xs)]
     assert duck_rows == spark_rows == py_rows
+
+
+def test_dcast_is_correctly_rounded_on_both_engines(spark, _duck):
+    """The split cast must equal CPython's correctly-rounded int->float
+    on DECIMAL and HUGEINT inputs across 50-92 bits, both signs — the
+    property DuckDB's native wide-int -> DOUBLE cast LACKS (which this
+    test also pins, so a fixed upstream cast would be noticed)."""
+    import random
+
+    from kafka_clickhouse_implementation_spark.functions.portable_math import (
+        dcast,
+    )
+
+    rng = random.Random(17)
+    vals = [
+        rng.getrandbits(rng.randint(50, 92)) * rng.choice([1, -1])
+        for _ in range(800)
+    ] + [0, 1, -1, 2**53, 2**53 + 1, -(2**92), 2**40, 2**40 - 1]
+    _duck.execute("CREATE OR REPLACE TABLE dcg(v HUGEINT, w DECIMAL(38,0))")
+    _duck.executemany("INSERT INTO dcg VALUES (?, ?)", [(v, v) for v in vals])
+    duck_rows = _duck.execute(
+        f"SELECT v, {dcast('v', 'duck')}, {dcast('w', 'duck')} FROM dcg"
+    ).fetchall()
+    for v, dv, dw in duck_rows:
+        assert dv == float(int(v)) and dw == float(int(v)), v
+    sdf = spark.createDataFrame([(str(v),) for v in vals], "s string").selectExpr(
+        "CAST(s AS DECIMAL(38,0)) AS v"
+    )
+    for r in sdf.selectExpr("v", f"{dcast('v', 'spark')} AS d").collect():
+        assert r.d == float(int(r.v)), r
+    # and the naive DuckDB cast really is broken (the reason dcast exists)
+    naive = _duck.execute("SELECT v, CAST(v AS DOUBLE) FROM dcg").fetchall()
+    assert any(d != float(int(v)) for v, d in naive)
