@@ -878,21 +878,10 @@ FROM m JOIN l ON l.cell = m.cell AND l.fid = m.fid
 """
 
 
-@query("q_twolevel_kmeans", oracle=_TWOLEVEL_ORACLE)
-def q_twolevel_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-level (coarse → fine) quantizer (C131) — the hierarchical
-    form SCALE.md names as the next rung past the flat n·k assignment:
-    a coarse Lloyd over k1 = max(4, √k) cells, then a JOINT fine Lloyd
-    (k2 = max(2, k//k1) sub-centroids per cell, seeds = each cell's
-    k2 lowest vec_ids) where one Spark job per round trains EVERY
-    cell's model — distances join on the cell key against the
-    broadcast (cell, fid) centroid table (n·k2 rows, never n·k), the
-    PQ grouped-training trick applied hierarchically. Total
-    assignment work is n·(k1 + k2) ≈ n·2√k. Reported per (cell, fid):
-    population, membership checksums, and the fine centroid L1 — the
-    q_kmeans_semantic contract at two levels, with the oracle
-    replaying BOTH trajectories (coarse chain + joint fine chain with
-    row_number seeding and compound-key floor-division updates)."""
+def _twolevel_clusters(spark: SparkSession, sf_dir: str):
+    """The C131 coarse→fine clustering core, shared by the declared
+    query and tools/probe_vectors.py's 10M-decade probe: returns
+    (assignments (vec_id, cell, fid), final fine centroids list)."""
     emb = load(spark, sf_dir, "embeddings")
     n = emb.count()
     k1, k2 = twolevel_k(n)
@@ -947,6 +936,25 @@ def q_twolevel_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             for r in upd.collect()
         ]
+    return asgf, cents
+
+
+@query("q_twolevel_kmeans", oracle=_TWOLEVEL_ORACLE)
+def q_twolevel_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level (coarse → fine) quantizer (C131) — the hierarchical
+    form SCALE.md names as the next rung past the flat n·k assignment:
+    a coarse Lloyd over k1 = max(4, √k) cells, then a JOINT fine Lloyd
+    (k2 = max(2, k//k1) sub-centroids per cell, seeds = each cell's
+    k2 lowest vec_ids) where one Spark job per round trains EVERY
+    cell's model — distances join on the cell key against the
+    broadcast (cell, fid) centroid table (n·k2 rows, never n·k), the
+    PQ grouped-training trick applied hierarchically. Total
+    assignment work is n·(k1 + k2) ≈ n·2√k. Reported per (cell, fid):
+    population, membership checksums, and the fine centroid L1 — the
+    q_kmeans_semantic contract at two levels, with the oracle
+    replaying BOTH trajectories (coarse chain + joint fine chain with
+    row_number seeding and compound-key floor-division updates)."""
+    asgf, cents = _twolevel_clusters(spark, sf_dir)
     m = asgf.groupBy("cell", "fid").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.min("vec_id").alias("min_vec_id"),

@@ -21,6 +21,15 @@ Round-7 observation this reproduces: 1M vectors -> k=4000, exactly
 volume linear in n, the property that makes SemDeDup viable at 100 TB.
 
 Usage: python tools/probe_vectors.py [n_copies] [src_sf1_dir] [out_json]
+       python tools/probe_vectors.py 500 <src> docs/PROBE_10M.json --twolevel
+
+--twolevel (round 9, the r8-verdict decade extension): cluster with the
+C131 coarse->fine quantizer instead of flat Lloyd — the documented
+scale path beyond ~10M vectors (assignment n*(k1+k2) ~= n*2*sqrt(k)
+instead of n*k) — and measure the SAME balanced-cluster pair-count law
+over the (cell, fid) blocks. At 10M vectors flat assignment is
+n*k = 4e11 distance rows; two-level is 4e9 — the probe records the law
+AND the wall-clock of the algorithm you would actually run there.
 """
 
 from __future__ import annotations
@@ -72,19 +81,43 @@ def build_vectors(spark, src: str, out: str, n_copies: int) -> int:
 
 
 def main() -> None:
-    n_copies = int(sys.argv[1]) if len(sys.argv) > 1 else 50
-    src = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_scale/sf1"
-    out_json = sys.argv[3] if len(sys.argv) > 3 else "docs/PROBE_1M.json"
+    args = [a for a in sys.argv[1:] if a != "--twolevel"]
+    twolevel = "--twolevel" in sys.argv[1:]
+    n_copies = int(args[0]) if len(args) > 0 else 50
+    src = args[1] if len(args) > 1 else "/tmp/spark_graft_scale/sf1"
+    out_json = args[2] if len(args) > 2 else "docs/PROBE_1M.json"
     out_dir = f"/tmp/spark_graft_scale/probe_{n_copies}x"
 
     spark = get_spark("probe_vectors")
     n = build_vectors(spark, src, out_dir, n_copies)
     k = semdedup_k(n)
     t0 = time.monotonic()
-    stats = q_semantic_dedup(spark, out_dir).agg(
-        F.sum("n_pairs").alias("total_pairs"),
-        F.count(F.lit(1)).alias("n_clusters"),
-    ).first()
+    if twolevel:
+        from kafka_clickhouse_implementation_spark.operators.clustering import (
+            _twolevel_clusters,
+            twolevel_k,
+        )
+
+        asgf, _cents = _twolevel_clusters(spark, out_dir)
+        stats = (
+            asgf.groupBy("cell", "fid")
+            .agg(F.count(F.lit(1)).alias("m"))
+            .agg(
+                F.sum(F.col("m") * (F.col("m") - 1) / 2).alias("total_pairs"),
+                F.count(F.lit(1)).alias("n_clusters"),
+                F.max("m").alias("max_cluster"),
+            )
+            .first()
+        )
+        k1, k2 = twolevel_k(n)
+        extra = {"algorithm": "twolevel", "k1": k1, "k2": k2,
+                 "max_cluster": int(stats.max_cluster)}
+    else:
+        stats = q_semantic_dedup(spark, out_dir).agg(
+            F.sum("n_pairs").alias("total_pairs"),
+            F.count(F.lit(1)).alias("n_clusters"),
+        ).first()
+        extra = {"algorithm": "flat"}
     secs = round(time.monotonic() - t0, 1)
     artifact = {
         "n_vectors": n,
@@ -96,6 +129,7 @@ def main() -> None:
         "seconds": secs,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
         "source": f"{n_copies}x {src} embeddings, per-copy offset + one perturbed dim",
+        **extra,
     }
     with open(out_json, "w") as f:
         json.dump(artifact, f, indent=1)
