@@ -45,7 +45,10 @@ Driver traffic: NONE per round (scores attach via a broadcast 1-row
 total; the trajectory emits as a union of 1-row aggregates). The
 DuckDB oracle replays the entire EM loop independently — unrolled
 MATERIALIZED CTE rounds (the BPE/Lloyd/CC oracle discipline), the same
-pln kernel text, list_reduce folds mirroring the aggregate folds.
+pln kernel text, and a FULLY RELATIONAL recursive-CTE Viterbi (see
+_o_viterbi: DuckDB 1.0 corrupts lists produced by list_reduce under
+parallelism, so the oracle-side DP carries a 4-deep sliding window of
+packed dp values through WITH RECURSIVE instead of folding a list).
 
 Words longer than 127 characters are excluded by both engines (the
 backpointer packs into 7 bits; a >127-char "word" in a whitespace
@@ -290,37 +293,81 @@ def _o_scores(prev: str, r: int) -> str:
 
 
 def _o_viterbi(r: int) -> str:
-    return f"""wm{r} AS MATERIALIZED (
-  SELECT c.w, any_value(c.f) AS f,
-         map_from_entries(list({{'k': c.piece, 'v': s.sc}})) AS sm
-  FROM cand c JOIN sc{r} s ON c.piece = s.piece
-  GROUP BY c.w
+    """FULLY RELATIONAL Viterbi — recursive CTEs, zero lambdas.
+
+    The first oracle form folded the DP with list_reduce and indexed
+    the resulting list downstream; DuckDB 1.0 corrupts LISTS PRODUCED
+    BY list_reduce under parallelism (observed twice this round: list
+    fields inside struct accumulators come back holding only the last
+    append, and a list_transform indexing a reduce-produced `path`
+    list returned truncated segmentations that flapped run-to-run at
+    sf0.01 — scalar-accumulator folds like the BPE string fold are
+    unaffected). The rewrite carries a 4-deep sliding window of dp
+    values through a recursive CTE (dp[i] needs only dp[i-4..i-1]
+    because pieces are <= UNI_L chars) and backtracks through a second
+    recursion over the materialized (w, i, enc) table — plain joins
+    and GROUP BYs, nothing for the lambda engine to mis-vectorize."""
+    cand_l = []
+    for l in range(1, UNI_L + 1):
+        cand_l.append(
+            f"coalesce((d.d{l - 1} // 128 - {_OFF} + coalesce(c.sc{l}, {_SENT})"
+            f" + {_OFF}) * 128 + (127 - (d.i - {l - 1})), 0)"
+        )
+    scs = ",\n         ".join(
+        f"max(CASE WHEN l = {l} THEN sc END) AS sc{l}" for l in range(1, UNI_L + 1)
+    )
+    cands = ",\n           ".join(cand_l)
+    return f"""cpos{r} AS MATERIALIZED (
+  SELECT q.w, q.i, q.l, k.sc
+  FROM (
+    SELECT s.w, a.i, b.l,
+           substring(s.w, CAST(a.i - b.l + 1 AS INT), CAST(b.l AS INT)) AS piece
+    FROM seed s,
+         unnest(range(1, len(s.w) + 1)) AS a(i),
+         unnest(range(1, least({UNI_L}, a.i) + 1)) AS b(l)
+  ) q LEFT JOIN sc{r} k ON k.piece = q.piece
 ),
-dp{r} AS MATERIALIZED (
-  SELECT w, f, list_reduce(
-    list_prepend(CAST([{_ENC0}] AS BIGINT[]),
-                 list_transform(range(1, len(w) + 1), i -> [CAST(i AS BIGINT)])),
-    (acc, x) -> list_append(acc, list_max(list_transform(
-        range(greatest(0, x[1] - {UNI_L}), x[1]),
-        j -> (acc[j + 1] // 128 - {_OFF}
-              + coalesce(map_extract(sm, substring(w, j + 1, CAST(x[1] - j AS INT)))[1], {_SENT})
-              + {_OFF}) * 128 + (127 - j))))) AS dp
-  FROM wm{r}
+cs{r} AS MATERIALIZED (
+  SELECT w, i,
+         {scs}
+  FROM cpos{r} GROUP BY w, i
 ),
-pt{r} AS MATERIALIZED (
-  SELECT w, f, dp, list_reduce(
-    list_prepend(CAST([len(w)] AS BIGINT[]),
-                 list_transform(range(1, len(w) + 1), i -> [CAST(i AS BIGINT)])),
-    (acc, x) -> CASE WHEN acc[1] = 0 THEN acc
-                ELSE list_prepend(127 - (dp[CAST(acc[1] AS INT) + 1] % 128), acc)
-                END) AS path
-  FROM dp{r}
+dpr{r} AS (
+  SELECT s.w, CAST(0 AS BIGINT) AS i, CAST({_ENC0} AS BIGINT) AS d0,
+         CAST(NULL AS BIGINT) AS d1, CAST(NULL AS BIGINT) AS d2,
+         CAST(NULL AS BIGINT) AS d3, CAST(len(s.w) AS BIGINT) AS n
+  FROM seed s
+  UNION ALL
+  SELECT d.w, d.i + 1,
+         greatest(
+           {cands}
+         ) AS d0,
+         d.d0 AS d1, d.d1 AS d2, d.d2 AS d3, d.n
+  FROM dpr{r} d JOIN cs{r} c ON c.w = d.w AND c.i = d.i + 1
+  WHERE d.i < d.n
+),
+dpt{r} AS MATERIALIZED (SELECT w, i, d0 AS enc FROM dpr{r}),
+btp{r} AS (
+  SELECT s.w, CAST(len(s.w) AS BIGINT) AS i FROM seed s
+  UNION ALL
+  SELECT b.w, 127 - (t.enc % 128) AS i
+  FROM btp{r} b JOIN dpt{r} t ON t.w = b.w AND t.i = b.i
+  WHERE b.i > 0
+),
+segp{r} AS MATERIALIZED (
+  SELECT b.w, substring(b.w, CAST(127 - (t.enc % 128) AS INT) + 1,
+                        CAST(b.i - (127 - (t.enc % 128)) AS INT)) AS piece
+  FROM btp{r} b JOIN dpt{r} t ON t.w = b.w AND t.i = b.i
+  WHERE b.i > 0
 ),
 seg{r} AS MATERIALIZED (
-  SELECT w, f, path,
-    dp[len(w) + 1] // 128 - {_OFF} AS ll,
-    CAST(len(path) - 1 AS BIGINT) AS npieces
-  FROM pt{r}
+  SELECT s.w, s.f,
+         t.enc // 128 - {_OFF} AS ll,
+         bc.np AS npieces
+  FROM seed s
+  JOIN dpt{r} t ON t.w = s.w AND t.i = len(s.w)
+  JOIN (SELECT w, CAST(count(*) AS BIGINT) AS np FROM segp{r} GROUP BY w) bc
+    ON bc.w = s.w
 )"""
 
 
@@ -361,20 +408,11 @@ def _oracle(rounds: int = UNI_ROUNDS, final_select: str | None = None) -> str:
         ctes.append(_o_scores(f"v{r - 1}", r))
         ctes.append(_o_viterbi(r))
         if r < rounds:
-            # Pieces via the POSITIONAL parallel-unnest zip over the
-            # path slices, never a lambda that indexes an outer list
-            # column by a range variable — DuckDB 1.0 evaluates
-            # `list_transform(range(1, len(path)), k -> path[k]...)`
-            # NONDETERMINISTICALLY under parallelism (observed:
-            # truncated segmentations flapping run-to-run at sf0.001);
-            # the unnest zip is the proven-stable BPE-oracle pattern.
             ctes.append(
                 f"""rc{r} AS MATERIALIZED (
   SELECT piece, CAST(sum(f) AS BIGINT) AS cnt FROM (
-    SELECT substring(w, CAST(a AS INT) + 1, CAST(b - a AS INT)) AS piece, f
-    FROM (SELECT w, f, unnest(path[1:len(path) - 1]) AS a,
-                 unnest(path[2:len(path)]) AS b FROM seg{r}) z
-  ) e GROUP BY piece
+    SELECT p.piece, s.f FROM segp{r} p JOIN seed s ON s.w = p.w) e
+  GROUP BY piece
 )"""
             )
             ctes.append(_o_prune(f"rc{r}", f"v{r}"))
@@ -390,13 +428,13 @@ FROM seg{r}"""
         )
     if final_select is not None:
         return (
-            "WITH "
+            "WITH RECURSIVE "
             + ",\n".join(ctes)
             + "\n"
             + final_select.format(final=f"seg{rounds}")
         )
     return (
-        "WITH "
+        "WITH RECURSIVE "
         + ",\n".join(ctes)
         + "\nSELECT * FROM (\n"
         + "\nUNION ALL\n".join(selects)

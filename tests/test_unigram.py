@@ -192,3 +192,32 @@ def test_stream_unigram_vocab_dedups_duplicated_wire(spark):
         r.w: r.f for r in _seed_words(load(spark, SF_DIR, "documents")).collect()
     }
     assert got == want
+
+
+def test_oracle_is_deterministic_across_runs():
+    """The DuckDB oracle must hash identically across repeated runs —
+    the first oracle form (list_reduce-produced dp/path lists) flapped
+    under DuckDB's parallelism at sf0.01; the recursive-CTE rewrite
+    must not. Three runs each of the train and tokenize oracles."""
+    import hashlib
+
+    import duckdb
+
+    from kafka_clickhouse_implementation_spark.operators.unigram_lm import (
+        _TOKENIZE_FINAL,
+        _oracle,
+    )
+
+    for q in (_oracle(), _oracle(final_select=_TOKENIZE_FINAL)):
+        hs = set()
+        for _ in range(3):
+            con = duckdb.connect()
+            con.execute(
+                "CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/documents.parquet')"
+            )
+            hs.add(
+                hashlib.md5(repr(sorted(con.execute(q).fetchall())).encode())
+                .hexdigest()
+            )
+        assert len(hs) == 1, hs
