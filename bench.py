@@ -133,6 +133,9 @@ HEADLINE = [
     "q_unigram_train",
     "q_unigram_tokenize",
     "q_stream_unigram",
+    # round 9: the clip -> clean composition (Lee et al. ExactSubstr
+    # removal actually feeding the corpus funnel)
+    "q_corpus_clean_clipped",
 ]
 
 

@@ -532,3 +532,39 @@ def q_substring_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(F.length("text")).cast("double")
         ).alias("clip_ratio"),
     )
+
+
+# The clip chain re-expressed as a PRELUDE for composition into the
+# corpus-clean oracle template (q_corpus_clean_clipped, C148): the
+# span arithmetic is _CLIP_SPANS_SQL verbatim; the kept-text
+# REASSEMBLY is fully relational — per-span gap pieces via lag() plus
+# the tail piece, stitched by an ordered string_agg (no list fold: the
+# clean template's oracle must stay clear of DuckDB's list_reduce
+# list-output corruption, and string_agg ... ORDER BY is
+# deterministic by construction).
+CLIP_PRELUDE_SQL = (
+    _CLIP_SPANS_SQL.split("WITH ", 1)[1]
+    + """, gapped AS (
+  SELECT doc_id, s, e,
+         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s),
+                  CAST(1 AS BIGINT)) AS cur
+  FROM spans
+), piecesk AS (
+  SELECT g.doc_id, g.s AS ord,
+         substring(d2.text, CAST(g.cur AS INT), CAST(g.s - g.cur AS INT))
+           AS piece
+  FROM gapped g JOIN documents d2 USING (doc_id)
+  UNION ALL
+  SELECT mx.doc_id, CAST(1000000000000000 AS BIGINT) AS ord,
+         substring(d2.text, CAST(mx.e AS INT),
+                   CAST(len(d2.text) - mx.e + 1 AS INT))
+  FROM (SELECT doc_id, max(e) AS e FROM spans GROUP BY doc_id) mx
+  JOIN documents d2 USING (doc_id)
+), kt AS (
+  SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS kept_text
+  FROM piecesk GROUP BY doc_id
+), clipped AS (
+  SELECT d.doc_id, coalesce(k.kept_text, d.text) AS text
+  FROM documents d LEFT JOIN kt k USING (doc_id)
+), """
+)

@@ -235,7 +235,12 @@ def _kn_ok() -> str:
     )"""
 
 
-def _clean_oracle(where: str = "", ok_cte: str | None = None) -> str:
+def _clean_oracle(
+    where: str = "",
+    ok_cte: str | None = None,
+    prelude: str = "",
+    src: str = "documents",
+) -> str:
     """The WHOLE composed pipeline replayed in DuckDB: quality gate →
     keep-lowest-id exact dedup → the parametrized portable-MinHash
     pair CTE (identical SQL to q_minhash_portable's oracle) →
@@ -243,11 +248,13 @@ def _clean_oracle(where: str = "", ok_cte: str | None = None) -> str:
     via the emitted n_unconverged column) → keep-one-per-cluster
     counts. ``where`` narrows the corpus for the sampled variant;
     ``ok_cte`` swaps the quality gate (default heuristic, KN-scored
-    for q_corpus_clean_scored) — ONE template builds all three oracles
-    so they can never diverge."""
+    for q_corpus_clean_scored); ``prelude``/``src`` swap the INPUT
+    relation (the ExactSubstr-clipped corpus for
+    q_corpus_clean_clipped) — ONE template builds all four oracles so
+    they can never diverge."""
     return f"""
-    WITH base AS (
-      SELECT doc_id, text, string_split(text, ' ') AS t FROM documents {where}
+    WITH {prelude}base AS (
+      SELECT doc_id, text, string_split(text, ' ') AS t FROM {src} {where}
     ), {ok_cte or _HEURISTIC_OK}, keep_exact AS (
       SELECT min(doc_id) AS doc_id FROM ok GROUP BY md5(text)
     ), kept AS (
@@ -367,3 +374,53 @@ def q_corpus_clean_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary scales with the corpus), one per-doc rollup, one
     semi-join. Everything downstream is unchanged."""
     return _clean_counts(load(spark, sf_dir, "documents"), gate=kn_quality_gate)
+
+
+def _clipped_oracle() -> str:
+    from kafka_clickhouse_implementation_spark.operators.corpus_ext import (
+        CLIP_PRELUDE_SQL,
+    )
+
+    return _clean_oracle(prelude=CLIP_PRELUDE_SQL, src="clipped")
+
+
+@query("q_corpus_clean_clipped", oracle=_clipped_oracle())
+def q_corpus_clean_clipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C148: the composed clean applied to the ExactSubstr-CLIPPED
+    corpus — the Lee et al. 2022 intervention actually wired into the
+    pipeline: C143's substring_clip removes every duplicated >=k-gram
+    range (first global occurrence wins), its reassembled kept_text
+    becomes the document text, and the standard funnel (quality gate →
+    exact dedup → MinHash-LSH near-dup → connected components →
+    keep-one) runs downstream. Clipping happens BEFORE the gates, so
+    boilerplate-heavy documents can fall below the length gate and
+    newly-identical clipped bodies collapse in exact dedup — the
+    interactions the composition exists to capture, all hash-checked
+    against ONE DuckDB replay that composes the C143 interval
+    arithmetic (relational lag + ordered string_agg reassembly — no
+    list folds) into the shared C56/C86/C144 clean template.
+
+    Scale shape = C143's (digest-keyed shuffles, per-doc windows) plus
+    the unchanged clean stages over shorter documents.
+
+    Config coverage: hash-green at sf0.001 / sf0.01 / sf0.1 /
+    adversarial. At the synthetic sf1 corpus (10x-replicated docs) the
+    SPARK side completes, but clipping a corpus where every gram is
+    >=10x duplicated leaves degenerate near-identical texts whose
+    within-bucket pair materialization blows the DUCKDB replay's temp
+    disk (>78 GB) — the same oracle-superlinearity class documented on
+    q_corpus_clean_sampled; real corpora do not have 100% cross-doc
+    gram duplication, and the production (Spark) path is unaffected."""
+    from kafka_clickhouse_implementation_spark.operators.corpus_ext import (
+        substring_clip,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    # localCheckpoint: the funnel's four counts would otherwise
+    # re-evaluate the whole gram->span->reassembly chain per stage
+    clipped = (
+        substring_clip(docs)
+        .select("doc_id", F.col("kept_text").alias("text"))
+        .localCheckpoint()
+    )
+    return _clean_counts(clipped)

@@ -110,3 +110,45 @@ def test_clip_replays_real_corpus(spark):
         )
     )
     _check_against_replay(spark, docs)
+
+
+def test_clipped_clean_deterministic_stages_match_replay(spark, sf_dir):
+    """C148: the clip -> clean composition's deterministic funnel
+    stages (raw, quality gate, exact dedup) must match a pure-Python
+    replay over the replayed clipped texts — certifying that the
+    transformation actually FEEDS the pipeline, not just a report."""
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    docs = list(
+        zip(
+            tbl.column("doc_id").to_pylist(),
+            tbl.column("source").to_pylist(),
+            tbl.column("text").to_pylist(),
+        )
+    )
+    clipped = _replay(docs)
+    n_raw = len(docs)
+    kept_quality = []
+    for d, _s, _t in docs:
+        kt = clipped[d][0]
+        toks = kt.split(" ")
+        stop = sum(1 for t in toks if t in ("the", "a", "of", "and"))
+        if len(toks) >= 10 and stop / len(toks) <= 0.5:
+            kept_quality.append((d, kt))
+    n_q = len(kept_quality)
+    first_by_text: dict[str, int] = {}
+    for d, kt in kept_quality:
+        if kt not in first_by_text:
+            first_by_text[kt] = d
+    n_e = len(first_by_text)
+
+    from kafka_clickhouse_implementation_spark.registry import all_queries
+
+    row = all_queries()["q_corpus_clean_clipped"](spark, sf_dir).head()
+    assert (row.n_raw, row.n_after_quality, row.n_after_exact_dedup) == (
+        n_raw,
+        n_q,
+        n_e,
+    )
+    assert row.n_unconverged == 0
