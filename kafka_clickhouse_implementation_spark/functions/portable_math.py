@@ -43,9 +43,18 @@ from __future__ import annotations
 
 import math
 
-PI = repr(math.pi)
-PI_2 = repr(math.pi / 2.0)
-PI180 = repr(math.pi / 180.0)
+def _dlit_fwd(x: float) -> str:
+    """Forward declaration of dlit() (public def below keeps its
+    docstring next to the LN kernel that motivated it): a literal BOTH
+    engines parse as DOUBLE — repr, 'e0'-suffixed when repr lacks an
+    exponent marker, so the value is unchanged."""
+    r = repr(float(x))
+    return r if ("e" in r or "E" in r) else r + "e0"
+
+
+PI = _dlit_fwd(math.pi)
+PI_2 = _dlit_fwd(math.pi / 2.0)
+PI180 = _dlit_fwd(math.pi / 180.0)
 
 
 def horner(var: str, coeffs: list[str]) -> str:
@@ -57,19 +66,26 @@ def horner(var: str, coeffs: list[str]) -> str:
     return expr
 
 
+# Every coefficient literal goes through dlit (= _dlit_fwd above) so it
+# parses as DOUBLE in BOTH engines BY CONSTRUCTION — bare repr()
+# decimals parse as DECIMAL and correctness would rest on each engine's
+# DECIMAL->DOUBLE promotion being correctly rounded, exactly the
+# conversion class dcast() exists to distrust (round-10 advisory).
+# dlit only appends an 'e0' exponent marker when repr lacks one, so the
+# parsed double value is unchanged.
 # exp(-f), f in [0,1): sum (-1)^k f^k / k!
-EXP_COEFFS = [repr((-1) ** k / math.factorial(k)) for k in range(18)]
+EXP_COEFFS = [_dlit_fwd((-1) ** k / math.factorial(k)) for k in range(18)]
 # sin(x) = x * S(x^2): S = sum (-1)^k t^k / (2k+1)!
-SIN_COEFFS = [repr((-1) ** k / math.factorial(2 * k + 1)) for k in range(16)]
+SIN_COEFFS = [_dlit_fwd((-1) ** k / math.factorial(2 * k + 1)) for k in range(16)]
 # cos(x) = C(x^2): C = sum (-1)^k t^k / (2k)!
-COS_COEFFS = [repr((-1) ** k / math.factorial(2 * k)) for k in range(16)]
+COS_COEFFS = [_dlit_fwd((-1) ** k / math.factorial(2 * k)) for k in range(16)]
 # asin(z) = z * A(z^2): A = sum comb(2k,k) / (4^k (2k+1)) t^k
 ASIN_COEFFS = [
-    repr(math.comb(2 * k, k) / (4**k * (2 * k + 1))) for k in range(61)
+    _dlit_fwd(math.comb(2 * k, k) / (4**k * (2 * k + 1))) for k in range(61)
 ]
 
 _EXP_N_MAX = 45
-_EXP_TABLE = [repr(math.exp(-n)) for n in range(_EXP_N_MAX)]
+_EXP_TABLE = [_dlit_fwd(math.exp(-n)) for n in range(_EXP_N_MAX)]
 
 
 def exp_int_case(n_col: str) -> str:
@@ -146,15 +162,16 @@ def dlit(x: float) -> str:
     (and Spark), which is only harmless when a double column appears in
     the same expression; a literal-times-literal product (e * ln2)
     stays DECIMAL and overflows. 'e0'-suffixing forces DOUBLE with the
-    identical value."""
-    r = repr(float(x))
-    return r if ("e" in r or "E" in r) else r + "e0"
+    identical value. (Same function as _dlit_fwd above, which exists so
+    the module-top coefficient tables can use it before this public
+    definition.)"""
+    return _dlit_fwd(x)
 
 
 LN2 = dlit(math.log(2.0))
 _LN_E_MIN = -64
 # L(s) = 1 + s/3 + s^2/5 + ...  (atanh series over t^2)
-LN_COEFFS = [repr(1.0 / (2 * k + 1)) for k in range(20)]
+LN_COEFFS = [dlit(1.0 / (2 * k + 1)) for k in range(20)]
 # 2^-e for e = 0..-64 — exact double literals (repr round-trips)
 _POW2 = [dlit(2.0**k) for k in range(0, -(_LN_E_MIN) + 1)]
 

@@ -219,14 +219,14 @@ def _recount(seg: DataFrame) -> DataFrame:
     )
 
 
-def _em_rounds(docs: DataFrame) -> tuple[list[DataFrame], DataFrame]:
-    """Run UNI_ROUNDS of hard EM over `documents`. Returns (per-round
-    1-row trajectory frames, final segmented vocab (w, f, segs, ll,
+def _em_rounds(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Run UNI_ROUNDS of hard EM over `documents`. Returns (unioned
+    per-round trajectory frame, final segmented vocab (w, f, segs, ll,
     npieces))."""
     return _em_rounds_from_words(_seed_words(docs))
 
 
-def _em_rounds_from_words(words: DataFrame) -> tuple[list[DataFrame], DataFrame]:
+def _em_rounds_from_words(words: DataFrame) -> tuple[DataFrame, DataFrame]:
     """The EM loop proper, from any (w, f) word-frequency table — the
     batch query seeds it from one corpus pass, the streaming twin from
     the drained complete-mode word state (C147)."""
@@ -267,7 +267,8 @@ def _em_rounds_from_words(words: DataFrame) -> tuple[list[DataFrame], DataFrame]
     out = traj[0]
     for t in traj[1:]:
         out = out.unionByName(t)
-    return [out], seg  # type: ignore[return-value]
+    assert seg is not None  # UNI_ROUNDS >= 1
+    return out, seg
 
 
 # ---------------------------------------------------------------------
@@ -452,7 +453,7 @@ def q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulated BIGINT — exact, so the hash certifies every per-word
     Viterbi DP value across the whole vocabulary)."""
     traj, _seg = _em_rounds(load(spark, sf_dir, "documents"))
-    return traj[0].orderBy("round")
+    return traj.orderBy("round")
 
 
 # ---------------------------------------------------------------------
@@ -499,38 +500,46 @@ def q_stream_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(base, "ckpt_unigram_vocab"), mode="complete",
     )
     traj, _seg = _em_rounds_from_words(spark.table("unigram_vocab_stream"))
-    return traj[0].orderBy("round")
+    return traj.orderBy("round")
 
 
-_TOKENIZE_FINAL = """SELECT cw.source,
+_TOKENIZE_FINAL = f"""SELECT cw.source,
   CAST(sum(cw.c) AS BIGINT) AS n_words,
   CAST(sum(cw.c * g.npieces) AS BIGINT) AS n_tokens,
   CAST((1000 * sum(cw.c * g.npieces)) // sum(cw.c) AS BIGINT) AS fertility_milli
 FROM (
   SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM (
     SELECT source, unnest(string_split(text, ' ')) AS w FROM documents) u
-  WHERE w <> '' AND len(w) <= 127 GROUP BY source, w
-) cw JOIN {final} g ON cw.w = g.w
+  WHERE w <> '' AND len(w) <= {_MAX_WLEN} GROUP BY source, w
+) cw JOIN {{final}} g ON cw.w = g.w
 GROUP BY cw.source"""
 
 # Broadcast the vocab-sized segmentation only while it is provably
-# small (same guard as bpe.BROADCAST_VOCAB_MAX — at 100 TB the word
-# vocabulary is no longer a broadcast candidate).
-BROADCAST_VOCAB_MAX = 2_000_000
+# small — THE bpe guard, imported so the two tokenizer tiers cannot
+# drift (at 100 TB the word vocabulary is no longer a broadcast
+# candidate; above the cap the join falls back to a key shuffle).
+from kafka_clickhouse_implementation_spark.operators.bpe import (  # noqa: E402
+    BROADCAST_VOCAB_MAX,
+)
 
 
 @query("q_unigram_tokenize", oracle=_oracle(final_select=_TOKENIZE_FINAL))
-def q_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_unigram_tokenize(
+    spark: SparkSession, sf_dir: str, force_shuffle: bool = False
+) -> DataFrame:
     """C146: tokenize the corpus under the trained unigram LM — the
     production half of C145 (train once, encode everything), mirroring
     the BPE pair C135/C140. The final per-WORD segmentation falls out
     of the last E-step; ONE equi-join on the word carries it back to
-    the per-(source, word) corpus counts. Fertility = floor(1000 *
-    tokens / words), positive ints, so Spark div == DuckDB //."""
+    the per-(source, word) corpus counts — broadcast below
+    BROADCAST_VOCAB_MAX distinct words, shuffle-join above
+    (`force_shuffle` pins the big-vocab path in tests, mirroring
+    q_bpe_tokenize). Fertility = floor(1000 * tokens / words),
+    positive ints, so Spark div == DuckDB //."""
     docs = load(spark, sf_dir, "documents")
     _traj, seg = _em_rounds(docs)
     pieces = seg.select("w", "npieces")
-    if pieces.count() <= BROADCAST_VOCAB_MAX:
+    if not force_shuffle and pieces.count() <= BROADCAST_VOCAB_MAX:
         pieces = F.broadcast(pieces)
     cw = (
         docs.select("source", F.explode(F.split("text", " ")).alias("w"))

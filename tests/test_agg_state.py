@@ -222,3 +222,25 @@ def test_week_key_portable_pre_epoch(spark):
     ]
     trunc = [int(d / 7) for d in sorted(days)]
     assert got_spark == got_duck == trunc
+
+    # the modulo companion (q_kmv_setops' parity key cites this test):
+    # both engines use TRUNCATED remainder — sign follows the dividend
+    # (-15 % 2 == -1, not +1 as Python's floored % would give)
+    mod_spark = [
+        r.m
+        for r in spark.sql(
+            "SELECT CAST(d AS BIGINT) % 2 AS m FROM VALUES "
+            + ", ".join(f"({d})" for d in days)
+            + " AS t(d) ORDER BY d"
+        ).collect()
+    ]
+    mod_duck = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT CAST(d AS BIGINT) % 2 AS m FROM (VALUES "
+            + ", ".join(f"({d})" for d in days)
+            + ") t(d) ORDER BY d"
+        ).fetchall()
+    ]
+    cmod = [d - int(d / 2) * 2 for d in sorted(days)]  # truncated remainder
+    assert mod_spark == mod_duck == cmod

@@ -19,56 +19,56 @@ from kafka_clickhouse_implementation_spark.registry import (
 )
 
 WINDOW_50 = [
-    "q_bpe_train",  # changed/new
-    "q_stream_bpe",  # changed/new
-    "q_bpe_tokenize",  # changed/new
+    "q_substring_clip",  # changed/new
+    "q_corpus_clean_scored",  # changed/new
+    "q_corpus_clean_clipped",  # changed/new
+    "q_unigram_train",  # changed/new
+    "q_unigram_tokenize",  # changed/new
+    "q_stream_unigram",  # changed/new
+    "q_skew_kurt",  # changed/new
+    "q_linreg",  # changed/new
+    "q_stream_linreg",  # changed/new
+    "q_anova",  # changed/new
+    "q_geo_distance",  # changed/new
+    "q_welch_ttest",  # changed/new
+    "q_student_ttest",  # changed/new
+    "q_rank_corr",  # changed/new
+    "q_entropy",  # changed/new
+    "q_stream_entropy",  # changed/new
+    "q_corr_matrix",  # changed/new
+    "q_exp_decay",  # changed/new
     "q_kn_quality",  # changed/new
-    "q_kmv_setops",  # changed/new
-    "q_multimodal_jpeg_prog",  # changed/new
-    "q_multimodal_jpeg_sa",  # changed/new
-    "q_with_totals",  # changed/new
-    "q_ann_recall_float",  # changed/new
-    "q_ks_pvalue",  # changed/new
-    "q_ann_portable",  # last green r4
-    "q_ann_recall",  # last green r4
-    "q_corpus_clean_portable",  # last green r4
-    "q_cosine_topk",  # last green r4
-    "q_csv_roundtrip",  # last green r4
-    "q_decontaminate",  # last green r4
-    "q_doc_signals",  # last green r4
-    "q_embedding_near_dup",  # last green r4
-    "q_embedding_truncate",  # last green r4
-    "q_first_seen_cumulative",  # last green r4
-    "q_group_array",  # last green r4
-    "q_inverted_index",  # last green r4
-    "q_json_extract",  # last green r4
-    "q_kmv_sketch",  # last green r4
-    "q_kmv_union",  # last green r4
-    "q_limit_by",  # last green r4
-    "q_minhash_portable",  # last green r4
-    "q_mixture_weights",  # last green r4
-    "q_mode_by_type",  # last green r4
-    "q_multimodal_decode",  # last green r4
-    "q_multimodal_features",  # last green r4
-    "q_mv_daily",  # last green r4
-    "q_near_dup_components",  # last green r4
-    "q_orc_roundtrip",  # last green r4
-    "q_partition_prune",  # last green r4
-    "q_pivot_events",  # last green r4
-    "q_pricing_summary",  # last green r4
-    "q_qualify_latest",  # last green r4
-    "q_quartiles",  # last green r4
-    "q_retention",  # last green r4
-    "q_sessionize",  # last green r4
-    "q_simhash_portable",  # last green r4
-    "q_stream_corpus_funnel",  # last green r4
-    "q_stream_dedup",  # last green r4
-    "q_stream_funnel",  # last green r4
-    "q_stream_funnel_ttl",  # last green r4
-    "q_stream_join",  # last green r4
-    "q_stream_late_drop",  # last green r4
-    "q_stream_mv_daily",  # last green r4
-    "q_stream_retention",  # last green r4
+    "q_stream_sessions",  # last green r4
+    "q_stream_sum_map",  # last green r4
+    "q_sum_map",  # last green r4
+    "q_token_packing",  # last green r4
+    "q_top_weighted",  # last green r4
+    "q_unigram_surprisal",  # last green r4
+    "q_unpivot_measures",  # last green r4
+    "q_window_distribution",  # last green r4
+    "q_window_funnel",  # last green r4
+    "q_bigram_surprisal",  # last green r5
+    "q_bloom_filter",  # last green r5
+    "q_bounding_ratio",  # last green r5
+    "q_corpus_clean_sampled",  # last green r5
+    "q_cramers_v",  # last green r5
+    "q_dedup_docs",  # last green r5
+    "q_dict_get",  # last green r5
+    "q_ema",  # last green r5
+    "q_gap_fill_interpolate",  # last green r5
+    "q_ingest_roundtrip",  # last green r5
+    "q_ip_funcs",  # last green r5
+    "q_jaccard_pairs",  # last green r5
+    "q_lttb",  # last green r5
+    "q_max_intersections",  # last green r5
+    "q_min_max_map",  # last green r5
+    "q_multimodal_adpcm",  # last green r5
+    "q_multimodal_gif",  # last green r5
+    "q_multimodal_jpeg",  # last green r5
+    "q_multimodal_jpeg420",  # last green r5
+    "q_multimodal_jpeg_color",  # last green r5
+    "q_multimodal_mulaw",  # last green r5
+    "q_multimodal_png",  # last green r5
 ]
 
 

@@ -111,7 +111,7 @@ def _check(spark, docs):
         docs, "doc_id long, source string, text string"
     )
     traj_frames, seg = _em_rounds(sdf)
-    got_traj = [tuple(r) for r in traj_frames[0].orderBy("round").collect()]
+    got_traj = [tuple(r) for r in traj_frames.orderBy("round").collect()]
     want_traj, want_np = _replay(_freqs(docs))
     assert got_traj == want_traj
     got_np = {r.w: r.npieces for r in seg.select("w", "npieces").collect()}
@@ -172,6 +172,39 @@ def test_unigram_tokenize_matches_replay(spark, sf_dir, tmp_path):
         r = got[src]
         assert (r.n_words, r.n_tokens) == (nw, nt)
         assert r.fertility_milli == (1000 * nt) // nw
+
+
+def test_unigram_tokenize_broadcast_guard(spark, sf_dir):
+    """The segmentation join must be broadcast at test scale (vocab <<
+    BROADCAST_VOCAB_MAX — the bpe constant, imported so the tiers can't
+    drift) and must DROP the hint on the force_shuffle path — with
+    identical results either way (mirrors test_bpe's guard test per the
+    round-9 advisory)."""
+    from kafka_clickhouse_implementation_spark.operators.bpe import (
+        BROADCAST_VOCAB_MAX as BPE_MAX,
+    )
+    from kafka_clickhouse_implementation_spark.operators.unigram_lm import (
+        BROADCAST_VOCAB_MAX,
+        q_unigram_tokenize,
+    )
+
+    assert BROADCAST_VOCAB_MAX is BPE_MAX
+
+    bc = q_unigram_tokenize(spark, sf_dir)
+    assert "BroadcastHashJoin" in bc._jdf.queryExecution().executedPlan().toString()
+    # force_shuffle drops the HINT; at test scale Catalyst would still
+    # auto-broadcast the tiny side, so pin the big-vocab physical plan
+    # by disabling auto-broadcast for this check.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sh = q_unigram_tokenize(spark, sf_dir, force_shuffle=True)
+        plan = sh._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        rows_sh = sorted(map(tuple, sh.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert sorted(map(tuple, bc.collect())) == rows_sh
 
 
 def test_stream_unigram_vocab_dedups_duplicated_wire(spark):
