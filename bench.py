@@ -136,6 +136,10 @@ HEADLINE = [
     # round 9: the clip -> clean composition (Lee et al. ExactSubstr
     # removal actually feeding the corpus funnel)
     "q_corpus_clean_clipped",
+    # round 10: the sampled clip->clean twin (sf1-oracle-checkable) and
+    # BM25 ranking over the inverted-index machinery
+    "q_corpus_clean_clipped_sampled",
+    "q_bm25_rank",
 ]
 
 

@@ -373,11 +373,17 @@ def q_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 # has no dedup tier); this is Tier-C closure per the round-8 verdict.
 # ---------------------------------------------------------------------
 
-_CLIP_SPANS_SQL = f"""
+def _clip_spans_sql(src: str = "documents") -> str:
+    """The interval-arithmetic CTE chain (gram → dup → first-occurrence
+    → clip ranges → merged islands → per-doc span stats), parametrized
+    on the input relation so the sampled composition (C149) can clip a
+    doc_id slice instead of the whole corpus — ONE template, no
+    drift."""
+    return f"""
 WITH g AS (
   SELECT doc_id, CAST(u.i * {GRAM_STRIDE} + 1 AS BIGINT) AS pos,
          md5(substr(text, CAST(u.i * {GRAM_STRIDE} + 1 AS INTEGER), {GRAM_LEN})) AS h
-  FROM documents, unnest(range((length(text) - {GRAM_LEN}) // {GRAM_STRIDE} + 1)) AS u(i)
+  FROM {src}, unnest(range((length(text) - {GRAM_LEN}) // {GRAM_STRIDE} + 1)) AS u(i)
   WHERE length(text) >= {GRAM_LEN}
 ), dupg AS (
   SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) > 1
@@ -413,6 +419,9 @@ WITH g AS (
   FROM spans GROUP BY doc_id
 )
 """
+
+
+_CLIP_SPANS_SQL = _clip_spans_sql()
 
 _CLIP_ORACLE = f"""
 {_CLIP_SPANS_SQL}
@@ -542,9 +551,14 @@ def q_substring_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # clean template's oracle must stay clear of DuckDB's list_reduce
 # list-output corruption, and string_agg ... ORDER BY is
 # deterministic by construction).
-CLIP_PRELUDE_SQL = (
-    _CLIP_SPANS_SQL.split("WITH ", 1)[1]
-    + """, gapped AS (
+def clip_prelude_sql(src: str = "documents") -> str:
+    """The clip chain as a PRELUDE over an arbitrary input relation —
+    `src` narrows the corpus for the sampled composition (C149: the
+    slice must be taken BEFORE clipping, which is exactly what bounds
+    the oracle's gram/pair volume at sf1)."""
+    return (
+        _clip_spans_sql(src).split("WITH ", 1)[1]
+        + f""", gapped AS (
   SELECT doc_id, s, e,
          coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s),
                   CAST(1 AS BIGINT)) AS cur
@@ -553,18 +567,21 @@ CLIP_PRELUDE_SQL = (
   SELECT g.doc_id, g.s AS ord,
          substring(d2.text, CAST(g.cur AS INT), CAST(g.s - g.cur AS INT))
            AS piece
-  FROM gapped g JOIN documents d2 USING (doc_id)
+  FROM gapped g JOIN {src} d2 USING (doc_id)
   UNION ALL
   SELECT mx.doc_id, CAST(1000000000000000 AS BIGINT) AS ord,
          substring(d2.text, CAST(mx.e AS INT),
                    CAST(len(d2.text) - mx.e + 1 AS INT))
   FROM (SELECT doc_id, max(e) AS e FROM spans GROUP BY doc_id) mx
-  JOIN documents d2 USING (doc_id)
+  JOIN {src} d2 USING (doc_id)
 ), kt AS (
   SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS kept_text
   FROM piecesk GROUP BY doc_id
 ), clipped AS (
   SELECT d.doc_id, coalesce(k.kept_text, d.text) AS text
-  FROM documents d LEFT JOIN kt k USING (doc_id)
+  FROM {src} d LEFT JOIN kt k USING (doc_id)
 ), """
-)
+    )
+
+
+CLIP_PRELUDE_SQL = clip_prelude_sql()

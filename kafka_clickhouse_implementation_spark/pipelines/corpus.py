@@ -376,12 +376,22 @@ def q_corpus_clean_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _clean_counts(load(spark, sf_dir, "documents"), gate=kn_quality_gate)
 
 
-def _clipped_oracle() -> str:
+def _clipped_oracle(sampled: bool = False) -> str:
     from kafka_clickhouse_implementation_spark.operators.corpus_ext import (
         CLIP_PRELUDE_SQL,
+        clip_prelude_sql,
     )
 
-    return _clean_oracle(prelude=CLIP_PRELUDE_SQL, src="clipped")
+    if not sampled:
+        return _clean_oracle(prelude=CLIP_PRELUDE_SQL, src="clipped")
+    # the slice is taken BEFORE clipping — that is what bounds the
+    # oracle's gram volume and post-clip pair materialization at sf1
+    prelude = (
+        "docs10 AS MATERIALIZED"
+        " (SELECT * FROM documents WHERE doc_id % 10 = 0), "
+        + clip_prelude_sql("docs10")
+    )
+    return _clean_oracle(prelude=prelude, src="clipped")
 
 
 @query("q_corpus_clean_clipped", oracle=_clipped_oracle())
@@ -418,6 +428,36 @@ def q_corpus_clean_clipped(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     # localCheckpoint: the funnel's four counts would otherwise
     # re-evaluate the whole gram->span->reassembly chain per stage
+    clipped = (
+        substring_clip(docs)
+        .select("doc_id", F.col("kept_text").alias("text"))
+        .localCheckpoint()
+    )
+    return _clean_counts(clipped)
+
+
+@query("q_corpus_clean_clipped_sampled", oracle=_clipped_oracle(sampled=True))
+def q_corpus_clean_clipped_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C149: the clip→clean composition on the deterministic 10%
+    doc_id slice — the C86 scale-differential recipe applied to C148,
+    closing its documented sf1 oracle gap: the full composition's
+    DuckDB replay blows temp disk at the synthetic 10x-duplicated sf1
+    corpus (post-clip near-identical texts make the within-bucket pair
+    frame superlinear), while the SLICE bounds the oracle's gram and
+    pair volume at every scale. The slice is taken BEFORE clipping on
+    BOTH sides (duplication is then measured within the slice —
+    consistent semantics, and the property that actually caps the
+    oracle); every downstream stage — quality gate, exact dedup,
+    MinHash-LSH, connected components, keep-one — is the shared
+    template, so the flagship composition is hash-certified end to end
+    at sf1 instead of documented-as-untestable. The Spark side still
+    exercises the identical plan shape as C148 (digest-keyed clip
+    shuffles, per-doc windows, bucketed LSH, O(log n) CC)."""
+    from kafka_clickhouse_implementation_spark.operators.corpus_ext import (
+        substring_clip,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     clipped = (
         substring_clip(docs)
         .select("doc_id", F.col("kept_text").alias("text"))

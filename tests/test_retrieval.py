@@ -1,0 +1,138 @@
+"""C150 — independent pure-Python BM25 replay (exact ints + pln_py,
+the CPython leg of the three-engine pln identity) against the Spark
+ranking on the real sf0.001 corpus, plus invariant checks on a crafted
+corpus where the correct ranking is known by construction."""
+
+from __future__ import annotations
+
+import collections
+import math
+
+import pyarrow.parquet as pq
+
+from kafka_clickhouse_implementation_spark.functions.portable_math import pln_py
+from kafka_clickhouse_implementation_spark.operators.retrieval import (
+    QT_PER,
+    QT_TOTAL,
+    TOP_K,
+    _STOP,
+    bm25_rank,
+    q_bm25_rank,
+)
+
+
+def _replay(docs: list[tuple[int, str]]):
+    """Full BM25 replay over (doc_id, text). Returns
+    {qid: [(rnk, doc_id, score_nano, n_hit), ...]} and the query-term
+    table for diagnostics."""
+    tf: dict[tuple[int, str], int] = collections.Counter()
+    dl: dict[int, int] = collections.Counter()
+    dfc: dict[str, set] = collections.defaultdict(set)
+    for d, text in docs:
+        for w in text.split(" "):
+            if w:
+                tf[(d, w)] += 1
+                dl[d] += 1
+                dfc[w].add(d)
+    n_docs = len(docs)
+    sum_dl = sum(dl.values())
+    ranked_vocab = sorted(
+        ((t, len(ds)) for t, ds in dfc.items() if t not in _STOP),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:QT_TOTAL]
+    qterms = [
+        (rnk0 // QT_PER, tok, df) for rnk0, (tok, df) in enumerate(ranked_vocab)
+    ]
+
+    scores: dict[tuple[int, int], list[int]] = collections.defaultdict(list)
+    for qid, tok, df in qterms:
+        a = 2 * n_docs - 2 * df + 1
+        b2 = 2 * df + 1
+        sgn = -1.0 if a >= b2 else 1.0
+        p = float(min(a, b2)) / float(max(a, b2))
+        idf = sgn * pln_py(p)
+        for d, _ in docs:
+            t = tf.get((d, tok), 0)
+            if not t:
+                continue
+            num = 22 * t * sum_dl
+            den = 10 * t * sum_dl + 3 * sum_dl + 9 * dl[d] * n_docs
+            fr = float(num) / float(den)
+            scores[(qid, d)].append(math.floor(idf * fr * 1.0e9))
+    perdoc = {
+        k: (sum(v), len(v)) for k, v in scores.items()
+    }
+    out: dict[int, list] = {}
+    for qid in {q for q, _ in perdoc}:
+        rows = sorted(
+            ((d, s, n) for (q, d), (s, n) in perdoc.items() if q == qid),
+            key=lambda r: (-r[1], r[0]),
+        )[:TOP_K]
+        out[qid] = [(i + 1, d, s, n) for i, (d, s, n) in enumerate(rows)]
+    return out, qterms
+
+
+def test_bm25_matches_python_replay(spark, sf_dir):
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = list(
+        zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist())
+    )
+    want, qterms = _replay(docs)
+    assert len(qterms) == QT_TOTAL  # the corpus vocab is big enough
+    got: dict[int, list] = collections.defaultdict(list)
+    for r in q_bm25_rank(spark, sf_dir).collect():
+        got[r.qid].append((r.rnk, r.doc_id, r.score_nano, r.n_terms_hit))
+    for qid in got:
+        got[qid].sort()
+    assert dict(got) == want
+
+
+def test_bm25_rare_term_beats_common_term(spark):
+    """Construct a corpus where doc 1 contains a RARE query term and
+    doc 2 only a COMMON one: BM25 must rank doc 1 above doc 2 for a
+    query containing both terms (the idf property that distinguishes
+    BM25 from raw tf counting). Terms are padded with distinct filler
+    so df ranks are forced."""
+    filler = [f"x{i}" for i in range(30)]
+    rows = []
+    # 'common' appears in 12 docs (highest df -> first query block);
+    # 'rare'... must also land in the top-12 df ranks to be a query
+    # term: give it df=11, still far below 'common'.
+    for i in range(12):
+        rows.append((100 + i, f"common {filler[i]} pad{i}"))
+    for i in range(11):
+        rows.append((200 + i, f"rare {filler[i]} qad{i}"))
+    # the two docs under test: same length, one with rare, one with common
+    rows.append((1, "rare alpha beta"))
+    rows.append((2, "common alpha gamma"))
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = bm25_rank(sdf, top_k=50).collect()
+    # find the query block containing both 'rare' and 'common'
+    want, qterms = _replay(rows)
+    by_tok = {tok: qid for qid, tok, _ in qterms}
+    assert "common" in by_tok and "rare" in by_tok
+    sc = {(r.qid, r.doc_id): r.score_nano for r in got}
+    s_rare = sc.get((by_tok["rare"], 1))
+    s_common = sc.get((by_tok["common"], 2))
+    assert s_rare is not None and s_common is not None
+    assert s_rare > s_common
+
+
+def test_bm25_length_normalization(spark):
+    """Two docs with identical tf for the query term but different
+    lengths: the shorter doc must score higher (the b-normalization)."""
+    filler_long = " ".join(f"z{i}" for i in range(40))
+    rows = [(i + 10, f"term w{i}") for i in range(12)]  # make df rank high
+    # keep df(term)=14 BELOW N/2 so idf stays positive (a negative idf
+    # legitimately inverts the preference — the first version of this
+    # test tripped over exactly that)
+    rows += [(i + 100, f"u{i} v{i}") for i in range(30)]
+    rows.append((1, "term short"))
+    rows.append((2, f"term {filler_long}"))
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = bm25_rank(sdf, top_k=50).collect()
+    _want, qterms = _replay(rows)
+    qid = {tok: q for q, tok, _ in qterms}.get("term")
+    assert qid is not None
+    sc = {(r.qid, r.doc_id): r.score_nano for r in got}
+    assert sc[(qid, 1)] > sc[(qid, 2)]
