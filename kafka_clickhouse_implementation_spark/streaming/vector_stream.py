@@ -135,3 +135,209 @@ def q_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         "list_id", "n_vecs", "sum_vec_ids", F.col("min_vec_id").cast("long").alias("min_vec_id")
     )
+
+
+# ---------------------------------------------------------------------
+# Streaming SemDeDup — round 10 (C151): the -State twin of C111,
+# composing C119's static-codebook coding with the within-cluster pair
+# frame. Vectors arrive over a DUPLICATE-INJECTING wire (each part
+# file copied with a later mtime, the C138/C147 pattern — under
+# maxFilesPerTrigger=1 every vector's duplicate lands in a LATER
+# micro-batch), pass stateful vec_id dedup, are coded against the
+# batch Lloyd run's final codebook (a stateless projection / numpy
+# matmul — streaming-safe because it is stateless), and a
+# complete-mode groupBy(cid, vec_id) maintains the per-cluster
+# candidate MEMBERSHIP across micro-batches, counting arrivals.
+#
+# Certification (the adversarial-oracle stance of the CC convergence
+# probe): the drained state drives the SAME within-cluster pair frame
+# as batch q_semantic_dedup, and the output ALSO emits
+# max(n_arrivals) per cluster, which the oracle pins to LITERAL 1 —
+# remove the dedup state and the injected duplicates make it 2, a
+# loud hash FAIL rather than a silently-correct membership (identical
+# payloads collapse under groupBy(cid, vec_id), so membership alone
+# could not prove the dedup state is load-bearing).
+#
+# State: dedup = one vec_id per distinct vector; membership = one
+# (cid, vec_id) row per vector — linear, the C9 dedup-state class;
+# the pair frame is computed POST-drain on the bounded drained table.
+# ---------------------------------------------------------------------
+
+from kafka_clickhouse_implementation_spark.operators.clustering import (  # noqa: E402
+    _EQ_CTE,
+    _LAST,
+    _PAIR_DIST,
+    _PTS_CTE,
+    DUP_THRESH,
+    LIT_MAX,
+    SEM_BLOCK,
+    _assign_np,
+    _code_points,
+    _dist2_arrays,
+    _eq_arrays,
+    _lloyd_arrays,
+    _lloyd_rounds,
+    semdedup_k,
+)
+
+_STREAM_SEMDEDUP_ORACLE = f"""
+WITH {_PTS_CTE},
+kval AS (
+  SELECT greatest({K}, CAST(count(*) AS BIGINT) // {SEM_BLOCK}) AS k
+  FROM embeddings
+),
+{_lloyd_rounds("(SELECT k FROM kval)", ITERS, "ss", "pts")},
+{_EQ_CTE},
+pairs AS (
+  SELECT ga.cid, ga.vec_id AS va, gb.vec_id AS vb,
+         CAST({_PAIR_DIST} AS BIGINT) AS dist2
+  FROM asgss{_LAST} ga
+  JOIN asgss{_LAST} gb ON ga.cid = gb.cid AND ga.vec_id < gb.vec_id
+  JOIN eq a ON a.vec_id = ga.vec_id
+  JOIN eq b ON b.vec_id = gb.vec_id
+),
+pagg AS (
+  SELECT cid,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(CASE WHEN dist2 < {DUP_THRESH} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_close,
+         CAST(count(DISTINCT CASE WHEN dist2 < {DUP_THRESH} THEN vb END) AS BIGINT)
+           AS n_drop,
+         CAST(min(dist2) AS BIGINT) AS min_dist2
+  FROM pairs GROUP BY cid
+),
+mem AS (
+  SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+         CAST(sum(vec_id) AS BIGINT) AS sum_vec_ids
+  FROM asgss{_LAST} GROUP BY cid
+)
+SELECT m.cid AS cluster_id, m.n_members, m.sum_vec_ids,
+       CAST(1 AS BIGINT) AS max_arrivals,
+       p.n_pairs, p.n_close, p.n_drop, p.min_dist2
+FROM mem m LEFT JOIN pagg p ON p.cid = m.cid
+"""
+
+
+def embedding_wire_dup(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """The C119 embedding wire PLUS duplicate injection: every part
+    file copied as a later-mtime ``dup-*.json`` (the document_wire
+    mechanics — the file source processes oldest-mtime-first, so each
+    vector's duplicate arrives in a LATER micro-batch and only
+    cross-batch dedup state can collapse it). ``_DUP_READY`` gates
+    reuse so a crash mid-injection never leaves a half-built wire."""
+    import shutil
+
+    from kafka_clickhouse_implementation_spark.cachedirs import source_tagged_dir
+
+    base = source_tagged_dir("vecwiredup", sf_dir, "embeddings")
+    wire_dir = os.path.join(base, "wire")
+    ready = os.path.join(wire_dir, "_DUP_READY")
+    if not os.path.exists(ready):
+        shutil.rmtree(wire_dir, ignore_errors=True)
+        emb = load(spark, sf_dir, "embeddings")
+        (
+            emb.select(
+                "vec_id", F.expr(f"transform(embedding, x -> {_QUANT})").alias("eq")
+            )
+            .repartitionByRange(4, "vec_id")
+            .write.mode("overwrite")
+            .json(wire_dir)
+        )
+        parts = sorted(
+            f for f in os.listdir(wire_dir)
+            if f.startswith("part-") and f.endswith(".json")
+        )
+        latest = max(os.path.getmtime(os.path.join(wire_dir, p)) for p in parts)
+        for i, p in enumerate(parts):
+            dup = os.path.join(wire_dir, f"dup-{i:05d}.json")
+            shutil.copyfile(os.path.join(wire_dir, p), dup)
+            stamp = latest + 60.0 + i
+            os.utime(dup, (stamp, stamp))
+        with open(ready, "w"):
+            pass
+    return wire_dir, base
+
+
+def _stream_coded_members(
+    spark: SparkSession, sf_dir: str, dedup: bool = True
+) -> DataFrame:
+    """Drain the duplicate-injecting wire through (optional) stateful
+    vec_id dedup → static-codebook coding → complete-mode
+    groupBy(cid, vec_id) arrival counts; returns the drained table.
+    ``dedup=False`` exists ONLY for the necessity pytest, which proves
+    the wire's duplicates reach the state when the dedup is removed."""
+    eq = _eq_arrays(spark, sf_dir).localCheckpoint()
+    k = semdedup_k(eq.count())
+    _, asg_carr, _ = _lloyd_arrays(spark, eq, k, ITERS)
+
+    wire, base = embedding_wire_dup(spark, sf_dir)
+    suffix = "" if dedup else "_nodedup"
+    ckpt = os.path.join(base, f"ckpt_semdedup{suffix}")
+    vecs = (
+        spark.readStream.schema("vec_id long, eq array<long>")
+        .option("maxFilesPerTrigger", "1")
+        .json(wire)
+    )
+    if dedup:
+        vecs = vecs.dropDuplicates(["vec_id"])
+    # the same guarded coder as the batch Lloyd: literal projection
+    # below LIT_MAX centroids, stateless numpy matmul above — both
+    # streaming-safe (no state, no shuffle)
+    if len(asg_carr) <= LIT_MAX:
+        coded = _code_points(vecs, asg_carr).select("cid", "vec_id")
+    else:
+        coded = _assign_np(vecs, asg_carr).select("cid", "vec_id")
+    members = coded.groupBy("cid", "vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_arrivals")
+    )
+    name = f"stream_semdedup_members{suffix}"
+    _drain(spark, members, name, ckpt, mode="complete")
+    return spark.table(name)
+
+
+@query("q_stream_semantic_dedup", oracle=_STREAM_SEMDEDUP_ORACLE)
+def q_stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C151: SemDeDup with the per-cluster candidate membership
+    maintained INCREMENTALLY by the streaming engine (see the section
+    comment above for the full design and the max_arrivals
+    certification trick). The drained membership drives the identical
+    within-cluster pair frame as batch q_semantic_dedup — one hash
+    certifies streaming-maintained membership == batch assignment ==
+    independent DuckDB Lloyd replay, plus the dedup state's
+    load-bearing role via the oracle's literal-1 max_arrivals."""
+    members = _stream_coded_members(spark, sf_dir).localCheckpoint()
+    eq = _eq_arrays(spark, sf_dir).localCheckpoint()
+    a = members.select(F.col("cid"), F.col("vec_id").alias("va")).join(
+        eq.select(F.col("vec_id").alias("va"), F.col("eq").alias("ea")), "va"
+    )
+    b = members.select(F.col("cid"), F.col("vec_id").alias("vb")).join(
+        eq.select(F.col("vec_id").alias("vb"), F.col("eq").alias("eb")), "vb"
+    )
+    pairs = a.join(b, ["cid"]).filter(F.col("va") < F.col("vb")).select(
+        "cid", "va", "vb", _dist2_arrays("ea", "eb").alias("dist2")
+    )
+    pagg = pairs.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("dist2") < DUP_THRESH, 1).otherwise(0))
+        .cast("long")
+        .alias("n_close"),
+        F.countDistinct(F.when(F.col("dist2") < DUP_THRESH, F.col("vb"))).alias(
+            "n_drop"
+        ),
+        F.min("dist2").alias("min_dist2"),
+    )
+    mem = members.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("vec_id").cast("long").alias("sum_vec_ids"),
+        F.max("n_arrivals").cast("long").alias("max_arrivals"),
+    )
+    return mem.join(pagg, "cid", "left").select(
+        F.col("cid").alias("cluster_id"),
+        "n_members",
+        "sum_vec_ids",
+        "max_arrivals",
+        "n_pairs",
+        "n_close",
+        "n_drop",
+        "min_dist2",
+    )
