@@ -149,6 +149,9 @@ HEADLINE = [
     # stateful dedup -> static-codebook coding -> membership state ->
     # post-drain pair frame)
     "q_stream_semantic_dedup",
+    # round 10: the streaming-maintained inverted index scored by the
+    # shared BM25 core
+    "q_stream_bm25",
 ]
 
 

@@ -150,16 +150,24 @@ def bm25_rank(docs: DataFrame, top_k: int = TOP_K) -> DataFrame:
     tf = toks.groupBy("doc_id", "token").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
     )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
-    consts = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs")).crossJoin(
-        toks.agg(F.count(F.lit(1)).cast("long").alias("sum_dl"))
+    n_docs_df = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return bm25_from_tf(tf, n_docs_df, top_k)
+
+
+def bm25_from_tf(tf: DataFrame, n_docs_df: DataFrame, top_k: int = TOP_K) -> DataFrame:
+    """BM25 from a (doc_id, token, tf) term-frequency table — the ONE
+    scoring core shared by the batch query (which derives tf from a
+    corpus scan) and the streaming twin (which drains an incrementally
+    maintained tf state), so the two can never drift. dl, sum_dl and
+    df all derive from tf itself (each (doc_id, token) row is distinct
+    by construction, so df = rows per token and dl = sum of tf per
+    doc); only the document COUNT arrives separately because a
+    zero-token document exists in `documents` but not in tf."""
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    consts = n_docs_df.crossJoin(
+        tf.agg(F.sum("tf").cast("long").alias("sum_dl"))
     )
-    df = (
-        toks.select("token", "doc_id")
-        .distinct()
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).cast("long").alias("df"))
-    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
     from pyspark.sql import Window as W
 
     # TakeOrdered first (distributed top-QT_TOTAL — no global sort or
@@ -217,3 +225,68 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pln-kernel idf (sign branch included), the nano quantization,
     and the (score DESC, doc_id) ranking cut."""
     return bm25_rank(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------
+# Streaming-maintained inverted index feeding BM25 — round 10 (C152):
+# the C138/C147/C151 -State certification pattern applied to
+# retrieval. Documents arrive over the duplicate-injecting corpus wire
+# (each part file copied with a later mtime), pass stateful doc_id
+# dedup, explode into tokens, and a complete-mode
+# groupBy(doc_id, token) count maintains the term-frequency state —
+# which IS the inverted index, maintained incrementally (state linear
+# in index size; at 100 TB the complete-mode memory sink becomes an
+# update-mode idempotent upsert keyed by (doc_id, token), same
+# semantics). The drained table enters bm25_from_tf — the identical
+# scoring core as batch C150 — and the result is checked against the
+# batch BM25 oracle VERBATIM: without the dedup state the wire's
+# duplicate files DOUBLE every tf and dl (unlike C151's membership,
+# tf is count-valued, so duplicate corruption is intrinsic, not
+# probe-injected), shifting every score — a loud hash FAIL.
+# ---------------------------------------------------------------------
+
+
+@query("q_stream_bm25", oracle=_BM25_ORACLE)
+def q_stream_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C152: BM25 over the STREAMING-MAINTAINED inverted index — the
+    tf state accumulated across micro-batches from the duplicate-
+    injecting document wire (stateful dedup -> explode -> complete-mode
+    counts), drained, and scored by the same bm25_from_tf core as the
+    batch C150. One hash certifies incrementally-built index == batch
+    index == independent DuckDB replay. The document count enters from
+    the drained DEDUP state (distinct doc ids seen), which equals
+    count(documents) whenever every document has at least one token —
+    any divergence (or a dedup-state failure) hash-fails loudly."""
+    import os
+
+    from kafka_clickhouse_implementation_spark.streaming.corpus_stream import (
+        _DOC_WIRE_SCHEMA,
+        document_wire,
+    )
+    from kafka_clickhouse_implementation_spark.streaming.funnel import _drain
+
+    wire, base = document_wire(spark, sf_dir)
+    tf_state = (
+        spark.readStream.schema(_DOC_WIRE_SCHEMA)
+        .option("maxFilesPerTrigger", "4")
+        .json(wire)
+        .dropDuplicates(["doc_id"])
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    _drain(
+        spark, tf_state, "stream_bm25_tf",
+        os.path.join(base, "ckpt_bm25_tf"), mode="complete",
+    )
+    # localCheckpoint: the drained state feeds FOUR plan branches (dl,
+    # sum_dl, df->qterms, and the scoring join) — pin it once; it also
+    # gives the self-join (qterms derives from tf) fresh attribute ids,
+    # which the memory-sink view otherwise shares across both sides
+    # (Spark "conflicting references in Join" internal error).
+    tf = spark.table("stream_bm25_tf").localCheckpoint()
+    n_docs_df = tf.select("doc_id").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return bm25_from_tf(tf, n_docs_df)

@@ -136,3 +136,58 @@ def test_bm25_length_normalization(spark):
     assert qid is not None
     sc = {(r.qid, r.doc_id): r.score_nano for r in got}
     assert sc[(qid, 1)] > sc[(qid, 2)]
+
+
+def test_stream_bm25_state_matches_batch_and_needs_dedup(spark):
+    """C152: (a) the drained tf state equals the batch (doc_id, token,
+    tf) table exactly; (b) with the dropDuplicates stage removed, every
+    tf doubles (the wire's duplicate files reach the counting state) —
+    so the dedup state is load-bearing for the BM25 hash, not
+    decorative."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+
+    from kafka_clickhouse_implementation_spark.io import load
+    from kafka_clickhouse_implementation_spark.operators.retrieval import (
+        q_stream_bm25,
+    )
+    from kafka_clickhouse_implementation_spark.streaming.corpus_stream import (
+        _DOC_WIRE_SCHEMA,
+        document_wire,
+    )
+    from kafka_clickhouse_implementation_spark.streaming.funnel import _drain
+
+    q_stream_bm25(spark, SF_DIR)  # populates stream_bm25_tf
+    got = sorted(map(tuple, spark.table("stream_bm25_tf").collect()))
+    want = sorted(
+        map(
+            tuple,
+            load(spark, SF_DIR, "documents")
+            .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+            .filter(F.col("token") != "")
+            .groupBy("doc_id", "token")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+            .collect(),
+        )
+    )
+    assert got == want
+
+    wire, base = document_wire(spark, SF_DIR)
+    nodedup = (
+        spark.readStream.schema(_DOC_WIRE_SCHEMA)
+        .option("maxFilesPerTrigger", "4")
+        .json(wire)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    _drain(
+        spark, nodedup, "stream_bm25_tf_nodedup",
+        os.path.join(base, "ckpt_bm25_tf_nodedup"), mode="complete",
+    )
+    got2 = sorted(map(tuple, spark.table("stream_bm25_tf_nodedup").collect()))
+    assert got2 == sorted((d, t, 2 * n) for d, t, n in want)
