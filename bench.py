@@ -150,8 +150,9 @@ HEADLINE = [
     # post-drain pair frame)
     "q_stream_semantic_dedup",
     # round 10: the streaming-maintained inverted index scored by the
-    # shared BM25 core
+    # shared BM25 core, and positional proximity search
     "q_stream_bm25",
+    "q_proximity_search",
 ]
 
 

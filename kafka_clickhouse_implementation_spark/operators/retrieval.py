@@ -290,3 +290,141 @@ def q_stream_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
     return bm25_from_tf(tf, n_docs_df)
+
+
+# ---------------------------------------------------------------------
+# Proximity search over a positional index — round 10 (C153): the
+# retrieval operator n-gram counting CANNOT express (C19 covers
+# adjacent grams; proximity needs positions): documents where two
+# query terms co-occur within PROX_W words, with per-doc match counts
+# and a deterministic best-doc. This is the positional-inverted-index
+# workload (Lucene's SpanNear / ClickHouse's hasTokenPosition-style
+# analysis), and the candidate volume is posting-list-bounded: the
+# position join touches only rows of the two terms' postings, never
+# the corpus.
+#
+# Portability: pure exact-integer counting — positions, band filter,
+# counts, and the min(struct(-cnt, doc_id)) argmax are all BIGINT; no
+# float surface at all. Query pairs are corpus-derived like C150's
+# terms (top-2·QP_PAIRS df ranks, stopwords excluded), so a testdata
+# regeneration cannot invalidate them.
+#
+# Scale shape: ONE positional explode (the same shuffle family as the
+# C20 index build — (token, doc_id, pos), no text), two broadcast
+# joins against the 2·QP_PAIRS-row pair table, a per-(qid, doc)
+# position band join bounded by per-doc term frequencies, and
+# model-sized rollups. Positions are assigned BEFORE the empty-token
+# filter on both engines, so offsets agree on any input.
+# ---------------------------------------------------------------------
+
+QP_PAIRS = 4  # proximity query pairs (from the top 2*QP_PAIRS df ranks)
+PROX_W = 3  # max |pos_a - pos_b| for a proximity match
+
+_PROX_ORACLE = f"""
+WITH tp AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS pos, l[CAST(u.i + 1 AS INTEGER)] AS token
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       unnest(range(len(l))) AS u(i)
+), toks AS (
+  SELECT doc_id, pos, token FROM tp WHERE token <> ''
+), df AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT token, doc_id FROM toks) GROUP BY token
+), top AS (
+  SELECT token, rnk FROM (
+    SELECT token, row_number() OVER (ORDER BY df DESC, token) AS rnk
+    FROM df WHERE token NOT IN {_STOP!r}
+  ) WHERE rnk <= {2 * QP_PAIRS}
+), qpairs AS (
+  SELECT a.qid, a.token AS term_a, b.token AS term_b
+  FROM (SELECT CAST((rnk - 1) // 2 AS BIGINT) AS qid, token FROM top
+        WHERE (rnk - 1) % 2 = 0) a
+  JOIN (SELECT CAST((rnk - 1) // 2 AS BIGINT) AS qid, token FROM top
+        WHERE (rnk - 1) % 2 = 1) b USING (qid)
+), a_post AS (
+  SELECT q.qid, q.term_a, q.term_b, t.doc_id, t.pos AS pa
+  FROM qpairs q JOIN toks t ON t.token = q.term_a
+), b_post AS (
+  SELECT q.qid, t.doc_id, t.pos AS pb
+  FROM qpairs q JOIN toks t ON t.token = q.term_b
+), m AS (
+  SELECT a.qid, a.term_a, a.term_b, a.doc_id,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM a_post a JOIN b_post b
+    ON b.qid = a.qid AND b.doc_id = a.doc_id
+   AND abs(a.pa - b.pb) <= {PROX_W}
+  GROUP BY a.qid, a.term_a, a.term_b, a.doc_id
+)
+SELECT qid, term_a, term_b,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(cnt) AS BIGINT) AS n_pairs,
+       CAST(min(struct_pack(nc := -cnt, d := doc_id)).d AS BIGINT) AS best_doc,
+       CAST(-min(struct_pack(nc := -cnt, d := doc_id)).nc AS BIGINT)
+         AS best_doc_matches
+FROM m GROUP BY qid, term_a, term_b
+"""
+
+
+@query("q_proximity_search", oracle=_PROX_ORACLE)
+def q_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C153: proximity retrieval — for each corpus-derived query pair,
+    the documents where the two terms co-occur within PROX_W words:
+    matching-doc count, total in-window position pairs, and the
+    deterministic best doc (max matches, tie -> lowest doc_id, via the
+    one-agg min(struct(-cnt, doc_id)) argmax). Pure exact-integer
+    relational plan; hash-certified end to end."""
+    docs = load(spark, sf_dir, "documents")
+    tp = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+    toks = tp.filter(F.col("token") != "").select(
+        "doc_id", F.col("pos").cast("long").alias("pos"), "token"
+    )
+    df = (
+        toks.select("token", "doc_id")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    from pyspark.sql import Window as W
+
+    top = (
+        df.filter(~F.col("token").isin(*_STOP))
+        .orderBy(F.desc("df"), "token")
+        .limit(2 * QP_PAIRS)
+        .withColumn("rnk", F.row_number().over(W.orderBy(F.desc("df"), "token")))
+    )
+    a_terms = top.filter((F.col("rnk") - 1) % 2 == 0).selectExpr(
+        "CAST((rnk - 1) div 2 AS BIGINT) AS qid", "token AS term_a"
+    )
+    b_terms = top.filter((F.col("rnk") - 1) % 2 == 1).selectExpr(
+        "CAST((rnk - 1) div 2 AS BIGINT) AS qid", "token AS term_b"
+    )
+    qpairs = a_terms.join(b_terms, "qid")
+    a_post = F.broadcast(qpairs).join(
+        toks, toks["token"] == qpairs["term_a"]
+    ).select("qid", "term_a", "term_b", "doc_id", F.col("pos").alias("pa"))
+    b_post = F.broadcast(qpairs.select("qid", "term_b")).join(
+        toks, toks["token"] == F.col("term_b")
+    ).select("qid", "doc_id", F.col("pos").alias("pb"))
+    m = (
+        a_post.join(b_post, ["qid", "doc_id"])
+        .filter(F.abs(F.col("pa") - F.col("pb")) <= PROX_W)
+        .groupBy("qid", "term_a", "term_b", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return m.groupBy("qid", "term_a", "term_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("cnt").cast("long").alias("n_pairs"),
+        F.min(
+            F.struct((-F.col("cnt")).alias("nc"), F.col("doc_id").alias("d"))
+        ).alias("w"),
+    ).selectExpr(
+        "qid",
+        "term_a",
+        "term_b",
+        "n_docs",
+        "n_pairs",
+        "CAST(w.d AS BIGINT) AS best_doc",
+        "CAST(-w.nc AS BIGINT) AS best_doc_matches",
+    )

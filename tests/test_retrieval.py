@@ -191,3 +191,50 @@ def test_stream_bm25_state_matches_batch_and_needs_dedup(spark):
     )
     got2 = sorted(map(tuple, spark.table("stream_bm25_tf_nodedup").collect()))
     assert got2 == sorted((d, t, 2 * n) for d, t, n in want)
+
+
+def test_proximity_matches_python_replay(spark, sf_dir):
+    """C153 full replay: positional tokens, corpus-derived pairs, band
+    join, per-doc counts, deterministic best-doc — in plain Python."""
+    from kafka_clickhouse_implementation_spark.operators.retrieval import (
+        PROX_W,
+        QP_PAIRS,
+        q_proximity_search,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = list(
+        zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist())
+    )
+    dfc: dict[str, set] = collections.defaultdict(set)
+    positions: dict[tuple[int, str], list[int]] = collections.defaultdict(list)
+    for d, text in docs:
+        for i, w in enumerate(text.split(" ")):
+            if w:
+                dfc[w].add(d)
+                positions[(d, w)].append(i)
+    ranked = sorted(
+        ((t, len(ds)) for t, ds in dfc.items() if t not in _STOP),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[: 2 * QP_PAIRS]
+    want = {}
+    for qid in range(QP_PAIRS):
+        ta, tb = ranked[2 * qid][0], ranked[2 * qid + 1][0]
+        perdoc = {}
+        for d, _ in docs:
+            pa = positions.get((d, ta), [])
+            pb = positions.get((d, tb), [])
+            cnt = sum(1 for x in pa for y in pb if abs(x - y) <= PROX_W)
+            if cnt:
+                perdoc[d] = cnt
+        if perdoc:
+            best = min((-c, d) for d, c in perdoc.items())
+            want[qid] = (
+                ta, tb, len(perdoc), sum(perdoc.values()), best[1], -best[0]
+            )
+    got = {
+        r.qid: (r.term_a, r.term_b, r.n_docs, r.n_pairs, r.best_doc,
+                r.best_doc_matches)
+        for r in q_proximity_search(spark, sf_dir).collect()
+    }
+    assert got == want
