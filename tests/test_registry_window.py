@@ -38,6 +38,11 @@ WINDOW_50 = [
     "q_corr_matrix",  # changed/new
     "q_exp_decay",  # changed/new
     "q_kn_quality",  # changed/new
+    "q_bm25_rank",  # never checked (new r10)
+    "q_corpus_clean_clipped_sampled",  # never checked (new r10)
+    "q_proximity_search",  # never checked (new r10)
+    "q_stream_bm25",  # never checked (new r10)
+    "q_stream_semantic_dedup",  # never checked (new r10)
     "q_stream_sessions",  # last green r4
     "q_stream_sum_map",  # last green r4
     "q_sum_map",  # last green r4
@@ -64,11 +69,6 @@ WINDOW_50 = [
     "q_min_max_map",  # last green r5
     "q_multimodal_adpcm",  # last green r5
     "q_multimodal_gif",  # last green r5
-    "q_multimodal_jpeg",  # last green r5
-    "q_multimodal_jpeg420",  # last green r5
-    "q_multimodal_jpeg_color",  # last green r5
-    "q_multimodal_mulaw",  # last green r5
-    "q_multimodal_png",  # last green r5
 ]
 
 
