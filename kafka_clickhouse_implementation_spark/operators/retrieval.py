@@ -79,8 +79,11 @@ _NANO_SQL = (
     f"CAST(floor((sgn * {pln('e', 't', 't2')}) * fr * 1.0e9) AS BIGINT)"
 )
 
-_BM25_ORACLE = f"""
-WITH toks AS (
+# The BM25 CTE chain through per-doc scores — shared VERBATIM by the
+# standalone oracle (q_bm25_rank / q_stream_bm25) and the C154 hybrid
+# fusion oracle, so the lexical arm of the fusion can never drift from
+# the certified BM25 definition.
+_BM25_CTE_BODY = f"""toks AS (
   SELECT doc_id, u.w AS token
   FROM documents, unnest(string_split(text, ' ')) AS u(w)
   WHERE u.w <> ''
@@ -131,7 +134,10 @@ WITH toks AS (
          CAST(sum(nano) AS BIGINT) AS score_nano,
          CAST(count(*) AS BIGINT) AS n_terms_hit
   FROM contrib GROUP BY qid, doc_id
-)
+)"""
+
+_BM25_ORACLE = f"""
+WITH {_BM25_CTE_BODY}
 SELECT qid, doc_id, CAST(rnk AS BIGINT) AS rnk, score_nano, n_terms_hit
 FROM (
   SELECT *, row_number() OVER (
@@ -427,4 +433,208 @@ def q_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         "CAST(w.d AS BIGINT) AS best_doc",
         "CAST(-w.nc AS BIGINT) AS best_doc_matches",
+    )
+
+
+# ---------------------------------------------------------------------
+# Hybrid lexical+dense retrieval with reciprocal-rank fusion — round 10
+# (C154): the standard two-tower retrieval composition (Cormack,
+# Clarke & Buettcher, SIGIR 2009: RRF; Rocchio-style pseudo-relevance
+# feedback for the dense query) over machinery this repo already
+# certifies — the C150 BM25 ranker supplies the LEXICAL list and the
+# feedback documents, the embeddings table supplies the DENSE list,
+# and the fused ranking is the per-query RRF sum
+#     rrf(d) = sum_lists floor(1e9 / (RRF_K + rank_list(d)))
+# — pure BIGINT integer division, no float surface.
+#
+# The dense query vector is the component-wise SUM of the BM25 top-FB_K
+# feedback docs' embeddings (embeddings.vec_id == documents.doc_id,
+# 1:1 by id in the testdata star schema) — cosine is scale-invariant,
+# so the sum IS the Rocchio centroid. Portability: embedding
+# components are first quantized to exact micro-unit BIGINTs
+# (floor(x*1e6 + 0.5) — the proven C110 clustering recipe), so the
+# query vector, every dot product and both norms are ORDER-INDEPENDENT
+# exact-integer sums (< 2^53 by range analysis: |x| <= ~0.6 -> micro
+# <= 6e5; dot <= 64 * 3*6e5 * 6e5 ~ 7e13); the one float step,
+#     cos_nano = floor(dot / sqrt(na * nb) * 1e9)
+# is a fixed dag of correctly-rounded IEEE ops over EXACT-double
+# inputs, hence bit-identical on both engines BY CONSTRUCTION (the
+# dcast/pln argument — no data luck anywhere).
+#
+# Scale shape: the positional embedding explode is n*d rows (the C110
+# shuffle family); the feedback table is QT_TOTAL/QT_PER * FB_K rows
+# and the query-vector table (4 qids * 64 dims) broadcasts; dense
+# scoring is one partial-aggregated groupBy per (qid, vec). At 100 TB
+# the dense arm routes the same query vectors through the C112 IVF
+# index (nprobe*sqrt(n) candidates) instead of the full scan — the
+# fusion stage is unchanged.
+# ---------------------------------------------------------------------
+
+FB_K = 3  # pseudo-relevance feedback docs (from the BM25 ranking)
+LEX_K = 10  # lexical list depth entering fusion
+DENSE_K = 10  # dense list depth entering fusion
+FUSE_K = 8  # fused results returned per query
+RRF_K = 60  # the RRF rank constant (Cormack et al. 2009)
+
+# one IEEE dag over exact-double inputs — interpolated into BOTH
+# engines' SQL verbatim (dp/na/nb are exact BIGINTs < 2^53)
+_COS_NANO_SQL = (
+    "CAST(floor(CAST(dp AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * "
+    "CAST(nb AS DOUBLE)) * 1.0e9) AS BIGINT)"
+)
+_QUANT_EMB = "CAST(floor(CAST({x} AS DOUBLE) * 1e6 + 0.5) AS BIGINT)"
+
+_HYBRID_ORACLE = f"""
+WITH {_BM25_CTE_BODY}, ranked AS (
+  SELECT qid, doc_id, rnk FROM (
+    SELECT qid, doc_id, row_number() OVER (
+      PARTITION BY qid ORDER BY score_nano DESC, doc_id) AS rnk
+    FROM perdoc
+  ) WHERE rnk <= {LEX_K}
+), fb AS (
+  SELECT qid, doc_id FROM ranked WHERE rnk <= {FB_K}
+), eq AS (
+  SELECT vec_id, CAST(u.i AS BIGINT) AS pos,
+         {_QUANT_EMB.format(x='l[CAST(u.i + 1 AS INTEGER)]')} AS x
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS l FROM embeddings),
+       unnest(range(len(l))) AS u(i)
+), qv AS (
+  SELECT f.qid, e.pos, CAST(sum(e.x) AS BIGINT) AS qx
+  FROM fb f JOIN eq e ON e.vec_id = f.doc_id
+  GROUP BY f.qid, e.pos
+), dsc AS (
+  SELECT q.qid, e.vec_id AS doc_id,
+         CAST(sum(q.qx * e.x) AS BIGINT) AS dp,
+         CAST(sum(q.qx * q.qx) AS BIGINT) AS na,
+         CAST(sum(e.x * e.x) AS BIGINT) AS nb
+  FROM qv q JOIN eq e ON e.pos = q.pos
+  GROUP BY q.qid, e.vec_id
+), dense AS (
+  SELECT qid, doc_id, rnk AS dense_rnk FROM (
+    SELECT qid, doc_id, row_number() OVER (
+      PARTITION BY qid ORDER BY cos_nano DESC, doc_id) AS rnk
+    FROM (
+      SELECT qid, doc_id, {_COS_NANO_SQL} AS cos_nano
+      FROM dsc WHERE na > 0 AND nb > 0
+    )
+  ) WHERE rnk <= {DENSE_K}
+), lex AS (
+  SELECT qid, doc_id, rnk AS lex_rnk FROM ranked
+), fused AS (
+  SELECT qid, doc_id,
+         CAST(coalesce({10**9} // ({RRF_K} + lex_rnk), 0)
+            + coalesce({10**9} // ({RRF_K} + dense_rnk), 0) AS BIGINT)
+           AS rrf_nano,
+         CAST(coalesce(lex_rnk, 0) AS BIGINT) AS lex_rnk,
+         CAST(coalesce(dense_rnk, 0) AS BIGINT) AS dense_rnk
+  FROM lex FULL JOIN dense USING (qid, doc_id)
+)
+SELECT qid, doc_id, CAST(rn AS BIGINT) AS fused_rnk,
+       rrf_nano, lex_rnk, dense_rnk
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY qid ORDER BY rrf_nano DESC, doc_id) AS rn
+  FROM fused
+) WHERE rn <= {FUSE_K}
+"""
+
+
+def quantized_components(emb: DataFrame) -> DataFrame:
+    """(vec_id, pos, x) — embedding components quantized to exact
+    micro-unit BIGINTs (the C110 recipe); the portable positional form
+    every exact-integer vector op in this module consumes."""
+    return emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "xf")
+    ).selectExpr(
+        "vec_id",
+        "CAST(pos AS BIGINT) AS pos",
+        _QUANT_EMB.format(x="xf") + " AS x",
+    )
+
+
+def rrf_fuse(lex: DataFrame, dense: DataFrame, fuse_k: int = FUSE_K) -> DataFrame:
+    """Reciprocal-rank fusion of two (qid, doc_id, *_rnk) lists —
+    integer-exact: contribution = 1e9 div (RRF_K + rank), absent list
+    membership contributes 0 (and surfaces as rank 0 in the output)."""
+    from pyspark.sql import Window as W
+
+    fused = lex.join(dense, ["qid", "doc_id"], "full").selectExpr(
+        "qid",
+        "doc_id",
+        f"CAST(coalesce({10**9} div ({RRF_K} + lex_rnk), 0)"
+        f" + coalesce({10**9} div ({RRF_K} + dense_rnk), 0) AS BIGINT)"
+        " AS rrf_nano",
+        "CAST(coalesce(lex_rnk, 0) AS BIGINT) AS lex_rnk",
+        "CAST(coalesce(dense_rnk, 0) AS BIGINT) AS dense_rnk",
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("rrf_nano"), "doc_id")
+    return (
+        fused.withColumn("fused_rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("fused_rnk") <= fuse_k)
+        .select("qid", "doc_id", "fused_rnk", "rrf_nano", "lex_rnk", "dense_rnk")
+    )
+
+
+def hybrid_rank(docs: DataFrame, emb: DataFrame, fuse_k: int = FUSE_K) -> DataFrame:
+    """C154 core: BM25 lexical list + feedback-centroid dense list,
+    RRF-fused. See the section comment for the portability argument."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    n_docs_df = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    # one BM25 pass serves both arms: rnk<=FB_K seeds the dense query,
+    # the full LEX_K list enters fusion (tiny frame -> pin it once)
+    ranked = (
+        bm25_from_tf(tf, n_docs_df, top_k=LEX_K)
+        .select("qid", "doc_id", "rnk")
+        .localCheckpoint()
+    )
+    eq = quantized_components(emb)
+    fb = ranked.filter(F.col("rnk") <= FB_K).select("qid", "doc_id")
+    qv = (
+        fb.join(eq, fb["doc_id"] == eq["vec_id"])
+        .groupBy("qid", "pos")
+        .agg(F.sum("x").cast("long").alias("qx"))
+    )
+    dsc = (
+        F.broadcast(qv)
+        .join(eq, "pos")
+        .groupBy("qid", "vec_id")
+        .agg(
+            F.sum(F.col("qx") * F.col("x")).cast("long").alias("dp"),
+            F.sum(F.col("qx") * F.col("qx")).cast("long").alias("na"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("nb"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    dense = (
+        dsc.filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .selectExpr("qid", "vec_id AS doc_id", f"{_COS_NANO_SQL} AS cos_nano")
+        .withColumn(
+            "dense_rnk",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(F.desc("cos_nano"), "doc_id")
+            ),
+        )
+        .filter(F.col("dense_rnk") <= DENSE_K)
+        .select("qid", "doc_id", "dense_rnk")
+    )
+    lex = ranked.select("qid", "doc_id", F.col("rnk").alias("lex_rnk"))
+    return rrf_fuse(lex, dense, fuse_k)
+
+
+@query("q_hybrid_rank", oracle=_HYBRID_ORACLE)
+def q_hybrid_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C154: hybrid retrieval — BM25 lexical ranking fused with a
+    pseudo-relevance-feedback dense cosine ranking via reciprocal-rank
+    fusion. The hash certifies the shared BM25 chain, the feedback-doc
+    cut, the exact-integer quantized dense scoring (including the
+    constructed-exact cos_nano dag), both list cuts, and the integer
+    RRF arithmetic with its (rrf DESC, doc_id) tie-break."""
+    return hybrid_rank(
+        load(spark, sf_dir, "documents"), load(spark, sf_dir, "embeddings")
     )

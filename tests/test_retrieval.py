@@ -21,7 +21,7 @@ from kafka_clickhouse_implementation_spark.operators.retrieval import (
 )
 
 
-def _replay(docs: list[tuple[int, str]]):
+def _replay(docs: list[tuple[int, str]], top_k: int = TOP_K):
     """Full BM25 replay over (doc_id, text). Returns
     {qid: [(rnk, doc_id, score_nano, n_hit), ...]} and the query-term
     table for diagnostics."""
@@ -67,7 +67,7 @@ def _replay(docs: list[tuple[int, str]]):
         rows = sorted(
             ((d, s, n) for (q, d), (s, n) in perdoc.items() if q == qid),
             key=lambda r: (-r[1], r[0]),
-        )[:TOP_K]
+        )[:top_k]
         out[qid] = [(i + 1, d, s, n) for i, (d, s, n) in enumerate(rows)]
     return out, qterms
 
@@ -238,3 +238,117 @@ def test_proximity_matches_python_replay(spark, sf_dir):
         for r in q_proximity_search(spark, sf_dir).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------
+# C154 — hybrid BM25 + dense RRF fusion
+# ---------------------------------------------------------------------
+
+
+def _hybrid_replay(docs, embs):
+    """Full C154 replay in plain Python: BM25 ranks (via _replay), the
+    quantized feedback-centroid dense ranking (exact ints, the one
+    IEEE dag for cos_nano), and integer RRF. embs: {vec_id: [float]}."""
+    from kafka_clickhouse_implementation_spark.operators.retrieval import (
+        DENSE_K,
+        FB_K,
+        FUSE_K,
+        LEX_K,
+        RRF_K,
+    )
+
+    ranked, _ = _replay(docs, top_k=LEX_K)
+    eq = {
+        v: [math.floor(float(x) * 1e6 + 0.5) for x in vec]
+        for v, vec in embs.items()
+    }
+    lex = {
+        (qid, d): rnk for qid, rows in ranked.items() for rnk, d, _, _ in rows
+    }
+    dense = {}
+    for qid, rows in ranked.items():
+        fb = [d for rnk, d, _, _ in rows if rnk <= FB_K]
+        qvecs = [eq[d] for d in fb if d in eq]
+        if not qvecs:
+            continue
+        dim = len(qvecs[0])
+        qx = [sum(v[i] for v in qvecs) for i in range(dim)]
+        na = sum(x * x for x in qx)
+        scored = []
+        for v, e in eq.items():
+            dp = sum(q * x for q, x in zip(qx, e))
+            nb = sum(x * x for x in e)
+            if na > 0 and nb > 0:
+                cos_nano = math.floor(
+                    float(dp) / math.sqrt(float(na) * float(nb)) * 1.0e9
+                )
+                scored.append((-cos_nano, v))
+        for rnk0, (_, v) in enumerate(sorted(scored)[:DENSE_K]):
+            dense[(qid, v)] = rnk0 + 1
+    fused = {}
+    for key in set(lex) | set(dense):
+        lr, dr = lex.get(key, 0), dense.get(key, 0)
+        rrf = (10**9 // (RRF_K + lr) if lr else 0) + (
+            10**9 // (RRF_K + dr) if dr else 0
+        )
+        fused[key] = (rrf, lr, dr)
+    out = {}
+    for qid in {q for q, _ in fused}:
+        rows = sorted(
+            ((d, *fused[(q, d)]) for q, d in fused if q == qid),
+            key=lambda r: (-r[1], r[0]),
+        )[:FUSE_K]
+        out[qid] = [
+            (i + 1, d, rrf, lr, dr) for i, (d, rrf, lr, dr) in enumerate(rows)
+        ]
+    return out
+
+
+def test_hybrid_matches_python_replay(spark, sf_dir):
+    from kafka_clickhouse_implementation_spark.operators.retrieval import (
+        q_hybrid_rank,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = list(
+        zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist())
+    )
+    et = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    embs = dict(
+        zip(et.column("vec_id").to_pylist(), et.column("embedding").to_pylist())
+    )
+    want = _hybrid_replay(docs, embs)
+    got: dict[int, list] = collections.defaultdict(list)
+    for r in q_hybrid_rank(spark, sf_dir).collect():
+        got[r.qid].append(
+            (r.fused_rnk, r.doc_id, r.rrf_nano, r.lex_rnk, r.dense_rnk)
+        )
+    for qid in got:
+        got[qid].sort()
+    assert dict(got) == want
+
+
+def test_rrf_fusion_arithmetic(spark):
+    """RRF on synthetic lists: a doc in BOTH lists outranks a doc with
+    the same single-list rank; contributions are the exact integer
+    1e9 div (60 + rank); absent membership surfaces as rank 0."""
+    from kafka_clickhouse_implementation_spark.operators.retrieval import (
+        RRF_K,
+        rrf_fuse,
+    )
+
+    lex = spark.createDataFrame(
+        [(0, 10, 1), (0, 20, 2)], "qid long, doc_id long, lex_rnk long"
+    )
+    dense = spark.createDataFrame(
+        [(0, 10, 5), (0, 30, 2)], "qid long, doc_id long, dense_rnk long"
+    )
+    got = {
+        r.doc_id: (r.fused_rnk, r.rrf_nano, r.lex_rnk, r.dense_rnk)
+        for r in rrf_fuse(lex, dense).collect()
+    }
+    c = lambda r: 10**9 // (RRF_K + r)  # noqa: E731
+    assert got[10] == (1, c(1) + c(5), 1, 5)  # both lists -> top
+    assert got[20] == (2, c(2), 2, 0)  # lex only, rank 2 (doc_id tiebreak)
+    assert got[30] == (3, c(2), 0, 2)  # dense only, rank 2
+    assert got[30][1] == got[20][1]  # same-rank single-list symmetry
