@@ -1,0 +1,255 @@
+"""DSIR-style importance weighting for data selection — round 10
+(C155): the hashed n-gram importance-resampling recipe of Xie et al.
+2023 ("Data Selection for Language Models via Importance Resampling"),
+the standard way a training-data pipeline up-weights documents that
+look like a target domain. This sits beside the quality rungs (C62
+Gopher signals, C63/C82 surprisal, C142 KN) as the DOMAIN-match gate.
+
+Method (all public): features are word unigrams AND adjacent bigrams
+hashed into B = 4096 buckets; two add-1-smoothed multinomial bucket
+models are fit — the TARGET model over the target slice (corpus-derived:
+documents whose ``source`` equals min(source), so a testdata
+regeneration cannot invalidate it) and the SOURCE model over the whole
+corpus (raw pool, as DSIR defines it); each document's importance
+log-weight is
+
+    log w(d) = sum_b cnt_{d,b} * [ ln (ct_b+1)/(tott+B) - ln (cs_b+1)/(tots+B) ]
+
+and selection takes the top-scoring documents (the deterministic
+top-k variant of DSIR's Gumbel resampling — documented determinism
+trade, same class as C18's deterministic stratified sampler).
+
+Portability (the repo's exact-integer + pln recipe, no data luck):
+- bucket ids come from the first 3 md5 nibbles (the C24 instr/substr
+  nibble recipe — md5 is engine-identical), pure integer arithmetic;
+- all counts are exact BIGINTs; each smoothed probability is ONE
+  exact-double division (num, den < 2^53), each ln is the pln kernel
+  (bit-identical across Spark/DuckDB/CPython), and the per-bucket
+  log-likelihood ratio is floor-quantized to NANO units BEFORE the
+  per-doc sum — so every document score is an exact BIGINT sum,
+  partitioning-order independent (the C63 recipe);
+- overflow headroom: |llr_nano| <= ~2.5e10, per-doc feature mass
+  <= 2 * doc length, so scores stay far below 2^53 at any bench sf
+  (the 100 TB path widens the sum to DECIMAL(38,0), the C99 dcast
+  class).
+
+Scale shape: ONE feature explode (the C19/C20 shuffle family — 2 rows
+per token, shuffles (doc_id, bucket) ints, never text); both models
+are 4096-row aggregates with map-side partials; the llr model table
+BROADCASTS to the per-doc scoring join; the selection cut is
+TakeOrdered (no global sort). At 1000 executors nothing here exceeds
+one shuffle of hashed-feature counts.
+
+Reference anchor: the reference pipeline stores raw events and selects
+slices by WHERE (kafka+clickhouse.md:240-243); DSIR is that selection
+made statistical over a text corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_clickhouse_implementation_spark.functions.portable_math import (
+    ln_exp_case,
+    ln_scale_case,
+    pln,
+)
+from kafka_clickhouse_implementation_spark.io import load
+from kafka_clickhouse_implementation_spark.registry import query
+
+N_BUCKETS = 4096  # hashed feature space (first 3 md5 nibbles)
+TOP_N = 20  # selected documents returned
+
+_HEX = "0123456789abcdef"
+
+# bucket id in [0, 4096) from the first 3 md5 nibbles — identical text
+# on both engines (instr/substr/md5 behave identically; the C24 recipe)
+_BUCKET_SQL = (
+    "((instr('{hex}', substr(md5({x}), 1, 1)) - 1) * 256"
+    " + (instr('{hex}', substr(md5({x}), 2, 1)) - 1) * 16"
+    " + (instr('{hex}', substr(md5({x}), 3, 1)) - 1))"
+)
+
+
+def _bucket(x: str) -> str:
+    return _BUCKET_SQL.format(hex=_HEX, x=x)
+
+
+# the per-bucket log-likelihood-ratio dag, interpolated VERBATIM into
+# both engines' SQL over bound columns (ct, cs, tott, tots exact BIGINT)
+_PT_SQL = f"CAST(ct + 1 AS DOUBLE) / CAST(tott + {N_BUCKETS} AS DOUBLE)"
+_PS_SQL = f"CAST(cs + 1 AS DOUBLE) / CAST(tots + {N_BUCKETS} AS DOUBLE)"
+_LLR_NANO_SQL = (
+    f"CAST(floor(({pln('et', 'tt', 'tt2')} - {pln('es', 'ts', 'ts2')})"
+    " * 1.0e9) AS BIGINT)"
+)
+
+_DSIR_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), uni AS (
+  SELECT doc_id, t[CAST(u.i + 1 AS INTEGER)] AS w
+  FROM toks, unnest(range(len(t))) AS u(i)
+), big AS (
+  SELECT doc_id, t[CAST(u.i + 1 AS INTEGER)] AS wa,
+         t[CAST(u.i + 2 AS INTEGER)] AS wb
+  FROM toks, unnest(range(len(t) - 1)) AS u(i)
+), feats AS (
+  SELECT doc_id, {_bucket('w')} AS b FROM uni WHERE w <> ''
+  UNION ALL
+  SELECT doc_id, {_bucket("wa || '_' || wb")} AS b
+  FROM big WHERE wa <> '' AND wb <> ''
+), dfc AS (
+  SELECT doc_id, b, CAST(count(*) AS BIGINT) AS cnt
+  FROM feats GROUP BY doc_id, b
+), tgt AS (
+  SELECT doc_id FROM documents
+  WHERE source = (SELECT min(source) FROM documents)
+), smodel AS (
+  SELECT b, CAST(sum(cnt) AS BIGINT) AS cs FROM dfc GROUP BY b
+), tmodel AS (
+  SELECT d.b, CAST(sum(d.cnt) AS BIGINT) AS ct
+  FROM dfc d JOIN tgt USING (doc_id) GROUP BY d.b
+), tots AS (
+  SELECT (SELECT CAST(sum(cnt) AS BIGINT) FROM dfc) AS tots,
+         (SELECT CAST(coalesce(sum(d.cnt), 0) AS BIGINT)
+          FROM dfc d JOIN tgt USING (doc_id)) AS tott
+), model AS (
+  SELECT s.b, coalesce(t.ct, 0) AS ct, s.cs, x.tott, x.tots
+  FROM smodel s LEFT JOIN tmodel t ON t.b = s.b, tots x
+), m1 AS (
+  SELECT b, {_PT_SQL} AS pt, {_PS_SQL} AS ps FROM model
+), m2 AS (
+  SELECT b, {ln_exp_case('pt')} AS et, pt * {ln_scale_case('pt')} AS mt,
+         {ln_exp_case('ps')} AS es, ps * {ln_scale_case('ps')} AS ms
+  FROM m1
+), m3 AS (
+  SELECT b, et, (mt - 1.0) / (mt + 1.0) AS tt,
+         es, (ms - 1.0) / (ms + 1.0) AS ts
+  FROM m2
+), m4 AS (
+  SELECT b, et, tt, tt * tt AS tt2, es, ts, ts * ts AS ts2 FROM m3
+), llr AS (
+  SELECT b, {_LLR_NANO_SQL} AS llr_nano FROM m4
+), scored AS (
+  SELECT d.doc_id, CAST(sum(d.cnt * l.llr_nano) AS BIGINT) AS score_nano,
+         CAST(sum(d.cnt) AS BIGINT) AS n_feats
+  FROM dfc d JOIN llr l ON l.b = d.b
+  GROUP BY d.doc_id
+)
+SELECT CAST(s.rnk AS BIGINT) AS rnk, s.doc_id, d.source, s.score_nano,
+       s.n_feats
+FROM (
+  SELECT *, row_number() OVER (ORDER BY score_nano DESC, doc_id) AS rnk
+  FROM scored
+) s JOIN documents d ON d.doc_id = s.doc_id
+WHERE s.rnk <= {TOP_N}
+"""
+
+
+def doc_features(docs: DataFrame) -> DataFrame:
+    """(doc_id, b, cnt) hashed unigram+bigram bucket counts per doc."""
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    uni = (
+        toks.select("doc_id", F.explode("t").alias("w"))
+        .filter(F.col("w") != "")
+        .selectExpr("doc_id", f"{_bucket('w')} AS b")
+    )
+    big = (
+        toks.filter(F.size("t") >= 2)  # sequence(0,-1) would descend (C19)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> struct(t[i] AS wa, t[i + 1] AS wb))"
+                )
+            ).alias("g"),
+        )
+        .filter((F.col("g.wa") != "") & (F.col("g.wb") != ""))
+        .selectExpr("doc_id", _bucket("concat(g.wa, '_', g.wb)") + " AS b")
+    )
+    feats = uni.unionByName(big.select("doc_id", "b"))
+    return feats.groupBy("doc_id", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
+def dsir_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, score_nano, n_feats) — exact-BIGINT DSIR importance
+    log-weights in nano-nats for every document with >= 1 feature."""
+    dfc = doc_features(docs)
+    msrc = docs.agg(F.min("source").alias("msrc"))
+    tgt = (
+        docs.crossJoin(F.broadcast(msrc))
+        .filter(F.col("source") == F.col("msrc"))
+        .select("doc_id")
+    )
+    smodel = dfc.groupBy("b").agg(F.sum("cnt").cast("long").alias("cs"))
+    tdfc = dfc.join(tgt, "doc_id")
+    tmodel = tdfc.groupBy("b").agg(F.sum("cnt").cast("long").alias("ct"))
+    tots = (
+        dfc.agg(F.sum("cnt").cast("long").alias("tots"))
+        .crossJoin(
+            tdfc.agg(
+                F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("tott")
+            )
+        )
+    )
+    model = (
+        smodel.join(tmodel, "b", "left")
+        .withColumn("ct", F.coalesce(F.col("ct"), F.lit(0)))
+        .crossJoin(F.broadcast(tots))
+    )
+    llr = (
+        model.selectExpr("b", f"{_PT_SQL} AS pt", f"{_PS_SQL} AS ps")
+        .selectExpr(
+            "b",
+            f"{ln_exp_case('pt')} AS et",
+            f"pt * {ln_scale_case('pt')} AS mt",
+            f"{ln_exp_case('ps')} AS es",
+            f"ps * {ln_scale_case('ps')} AS ms",
+        )
+        .selectExpr(
+            "b", "et", "(mt - 1.0) / (mt + 1.0) AS tt",
+            "es", "(ms - 1.0) / (ms + 1.0) AS ts",
+        )
+        .selectExpr("b", "et", "tt", "tt * tt AS tt2", "es", "ts", "ts * ts AS ts2")
+        .selectExpr("b", f"{_LLR_NANO_SQL} AS llr_nano")
+    )
+    return (
+        dfc.join(F.broadcast(llr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("cnt") * F.col("llr_nano")).cast("long").alias("score_nano"),
+            F.sum("cnt").cast("long").alias("n_feats"),
+        )
+    )
+
+
+@query("q_dsir_weights", oracle=_DSIR_ORACLE)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C155: DSIR importance selection — the TOP_N documents by exact
+    importance log-weight (target = the min(source) slice), with rank,
+    source, score and feature mass. The hash certifies the hashed
+    feature extraction, both smoothed bucket models, every pln-kernel
+    llr (sign included via the subtraction), the nano quantization,
+    the exact per-doc sums, and the (score DESC, doc_id) selection
+    cut. Selection is TakeOrdered; the rank window runs over TOP_N
+    rows only."""
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    scored = dsir_scores(docs)
+    top = scored.orderBy(F.desc("score_nano"), "doc_id").limit(TOP_N)
+    ranked = top.withColumn(
+        "rnk",
+        F.row_number()
+        .over(W.orderBy(F.desc("score_nano"), "doc_id"))
+        .cast("long"),
+    )
+    return (
+        ranked.join(F.broadcast(docs.select("doc_id", "source")), "doc_id")
+        .select("rnk", "doc_id", "source", "score_nano", "n_feats")
+    )

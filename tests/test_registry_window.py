@@ -40,6 +40,7 @@ WINDOW_50 = [
     "q_kn_quality",  # changed/new
     "q_bm25_rank",  # never checked (new r10)
     "q_corpus_clean_clipped_sampled",  # never checked (new r10)
+    "q_dsir_weights",  # never checked (new r10)
     "q_hybrid_rank",  # never checked (new r10)
     "q_proximity_search",  # never checked (new r10)
     "q_stream_bm25",  # never checked (new r10)
@@ -68,7 +69,6 @@ WINDOW_50 = [
     "q_lttb",  # last green r5
     "q_max_intersections",  # last green r5
     "q_min_max_map",  # last green r5
-    "q_multimodal_adpcm",  # last green r5
 ]
 
 
