@@ -637,3 +637,92 @@ def q_multi_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c_window").cast("long").alias("cnt_window"),
         F.sum("pos_spark").cast("long").alias("pos_spark_sum"),
     )
+
+
+# ---------------------------------------------------------------------
+# Tukey-fence outlier detection — round 10 (C156): ClickHouse
+# ``seriesOutliersDetectTukey`` parity, grouped. Fences are the classic
+# Q1 - 1.5*IQR / Q3 + 1.5*IQR over EXACT interpolated quartiles.
+#
+# Portability rides the C38 argument: the measure (document length in
+# characters) is INTEGER-valued and the quantile fractions are
+# quarters, so Q1/Q3 are exact binary rationals (denominator 4) and
+# identical doubles on both engines; 1.5*IQR and both fences then stay
+# exact binary rationals (denominator 8) under correctly-rounded IEEE
+# ops — the fence comparison against integer lengths is deterministic,
+# no guard band needed. The fence dag is interpolated VERBATIM into
+# both engines' SQL.
+#
+# Scale shape: percentile is a partial aggregate (value histogram per
+# partition, one final interpolation per group); the per-group fence
+# table is group-cardinality-sized and BROADCASTS back onto the scan
+# for the outlier count — two passes, no row-level window.
+# ---------------------------------------------------------------------
+
+_FENCE_LO_SQL = "p25 - 1.5e0 * (p75 - p25)"
+_FENCE_HI_SQL = "p75 + 1.5e0 * (p75 - p25)"
+
+_TUKEY_ORACLE = f"""
+WITH v AS (
+  SELECT source, CAST(length(text) AS BIGINT) AS x FROM documents
+), q AS (
+  SELECT source,
+         quantile_cont(x, 0.25) AS p25,
+         quantile_cont(x, 0.75) AS p75,
+         CAST(count(*) AS BIGINT) AS n
+  FROM v GROUP BY source
+), f AS (
+  SELECT source, p25, p75, n,
+         {_FENCE_LO_SQL} AS lo_fence, {_FENCE_HI_SQL} AS hi_fence
+  FROM q
+)
+SELECT f.source, f.n, f.p25, f.p75, f.lo_fence, f.hi_fence,
+       CAST(sum(CASE WHEN v.x < f.lo_fence THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_low,
+       CAST(sum(CASE WHEN v.x > f.hi_fence THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_high
+FROM v JOIN f USING (source)
+GROUP BY f.source, f.n, f.p25, f.p75, f.lo_fence, f.hi_fence
+"""
+
+
+def tukey_outliers(vals: DataFrame) -> DataFrame:
+    """(source, n, p25, p75, lo_fence, hi_fence, n_low, n_high) over a
+    (source, x) frame with INTEGER-valued x — see section comment for
+    why the fences are engine-exact."""
+    q = vals.groupBy("source").agg(
+        F.expr("percentile(x, 0.25D)").alias("p25"),
+        F.expr("percentile(x, 0.75D)").alias("p75"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    f = q.selectExpr(
+        "source", "p25", "p75", "n",
+        f"{_FENCE_LO_SQL} AS lo_fence", f"{_FENCE_HI_SQL} AS hi_fence",
+    )
+    return (
+        vals.join(F.broadcast(f), "source")
+        .groupBy("source", "n", "p25", "p75", "lo_fence", "hi_fence")
+        .agg(
+            F.sum(F.when(F.col("x") < F.col("lo_fence"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_low"),
+            F.sum(F.when(F.col("x") > F.col("hi_fence"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_high"),
+        )
+        .select("source", "n", "p25", "p75", "lo_fence", "hi_fence",
+                "n_low", "n_high")
+    )
+
+
+@query("q_tukey_outliers", oracle=_TUKEY_ORACLE)
+def q_tukey_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C156: per-source Tukey-fence outlier detection over document
+    lengths (ClickHouse ``seriesOutliersDetectTukey`` semantics,
+    grouped). The hash certifies the exact quartiles, the fence dag,
+    and both tail counts."""
+    docs = load(spark, sf_dir, "documents")
+    vals = docs.select(
+        "source", F.length("text").cast("long").alias("x")
+    )
+    return tukey_outliers(vals)

@@ -272,3 +272,38 @@ def test_corr_matrix_matches_python(spark, sf_dir):
 # tests/test_portable_math.py, and tools/guard_band.py now monitors
 # kernel-vs-libm accuracy over full datasets (invoked by
 # make_scale_data and the sf1 sweep).
+
+
+def test_tukey_fences_on_known_distribution(spark):
+    """C156: a crafted group where the quartiles and outliers are known
+    by hand — values 1..8 plus outliers 100 and -50. Q1 of
+    [-50,1..8,100] (n=10, quantile_cont): p25 = 2.25, p75 = 6.75,
+    IQR = 4.5 -> fences [-4.5, 13.5] -> one low, one high."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from kafka_clickhouse_implementation_spark.operators.parity_ext import (
+        tukey_outliers,
+    )
+
+    rows = [("g", v) for v in list(range(1, 9)) + [100, -50]]
+    vals = spark.createDataFrame(rows, "source string, x long")
+    got = tukey_outliers(vals).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.n, r.p25, r.p75) == (10, 2.25, 6.75)
+    assert (r.lo_fence, r.hi_fence) == (-4.5, 13.5)
+    assert (r.n_low, r.n_high) == (1, 1)
+
+
+def test_tukey_no_outliers_in_tight_group(spark):
+    """A constant group has IQR 0 -> fences collapse to the value ->
+    zero outliers (boundary values are NOT outliers: strict <, >)."""
+    from kafka_clickhouse_implementation_spark.operators.parity_ext import (
+        tukey_outliers,
+    )
+
+    vals = spark.createDataFrame(
+        [("c", 7)] * 9, "source string, x long"
+    )
+    r = tukey_outliers(vals).collect()[0]
+    assert (r.lo_fence, r.hi_fence, r.n_low, r.n_high) == (7.0, 7.0, 0, 0)
