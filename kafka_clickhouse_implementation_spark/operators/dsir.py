@@ -148,44 +148,60 @@ WHERE s.rnk <= {TOP_N}
 """
 
 
+# unigram + bigram feature strings as ONE array expression over the
+# split-token array t — a single explode, so the SAME projection runs
+# on a batch frame and on a streaming micro-batch (the C157 twin keeps
+# one dedup state instead of one per union leg). slice(t, 1, 0) is the
+# typed-empty-array guard replacing C19's size>=2 filter (sequence(0,-1)
+# would descend and emit phantom bigrams).
+_FEATS_EXPR = (
+    "concat("
+    "  filter(t, w -> w <> ''),"
+    "  CASE WHEN size(t) >= 2 THEN"
+    "    transform("
+    "      filter(transform(sequence(0, size(t) - 2),"
+    "                       i -> struct(t[i] AS wa, t[i + 1] AS wb)),"
+    "             g -> g.wa <> '' AND g.wb <> ''),"
+    "      g -> concat(g.wa, '_', g.wb))"
+    "  ELSE slice(t, 1, 0) END)"
+)
+
+
 def doc_features(docs: DataFrame) -> DataFrame:
-    """(doc_id, b, cnt) hashed unigram+bigram bucket counts per doc."""
-    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
-    uni = (
-        toks.select("doc_id", F.explode("t").alias("w"))
-        .filter(F.col("w") != "")
-        .selectExpr("doc_id", f"{_bucket('w')} AS b")
+    """(doc_id, b, cnt) hashed unigram+bigram bucket counts per doc —
+    one explode, streaming-safe (one aggregation, no union legs)."""
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("t"))
+        .select("doc_id", F.explode(F.expr(_FEATS_EXPR)).alias("feat"))
+        .selectExpr("doc_id", f"{_bucket('feat')} AS b")
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
-    big = (
-        toks.filter(F.size("t") >= 2)  # sequence(0,-1) would descend (C19)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(t) - 2),"
-                    " i -> struct(t[i] AS wa, t[i + 1] AS wb))"
-                )
-            ).alias("g"),
-        )
-        .filter((F.col("g.wa") != "") & (F.col("g.wb") != ""))
-        .selectExpr("doc_id", _bucket("concat(g.wa, '_', g.wb)") + " AS b")
-    )
-    feats = uni.unionByName(big.select("doc_id", "b"))
-    return feats.groupBy("doc_id", "b").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
+
+
+def target_ids(docs: DataFrame) -> DataFrame:
+    """doc_ids of the corpus-derived target slice: source = min(source)
+    (no collect — the 1-row min broadcasts into the filter)."""
+    msrc = docs.agg(F.min("source").alias("msrc"))
+    return (
+        docs.crossJoin(F.broadcast(msrc))
+        .filter(F.col("source") == F.col("msrc"))
+        .select("doc_id")
     )
 
 
 def dsir_scores(docs: DataFrame) -> DataFrame:
     """(doc_id, score_nano, n_feats) — exact-BIGINT DSIR importance
     log-weights in nano-nats for every document with >= 1 feature."""
-    dfc = doc_features(docs)
-    msrc = docs.agg(F.min("source").alias("msrc"))
-    tgt = (
-        docs.crossJoin(F.broadcast(msrc))
-        .filter(F.col("source") == F.col("msrc"))
-        .select("doc_id")
-    )
+    return dsir_scores_from_features(doc_features(docs), target_ids(docs))
+
+
+def dsir_scores_from_features(dfc: DataFrame, tgt: DataFrame) -> DataFrame:
+    """The ONE scoring core shared by batch C155 (dfc from a corpus
+    scan) and streaming C157 (dfc drained from the incrementally
+    maintained feature state) — both models, the pln llr table and the
+    per-doc sums derive from dfc alone, so the two paths cannot
+    drift."""
     smodel = dfc.groupBy("b").agg(F.sum("cnt").cast("long").alias("cs"))
     tdfc = dfc.join(tgt, "doc_id")
     tmodel = tdfc.groupBy("b").agg(F.sum("cnt").cast("long").alias("ct"))
@@ -228,20 +244,11 @@ def dsir_scores(docs: DataFrame) -> DataFrame:
     )
 
 
-@query("q_dsir_weights", oracle=_DSIR_ORACLE)
-def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C155: DSIR importance selection — the TOP_N documents by exact
-    importance log-weight (target = the min(source) slice), with rank,
-    source, score and feature mass. The hash certifies the hashed
-    feature extraction, both smoothed bucket models, every pln-kernel
-    llr (sign included via the subtraction), the nano quantization,
-    the exact per-doc sums, and the (score DESC, doc_id) selection
-    cut. Selection is TakeOrdered; the rank window runs over TOP_N
-    rows only."""
+def _select_top(scored: DataFrame, docs: DataFrame) -> DataFrame:
+    """Deterministic top-TOP_N selection cut + source tag — TakeOrdered
+    first, then the rank window runs over TOP_N rows only."""
     from pyspark.sql import Window as W
 
-    docs = load(spark, sf_dir, "documents")
-    scored = dsir_scores(docs)
     top = scored.orderBy(F.desc("score_nano"), "doc_id").limit(TOP_N)
     ranked = top.withColumn(
         "rnk",
@@ -253,3 +260,74 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.join(F.broadcast(docs.select("doc_id", "source")), "doc_id")
         .select("rnk", "doc_id", "source", "score_nano", "n_feats")
     )
+
+
+@query("q_dsir_weights", oracle=_DSIR_ORACLE)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C155: DSIR importance selection — the TOP_N documents by exact
+    importance log-weight (target = the min(source) slice), with rank,
+    source, score and feature mass. The hash certifies the hashed
+    feature extraction, both smoothed bucket models, every pln-kernel
+    llr (sign included via the subtraction), the nano quantization,
+    the exact per-doc sums, and the (score DESC, doc_id) selection
+    cut."""
+    docs = load(spark, sf_dir, "documents")
+    return _select_top(dsir_scores(docs), docs)
+
+
+# ---------------------------------------------------------------------
+# Streaming-maintained DSIR feature state — round 10 (C157): the
+# C138/C147/C152 -State certification pattern applied to importance
+# weighting. Documents arrive over the duplicate-injecting corpus wire,
+# pass stateful doc_id dedup, explode through the SAME _FEATS_EXPR
+# projection, and a complete-mode groupBy(doc_id, b) count maintains
+# the hashed-feature state incrementally (state linear in Σ distinct
+# (doc, bucket); at 100 TB the memory sink becomes an update-mode
+# idempotent upsert keyed by (doc_id, b)). The drained state enters
+# dsir_scores_from_features — the identical scoring core as batch C155
+# (both models + llr derive from dfc) — and is checked against the
+# batch DSIR oracle VERBATIM. The dedup state is intrinsically
+# load-bearing: without it every feature count doubles, which does NOT
+# cancel in the smoothed ratios (the +1 / +B terms), so every score
+# shifts — a loud hash FAIL (pinned exactly in tests/test_dsir.py).
+# The target slice joins in from the STATIC documents table (the wire
+# carries (doc_id, text) only — stream-static enrichment, the C44
+# class).
+# ---------------------------------------------------------------------
+
+
+@query("q_stream_dsir", oracle=_DSIR_ORACLE)
+def q_stream_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C157: DSIR selection over the STREAMING-MAINTAINED feature
+    state — one hash certifies incrementally-built features == batch
+    features == independent DuckDB replay."""
+    import os
+
+    from kafka_clickhouse_implementation_spark.streaming.corpus_stream import (
+        _DOC_WIRE_SCHEMA,
+        document_wire,
+    )
+    from kafka_clickhouse_implementation_spark.streaming.funnel import _drain
+
+    wire, base = document_wire(spark, sf_dir)
+    feat_state = (
+        spark.readStream.schema(_DOC_WIRE_SCHEMA)
+        .option("maxFilesPerTrigger", "4")
+        .json(wire)
+        .dropDuplicates(["doc_id"])
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .select("doc_id", F.explode(F.expr(_FEATS_EXPR)).alias("feat"))
+        .selectExpr("doc_id", f"{_bucket('feat')} AS b")
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    _drain(
+        spark, feat_state, "stream_dsir_dfc",
+        os.path.join(base, "ckpt_dsir_dfc"), mode="complete",
+    )
+    # the drained state feeds four plan branches (smodel, tmodel, tots,
+    # scoring) — pin it once (the C152 localCheckpoint rationale)
+    dfc = spark.table("stream_dsir_dfc").localCheckpoint()
+    docs = load(spark, sf_dir, "documents")
+    scored = dsir_scores_from_features(dfc, target_ids(docs))
+    return _select_top(scored, docs)

@@ -111,3 +111,54 @@ def test_dsir_prefers_target_domain(spark):
     b_max = max(got[100 + i] for i in range(10))
     assert a_min > b_max
     assert b_max < got[200] < a_min
+
+
+def test_stream_dsir_state_matches_batch_and_needs_dedup(spark):
+    """C157: (a) the drained feature state equals batch doc_features
+    exactly; (b) without the dropDuplicates stage every count doubles
+    (the wire's duplicate files reach the counting state) — and the
+    doubled counts do NOT cancel in the smoothed score ratios, so the
+    dedup state is load-bearing for the DSIR hash."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+
+    from kafka_clickhouse_implementation_spark.io import load
+    from kafka_clickhouse_implementation_spark.operators.dsir import (
+        _FEATS_EXPR,
+        _bucket,
+        doc_features,
+        q_stream_dsir,
+    )
+    from kafka_clickhouse_implementation_spark.streaming.corpus_stream import (
+        _DOC_WIRE_SCHEMA,
+        document_wire,
+    )
+    from kafka_clickhouse_implementation_spark.streaming.funnel import _drain
+
+    q_stream_dsir(spark, SF_DIR)  # populates stream_dsir_dfc
+    got = sorted(map(tuple, spark.table("stream_dsir_dfc").collect()))
+    want = sorted(
+        map(tuple, doc_features(load(spark, SF_DIR, "documents")).collect())
+    )
+    assert got == want
+
+    wire, base = document_wire(spark, SF_DIR)
+    nodedup = (
+        spark.readStream.schema(_DOC_WIRE_SCHEMA)
+        .option("maxFilesPerTrigger", "4")
+        .json(wire)
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .select("doc_id", F.explode(F.expr(_FEATS_EXPR)).alias("feat"))
+        .selectExpr("doc_id", f"{_bucket('feat')} AS b")
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    _drain(
+        spark, nodedup, "stream_dsir_dfc_nodedup",
+        os.path.join(base, "ckpt_dsir_dfc_nodedup"), mode="complete",
+    )
+    got2 = sorted(map(tuple, spark.table("stream_dsir_dfc_nodedup").collect()))
+    assert got2 == sorted((d, b, 2 * n) for d, b, n in want)

@@ -44,6 +44,7 @@ WINDOW_50 = [
     "q_hybrid_rank",  # never checked (new r10)
     "q_proximity_search",  # never checked (new r10)
     "q_stream_bm25",  # never checked (new r10)
+    "q_stream_dsir",  # never checked (new r10)
     "q_stream_semantic_dedup",  # never checked (new r10)
     "q_tukey_outliers",  # never checked (new r10)
     "q_stream_sessions",  # last green r4
@@ -68,7 +69,6 @@ WINDOW_50 = [
     "q_ip_funcs",  # last green r5
     "q_jaccard_pairs",  # last green r5
     "q_lttb",  # last green r5
-    "q_max_intersections",  # last green r5
 ]
 
 
