@@ -484,8 +484,10 @@ _COS_NANO_SQL = (
 )
 _QUANT_EMB = "CAST(floor(CAST({x} AS DOUBLE) * 1e6 + 0.5) AS BIGINT)"
 
-_HYBRID_ORACLE = f"""
-WITH {_BM25_CTE_BODY}, ranked AS (
+# The dense-arm CTE chain (feedback docs -> quantized components ->
+# query centroid -> exact-integer cosine -> ranked dense list) — shared
+# VERBATIM by the C154 hybrid fusion oracle and the C158 MMR oracle.
+_DENSE_CTE_BODY = f"""ranked AS (
   SELECT qid, doc_id, rnk FROM (
     SELECT qid, doc_id, row_number() OVER (
       PARTITION BY qid ORDER BY score_nano DESC, doc_id) AS rnk
@@ -509,15 +511,20 @@ WITH {_BM25_CTE_BODY}, ranked AS (
          CAST(sum(e.x * e.x) AS BIGINT) AS nb
   FROM qv q JOIN eq e ON e.pos = q.pos
   GROUP BY q.qid, e.vec_id
-), dense AS (
-  SELECT qid, doc_id, rnk AS dense_rnk FROM (
-    SELECT qid, doc_id, row_number() OVER (
+), dense_ranked AS (
+  SELECT qid, doc_id, cos_nano, rnk AS dense_rnk FROM (
+    SELECT qid, doc_id, cos_nano, row_number() OVER (
       PARTITION BY qid ORDER BY cos_nano DESC, doc_id) AS rnk
     FROM (
       SELECT qid, doc_id, {_COS_NANO_SQL} AS cos_nano
       FROM dsc WHERE na > 0 AND nb > 0
     )
   ) WHERE rnk <= {DENSE_K}
+)"""
+
+_HYBRID_ORACLE = f"""
+WITH {_BM25_CTE_BODY}, {_DENSE_CTE_BODY}, dense AS (
+  SELECT qid, doc_id, dense_rnk FROM dense_ranked
 ), lex AS (
   SELECT qid, doc_id, rnk AS lex_rnk FROM ranked
 ), fused AS (
@@ -575,9 +582,10 @@ def rrf_fuse(lex: DataFrame, dense: DataFrame, fuse_k: int = FUSE_K) -> DataFram
     )
 
 
-def hybrid_rank(docs: DataFrame, emb: DataFrame, fuse_k: int = FUSE_K) -> DataFrame:
-    """C154 core: BM25 lexical list + feedback-centroid dense list,
-    RRF-fused. See the section comment for the portability argument."""
+def _bm25_ranked(docs: DataFrame) -> DataFrame:
+    """(qid, doc_id, rnk) — one BM25 pass to depth LEX_K: rnk<=FB_K
+    seeds the dense query, the full list enters fusion (tiny frame ->
+    pin it once)."""
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     ).filter(F.col("token") != "")
@@ -585,14 +593,20 @@ def hybrid_rank(docs: DataFrame, emb: DataFrame, fuse_k: int = FUSE_K) -> DataFr
         F.count(F.lit(1)).cast("long").alias("tf")
     )
     n_docs_df = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    # one BM25 pass serves both arms: rnk<=FB_K seeds the dense query,
-    # the full LEX_K list enters fusion (tiny frame -> pin it once)
-    ranked = (
+    return (
         bm25_from_tf(tf, n_docs_df, top_k=LEX_K)
         .select("qid", "doc_id", "rnk")
         .localCheckpoint()
     )
-    eq = quantized_components(emb)
+
+
+def dense_ranked(ranked: DataFrame, eq: DataFrame) -> DataFrame:
+    """(qid, doc_id, cos_nano, dense_rnk) — the feedback-centroid dense
+    list to depth DENSE_K (see the section comment for the exactness
+    argument). ranked: a (qid, doc_id, rnk) BM25 frame; eq: quantized
+    components."""
+    from pyspark.sql import Window as W
+
     fb = ranked.filter(F.col("rnk") <= FB_K).select("qid", "doc_id")
     qv = (
         fb.join(eq, fb["doc_id"] == eq["vec_id"])
@@ -609,9 +623,7 @@ def hybrid_rank(docs: DataFrame, emb: DataFrame, fuse_k: int = FUSE_K) -> DataFr
             F.sum(F.col("x") * F.col("x")).cast("long").alias("nb"),
         )
     )
-    from pyspark.sql import Window as W
-
-    dense = (
+    return (
         dsc.filter((F.col("na") > 0) & (F.col("nb") > 0))
         .selectExpr("qid", "vec_id AS doc_id", f"{_COS_NANO_SQL} AS cos_nano")
         .withColumn(
@@ -621,7 +633,16 @@ def hybrid_rank(docs: DataFrame, emb: DataFrame, fuse_k: int = FUSE_K) -> DataFr
             ),
         )
         .filter(F.col("dense_rnk") <= DENSE_K)
-        .select("qid", "doc_id", "dense_rnk")
+        .select("qid", "doc_id", "cos_nano", "dense_rnk")
+    )
+
+
+def hybrid_rank(docs: DataFrame, emb: DataFrame, fuse_k: int = FUSE_K) -> DataFrame:
+    """C154 core: BM25 lexical list + feedback-centroid dense list,
+    RRF-fused. See the section comment for the portability argument."""
+    ranked = _bm25_ranked(docs)
+    dense = dense_ranked(ranked, quantized_components(emb)).select(
+        "qid", "doc_id", "dense_rnk"
     )
     lex = ranked.select("qid", "doc_id", F.col("rnk").alias("lex_rnk"))
     return rrf_fuse(lex, dense, fuse_k)
@@ -638,3 +659,197 @@ def q_hybrid_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hybrid_rank(
         load(spark, sf_dir, "documents"), load(spark, sf_dir, "embeddings")
     )
+
+
+# ---------------------------------------------------------------------
+# MMR diversification of the dense retrieval list — round 10 (C158):
+# Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR 1998) — the
+# standard redundancy-removal step after retrieval, and the greedy
+# operator a plain SQL ranking cannot express (each pick depends on
+# all previous picks). Over the C154 dense candidate list:
+#
+#   pick_1 = argmax rel(d)
+#   pick_k = argmax [ LAM*rel(d) - (1-LAM)*max_{s in picked} sim(d, s) ]
+#
+# with LAM = 0.7 scaled to integers (score = 7*rel - 3*maxsim), rel =
+# the feedback-centroid cos_nano and sim = candidate-pairwise cos_nano
+# — ALL exact BIGINTs (the C154 quantized dag), so every greedy argmax
+# is an exact integer comparison with the (score DESC, doc_id)
+# tie-break. MMR_K fixed picks; the Spark side unrolls the greedy loop
+# as MMR_K-1 dataframe rounds (the Lloyd-iteration precedent), the
+# oracle unrolls the SAME rounds as generated CTE blocks (the BPE
+# oracle recipe) — no recursion, no lambdas.
+#
+# Scale shape: candidates are DENSE_K per query, so the pairwise sim
+# matrix is queries * DENSE_K^2 rows built from ONE positional
+# self-join of candidate components — MMR cost is always
+# candidate-bounded, never corpus-bounded.
+# ---------------------------------------------------------------------
+
+MMR_K = 4  # diversified picks per query
+MMR_W_REL = 7  # LAM = 0.7 scaled by 10
+MMR_W_DIV = 3  # 1 - LAM scaled by 10
+
+
+def _mmr_round_cte(k: int) -> str:
+    """Oracle CTE block for greedy round k (k >= 2)."""
+    return f""", pick{k} AS (
+  SELECT qid, CAST({k} AS BIGINT) AS step, doc_id, rel_nano, maxsim_nano,
+         mmr_nano
+  FROM (
+    SELECT c.qid, c.doc_id, c.cos_nano AS rel_nano, m.maxsim_nano,
+           CAST({MMR_W_REL} * c.cos_nano
+              - {MMR_W_DIV} * m.maxsim_nano AS BIGINT) AS mmr_nano,
+           row_number() OVER (PARTITION BY c.qid
+             ORDER BY ({MMR_W_REL} * c.cos_nano
+                     - {MMR_W_DIV} * m.maxsim_nano) DESC, c.doc_id) AS rn
+    FROM cand c
+    JOIN (SELECT p.qid, p.a, CAST(max(p.sim_nano) AS BIGINT) AS maxsim_nano
+          FROM psim p JOIN all{k - 1} s
+            ON s.qid = p.qid AND s.doc_id = p.b
+          GROUP BY p.qid, p.a) m
+      ON m.qid = c.qid AND m.a = c.doc_id
+    WHERE NOT EXISTS (SELECT 1 FROM all{k - 1} s2
+                      WHERE s2.qid = c.qid AND s2.doc_id = c.doc_id)
+  ) WHERE rn = 1
+), all{k} AS (SELECT * FROM all{k - 1} UNION ALL SELECT * FROM pick{k})"""
+
+
+_MMR_ORACLE = (
+    f"""
+WITH {_BM25_CTE_BODY}, {_DENSE_CTE_BODY}, cand AS (
+  SELECT qid, doc_id, cos_nano, dense_rnk FROM dense_ranked
+), ce AS (
+  SELECT c.qid, c.doc_id, e.pos, e.x
+  FROM cand c JOIN eq e ON e.vec_id = c.doc_id
+), psim0 AS (
+  SELECT a.qid, a.doc_id AS a, b.doc_id AS b,
+         CAST(sum(a.x * b.x) AS BIGINT) AS dp,
+         CAST(sum(a.x * a.x) AS BIGINT) AS na,
+         CAST(sum(b.x * b.x) AS BIGINT) AS nb
+  FROM ce a JOIN ce b
+    ON b.qid = a.qid AND b.pos = a.pos AND b.doc_id <> a.doc_id
+  GROUP BY a.qid, a.doc_id, b.doc_id
+), psim AS (
+  SELECT qid, a, b, {_COS_NANO_SQL} AS sim_nano
+  FROM psim0 WHERE na > 0 AND nb > 0
+), sel1 AS (
+  SELECT qid, CAST(1 AS BIGINT) AS step, doc_id,
+         cos_nano AS rel_nano, CAST(0 AS BIGINT) AS maxsim_nano,
+         CAST({MMR_W_REL} * cos_nano AS BIGINT) AS mmr_nano
+  FROM cand WHERE dense_rnk = 1
+), all1 AS (SELECT * FROM sel1)"""
+    + "".join(_mmr_round_cte(k) for k in range(2, MMR_K + 1))
+    + f"""
+SELECT qid, step, doc_id, rel_nano, maxsim_nano, mmr_nano FROM all{MMR_K}
+"""
+)
+
+
+def candidate_pair_sims(cand: DataFrame, eq: DataFrame) -> DataFrame:
+    """(qid, a, b, sim_nano) exact pairwise cosines between dense
+    candidates of the same query — one positional self-join of
+    candidate components, candidate-bounded."""
+    ce = (
+        F.broadcast(cand.select("qid", "doc_id"))
+        .join(eq, cand["doc_id"] == eq["vec_id"])
+        .select("qid", "doc_id", "pos", "x")
+    )
+    a = ce.select(
+        "qid", F.col("doc_id").alias("a"), "pos", F.col("x").alias("xa")
+    )
+    b = ce.select(
+        "qid", F.col("doc_id").alias("b"), "pos", F.col("x").alias("xb")
+    )
+    psim0 = (
+        a.join(b, ["qid", "pos"])
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("qid", "a", "b")
+        .agg(
+            F.sum(F.col("xa") * F.col("xb")).cast("long").alias("dp"),
+            F.sum(F.col("xa") * F.col("xa")).cast("long").alias("na"),
+            F.sum(F.col("xb") * F.col("xb")).cast("long").alias("nb"),
+        )
+    )
+    return psim0.filter((F.col("na") > 0) & (F.col("nb") > 0)).selectExpr(
+        "qid", "a", "b", f"{_COS_NANO_SQL} AS sim_nano"
+    )
+
+
+def mmr_diversify(cand: DataFrame, psim: DataFrame, k: int = MMR_K) -> DataFrame:
+    """Greedy MMR over a (qid, doc_id, cos_nano, dense_rnk) candidate
+    list with (qid, a, b, sim_nano) pairwise sims — k unrolled rounds,
+    each an exact-integer argmax via the one-agg min(struct) pattern."""
+    sel = cand.filter(F.col("dense_rnk") == 1).selectExpr(
+        "qid",
+        "CAST(1 AS BIGINT) AS step",
+        "doc_id",
+        "cos_nano AS rel_nano",
+        "CAST(0 AS BIGINT) AS maxsim_nano",
+        f"CAST({MMR_W_REL} * cos_nano AS BIGINT) AS mmr_nano",
+    )
+    allsel = sel
+    for step in range(2, k + 1):
+        m = (
+            psim.join(
+                allsel.select("qid", F.col("doc_id").alias("b")), ["qid", "b"]
+            )
+            .groupBy("qid", "a")
+            .agg(F.max("sim_nano").cast("long").alias("maxsim_nano"))
+        )
+        remaining = cand.join(
+            allsel.select("qid", "doc_id"), ["qid", "doc_id"], "left_anti"
+        )
+        scored = remaining.join(
+            m.withColumnRenamed("a", "doc_id"), ["qid", "doc_id"]
+        ).select(
+            "qid",
+            "doc_id",
+            F.col("cos_nano").alias("rel_nano"),
+            "maxsim_nano",
+            (
+                MMR_W_REL * F.col("cos_nano") - MMR_W_DIV * F.col("maxsim_nano")
+            )
+            .cast("long")
+            .alias("mmr_nano"),
+        )
+        pick = (
+            scored.groupBy("qid")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("mmr_nano")).alias("neg"),
+                        F.col("doc_id").alias("d"),
+                        F.col("rel_nano").alias("r"),
+                        F.col("maxsim_nano").alias("ms"),
+                    )
+                ).alias("w")
+            )
+            .selectExpr(
+                "qid",
+                f"CAST({step} AS BIGINT) AS step",
+                "w.d AS doc_id",
+                "w.r AS rel_nano",
+                "w.ms AS maxsim_nano",
+                "CAST(-w.neg AS BIGINT) AS mmr_nano",
+            )
+        )
+        allsel = allsel.unionByName(pick)
+    return allsel.select(
+        "qid", "step", "doc_id", "rel_nano", "maxsim_nano", "mmr_nano"
+    )
+
+
+@query("q_mmr_diversify", oracle=_MMR_ORACLE)
+def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C158: MMR-diversified dense retrieval — MMR_K greedy picks per
+    query from the C154 dense candidate list (7*rel - 3*maxsim, exact
+    integers end to end). The hash certifies the shared BM25+dense
+    chain, the candidate pairwise-cosine matrix, and every greedy
+    argmax with its tie-break."""
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    eq = quantized_components(emb)
+    cand = dense_ranked(_bm25_ranked(docs), eq).localCheckpoint()
+    psim = candidate_pair_sims(cand, eq).localCheckpoint()
+    return mmr_diversify(cand, psim)

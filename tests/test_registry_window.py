@@ -42,6 +42,7 @@ WINDOW_50 = [
     "q_corpus_clean_clipped_sampled",  # never checked (new r10)
     "q_dsir_weights",  # never checked (new r10)
     "q_hybrid_rank",  # never checked (new r10)
+    "q_mmr_diversify",  # never checked (new r10)
     "q_proximity_search",  # never checked (new r10)
     "q_stream_bm25",  # never checked (new r10)
     "q_stream_dsir",  # never checked (new r10)
@@ -68,7 +69,6 @@ WINDOW_50 = [
     "q_ingest_roundtrip",  # last green r5
     "q_ip_funcs",  # last green r5
     "q_jaccard_pairs",  # last green r5
-    "q_lttb",  # last green r5
 ]
 
 

@@ -352,3 +352,128 @@ def test_rrf_fusion_arithmetic(spark):
     assert got[20] == (2, c(2), 2, 0)  # lex only, rank 2 (doc_id tiebreak)
     assert got[30] == (3, c(2), 0, 2)  # dense only, rank 2
     assert got[30][1] == got[20][1]  # same-rank single-list symmetry
+
+
+# ---------------------------------------------------------------------
+# C158 — MMR diversification
+# ---------------------------------------------------------------------
+
+
+def _mmr_replay(docs, embs):
+    """Full C158 replay: dense candidates (via the C154 replay pieces),
+    exact pairwise sims, and the greedy integer MMR."""
+    from kafka_clickhouse_implementation_spark.operators.retrieval import (
+        DENSE_K,
+        FB_K,
+        LEX_K,
+        MMR_K,
+        MMR_W_DIV,
+        MMR_W_REL,
+    )
+
+    ranked, _ = _replay(docs, top_k=LEX_K)
+    eq = {
+        v: [math.floor(float(x) * 1e6 + 0.5) for x in vec]
+        for v, vec in embs.items()
+    }
+
+    def cos_nano(a, b):
+        dp = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a)
+        nb = sum(y * y for y in b)
+        if na <= 0 or nb <= 0:
+            return None
+        return math.floor(float(dp) / math.sqrt(float(na) * float(nb)) * 1.0e9)
+
+    out = {}
+    for qid, rows in ranked.items():
+        fb = [d for rnk, d, _, _ in rows if rnk <= FB_K]
+        qvecs = [eq[d] for d in fb if d in eq]
+        if not qvecs:
+            continue
+        dim = len(qvecs[0])
+        qx = [sum(v[i] for v in qvecs) for i in range(dim)]
+        scored = sorted(
+            (-c, v)
+            for v, e in eq.items()
+            if (c := cos_nano(qx, e)) is not None
+        )[:DENSE_K]
+        cand = [(v, -negc) for negc, v in scored]  # (doc, rel_nano)
+        rel = dict(cand)
+        picked = [cand[0][0]]
+        steps = [(1, cand[0][0], rel[cand[0][0]], 0, MMR_W_REL * rel[cand[0][0]])]
+        for step in range(2, MMR_K + 1):
+            best = None
+            for d, r in cand:
+                if d in picked:
+                    continue
+                ms = max(cos_nano(eq[d], eq[s]) for s in picked)
+                sc = MMR_W_REL * r - MMR_W_DIV * ms
+                key = (-sc, d)
+                if best is None or key < best[0]:
+                    best = (key, d, r, ms, sc)
+            _, d, r, ms, sc = best
+            picked.append(d)
+            steps.append((step, d, r, ms, sc))
+        out[qid] = steps
+    return out
+
+
+def test_mmr_matches_python_replay(spark, sf_dir):
+    from kafka_clickhouse_implementation_spark.operators.retrieval import (
+        q_mmr_diversify,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = list(
+        zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist())
+    )
+    et = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    embs = dict(
+        zip(et.column("vec_id").to_pylist(), et.column("embedding").to_pylist())
+    )
+    want = _mmr_replay(docs, embs)
+    got: dict[int, list] = collections.defaultdict(list)
+    for r in q_mmr_diversify(spark, sf_dir).collect():
+        got[r.qid].append(
+            (r.step, r.doc_id, r.rel_nano, r.maxsim_nano, r.mmr_nano)
+        )
+    for qid in got:
+        got[qid].sort()
+    assert dict(got) == want
+
+
+def test_mmr_skips_near_duplicate(spark):
+    """Crafted candidates: docs 1 and 2 are near-identical vectors with
+    the two highest relevances; doc 3 is orthogonal-ish with lower
+    relevance. Plain dense ranking returns (1, 2, ...); MMR must pick 1
+    then JUMP to 3 (the redundancy penalty), taking 2 only later."""
+    from kafka_clickhouse_implementation_spark.operators.retrieval import (
+        candidate_pair_sims,
+        mmr_diversify,
+        quantized_components,
+    )
+
+    cand = spark.createDataFrame(
+        [(0, 1, 1000000000, 1), (0, 2, 999000000, 2), (0, 3, 800000000, 3),
+         (0, 4, 790000000, 4)],
+        "qid long, doc_id long, cos_nano long, dense_rnk long",
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.01]),
+            (2, [1.0, 0.0, 0.02]),  # near-dup of 1
+            (3, [0.0, 1.0, 0.0]),  # orthogonal
+            (4, [0.1, 0.9, 0.0]),  # close to 3
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    psim = candidate_pair_sims(cand, quantized_components(emb))
+    got = sorted(
+        (r.step, r.doc_id) for r in mmr_diversify(cand, psim, k=3).collect()
+    )
+    assert got == [(1, 1), (2, 3), (3, 2)] or got == [(1, 1), (2, 3), (3, 4)]
+    # pick 2 is the orthogonal doc, never the near-duplicate
+    assert got[1] == (2, 3)
