@@ -726,3 +726,106 @@ def q_tukey_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.length("text").cast("long").alias("x")
     )
     return tukey_outliers(vals)
+
+
+# ---------------------------------------------------------------------
+# uniqUpTo — round 10 (C159): ClickHouse ``uniqUpTo(N)(x)`` parity —
+# the exact distinct count while it is <= N, saturating at N + 1 (the
+# "more than N" signal dashboards use for cheap cardinality gates).
+# Semantically least(count(distinct x), N+1); Spark's count_distinct
+# already runs as a partial-aggregated two-stage plan. A 100 TB
+# deployment at very high cardinality would swap in a true bounded
+# (N+1)-element set-union aggregate — state O(N) instead of O(d) —
+# with identical output; at that point C31's HLL sketch is usually the
+# better answer, which is why this stays the exact formulation.
+# ---------------------------------------------------------------------
+
+UNIQ_UPTO_N = (10, 50)
+
+
+@query(
+    "q_uniq_upto",
+    oracle=f"""
+    SELECT event_type,
+           least(CAST(count(DISTINCT user_id) AS BIGINT), {UNIQ_UPTO_N[0] + 1})
+             AS u_upto_{UNIQ_UPTO_N[0]},
+           least(CAST(count(DISTINCT user_id) AS BIGINT), {UNIQ_UPTO_N[1] + 1})
+             AS u_upto_{UNIQ_UPTO_N[1]},
+           CAST(count(DISTINCT user_id) AS BIGINT) AS u_exact
+    FROM events GROUP BY event_type
+    """,
+)
+def q_uniq_upto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C159: saturating distinct counts per event type at two
+    thresholds next to the exact count — one saturated (N=10) and one
+    exact (N=50) at every bench sf, so both sides of the clamp are
+    exercised."""
+    ev = load(spark, sf_dir, "events")
+    u = F.count_distinct(F.col("user_id")).cast("long")
+    return ev.groupBy("event_type").agg(
+        F.least(u, F.lit(UNIQ_UPTO_N[0] + 1)).alias(f"u_upto_{UNIQ_UPTO_N[0]}"),
+        F.least(u, F.lit(UNIQ_UPTO_N[1] + 1)).alias(f"u_upto_{UNIQ_UPTO_N[1]}"),
+        u.alias("u_exact"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Equal-width histogram with DATA-DERIVED geometry — round 10 (C160):
+# the deterministic variant of ClickHouse ``histogram(bins)(x)`` (which
+# takes a bin COUNT and derives boundaries from the data — unlike the
+# r1 q_histogram whose width is a fixed literal) (whose adaptive streaming-merge
+# bins are merge-order-dependent BY DESIGN — same determinism trade as
+# C29's one-shot MG sketch, documented not hidden). Bin geometry is
+# pure integer arithmetic over the measure's min/max:
+#     width = (max - min + bins) div bins   (ceil division, >= 1)
+#     bin   = (x - min) div width
+# so boundaries, assignment and counts are all exact BIGINTs. The
+# 1-row (min, max) aggregate broadcasts back onto the scan — two
+# passes, the same shape ClickHouse's two-level hash agg uses.
+# ---------------------------------------------------------------------
+
+HIST_BINS = 10
+
+
+@query(
+    "q_histogram_eqw",
+    oracle=f"""
+    WITH v AS (
+      SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x FROM lineitem
+    ), mm AS (
+      SELECT CAST(min(x) AS BIGINT) AS mn, CAST(max(x) AS BIGINT) AS mx
+      FROM v
+    ), g AS (
+      SELECT CAST((mx - mn + {HIST_BINS}) // {HIST_BINS} AS BIGINT) AS w, mn
+      FROM mm
+    )
+    SELECT v.l_returnflag,
+           CAST((v.x - g.mn) // g.w AS BIGINT) AS bin,
+           CAST(g.mn + ((v.x - g.mn) // g.w) * g.w AS BIGINT) AS lo,
+           CAST(g.mn + ((v.x - g.mn) // g.w + 1) * g.w - 1 AS BIGINT) AS hi,
+           CAST(count(*) AS BIGINT) AS n
+    FROM v, g
+    GROUP BY v.l_returnflag, bin, lo, hi
+    """,
+)
+def q_histogram_eqw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C160: per-returnflag equal-width histogram of order quantities —
+    HIST_BINS bins over the GLOBAL [min, max] so bins align across
+    groups (the dashboard overlay convention). All-integer geometry;
+    value-hashed bins, boundaries and counts."""
+    li = load(spark, sf_dir, "lineitem")
+    v = li.select("l_returnflag", F.col("l_quantity").cast("long").alias("x"))
+    g = v.agg(
+        F.min("x").cast("long").alias("mn"), F.max("x").cast("long").alias("mx")
+    ).selectExpr(f"CAST((mx - mn + {HIST_BINS}) div {HIST_BINS} AS BIGINT) AS w", "mn")
+    return (
+        v.crossJoin(F.broadcast(g))
+        .selectExpr(
+            "l_returnflag",
+            "CAST((x - mn) div w AS BIGINT) AS bin",
+            "CAST(mn + ((x - mn) div w) * w AS BIGINT) AS lo",
+            "CAST(mn + ((x - mn) div w + 1) * w - 1 AS BIGINT) AS hi",
+        )
+        .groupBy("l_returnflag", "bin", "lo", "hi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

@@ -307,3 +307,43 @@ def test_tukey_no_outliers_in_tight_group(spark):
     )
     r = tukey_outliers(vals).collect()[0]
     assert (r.lo_fence, r.hi_fence, r.n_low, r.n_high) == (7.0, 7.0, 0, 0)
+
+
+def test_uniq_upto_saturation(spark):
+    """C159: clamps exactly at N+1 above the threshold, exact below."""
+    from kafka_clickhouse_implementation_spark.operators.parity_ext import (
+        q_uniq_upto,
+    )
+    from tests.conftest import SF_DIR
+
+    for r in q_uniq_upto(spark, SF_DIR).collect():
+        assert r.u_upto_10 == min(r.u_exact, 11)
+        assert r.u_upto_50 == min(r.u_exact, 51)
+        assert r.u_exact > 11  # the N=10 clamp actually engages
+
+
+def test_histogram_eqw_geometry(spark):
+    """C160: bins partition [min, max] with equal integer width; per
+    group the counts sum to the group size; every value lands in
+    [lo, hi] of its bin."""
+    from pyspark.sql import functions as F
+
+    from kafka_clickhouse_implementation_spark.io import load
+    from kafka_clickhouse_implementation_spark.operators.parity_ext import (
+        HIST_BINS,
+        q_histogram_eqw,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = q_histogram_eqw(spark, SF_DIR).collect()
+    li = load(spark, SF_DIR, "lineitem")
+    mn, mx, total = li.select(
+        F.min(F.col("l_quantity").cast("long")),
+        F.max(F.col("l_quantity").cast("long")),
+        F.count(F.lit(1)),
+    ).first()
+    w = (mx - mn + HIST_BINS) // HIST_BINS
+    for r in rows:
+        assert 0 <= r.bin < HIST_BINS
+        assert r.lo == mn + r.bin * w and r.hi == r.lo + w - 1
+    assert sum(r.n for r in rows) == total

@@ -41,6 +41,7 @@ WINDOW_50 = [
     "q_bm25_rank",  # never checked (new r10)
     "q_corpus_clean_clipped_sampled",  # never checked (new r10)
     "q_dsir_weights",  # never checked (new r10)
+    "q_histogram_eqw",  # never checked (new r10)
     "q_hybrid_rank",  # never checked (new r10)
     "q_mmr_diversify",  # never checked (new r10)
     "q_proximity_search",  # never checked (new r10)
@@ -48,6 +49,7 @@ WINDOW_50 = [
     "q_stream_dsir",  # never checked (new r10)
     "q_stream_semantic_dedup",  # never checked (new r10)
     "q_tukey_outliers",  # never checked (new r10)
+    "q_uniq_upto",  # never checked (new r10)
     "q_stream_sessions",  # last green r4
     "q_stream_sum_map",  # last green r4
     "q_sum_map",  # last green r4
@@ -67,8 +69,6 @@ WINDOW_50 = [
     "q_ema",  # last green r5
     "q_gap_fill_interpolate",  # last green r5
     "q_ingest_roundtrip",  # last green r5
-    "q_ip_funcs",  # last green r5
-    "q_jaccard_pairs",  # last green r5
 ]
 
 
