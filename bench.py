@@ -153,6 +153,14 @@ HEADLINE = [
     # shared BM25 core, and positional proximity search
     "q_stream_bm25",
     "q_proximity_search",
+    # round 10 (second session): hybrid RRF fusion, MMR
+    # diversification, DSIR importance weighting (batch + streaming
+    # feature state), and the Tukey-fence outlier scan
+    "q_hybrid_rank",
+    "q_mmr_diversify",
+    "q_dsir_weights",
+    "q_stream_dsir",
+    "q_tukey_outliers",
 ]
 
 

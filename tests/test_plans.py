@@ -294,6 +294,15 @@ def test_welch_and_student_share_one_scan_shape(spark):
 _AUDIT_SKIP_PREFIXES = ("q_stream_",)
 _AUDIT_SKIP = {"q_ingest_roundtrip", "q_partition_prune", "q_csv_roundtrip", "q_orc_roundtrip"}
 
+# Queries whose ONLY unpartitioned window ranks a frame already cut by
+# orderBy().limit(k) (k <= QT_TOTAL / TOP_N / 2*QP_PAIRS — constant,
+# data-independent): the single window partition holds <= k rows BY
+# CONSTRUCTION, so there is no scale cliff for the detector's pattern
+# to flag. The audit still requires the boundedness evidence — a
+# TakeOrderedAndProject upstream in the same plan — so removing the
+# limit would re-flag the query instead of silently passing.
+_BOUNDED_WINDOW_OK = {"q_bm25_rank", "q_dsir_weights", "q_proximity_search"}
+
 
 def _bare_windows(plan: str) -> list[str]:
     """windowspecdefinition(...) whose args before specifiedwindowframe
@@ -328,7 +337,9 @@ def test_registry_wide_plan_audit(spark):
             offenders["cartesian"].append(name)
         if "BatchEvalPython" in plan:
             offenders["batch_python"].append(name)
-        if _bare_windows(plan):
+        if _bare_windows(plan) and not (
+            name in _BOUNDED_WINDOW_OK and "TakeOrderedAndProject" in plan
+        ):
             offenders["bare_window"].append(name)
     assert offenders == {"cartesian": [], "batch_python": [], "bare_window": []}
 
@@ -486,3 +497,43 @@ def test_unigram_prune_is_takeordered_and_estep_windowless(spark):
     assert "TakeOrderedAndProject" in _plan(m)
     seg = U._viterbi(cand, U._spark_scores(counts))
     assert "windowspecdefinition" not in _plan(seg)
+
+
+def test_dsir_llr_model_broadcasts(spark):
+    """C155: the 4096-row llr model must ride a broadcast join onto the
+    per-doc feature table (never a shuffle keyed on bucket), and the
+    whole scoring path stays codegen (no Python evaluator)."""
+    df = all_queries()["q_dsir_weights"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_dsir_scan_prunes_documents(spark):
+    """C155 reads only (doc_id, source, text) from the documents scan."""
+    df = all_queries()["q_dsir_weights"](spark, SF)
+    plan = _plan(df)
+    for line in plan.splitlines():
+        if "FileScan parquet" in line and "documents" in line:
+            assert "lang" not in line, line
+
+
+def test_hybrid_dense_arm_broadcasts_query_vectors(spark):
+    """C154: the (qids x dims) query-vector table and the fusion's
+    QT-bounded lists ride broadcast joins; the dense scoring join must
+    not shuffle the exploded component table on anything but its
+    aggregation key."""
+    df = all_queries()["q_hybrid_rank"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_mmr_rounds_are_joins_not_crossjoins(spark):
+    """C158: every greedy round is an equi-join + one-agg argmax —
+    no CartesianProduct, no Python, no unpartitioned window."""
+    df = all_queries()["q_mmr_diversify"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan, plan
+    assert not _bare_windows(plan), plan
