@@ -511,14 +511,14 @@ _DENSE_CTE_BODY = f"""ranked AS (
          CAST(sum(e.x * e.x) AS BIGINT) AS nb
   FROM qv q JOIN eq e ON e.pos = q.pos
   GROUP BY q.qid, e.vec_id
+), dnano AS (
+  SELECT qid, doc_id, {_COS_NANO_SQL} AS cos_nano
+  FROM dsc WHERE na > 0 AND nb > 0
 ), dense_ranked AS (
   SELECT qid, doc_id, cos_nano, rnk AS dense_rnk FROM (
     SELECT qid, doc_id, cos_nano, row_number() OVER (
       PARTITION BY qid ORDER BY cos_nano DESC, doc_id) AS rnk
-    FROM (
-      SELECT qid, doc_id, {_COS_NANO_SQL} AS cos_nano
-      FROM dsc WHERE na > 0 AND nb > 0
-    )
+    FROM dnano
   ) WHERE rnk <= {DENSE_K}
 )"""
 
@@ -600,13 +600,11 @@ def _bm25_ranked(docs: DataFrame) -> DataFrame:
     )
 
 
-def dense_ranked(ranked: DataFrame, eq: DataFrame) -> DataFrame:
-    """(qid, doc_id, cos_nano, dense_rnk) — the feedback-centroid dense
-    list to depth DENSE_K (see the section comment for the exactness
-    argument). ranked: a (qid, doc_id, rnk) BM25 frame; eq: quantized
+def dense_cos_all(ranked: DataFrame, eq: DataFrame) -> DataFrame:
+    """(qid, doc_id, cos_nano) — the feedback-centroid cosine for EVERY
+    embedded doc (see the section comment for the exactness argument).
+    ranked: a (qid, doc_id, rnk) BM25 frame; eq: quantized
     components."""
-    from pyspark.sql import Window as W
-
     fb = ranked.filter(F.col("rnk") <= FB_K).select("qid", "doc_id")
     qv = (
         fb.join(eq, fb["doc_id"] == eq["vec_id"])
@@ -626,6 +624,16 @@ def dense_ranked(ranked: DataFrame, eq: DataFrame) -> DataFrame:
     return (
         dsc.filter((F.col("na") > 0) & (F.col("nb") > 0))
         .selectExpr("qid", "vec_id AS doc_id", f"{_COS_NANO_SQL} AS cos_nano")
+    )
+
+
+def dense_ranked(ranked: DataFrame, eq: DataFrame) -> DataFrame:
+    """(qid, doc_id, cos_nano, dense_rnk) — the dense list cut to depth
+    DENSE_K."""
+    from pyspark.sql import Window as W
+
+    return (
+        dense_cos_all(ranked, eq)
         .withColumn(
             "dense_rnk",
             F.row_number().over(
@@ -853,3 +861,77 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = dense_ranked(_bm25_ranked(docs), eq).localCheckpoint()
     psim = candidate_pair_sims(cand, eq).localCheckpoint()
     return mmr_diversify(cand, psim)
+
+
+# ---------------------------------------------------------------------
+# Hard-negative mining for retriever training — round 10 (C161): the
+# DPR training-data recipe (Karpukhin et al., EMNLP 2020): for each
+# query, a POSITIVE (the top dense match) plus HARD NEGATIVES — docs
+# the LEXICAL ranker retrieves highly but the dense model scores LOW
+# (lexically confusable, semantically far: exactly the pairs that
+# teach an embedding model the most). This is the training-pair
+# emitter a corpus pipeline runs after C150/C154 to bootstrap a better
+# dense tower from its own retrieval logs.
+#
+# Selection is fully deterministic and exact-integer: candidates = the
+# BM25 top-LEX_K list (minus the positive) joined to the
+# feedback-centroid cos_nano (the C154 dag); hard negatives = the
+# HN_K LOWEST cos_nano, tie -> doc_id. Scale: candidate-bounded
+# (queries x LEX_K rows), windows partitioned by qid.
+# ---------------------------------------------------------------------
+
+HN_K = 3  # hard negatives per query
+
+_HARDNEG_ORACLE = f"""
+WITH {_BM25_CTE_BODY}, {_DENSE_CTE_BODY}, pos AS (
+  SELECT qid, doc_id AS pos_doc FROM dense_ranked WHERE dense_rnk = 1
+), negcand AS (
+  SELECT r.qid, p.pos_doc, r.doc_id, r.rnk AS neg_lex_rnk, d.cos_nano
+  FROM ranked r
+  JOIN pos p ON p.qid = r.qid AND r.doc_id <> p.pos_doc
+  JOIN dnano d ON d.qid = r.qid AND d.doc_id = r.doc_id
+)
+SELECT qid, pos_doc, CAST(rn AS BIGINT) AS neg_rnk, doc_id AS neg_doc,
+       cos_nano AS neg_cos_nano, neg_lex_rnk
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY qid ORDER BY cos_nano ASC, doc_id) AS rn
+  FROM negcand
+) WHERE rn <= {HN_K}
+"""
+
+
+@query("q_hard_negatives", oracle=_HARDNEG_ORACLE)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C161: (query, positive, hard-negative) training pairs — positive
+    = dense top-1, negatives = the HN_K lexically-retrieved docs with
+    the LOWEST dense cosine. The hash certifies the shared BM25+dense
+    chains, the positive pick, and the negative ordering cut."""
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    eq = quantized_components(load(spark, sf_dir, "embeddings"))
+    ranked = _bm25_ranked(docs)
+    dcos = dense_cos_all(ranked, eq).localCheckpoint()
+    pos = (
+        dense_ranked(ranked, eq)
+        .filter(F.col("dense_rnk") == 1)
+        .select("qid", F.col("doc_id").alias("pos_doc"))
+    )
+    negcand = (
+        ranked.join(F.broadcast(pos), "qid")
+        .filter(F.col("doc_id") != F.col("pos_doc"))
+        .select("qid", "pos_doc", "doc_id", F.col("rnk").alias("neg_lex_rnk"))
+        .join(dcos, ["qid", "doc_id"])
+    )
+    w = W.partitionBy("qid").orderBy(F.asc("cos_nano"), "doc_id")
+    return (
+        negcand.withColumn("neg_rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("neg_rnk") <= HN_K)
+        .select(
+            "qid", "pos_doc", "neg_rnk",
+            F.col("doc_id").alias("neg_doc"),
+            F.col("cos_nano").alias("neg_cos_nano"),
+            "neg_lex_rnk",
+        )
+    )

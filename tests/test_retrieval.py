@@ -477,3 +477,88 @@ def test_mmr_skips_near_duplicate(spark):
     assert got == [(1, 1), (2, 3), (3, 2)] or got == [(1, 1), (2, 3), (3, 4)]
     # pick 2 is the orthogonal doc, never the near-duplicate
     assert got[1] == (2, 3)
+
+
+# ---------------------------------------------------------------------
+# C161 — hard-negative mining
+# ---------------------------------------------------------------------
+
+
+def test_hard_negatives_match_python_replay(spark, sf_dir):
+    """Full replay: positive = dense top-1 (via the C158 replay's dense
+    pieces), negatives = HN_K lowest-cosine docs among the BM25 top
+    LEX_K minus the positive."""
+    from kafka_clickhouse_implementation_spark.operators.retrieval import (
+        FB_K,
+        HN_K,
+        LEX_K,
+        q_hard_negatives,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = list(
+        zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist())
+    )
+    et = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    embs = dict(
+        zip(et.column("vec_id").to_pylist(), et.column("embedding").to_pylist())
+    )
+    ranked, _ = _replay(docs, top_k=LEX_K)
+    eq = {
+        v: [math.floor(float(x) * 1e6 + 0.5) for x in vec]
+        for v, vec in embs.items()
+    }
+
+    def cos_nano(a, b):
+        dp = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a)
+        nb = sum(y * y for y in b)
+        if na <= 0 or nb <= 0:
+            return None
+        return math.floor(float(dp) / math.sqrt(float(na) * float(nb)) * 1.0e9)
+
+    want = {}
+    for qid, rows in ranked.items():
+        fb = [d for rnk, d, _, _ in rows if rnk <= FB_K]
+        qvecs = [eq[d] for d in fb if d in eq]
+        if not qvecs:
+            continue
+        dim = len(qvecs[0])
+        qx = [sum(v[i] for v in qvecs) for i in range(dim)]
+        dcos = {
+            v: c for v, e in eq.items() if (c := cos_nano(qx, e)) is not None
+        }
+        pos = min(dcos, key=lambda v: (-dcos[v], v))
+        negs = sorted(
+            (dcos[d], d, rnk)
+            for rnk, d, _, _ in rows
+            if d != pos and d in dcos
+        )[:HN_K]
+        want[qid] = [
+            (i + 1, pos, d, c, rnk) for i, (c, d, rnk) in enumerate(negs)
+        ]
+    got: dict[int, list] = collections.defaultdict(list)
+    for r in q_hard_negatives(spark, sf_dir).collect():
+        got[r.qid].append(
+            (r.neg_rnk, r.pos_doc, r.neg_doc, r.neg_cos_nano, r.neg_lex_rnk)
+        )
+    for qid in got:
+        got[qid].sort()
+    assert dict(got) == want
+    assert all(len(v) == HN_K for v in got.values())
+
+
+def test_hard_negatives_are_semantically_far(spark, sf_dir):
+    """Every mined negative's cosine must be <= every non-selected
+    lexical candidate's cosine (they are the HARDEST negatives), and
+    the positive is never emitted as a negative."""
+    from kafka_clickhouse_implementation_spark.operators.retrieval import (
+        q_hard_negatives,
+    )
+
+    rows = q_hard_negatives(spark, sf_dir).collect()
+    for r in rows:
+        assert r.neg_doc != r.pos_doc
+        assert 1 <= r.neg_rnk <= 3
