@@ -371,21 +371,33 @@ FROM m GROUP BY qid, term_a, term_b
 """
 
 
-@query("q_proximity_search", oracle=_PROX_ORACLE)
-def q_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C153: proximity retrieval — for each corpus-derived query pair,
-    the documents where the two terms co-occur within PROX_W words:
-    matching-doc count, total in-window position pairs, and the
-    deterministic best doc (max matches, tie -> lowest doc_id, via the
-    one-agg min(struct(-cnt, doc_id)) argmax). Pure exact-integer
-    relational plan; hash-certified end to end."""
-    docs = load(spark, sf_dir, "documents")
-    tp = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+def positional_postings(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, token, arr=1) positional postings — positions
+    assigned BEFORE the empty-token filter (both engines agree on
+    offsets for any input)."""
+    return (
+        docs.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+        )
+        .filter(F.col("token") != "")
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            "token",
+            F.lit(1).cast("long").alias("arr"),
+        )
     )
-    toks = tp.filter(F.col("token") != "").select(
-        "doc_id", F.col("pos").cast("long").alias("pos"), "token"
-    )
+
+
+def proximity_from_postings(post: DataFrame) -> DataFrame:
+    """The ONE proximity core shared by batch C153 (postings from a
+    corpus scan, arr = 1) and streaming C162 (postings drained from
+    the incrementally maintained positional state, arr = arrival
+    count): pair counts weigh arr_a * arr_b, which equals plain
+    counting when the stream's dedup state holds (every arr = 1) and
+    reads exactly 4x without it — so the dedup is hash-load-bearing.
+    post: (doc_id, pos, token, arr)."""
+    toks = post
     df = (
         toks.select("token", "doc_id")
         .distinct()
@@ -409,15 +421,20 @@ def q_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     qpairs = a_terms.join(b_terms, "qid")
     a_post = F.broadcast(qpairs).join(
         toks, toks["token"] == qpairs["term_a"]
-    ).select("qid", "term_a", "term_b", "doc_id", F.col("pos").alias("pa"))
+    ).select(
+        "qid", "term_a", "term_b", "doc_id",
+        F.col("pos").alias("pa"), F.col("arr").alias("arr_a"),
+    )
     b_post = F.broadcast(qpairs.select("qid", "term_b")).join(
         toks, toks["token"] == F.col("term_b")
-    ).select("qid", "doc_id", F.col("pos").alias("pb"))
+    ).select(
+        "qid", "doc_id", F.col("pos").alias("pb"), F.col("arr").alias("arr_b")
+    )
     m = (
         a_post.join(b_post, ["qid", "doc_id"])
         .filter(F.abs(F.col("pa") - F.col("pb")) <= PROX_W)
         .groupBy("qid", "term_a", "term_b", "doc_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .agg(F.sum(F.col("arr_a") * F.col("arr_b")).cast("long").alias("cnt"))
     )
     return m.groupBy("qid", "term_a", "term_b").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -434,6 +451,75 @@ def q_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(w.d AS BIGINT) AS best_doc",
         "CAST(-w.nc AS BIGINT) AS best_doc_matches",
     )
+
+
+@query("q_proximity_search", oracle=_PROX_ORACLE)
+def q_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C153: proximity retrieval — for each corpus-derived query pair,
+    the documents where the two terms co-occur within PROX_W words:
+    matching-doc count, total in-window position pairs, and the
+    deterministic best doc (max matches, tie -> lowest doc_id, via the
+    one-agg min(struct(-cnt, doc_id)) argmax). Pure exact-integer
+    relational plan; hash-certified end to end."""
+    return proximity_from_postings(
+        positional_postings(load(spark, sf_dir, "documents"))
+    )
+
+
+# ---------------------------------------------------------------------
+# Streaming-maintained positional index — round 10 (C162): the -State
+# certification pattern applied to the POSITIONAL index (C152 covers
+# the tf index; proximity needs positions). Documents arrive over the
+# duplicate-injecting corpus wire, pass stateful doc_id dedup, explode
+# through the SAME positional projection, and a complete-mode
+# groupBy(doc_id, token, pos) arrival count maintains the positional
+# postings incrementally (state linear in corpus token count — the
+# C152 class; at 100 TB the memory sink becomes an update-mode
+# idempotent upsert keyed by (doc_id, token, pos)). The drained state
+# enters proximity_from_postings — the identical core as batch C153 —
+# and is checked against the batch proximity oracle VERBATIM. The
+# dedup state is intrinsically load-bearing: without it every arrival
+# count reads 2, every position-pair weight arr_a*arr_b reads 4, and
+# n_pairs/best_doc_matches quadruple — a loud hash FAIL (pinned
+# exactly in tests/test_retrieval.py).
+# ---------------------------------------------------------------------
+
+
+@query("q_stream_proximity", oracle=_PROX_ORACLE)
+def q_stream_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C162: proximity search over the STREAMING-MAINTAINED positional
+    index — one hash certifies incrementally-built postings == batch
+    postings == independent DuckDB replay."""
+    import os
+
+    from kafka_clickhouse_implementation_spark.streaming.corpus_stream import (
+        _DOC_WIRE_SCHEMA,
+        document_wire,
+    )
+    from kafka_clickhouse_implementation_spark.streaming.funnel import _drain
+
+    wire, base = document_wire(spark, sf_dir)
+    pos_state = (
+        spark.readStream.schema(_DOC_WIRE_SCHEMA)
+        .option("maxFilesPerTrigger", "4")
+        .json(wire)
+        .dropDuplicates(["doc_id"])
+        .select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+        )
+        .filter(F.col("token") != "")
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
+        .groupBy("doc_id", "token", "pos")
+        .agg(F.count(F.lit(1)).cast("long").alias("arr"))
+    )
+    _drain(
+        spark, pos_state, "stream_prox_postings",
+        os.path.join(base, "ckpt_prox_postings"), mode="complete",
+    )
+    post = spark.table("stream_prox_postings").select(
+        "doc_id", "pos", "token", "arr"
+    ).localCheckpoint()
+    return proximity_from_postings(post)
 
 
 # ---------------------------------------------------------------------

@@ -48,6 +48,7 @@ WINDOW_50 = [
     "q_proximity_search",  # never checked (new r10)
     "q_stream_bm25",  # never checked (new r10)
     "q_stream_dsir",  # never checked (new r10)
+    "q_stream_proximity",  # never checked (new r10)
     "q_stream_semantic_dedup",  # never checked (new r10)
     "q_tukey_outliers",  # never checked (new r10)
     "q_uniq_upto",  # never checked (new r10)
@@ -68,7 +69,6 @@ WINDOW_50 = [
     "q_dedup_docs",  # last green r5
     "q_dict_get",  # last green r5
     "q_ema",  # last green r5
-    "q_gap_fill_interpolate",  # last green r5
 ]
 
 

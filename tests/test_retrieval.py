@@ -562,3 +562,72 @@ def test_hard_negatives_are_semantically_far(spark, sf_dir):
     for r in rows:
         assert r.neg_doc != r.pos_doc
         assert 1 <= r.neg_rnk <= 3
+
+
+def test_stream_proximity_state_matches_batch_and_needs_dedup(spark):
+    """C162: (a) the drained positional state equals the batch
+    postings exactly (every arrival count 1); (b) without the
+    dropDuplicates stage every arrival reads 2, so every position-pair
+    weight arr_a*arr_b reads 4 — the dedup state is load-bearing for
+    the proximity hash."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+
+    from kafka_clickhouse_implementation_spark.io import load
+    from kafka_clickhouse_implementation_spark.operators.retrieval import (
+        positional_postings,
+        q_stream_proximity,
+    )
+    from kafka_clickhouse_implementation_spark.streaming.corpus_stream import (
+        _DOC_WIRE_SCHEMA,
+        document_wire,
+    )
+    from kafka_clickhouse_implementation_spark.streaming.funnel import _drain
+
+    q_stream_proximity(spark, SF_DIR)  # populates stream_prox_postings
+    got = sorted(
+        map(
+            tuple,
+            spark.table("stream_prox_postings")
+            .select("doc_id", "pos", "token", "arr")
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            positional_postings(load(spark, SF_DIR, "documents")).collect(),
+        )
+    )
+    assert got == want
+    assert all(r[3] == 1 for r in got)
+
+    wire, base = document_wire(spark, SF_DIR)
+    nodedup = (
+        spark.readStream.schema(_DOC_WIRE_SCHEMA)
+        .option("maxFilesPerTrigger", "4")
+        .json(wire)
+        .select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+        )
+        .filter(F.col("token") != "")
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
+        .groupBy("doc_id", "token", "pos")
+        .agg(F.count(F.lit(1)).cast("long").alias("arr"))
+    )
+    _drain(
+        spark, nodedup, "stream_prox_postings_nodedup",
+        os.path.join(base, "ckpt_prox_postings_nodedup"), mode="complete",
+    )
+    got2 = sorted(
+        map(
+            tuple,
+            spark.table("stream_prox_postings_nodedup")
+            .select("doc_id", "pos", "token", "arr")
+            .collect(),
+        )
+    )
+    assert got2 == sorted((d, p, t, 2 * a) for d, p, t, a in want)
