@@ -85,8 +85,11 @@ _LLR_NANO_SQL = (
     " * 1.0e9) AS BIGINT)"
 )
 
-_DSIR_ORACLE = f"""
-WITH toks AS (
+# The DSIR CTE chain through per-doc scores — shared VERBATIM by the
+# selection oracle (q_dsir_weights / q_stream_dsir) and the C163
+# stratification oracle, so the tiers can never drift from the
+# certified importance-weight definition.
+_DSIR_CTE_BODY = f"""toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
 ), uni AS (
   SELECT doc_id, t[CAST(u.i + 1 AS INTEGER)] AS w
@@ -137,7 +140,10 @@ WITH toks AS (
          CAST(sum(d.cnt) AS BIGINT) AS n_feats
   FROM dfc d JOIN llr l ON l.b = d.b
   GROUP BY d.doc_id
-)
+)"""
+
+_DSIR_ORACLE = f"""
+WITH {_DSIR_CTE_BODY}
 SELECT CAST(s.rnk AS BIGINT) AS rnk, s.doc_id, d.source, s.score_nano,
        s.n_feats
 FROM (
@@ -331,3 +337,76 @@ def q_stream_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     scored = dsir_scores_from_features(dfc, target_ids(docs))
     return _select_top(scored, docs)
+
+
+# ---------------------------------------------------------------------
+# DSIR-stratified corpus tiers — round 10 (C163): quality
+# stratification by importance weight (the DoReMi/quality-bucketing
+# shape): split the corpus into quartile tiers of the DSIR score and
+# report per-tier mass — what a mixture designer reads before setting
+# sampling weights (C47) or a curriculum (C121).
+#
+# Portability: the tier boundaries are EXACT interpolated quartiles of
+# score_nano — an INTEGER-valued measure (every score is an exact
+# BIGINT sum by C155's construction, far below 2^53), so the C38
+# argument applies verbatim: quarter fractions over integers are exact
+# binary rationals and identical doubles on both engines; tier
+# assignment compares exact BIGINTs against those exact doubles —
+# deterministic, no guard band.
+#
+# Scale shape: scores come from the C155 chain (one feature explode +
+# broadcast model); the quartiles are one partial-aggregated 1-row
+# frame that broadcasts back; the tier rollup is a 4-group aggregate.
+# ---------------------------------------------------------------------
+
+_DSIR_TIERS_ORACLE = f"""
+WITH {_DSIR_CTE_BODY}, q AS (
+  SELECT quantile_cont(score_nano, 0.25) AS p25,
+         quantile_cont(score_nano, 0.5)  AS p50,
+         quantile_cont(score_nano, 0.75) AS p75
+  FROM scored
+)
+SELECT CAST(CASE WHEN s.score_nano < q.p25 THEN 0
+                 WHEN s.score_nano < q.p50 THEN 1
+                 WHEN s.score_nano < q.p75 THEN 2
+                 ELSE 3 END AS BIGINT) AS tier,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(s.score_nano) AS BIGINT) AS min_score,
+       CAST(max(s.score_nano) AS BIGINT) AS max_score,
+       CAST(sum(s.n_feats) AS BIGINT) AS sum_feats
+FROM scored s, q
+GROUP BY tier
+"""
+
+
+@query("q_dsir_tiers", oracle=_DSIR_TIERS_ORACLE)
+def q_dsir_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C163: quartile tiers of the DSIR importance weight with per-tier
+    document and feature mass. The hash certifies the whole C155 score
+    chain (shared CTE body verbatim), the exact quartile boundaries,
+    the tier assignment, and every rollup."""
+    docs = load(spark, sf_dir, "documents")
+    scored = dsir_scores(docs).localCheckpoint()
+    q = scored.agg(
+        F.expr("percentile(score_nano, 0.25D)").alias("p25"),
+        F.expr("percentile(score_nano, 0.5D)").alias("p50"),
+        F.expr("percentile(score_nano, 0.75D)").alias("p75"),
+    )
+    return (
+        scored.crossJoin(F.broadcast(q))
+        .selectExpr(
+            "CAST(CASE WHEN score_nano < p25 THEN 0"
+            " WHEN score_nano < p50 THEN 1"
+            " WHEN score_nano < p75 THEN 2"
+            " ELSE 3 END AS BIGINT) AS tier",
+            "score_nano",
+            "n_feats",
+        )
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("score_nano").cast("long").alias("min_score"),
+            F.max("score_nano").cast("long").alias("max_score"),
+            F.sum("n_feats").cast("long").alias("sum_feats"),
+        )
+    )

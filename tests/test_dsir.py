@@ -162,3 +162,22 @@ def test_stream_dsir_state_matches_batch_and_needs_dedup(spark):
     )
     got2 = sorted(map(tuple, spark.table("stream_dsir_dfc_nodedup").collect()))
     assert got2 == sorted((d, b, 2 * n) for d, b, n in want)
+
+
+def test_dsir_tiers_partition_the_corpus(spark, sf_dir):
+    """C163: the four tiers partition the scored docs; tier boundaries
+    respect the quartile ordering (max of tier k < min of tier k+2's
+    range via the fences); doc counts per tier are near-balanced
+    (exact quartiles => within 1 of n/4 up to ties)."""
+    from kafka_clickhouse_implementation_spark.operators.dsir import (
+        dsir_scores,
+        q_dsir_tiers,
+    )
+    from kafka_clickhouse_implementation_spark.io import load
+
+    rows = {r.tier: r for r in q_dsir_tiers(spark, sf_dir).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    n_total = dsir_scores(load(spark, sf_dir, "documents")).count()
+    assert sum(r.n_docs for r in rows.values()) == n_total
+    for t in (0, 1, 2):
+        assert rows[t].max_score <= rows[t + 1].min_score

@@ -40,6 +40,7 @@ WINDOW_50 = [
     "q_kn_quality",  # changed/new
     "q_bm25_rank",  # never checked (new r10)
     "q_corpus_clean_clipped_sampled",  # never checked (new r10)
+    "q_dsir_tiers",  # never checked (new r10)
     "q_dsir_weights",  # never checked (new r10)
     "q_hard_negatives",  # never checked (new r10)
     "q_histogram_eqw",  # never checked (new r10)
@@ -68,7 +69,6 @@ WINDOW_50 = [
     "q_cramers_v",  # last green r5
     "q_dedup_docs",  # last green r5
     "q_dict_get",  # last green r5
-    "q_ema",  # last green r5
 ]
 
 
