@@ -456,3 +456,76 @@ def q_session_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("session_end"),
         F.count("*").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------
+# Cohort retention triangle — round 10 (C164): the week-cohort x
+# week-age GRID (the classic retention-triangle dashboard deliverable
+# — ClickHouse's retention() gives the per-user boolean vector C13
+# already covers; the triangle is its corpus-level rollup with cohort
+# sizes, which is what an analyst actually reads). Weeks via
+# date_trunc('week') — both engines start weeks on Monday (the
+# q_weekly_rollup precedent); age = day-difference div 7, pure integer.
+# No float surface: the grid reports (n_active, n_cohort) exact counts
+# — rates are the consumer's division.
+#
+# Scale shape: one distinct over (user, week) -> per-user min -> two
+# grouped counts; every shuffle carries (user_id, date) pairs; the
+# cohort-size table is week-cardinality-sized and broadcasts.
+# ---------------------------------------------------------------------
+
+TRI_MAX_AGE = 4  # weeks of age reported per cohort
+
+
+@query(
+    "q_retention_triangle",
+    oracle=f"""
+    WITH wk AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+      FROM events
+    ), coh AS (
+      SELECT user_id, min(w) AS cw FROM wk GROUP BY user_id
+    ), csize AS (
+      SELECT cw, CAST(count(*) AS BIGINT) AS n_cohort FROM coh GROUP BY cw
+    )
+    SELECT c.cw AS cohort_week,
+           CAST((w.w - c.cw) // 7 AS BIGINT) AS age,
+           CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_active,
+           s.n_cohort
+    FROM wk w
+    JOIN coh c USING (user_id)
+    JOIN csize s ON s.cw = c.cw
+    WHERE (w.w - c.cw) // 7 <= {TRI_MAX_AGE}
+    GROUP BY cohort_week, age, s.n_cohort
+    """,
+)
+def q_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C164: weekly cohort retention triangle — per (first-activity
+    cohort week, week age <= TRI_MAX_AGE): distinct active users and
+    the cohort size. The hash certifies the week bucketing, the cohort
+    assignment, the integer age arithmetic, and both counts."""
+    ev = load(spark, sf_dir, "events")
+    wk = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("w")
+    ).distinct()
+    coh = wk.groupBy("user_id").agg(F.min("w").alias("cw"))
+    csize = coh.groupBy("cw").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cohort")
+    )
+    j = (
+        wk.join(coh, "user_id")
+        .selectExpr(
+            "user_id", "cw AS cohort_week",
+            "CAST(datediff(w, cw) div 7 AS BIGINT) AS age",
+        )
+        .filter(F.col("age") <= TRI_MAX_AGE)
+    )
+    return (
+        j.join(
+            F.broadcast(csize.withColumnRenamed("cw", "cohort_week")),
+            "cohort_week",
+        )
+        .groupBy("cohort_week", "age", "n_cohort")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_active"))
+        .select("cohort_week", "age", "n_active", "n_cohort")
+    )

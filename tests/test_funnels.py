@@ -352,3 +352,22 @@ def test_streaming_retention_matches_batch(spark, tmp_path):
     ).collect()
     got = {r.user_id: (r.r1, r.r7) for r in rows}
     assert got == batch
+
+
+def test_retention_triangle_invariants(spark, sf_dir):
+    """C164: age-0 activity equals the cohort size (every user is
+    active in their own first week); n_active never exceeds n_cohort;
+    n_active is non-increasing guarantees don't hold in general
+    (users can skip a week and return), so only the hard invariants
+    are pinned."""
+    from kafka_clickhouse_implementation_spark.operators.funnels import (
+        q_retention_triangle,
+    )
+
+    rows = q_retention_triangle(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.age <= 4
+        assert 1 <= r.n_active <= r.n_cohort
+    age0 = [r for r in rows if r.age == 0]
+    assert age0 and all(r.n_active == r.n_cohort for r in age0)

@@ -47,6 +47,7 @@ WINDOW_50 = [
     "q_hybrid_rank",  # never checked (new r10)
     "q_mmr_diversify",  # never checked (new r10)
     "q_proximity_search",  # never checked (new r10)
+    "q_retention_triangle",  # never checked (new r10)
     "q_stream_bm25",  # never checked (new r10)
     "q_stream_dsir",  # never checked (new r10)
     "q_stream_proximity",  # never checked (new r10)
@@ -68,7 +69,6 @@ WINDOW_50 = [
     "q_corpus_clean_sampled",  # last green r5
     "q_cramers_v",  # last green r5
     "q_dedup_docs",  # last green r5
-    "q_dict_get",  # last green r5
 ]
 
 
