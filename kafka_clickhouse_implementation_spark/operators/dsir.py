@@ -85,11 +85,11 @@ _LLR_NANO_SQL = (
     " * 1.0e9) AS BIGINT)"
 )
 
-# The DSIR CTE chain through per-doc scores — shared VERBATIM by the
-# selection oracle (q_dsir_weights / q_stream_dsir) and the C163
-# stratification oracle, so the tiers can never drift from the
-# certified importance-weight definition.
-_DSIR_CTE_BODY = f"""toks AS (
+# The hashed-feature CTE chain (toks → … → dfc) — shared by the DSIR
+# oracles and the C166 Naive-Bayes classifier oracle (nb_quality.py),
+# which scores the SAME feature space, so the two quality rungs cannot
+# drift in feature extraction.
+FEATS_CTE_BODY = f"""toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
 ), uni AS (
   SELECT doc_id, t[CAST(u.i + 1 AS INTEGER)] AS w
@@ -106,7 +106,13 @@ _DSIR_CTE_BODY = f"""toks AS (
 ), dfc AS (
   SELECT doc_id, b, CAST(count(*) AS BIGINT) AS cnt
   FROM feats GROUP BY doc_id, b
-), tgt AS (
+)"""
+
+# The DSIR CTE chain through per-doc scores — shared VERBATIM by the
+# selection oracle (q_dsir_weights / q_stream_dsir) and the C163
+# stratification oracle, so the tiers can never drift from the
+# certified importance-weight definition.
+_DSIR_CTE_BODY = f"""{FEATS_CTE_BODY}, tgt AS (
   SELECT doc_id FROM documents
   WHERE source = (SELECT min(source) FROM documents)
 ), smodel AS (
@@ -262,8 +268,12 @@ def _select_top(scored: DataFrame, docs: DataFrame) -> DataFrame:
         .over(W.orderBy(F.desc("score_nano"), "doc_id"))
         .cast("long"),
     )
+    # broadcast the TOP_N-row ranked frame, never the corpus-sized
+    # source projection — the module contract is that nothing here
+    # exceeds a hashed-feature shuffle at scale
     return (
-        ranked.join(F.broadcast(docs.select("doc_id", "source")), "doc_id")
+        docs.select("doc_id", "source")
+        .join(F.broadcast(ranked), "doc_id")
         .select("rnk", "doc_id", "source", "score_nano", "n_feats")
     )
 
@@ -316,17 +326,16 @@ def q_stream_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_clickhouse_implementation_spark.streaming.funnel import _drain
 
     wire, base = document_wire(spark, sf_dir)
-    feat_state = (
+    # the streaming frame runs through the SAME doc_features helper as
+    # batch C155 — only readStream + stateful dedup are streaming-specific,
+    # so the two feature extractions cannot drift
+    deduped = (
         spark.readStream.schema(_DOC_WIRE_SCHEMA)
         .option("maxFilesPerTrigger", "4")
         .json(wire)
         .dropDuplicates(["doc_id"])
-        .select("doc_id", F.split("text", " ").alias("t"))
-        .select("doc_id", F.explode(F.expr(_FEATS_EXPR)).alias("feat"))
-        .selectExpr("doc_id", f"{_bucket('feat')} AS b")
-        .groupBy("doc_id", "b")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
+    feat_state = doc_features(deduped)
     _drain(
         spark, feat_state, "stream_dsir_dfc",
         os.path.join(base, "ckpt_dsir_dfc"), mode="complete",

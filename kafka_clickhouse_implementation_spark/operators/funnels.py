@@ -474,7 +474,7 @@ def q_session_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cohort-size table is week-cardinality-sized and broadcasts.
 # ---------------------------------------------------------------------
 
-TRI_MAX_AGE = 4  # weeks of age reported per cohort
+TRI_MAX_AGE = 4  # maximum week age reported (ages 0..TRI_MAX_AGE inclusive)
 
 
 @query(

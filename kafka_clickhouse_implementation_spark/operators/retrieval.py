@@ -147,17 +147,24 @@ FROM (
 """
 
 
+def doc_tf(docs: DataFrame) -> DataFrame:
+    """(doc_id, token, tf) term frequencies — the ONE tf projection
+    shared by batch C150 and the streaming C152 state (only readStream
+    + stateful dedup are streaming-specific, so the two cannot
+    drift)."""
+    return (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+
+
 def bm25_rank(docs: DataFrame, top_k: int = TOP_K) -> DataFrame:
     """(qid, doc_id, rnk, score_nano, n_terms_hit) for the corpus-derived
     query set — see module docstring for the portability design."""
-    toks = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("token")
-    ).filter(F.col("token") != "")
-    tf = toks.groupBy("doc_id", "token").agg(
-        F.count(F.lit(1)).cast("long").alias("tf")
-    )
     n_docs_df = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    return bm25_from_tf(tf, n_docs_df, top_k)
+    return bm25_from_tf(doc_tf(docs), n_docs_df, top_k)
 
 
 def bm25_from_tf(tf: DataFrame, n_docs_df: DataFrame, top_k: int = TOP_K) -> DataFrame:
@@ -272,16 +279,15 @@ def q_stream_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_clickhouse_implementation_spark.streaming.funnel import _drain
 
     wire, base = document_wire(spark, sf_dir)
-    tf_state = (
+    # the streaming frame runs through the SAME doc_tf helper as batch
+    # C150 — only readStream + stateful dedup are streaming-specific
+    deduped = (
         spark.readStream.schema(_DOC_WIRE_SCHEMA)
         .option("maxFilesPerTrigger", "4")
         .json(wire)
         .dropDuplicates(["doc_id"])
-        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-        .filter(F.col("token") != "")
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
+    tf_state = doc_tf(deduped)
     _drain(
         spark, tf_state, "stream_bm25_tf",
         os.path.join(base, "ckpt_bm25_tf"), mode="complete",
@@ -499,18 +505,21 @@ def q_stream_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_clickhouse_implementation_spark.streaming.funnel import _drain
 
     wire, base = document_wire(spark, sf_dir)
-    pos_state = (
+    # the streaming frame runs through the SAME positional_postings
+    # helper as batch C153 (its arr=1 literal is re-aggregated into the
+    # arrival count here) — only readStream + stateful dedup + the
+    # arrival groupBy are streaming-specific, so the two positional
+    # projections cannot drift
+    deduped = (
         spark.readStream.schema(_DOC_WIRE_SCHEMA)
         .option("maxFilesPerTrigger", "4")
         .json(wire)
         .dropDuplicates(["doc_id"])
-        .select(
-            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
-        )
-        .filter(F.col("token") != "")
-        .select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
+    )
+    pos_state = (
+        positional_postings(deduped)
         .groupBy("doc_id", "token", "pos")
-        .agg(F.count(F.lit(1)).cast("long").alias("arr"))
+        .agg(F.sum("arr").cast("long").alias("arr"))
     )
     _drain(
         spark, pos_state, "stream_prox_postings",

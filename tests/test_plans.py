@@ -298,9 +298,12 @@ _AUDIT_SKIP = {"q_ingest_roundtrip", "q_partition_prune", "q_csv_roundtrip", "q_
 # orderBy().limit(k) (k <= QT_TOTAL / TOP_N / 2*QP_PAIRS — constant,
 # data-independent): the single window partition holds <= k rows BY
 # CONSTRUCTION, so there is no scale cliff for the detector's pattern
-# to flag. The audit still requires the boundedness evidence — a
-# TakeOrderedAndProject upstream in the same plan — so removing the
-# limit would re-flag the query instead of silently passing.
+# to flag. The exemption is a MATCHED COUNT, not a blanket pass: every
+# bare window in the plan must be paired with a TakeOrderedAndProject
+# node (count equality — a limit-cut subtree that the planner
+# duplicates N times carries N TOAPs alongside its N window copies),
+# so removing a limit OR adding a second, genuinely unbounded window
+# to an exempted query breaks the pairing and re-flags it.
 _BOUNDED_WINDOW_OK = {"q_bm25_rank", "q_dsir_weights", "q_proximity_search"}
 
 
@@ -337,8 +340,10 @@ def test_registry_wide_plan_audit(spark):
             offenders["cartesian"].append(name)
         if "BatchEvalPython" in plan:
             offenders["batch_python"].append(name)
-        if _bare_windows(plan) and not (
-            name in _BOUNDED_WINDOW_OK and "TakeOrderedAndProject" in plan
+        bare = _bare_windows(plan)
+        if bare and not (
+            name in _BOUNDED_WINDOW_OK
+            and len(bare) == plan.count("TakeOrderedAndProject")
         ):
             offenders["bare_window"].append(name)
     assert offenders == {"cartesian": [], "batch_python": [], "bare_window": []}
