@@ -324,14 +324,17 @@ KN_MODEL_CTES = """t AS (
 )"""
 
 
-def kn_scored_ctes(keys: str, held_where: str) -> str:
+def kn_scored_ctes(keys: str, held_where: str, src: str = "t") -> str:
     """held/db/scored CTE chain scoring bigrams grouped by ``keys``
     (C142: 'source' over the odd held-out half; the corpus-clean gate:
-    'doc_id' over the whole corpus, held_where='')."""
+    'doc_id' over the whole corpus, held_where=''). ``src`` swaps the
+    HELD relation — any (doc_id, source, l) frame, e.g. the clipped
+    slice for the corpus-export provenance score — while the model
+    stays trained on the raw even half (KN_MODEL_CTES' t)."""
     return f"""held AS (
   SELECT source, doc_id,
          unnest(l[1:len(l) - 1]) AS w1, unnest(l[2:len(l)]) AS w2
-  FROM t {held_where}
+  FROM {src} {held_where}
 ), db AS (
   SELECT {keys}, w1, w2, CAST(count(*) AS BIGINT) AS cnt
   FROM held GROUP BY {keys}, w1, w2
@@ -428,12 +431,19 @@ def kn_model_tables(docs_l: DataFrame):
     return bgc, ctx, cont, ntot
 
 
-def kn_score_bigrams(docs_l: DataFrame, keys: list[str], held_filter: str | None):
+def kn_score_bigrams(
+    docs_l: DataFrame,
+    keys: list[str],
+    held_filter: str | None,
+    held_l: DataFrame | None = None,
+):
     """Per-``keys`` scored bigram table (keys + cnt, p_micro,
-    unseen_pair, unseen_ctx) — the exact Spark twin of
-    kn_scored_ctes."""
+    unseen_pair, unseen_ctx) — the exact Spark twin of kn_scored_ctes.
+    ``held_l`` swaps the held relation (kn_scored_ctes' src twin) while
+    the model stays trained on docs_l's even half."""
     bgc, ctx, cont, ntot = kn_model_tables(docs_l)
-    held = docs_l.filter(held_filter) if held_filter else docs_l
+    held = held_l if held_l is not None else docs_l
+    held = held.filter(held_filter) if held_filter else held
     db = (
         held.selectExpr("source", "doc_id", _KN_PAIRS_EXPR)
         .select("source", "doc_id", "p.w1", "p.w2")

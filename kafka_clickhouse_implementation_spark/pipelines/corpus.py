@@ -235,6 +235,32 @@ def _kn_ok() -> str:
     )"""
 
 
+def _clean_ctes(
+    where: str = "",
+    ok_cte: str | None = None,
+    prelude: str = "",
+    src: str = "documents",
+) -> str:
+    """The composed pipeline's WITH-body (base → quality gate →
+    keep-lowest-id exact dedup → portable-MinHash pairs → unrolled
+    label-doubling CC → losers), shared by the four funnel-count
+    oracles (_clean_oracle) and the per-doc provenance oracle of
+    q_corpus_export — ONE body, two final SELECTs."""
+    return f"""{prelude}base AS (
+      SELECT doc_id, text, string_split(text, ' ') AS t FROM {src} {where}
+    ), {ok_cte or _HEURISTIC_OK}, keep_exact AS (
+      SELECT min(doc_id) AS doc_id FROM ok GROUP BY md5(text)
+    ), kept AS (
+      SELECT o.doc_id, o.t FROM ok o JOIN keep_exact k USING (doc_id)
+    ), {minhash_pairs_cte("kept")}, edges AS MATERIALIZED (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ), {_cc_rounds_sql()}, losers AS (
+      SELECT id FROM comp WHERE id <> lbl
+    )"""
+
+
 def _clean_oracle(
     where: str = "",
     ok_cte: str | None = None,
@@ -250,22 +276,10 @@ def _clean_oracle(
     ``ok_cte`` swaps the quality gate (default heuristic, KN-scored
     for q_corpus_clean_scored); ``prelude``/``src`` swap the INPUT
     relation (the ExactSubstr-clipped corpus for
-    q_corpus_clean_clipped) — ONE template builds all four oracles so
+    q_corpus_clean_clipped) — ONE template builds all the oracles so
     they can never diverge."""
     return f"""
-    WITH {prelude}base AS (
-      SELECT doc_id, text, string_split(text, ' ') AS t FROM {src} {where}
-    ), {ok_cte or _HEURISTIC_OK}, keep_exact AS (
-      SELECT min(doc_id) AS doc_id FROM ok GROUP BY md5(text)
-    ), kept AS (
-      SELECT o.doc_id, o.t FROM ok o JOIN keep_exact k USING (doc_id)
-    ), {minhash_pairs_cte("kept")}, edges AS MATERIALIZED (
-      SELECT doc_a AS a, doc_b AS b FROM pairs
-      UNION
-      SELECT doc_b, doc_a FROM pairs
-    ), {_cc_rounds_sql()}, losers AS (
-      SELECT id FROM comp WHERE id <> lbl
-    )
+    WITH {_clean_ctes(where, ok_cte, prelude, src)}
     SELECT (SELECT CAST(count(*) AS BIGINT) FROM base) AS n_raw,
            (SELECT CAST(count(*) AS BIGINT) FROM ok) AS n_after_quality,
            (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_after_exact_dedup,
@@ -464,3 +478,250 @@ def q_corpus_clean_clipped_sampled(spark: SparkSession, sf_dir: str) -> DataFram
         .localCheckpoint()
     )
     return _clean_counts(clipped)
+
+
+# ---------------------------------------------------------------------
+# Corpus EXPORT with per-doc provenance — round 11 (C165): the
+# pipeline's DELIVERABLE. Every clean so far ends in audit counts; this
+# operator SHIPS the kept set: the clip→clean composition's surviving
+# documents are WRITTEN as a source-partitioned parquet table whose
+# rows carry full lineage — clip volume (raw/kept char counts, merged
+# clip-span count), the content fingerprint, the near-dup cluster id,
+# and the KN LM-quality score — and the query's result is a READ-BACK
+# over the written files unioned with the dropped-doc audit (reason =
+# quality | exact_dup | near_dup), so ONE driver hash certifies both
+# the product files' content (fp is re-derived by md5 over text AS
+# READ FROM DISK) and the keep/drop attribution of every document.
+# This is the reference's whole point — a queryable output table
+# (kafka+clickhouse.md:92-103) — applied to the corpus pipeline.
+#
+# Scope: the deterministic 10% doc_id slice (the C149/C86
+# scale-differential recipe, for the same reason as C149 — the full
+# clip composition's DuckDB replay is superlinear on the synthetic
+# 10x-duplicated sf1 corpus; the slice bounds the oracle's gram and
+# pair volume at every scale while the Spark side exercises the full
+# C148 plan shape plus the write/read-back).
+#
+# Provenance columns and their certification:
+#   n_chars_raw / n_chars_kept — exact clip volume (ratio left to the
+#     consumer as an exact-integer rational, repo convention);
+#   n_clip_spans — merged duplicated-range count (0 = untouched);
+#   fp — md5 of the clipped text; for KEPT rows it is recomputed FROM
+#     THE WRITTEN FILES, so a corrupt/lossy write hash-FAILS;
+#   comp — near-dup cluster label (kept winners + near_dup losers;
+#     singleton docs label themselves); NULL before the CC stage;
+#   kn_mean_p — C142's interpolated-KN mean micro-probability of the
+#     clipped text under the model trained on the FULL raw corpus's
+#     even-doc_id half (the shared KN_MODEL_CTES); carried as a
+#     provenance SCORE (the gate stays C148's heuristic, so the kept
+#     set is exactly the certified C149 composition); NULL for docs
+#     whose clipped text has < 2 tokens;
+#   n_unconverged — the CC convergence probe, emitted per row so an
+#     under-provisioned oracle unroll still hash-FAILS loudly.
+#
+# Scale shape: everything upstream is the certified C149 plan; the new
+# stages are one partitioned parquet write of the kept rows (narrow),
+# one columnar read-back, and the C142 word-keyed model joins for the
+# score. Nothing shuffles more than the clean itself.
+# ---------------------------------------------------------------------
+
+EXPORT_SLICE_MOD = 10  # deterministic doc_id % MOD = 0 slice (C149's)
+
+
+def _export_oracle() -> str:
+    from kafka_clickhouse_implementation_spark.operators.corpus_ext import (
+        clip_prelude_sql,
+    )
+    from kafka_clickhouse_implementation_spark.operators.quality_ext import (
+        KN_MODEL_CTES,
+        kn_scored_ctes,
+    )
+
+    prelude = (
+        "docs10 AS MATERIALIZED"
+        f" (SELECT * FROM documents WHERE doc_id % {EXPORT_SLICE_MOD} = 0), "
+        + clip_prelude_sql("docs10")
+    )
+    held_src = (
+        "(SELECT c.doc_id, d.source, string_split(c.text, ' ') AS l"
+        " FROM clipped c JOIN docs10 d USING (doc_id)"
+        " WHERE len(string_split(c.text, ' ')) >= 2)"
+    )
+    return f"""
+    WITH {_clean_ctes(prelude=prelude, src="clipped")},
+    {KN_MODEL_CTES}, {kn_scored_ctes("doc_id", "", src=held_src)},
+    spanstats AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_clip_spans
+      FROM spans GROUP BY doc_id
+    ), knmean AS (
+      SELECT doc_id,
+             CAST(sum(cnt * p_micro) // sum(cnt) AS BIGINT) AS kn_mean_p
+      FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           d.source,
+           CASE WHEN o.doc_id IS NULL THEN 'quality'
+                WHEN k.doc_id IS NULL THEN 'exact_dup'
+                WHEN lo.id IS NOT NULL THEN 'near_dup'
+                ELSE 'kept' END AS reason,
+           CAST(length(d.text) AS BIGINT) AS n_chars_raw,
+           CAST(length(c.text) AS BIGINT) AS n_chars_kept,
+           CAST(coalesce(ss.n_clip_spans, 0) AS BIGINT) AS n_clip_spans,
+           md5(c.text) AS fp,
+           CAST(CASE WHEN o.doc_id IS NULL OR k.doc_id IS NULL THEN NULL
+                ELSE coalesce(cm.lbl, d.doc_id) END AS BIGINT) AS comp,
+           km.kn_mean_p AS kn_mean_p,
+           (SELECT n_unconverged FROM conv) AS n_unconverged
+    FROM docs10 d
+    JOIN clipped c USING (doc_id)
+    LEFT JOIN ok o ON o.doc_id = d.doc_id
+    LEFT JOIN kept k ON k.doc_id = d.doc_id
+    LEFT JOIN losers lo ON lo.id = d.doc_id
+    LEFT JOIN comp cm ON cm.id = d.doc_id
+    LEFT JOIN spanstats ss ON ss.doc_id = d.doc_id
+    LEFT JOIN knmean km ON km.doc_id = d.doc_id
+    """
+
+
+@query("q_corpus_export", oracle=_export_oracle())
+def q_corpus_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C165: ship the cleaned corpus as a source-partitioned parquet
+    product with per-doc provenance, and certify the WRITTEN FILES plus
+    the keep/drop attribution under one driver hash (see the block
+    comment above for the full column contract)."""
+    import os
+
+    from kafka_clickhouse_implementation_spark.cachedirs import (
+        source_tagged_dir,
+    )
+    from kafka_clickhouse_implementation_spark.operators.corpus_ext import (
+        substring_clip,
+    )
+    from kafka_clickhouse_implementation_spark.operators.quality_ext import (
+        kn_score_bigrams,
+        kn_split_docs,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % EXPORT_SLICE_MOD == 0
+    )
+    # the clip chain feeds every downstream stage — pin it once
+    clip = substring_clip(docs).localCheckpoint()
+    toks = F.split("ctext", " ")
+    nstop = F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and")))
+    flagged = clip.select(
+        "doc_id",
+        "source",
+        F.length("text").cast("long").alias("n_chars_raw"),
+        F.length("kept_text").cast("long").alias("n_chars_kept"),
+        "n_clip_spans",
+        F.col("kept_text").alias("ctext"),
+    ).withColumn(
+        "q_pass", (F.size(toks) >= 10) & (nstop / F.size(toks) <= 0.5)
+    )
+    ok = flagged.filter("q_pass")
+    winners = (
+        ok.groupBy(F.md5(F.col("ctext").cast("binary")).alias("fp0"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept_exact = ok.join(winners, "doc_id", "left_semi")
+    pairs = verified_pairs(
+        kept_exact.select("doc_id", F.col("ctext").alias("text"))
+    )
+    compdf = connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("id").alias("doc_id"), "comp"
+    )
+    losers = compdf.filter(F.col("doc_id") != F.col("comp")).select("doc_id")
+    kept_ids = kept_exact.join(losers, "doc_id", "left_anti").select("doc_id")
+
+    # ---- the PRODUCT: kept docs + lineage, partitioned by source ----
+    out = source_tagged_dir("corpus_export", sf_dir, "documents")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            flagged.join(kept_ids, "doc_id", "left_semi")
+            .join(compdf, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.col("ctext").alias("text"),
+                "n_chars_raw",
+                "n_chars_kept",
+                "n_clip_spans",
+                F.coalesce("comp", F.col("doc_id")).cast("long").alias("comp"),
+                "source",
+            )
+            .write.mode("overwrite")
+            .partitionBy("source")
+            .parquet(out)
+        )
+
+    # ---- KN provenance score over the clipped slice (model = full
+    # raw corpus even half, the shared C142 recipe) ----
+    held_l = clip.select(
+        "doc_id", "source", F.split("kept_text", " ").alias("l")
+    ).filter(F.size("l") >= 2)
+    scored = kn_score_bigrams(
+        kn_split_docs(load(spark, sf_dir, "documents")),
+        ["doc_id"],
+        None,
+        held_l=held_l,
+    )
+    knmean = (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum(F.col("cnt") * F.col("p_micro")).cast("long").alias("sp"),
+            F.sum("cnt").cast("long").alias("sc"),
+        )
+        .selectExpr("doc_id", "CAST(sp div sc AS BIGINT) AS kn_mean_p")
+    )
+
+    # ---- read-back audit: kept rows FROM THE FILES, fp re-derived ----
+    kept_back = (
+        spark.read.option("basePath", out)
+        .parquet(out)
+        .select(
+            "doc_id",
+            "source",
+            F.lit("kept").alias("reason"),
+            "n_chars_raw",
+            "n_chars_kept",
+            "n_clip_spans",
+            F.md5(F.col("text").cast("binary")).alias("fp"),
+            "comp",
+        )
+    )
+    dropped = (
+        flagged.join(kept_ids, "doc_id", "left_anti")
+        .join(winners.withColumn("w", F.lit(1)), "doc_id", "left")
+        .join(compdf, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.when(~F.col("q_pass"), "quality")
+            .when(F.col("w").isNull(), "exact_dup")
+            .otherwise("near_dup")
+            .alias("reason"),
+            "n_chars_raw",
+            "n_chars_kept",
+            "n_clip_spans",
+            F.md5(F.col("ctext").cast("binary")).alias("fp"),
+            F.when(
+                F.col("q_pass") & F.col("w").isNotNull(),
+                F.coalesce("comp", F.col("doc_id")),
+            )
+            .cast("long")
+            .alias("comp"),
+        )
+    )
+    return (
+        kept_back.unionByName(dropped)
+        .join(knmean, "doc_id", "left")
+        # the engine's CC iterates to a convergence guard (0 by
+        # construction); the oracle COMPUTES its probe — same loud-fail
+        # stance as _clean_counts
+        .withColumn("n_unconverged", F.lit(0).cast("long"))
+        .select(
+            "doc_id", "source", "reason", "n_chars_raw", "n_chars_kept",
+            "n_clip_spans", "fp", "comp", "kn_mean_p", "n_unconverged",
+        )
+    )

@@ -127,3 +127,47 @@ def test_funnel_twin_matches_pipeline_counts(spark, tmp_path):
         s["n_after_quality"],
         s["n_after_exact_dedup"],
     )
+
+
+def test_corpus_export_ships_exactly_the_kept_set(spark, sf_dir):
+    """C165: the written product's rows are exactly the composed
+    clean's survivors — read-back 'kept' rows match C149's
+    n_after_near_dedup, the four reasons partition the slice, every
+    kept row labels a real cluster (comp <= doc_id, min-id convention),
+    and the WRITTEN FILES contain only kept doc_ids with the fp of
+    their text column."""
+    import pyspark.sql.functions as F
+
+    from kafka_clickhouse_implementation_spark.cachedirs import source_tagged_dir
+    from kafka_clickhouse_implementation_spark.pipelines.corpus import (
+        EXPORT_SLICE_MOD,
+        q_corpus_clean_clipped_sampled,
+        q_corpus_export,
+    )
+
+    audit = q_corpus_export(spark, sf_dir).cache()
+    funnel = q_corpus_clean_clipped_sampled(spark, sf_dir).head()
+    by_reason = {
+        r["reason"]: r["n"]
+        for r in audit.groupBy("reason").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_reason.get("kept", 0) == funnel["n_after_near_dedup"]
+    assert sum(by_reason.values()) == funnel["n_raw"]
+    assert (
+        by_reason.get("kept", 0) + by_reason.get("near_dup", 0)
+        == funnel["n_after_exact_dedup"]
+    )
+    # cluster labels follow the min-id convention; dropped-before-CC rows carry NULL
+    assert audit.filter("reason = 'kept' AND (comp IS NULL OR comp > doc_id)").count() == 0
+    assert audit.filter("reason IN ('quality', 'exact_dup') AND comp IS NOT NULL").count() == 0
+    # the files themselves: only kept ids, fp(text-on-disk) matches the audit
+    out = source_tagged_dir("corpus_export", sf_dir, "documents")
+    files = spark.read.option("basePath", out).parquet(out)
+    kept_ids = {r["doc_id"] for r in audit.filter("reason = 'kept'").collect()}
+    assert {r["doc_id"] for r in files.select("doc_id").collect()} == kept_ids
+    assert all(r["doc_id"] % EXPORT_SLICE_MOD == 0 for r in files.select("doc_id").collect())
+    onfp = files.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("fp_disk")
+    ).join(audit.select("doc_id", "fp"), "doc_id")
+    assert onfp.filter("fp_disk <> fp").count() == 0
+    audit.unpersist()
