@@ -1013,26 +1013,17 @@ GROUP BY a.cid"""
     )
 
 
-@query("q_pq_quantize", oracle=_pq_oracle())
-def q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product quantization (Jégou et al. 2011, the FAISS PQ
-    compressor): the 64-dim embedding splits into 8 independent 8-dim
-    subspaces, each trained with its own fixed-seed integer Lloyd run
-    (k=4 codes, 2 rounds — the same deterministic machinery as C110,
-    re-based per subspace), and every vector is coded by its nearest
-    final sub-centroid. Reported per (subspace, code): population,
-    exact integer quantization error against the FINAL codebook, and a
-    membership checksum. PQ is the 100 TB embedding-store story — 8
-    codes of 2 bits replace 256 bytes of floats (128× compression
-    here; production uses k=256 for 8 bits/subspace), and the
-    asymmetric-distance tables are k·SUB lookups. Each subspace's
-    training is the same broadcast-join/map-side-agg profile as C110
-    on one-eighth the columns; the 8 runs share one localCheckpointed
-    scan."""
-    # ALL subspaces train jointly: every aggregation keys on (sub, …)
-    # so one Spark job per Lloyd round covers the 8 independent runs
-    # (semantically identical to 8 separate loops — the oracle replays
-    # them separately — but 8× fewer jobs and one shared shuffle).
+def _pq_train(spark: SparkSession, sf_dir: str, pq_k: int = PQ_K):
+    """The C116 PQ training loop, factored so the IVF-PQ composition
+    (C167) trains the identical codebooks: ALL subspaces train jointly
+    — every aggregation keys on (sub, …) so one Spark job per Lloyd
+    round covers the 8 independent runs (semantically identical to 8
+    separate loops — the oracle replays them separately — but 8× fewer
+    jobs and one shared shuffle). Returns (pts, asg, cdf): the
+    localCheckpointed (sub, vec_id, dim, x) long table, the final-round
+    code assignment (sub, vec_id, cid), and the POST-final-update
+    codebook (sub, cid, dim, c) — the 'final codebook' every consumer
+    (C116's err, C167's ADC tables) measures against."""
     pts = (
         _pts_long(spark, sf_dir)
         .select(
@@ -1045,7 +1036,7 @@ def q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = [
         (int(r.sub), int(r.cid), int(r.dim), int(r.x))
-        for r in pts.filter(F.col("vec_id") < PQ_K)
+        for r in pts.filter(F.col("vec_id") < pq_k)
         .select("sub", F.col("vec_id").alias("cid"), "dim", "x")
         .collect()
     ]
@@ -1080,6 +1071,26 @@ def q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             (int(r.sub), int(r.cid), int(r.dim), int(r.x)) for r in newc.collect()
         ]
     cdf = spark.createDataFrame(cents, schema="sub INT, cid LONG, dim INT, c LONG")
+    return pts, asg, cdf
+
+
+@query("q_pq_quantize", oracle=_pq_oracle())
+def q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou et al. 2011, the FAISS PQ
+    compressor): the 64-dim embedding splits into 8 independent 8-dim
+    subspaces, each trained with its own fixed-seed integer Lloyd run
+    (k=4 codes, 2 rounds — the same deterministic machinery as C110,
+    re-based per subspace), and every vector is coded by its nearest
+    final sub-centroid. Reported per (subspace, code): population,
+    exact integer quantization error against the FINAL codebook, and a
+    membership checksum. PQ is the 100 TB embedding-store story — 8
+    codes of 2 bits replace 256 bytes of floats (128× compression
+    here; production uses k=256 for 8 bits/subspace), and the
+    asymmetric-distance tables are k·SUB lookups. Each subspace's
+    training is the same broadcast-join/map-side-agg profile as C110
+    on one-eighth the columns; the 8 runs share one localCheckpointed
+    scan."""
+    pts, asg, cdf = _pq_train(spark, sf_dir)
     err = (
         pts.join(F.broadcast(cdf), ["sub", "dim"])
         .groupBy("sub", "vec_id", "cid")
@@ -1099,5 +1110,204 @@ def q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_vecs",
             "err_sum",
             "min_vec_id",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# C167 — IVF-PQ with exact re-rank: the composition an actual 100 TB
+# vector store runs (FAISS IndexIVFPQ: Jégou et al. 2011 §V). The C112
+# coarse quantizer routes each query to its NPROBE inverted lists; the
+# list members' distances are approximated by PQ ASYMMETRIC DISTANCE
+# (per query, one 8-subspace × 16-code integer lookup table against
+# codebooks from the C116 trainer — k·SUB lookups replace d-dim arithmetic per
+# candidate); the top SHORT_R by ADC are then EXACTLY re-ranked over
+# the full vectors. Codes are trained on the raw vectors (FAISS's
+# by_residual=false configuration — the C116 codebooks verbatim, so
+# the composition certifies the two certified pieces COMPOSED rather
+# than a third training trajectory).
+#
+# Everything is exact-integer: the LUT entries are BIGINT squared-L2
+# sums over micro-quantized subvectors, ADC distances are exact BIGINT
+# sums of 8 LUT entries, and both rank windows order by (dist, nid) —
+# so the DuckDB replay is bit-exact end to end, including which
+# neighbors survive the ADC shortlist.
+#
+# Scale shape: candidate volume is nprobe/k of the corpus per query
+# (the C112 IVF contract); ADC joins shuffle (qid, nid, sub) ints
+# against a BROADCAST lut (n_q · SUB · PQ_K rows — model-sized) and a
+# code table of SUB rows per vector (the 100 TB story: 8 2-bit codes
+# per vector in place of 256 bytes — the scan that feeds ADC reads
+# ~1/64th the bytes of the flat IVF re-rank); the exact re-rank
+# touches SHORT_R rows per query instead of every probed member. Both
+# windows partition on query id.
+# --------------------------------------------------------------------------
+
+PQ_K16 = 16  # IVF-PQ codebook: 16 codes/subspace (4 bits x 8 = a
+# 32-bit code per vector vs 2048 raw bits - 64x compression; C116's
+# k=4 teaching configuration orders candidates too coarsely for a
+# useful shortlist: measured recall@5 vs flat IVF 0.24 at SHORT_R=10)
+SHORT_R = 30  # ADC shortlist re-ranked exactly (6x TOPK, the FAISS
+# k_factor-style reorder margin; measured recall@5 vs flat IVF = 0.98
+# at sf0.001/sf0.01 while still cutting the ~45-candidate average
+# probe list)
+
+
+def _ivfpq_oracle() -> str:
+    blocks = [_PTS_CTE]
+    blocks.append(f"""kval AS (
+  SELECT greatest({K}, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) AS k
+  FROM embeddings
+)""")
+    blocks.append(_lloyd_rounds("(SELECT k FROM kval)", ITERS, "vq", "pts"))
+    blocks.append(_EQ_CTE)
+    for s in range(PQ_SUB):
+        lo, hi = s * PQ_SUBDIM, (s + 1) * PQ_SUBDIM
+        blocks.append(f"""p{s} AS (
+  SELECT vec_id, dim - {lo} AS dim, x FROM pts WHERE dim >= {lo} AND dim < {hi}
+)""")
+        blocks.append(_lloyd_rounds(PQ_K16, PQ_ITERS, f"s{s}_", f"p{s}"))
+    last = PQ_ITERS - 1
+    codes_union = "\n  UNION ALL\n  ".join(
+        f"SELECT {s} AS sub, vec_id, cid FROM asgs{s}_{last}"
+        for s in range(PQ_SUB)
+    )
+    cbook_union = "\n  UNION ALL\n  ".join(
+        f"SELECT {s} AS sub, cid, dim, x FROM cents{s}_{PQ_ITERS}"
+        for s in range(PQ_SUB)
+    )
+    body = ",\n".join(blocks)
+    return f"""
+WITH {body},
+probe AS (
+  SELECT vec_id AS qid, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM dvq{_LAST}
+  WHERE vec_id % {Q_EVERY} = 0
+),
+cand AS (
+  SELECT p.qid, g.vec_id AS nid
+  FROM probe p JOIN asgvq{_LAST} g ON p.cid = g.cid
+  WHERE p.rn <= {NPROBE} AND g.vec_id <> p.qid
+),
+codesq AS MATERIALIZED (
+  {codes_union}
+),
+cbook AS MATERIALIZED (
+  {cbook_union}
+),
+qsub AS (
+  SELECT vec_id AS qid, CAST(dim // {PQ_SUBDIM} AS INTEGER) AS sub,
+         dim % {PQ_SUBDIM} AS dim8, x
+  FROM pts WHERE vec_id % {Q_EVERY} = 0
+),
+lut AS MATERIALIZED (
+  SELECT q.qid, c.sub, c.cid,
+         CAST(sum((q.x - c.x) * (q.x - c.x)) AS BIGINT) AS d
+  FROM qsub q JOIN cbook c ON c.sub = q.sub AND c.dim = q.dim8
+  GROUP BY q.qid, c.sub, c.cid
+),
+adc AS MATERIALIZED (
+  SELECT c.qid, c.nid, CAST(sum(l.d) AS BIGINT) AS dist2_pq
+  FROM cand c
+  JOIN codesq k2 ON k2.vec_id = c.nid
+  JOIN lut l ON l.qid = c.qid AND l.sub = k2.sub AND l.cid = k2.cid
+  GROUP BY c.qid, c.nid
+),
+short AS (
+  SELECT qid, nid, dist2_pq,
+         row_number() OVER (PARTITION BY qid ORDER BY dist2_pq, nid) AS sr
+  FROM adc
+),
+exact AS (
+  SELECT s.qid, s.nid, s.dist2_pq, CAST({_PAIR_DIST} AS BIGINT) AS dist2
+  FROM short s
+  JOIN eq a ON a.vec_id = s.qid
+  JOIN eq b ON b.vec_id = s.nid
+  WHERE s.sr <= {SHORT_R}
+)
+SELECT qid AS query_id, CAST(rk AS BIGINT) AS rank, nid AS neighbor_id,
+       dist2, dist2_pq
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist2, nid) AS rk
+  FROM exact
+) WHERE rk <= {TOPK}
+"""
+
+
+@query("q_ann_ivfpq", oracle=_ivfpq_oracle())
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C167: IVF-PQ ANN with exact re-rank — coarse probe (C112's
+    quantizer verbatim), PQ asymmetric-distance shortlist (C116's
+    trainer at k = PQ_K16, per-query integer LUTs), exact integer re-rank
+    of the SHORT_R survivors. One hash certifies both trained models,
+    the probe routing, every ADC table entry, the shortlist cut, and
+    the final ranking."""
+    emb = load(spark, sf_dir, "embeddings")
+    k = ivf_k(emb.count())
+    eq = _eq_arrays(spark, sf_dir).localCheckpoint()
+    asg, asg_carr, _ = _lloyd_arrays(spark, eq, k, ITERS)
+    qd = _code_points(eq.filter(F.col("vec_id") % Q_EVERY == 0), asg_carr)
+    probe = (
+        qd.select(F.col("vec_id").alias("qid"), F.explode("dists").alias("s"))
+        .select(
+            "qid",
+            F.col("s.c").cast("long").alias("cid"),
+            F.col("s.d").alias("dist"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("qid").orderBy("dist", "cid")),
+        )
+        .filter(F.col("rn") <= NPROBE)
+        .select("qid", "cid")
+    )
+    cand = (
+        probe.join(asg, "cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("nid"))
+    )
+    pts, codes, cdf = _pq_train(spark, sf_dir, pq_k=PQ_K16)
+    qsub = pts.filter(F.col("vec_id") % Q_EVERY == 0).select(
+        F.col("vec_id").alias("qid"), "sub", "dim", "x"
+    )
+    lut = (
+        qsub.join(F.broadcast(cdf), ["sub", "dim"])
+        .groupBy("qid", "sub", "cid")
+        .agg(
+            F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))
+            .cast("long")
+            .alias("d")
+        )
+    )
+    adc = (
+        cand.join(codes.select(F.col("vec_id").alias("nid"), "sub", "cid"), "nid")
+        .join(F.broadcast(lut), ["qid", "sub", "cid"])
+        .groupBy("qid", "nid")
+        .agg(F.sum("d").cast("long").alias("dist2_pq"))
+    )
+    short = adc.withColumn(
+        "sr",
+        F.row_number().over(Window.partitionBy("qid").orderBy("dist2_pq", "nid")),
+    ).filter(F.col("sr") <= SHORT_R)
+    exact = (
+        short.join(
+            eq.select(F.col("vec_id").alias("qid"), F.col("eq").alias("ea")), "qid"
+        )
+        .join(eq.select(F.col("vec_id").alias("nid"), F.col("eq").alias("eb")), "nid")
+        .select("qid", "nid", "dist2_pq", _dist2_arrays("ea", "eb").alias("dist2"))
+    )
+    return (
+        exact.withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("qid").orderBy("dist2", "nid")),
+        )
+        .filter(F.col("rk") <= TOPK)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("rk").cast("long").alias("rank"),
+            F.col("nid").alias("neighbor_id"),
+            "dist2",
+            "dist2_pq",
         )
     )
