@@ -364,6 +364,17 @@ def test_bare_window_detector_catches_global_windows(spark):
     assert not _bare_windows(_plan(ok))
 
 
+def test_asof_join_is_jvm_side(spark):
+    """C-tier ASOF (r11 rewrite): union + last_value(ignorenulls) over
+    a user-partitioned window — no Python anywhere in the plan (the
+    cogrouped merge_asof predecessor lives on as legacy_asof_cogroup),
+    and the window is key-partitioned (no single-partition cliff)."""
+    plan = _plan(all_queries()["q_asof_join"](spark, SF))
+    assert "FlatMapCoGroupsInPandas" not in plan, plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan, plan
+    assert not _bare_windows(plan), plan
+
+
 def test_heavy_hitters_shuffles_summaries_not_vocab(spark):
     """C29 (r8 oracle upgrade): the merge after the one-shot MG must
     aggregate the mapInPandas SUMMARY rows (<= buckets x k), and the
