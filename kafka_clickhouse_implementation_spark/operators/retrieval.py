@@ -305,6 +305,102 @@ def q_stream_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# Update-mode upsert-maintained tf index — round 11 (C168): the 100 TB
+# path every complete-mode streaming index (C152/C157/C162) declares in
+# its docstring, now actually written. The complete-mode memory sink
+# re-materializes the WHOLE state per trigger — fine for a drained
+# certification run, linear-in-index-size memory in production. Here
+# the same streaming aggregation runs in UPDATE mode: each micro-batch
+# emits only the CHANGED (doc_id, token) rows, and foreachBatch appends
+# them as row VERSIONS (version = the deterministic epoch id) into a
+# parquet table — the plans/upsert.py ReplacingMergeTree recipe. The
+# read side resolves latest-per-key with one window rank, so the
+# maintained index equals the complete-mode state by construction and
+# the WHOLE pipeline (wire → dedup → update-mode counts → versioned
+# upsert → latest-read → BM25) is checked against the batch oracle
+# VERBATIM.
+#
+# Idempotency is the load-bearing property (exactly-once sinks are
+# built from at-least-once delivery + idempotent writes): a REPLAYED
+# batch appends byte-identical (key, version) rows, and latest-per-key
+# resolution is unchanged — pinned by tests/test_retrieval.py, which
+# double-appends a batch and asserts the read-back is identical.
+#
+# Scale shape: per-trigger write volume is the CHANGED keys only (not
+# the index); the read-side rank shuffles once on the key; compaction
+# (plans/upsert.compact_versions) bounds growth off-peak.
+# ---------------------------------------------------------------------
+
+
+def stream_tf_upsert(spark: SparkSession, sf_dir: str) -> str:
+    """Run the document wire through stateful dedup + the shared doc_tf
+    projection in UPDATE mode, foreachBatch-appending changed rows as
+    (doc_id, token, tf, version) into a versioned parquet upsert table.
+    Returns the table path (rebuilt per call — streaming queries stay
+    re-runnable)."""
+    import os
+    import shutil
+
+    from kafka_clickhouse_implementation_spark.plans.upsert import (
+        append_versions,
+    )
+    from kafka_clickhouse_implementation_spark.streaming.corpus_stream import (
+        _DOC_WIRE_SCHEMA,
+        document_wire,
+    )
+
+    wire, base = document_wire(spark, sf_dir)
+    path = os.path.join(base, "bm25_tf_upsert")
+    ckpt = os.path.join(base, "ckpt_bm25_tf_upsert")
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    deduped = (
+        spark.readStream.schema(_DOC_WIRE_SCHEMA)
+        .option("maxFilesPerTrigger", "4")
+        .json(wire)
+        .dropDuplicates(["doc_id"])
+    )
+
+    def upsert_batch(bdf: DataFrame, epoch_id: int) -> None:
+        append_versions(
+            bdf.withColumn("version", F.lit(epoch_id).cast("long")), path
+        )
+
+    q = (
+        doc_tf(deduped)
+        .writeStream.outputMode("update")
+        .foreachBatch(upsert_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("tf upsert stream did not drain in 600s")
+    return path
+
+
+@query("q_stream_bm25_upsert", oracle=_BM25_ORACLE)
+def q_stream_bm25_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C168: BM25 over the UPDATE-MODE UPSERT-MAINTAINED tf index —
+    one hash certifies update-mode incremental maintenance + versioned
+    keyed upsert + latest-per-key read == the batch index == the
+    independent DuckDB replay."""
+    from kafka_clickhouse_implementation_spark.plans.upsert import read_latest
+
+    path = stream_tf_upsert(spark, sf_dir)
+    tf = (
+        read_latest(spark, path, ("doc_id", "token"), "version")
+        .select("doc_id", "token", "tf")
+        .localCheckpoint()
+    )
+    n_docs_df = tf.select("doc_id").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return bm25_from_tf(tf, n_docs_df)
+
+
+# ---------------------------------------------------------------------
 # Proximity search over a positional index — round 10 (C153): the
 # retrieval operator n-gram counting CANNOT express (C19 covers
 # adjacent grams; proximity needs positions): documents where two

@@ -631,3 +631,49 @@ def test_stream_proximity_state_matches_batch_and_needs_dedup(spark):
         )
     )
     assert got2 == sorted((d, p, t, 2 * a) for d, p, t, a in want)
+
+
+def test_tf_upsert_idempotent_and_equals_batch(spark, sf_dir):
+    """C168: the upsert-maintained tf index must (a) equal the batch
+    doc_tf projection exactly after latest-per-key resolution, and
+    (b) be IDEMPOTENT under batch re-delivery — re-appending a full
+    copy of an epoch's rows (byte-identical key+version) leaves the
+    resolved read-back unchanged. (a) is what the driver oracle
+    certifies end-to-end; (b) is the exactly-once-from-at-least-once
+    property the versioned-upsert design exists for."""
+    import pyspark.sql.functions as F
+
+    from kafka_clickhouse_implementation_spark.io import load
+    from kafka_clickhouse_implementation_spark.operators.retrieval import (
+        doc_tf,
+        stream_tf_upsert,
+    )
+    from kafka_clickhouse_implementation_spark.plans.upsert import (
+        append_versions,
+        read_latest,
+    )
+
+    path = stream_tf_upsert(spark, sf_dir)
+
+    def resolved():
+        return {
+            (r.doc_id, r.token): r.tf
+            for r in read_latest(
+                spark, path, ("doc_id", "token"), "version"
+            ).collect()
+        }
+
+    got = resolved()
+    want = {
+        (r.doc_id, r.token): r.tf
+        for r in doc_tf(load(spark, sf_dir, "documents")).collect()
+    }
+    assert got == want
+    # re-deliver one epoch: append an exact copy of the lowest version's rows
+    versions = spark.read.parquet(path)
+    v0 = versions.agg(F.min("version").alias("v")).head()["v"]
+    replay = versions.filter(F.col("version") == v0)
+    n_before = versions.count()
+    append_versions(replay, path)
+    assert spark.read.parquet(path).count() > n_before  # append really landed
+    assert resolved() == want
