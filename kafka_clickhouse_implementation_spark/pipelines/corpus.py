@@ -332,9 +332,17 @@ def kn_quality_gate(docs: DataFrame) -> DataFrame:
 def _clean_counts(docs: DataFrame, gate=quality_filter) -> DataFrame:
     """Run the composed clean and emit the four funnel counts — shared
     by the full, sampled, and KN-scored variants (``gate`` swaps the
-    quality stage, mirroring _clean_oracle's ok_cte parameter)."""
-    gated = gate(docs)
-    exact = exact_dedup(gated)
+    quality stage, mirroring _clean_oracle's ok_cte parameter).
+
+    Both gate and exact-dedup outputs are PINNED (r11, the r10
+    verdict's cache item): the funnel's four counts plus the LSH
+    shingle/band/verify passes otherwise re-evaluate the gate (KN
+    scoring in the scored variant) and the dedup semi-join once per
+    consumer — up to 5 re-runs of the most expensive prefix. The pins
+    hold the gated corpus (bounded by the input), exactly what the
+    Spark-ML clean_corpus variant cached."""
+    gated = gate(docs).localCheckpoint()
+    exact = exact_dedup(gated).localCheckpoint()
     pairs = verified_pairs(exact.select("doc_id", "text"))
     comp = connected_components(pairs, src="doc_a", dst="doc_b")
     losers = comp.filter(F.col("id") != F.col("comp")).select(
