@@ -161,6 +161,15 @@ HEADLINE = [
     "q_dsir_weights",
     "q_stream_dsir",
     "q_tukey_outliers",
+    # round 11: the corpus EXPORT deliverable (write + read-back audit),
+    # the supervised NB quality gate, the IVF-PQ composition, the
+    # update-mode upsert-maintained tf index, and the JVM-side ASOF
+    "q_corpus_export",
+    "q_nb_quality",
+    "q_ann_ivfpq",
+    "q_stream_bm25_upsert",
+    "q_asof_join",
+    "q_corpus_clean_nb",
 ]
 
 

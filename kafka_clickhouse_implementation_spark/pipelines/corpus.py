@@ -733,3 +733,63 @@ def q_corpus_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_clip_spans", "fp", "comp", "kn_mean_p", "n_unconverged",
         )
     )
+
+
+# ---------------------------------------------------------------------
+# Classifier-gated corpus clean — round 11 (C169): the supervised C166
+# NB classifier composed into the clean template, completing the
+# pipeline-quality triptych exactly the way real corpora are built
+# (CCNet, Wenzek et al. 2020: a TRAINED quality model gates, then
+# dedup): heuristic gate (C56) → LM-fluency gate (C144) → THIS, the
+# trained-classifier gate. The gate keeps documents the even-half-
+# trained NB model classifies as target-domain (score_nano > 0, exact
+# integer compare; docs with zero features cannot be scored and drop —
+# the C144 <2-token convention). Everything downstream — exact dedup,
+# MinHash-LSH, connected components, keep-one — is the shared template
+# verbatim, and the oracle composes FEATS_CTE_BODY + nb_scored_ctes
+# (held = the WHOLE corpus: the fitted model gates everything, the
+# standard deployment) into the C56/C86/C144 clean body.
+#
+# Scale shape adds only the C166 machinery to the clean: one hashed-
+# feature explode, 4096-row broadcast models, one per-doc rollup, one
+# semi-join. Everything downstream is unchanged.
+# ---------------------------------------------------------------------
+
+
+def _nb_ok() -> str:
+    from kafka_clickhouse_implementation_spark.operators.nb_quality import (
+        nb_scored_ctes,
+    )
+    from kafka_clickhouse_implementation_spark.operators.dsir import (
+        FEATS_CTE_BODY,
+    )
+
+    return f"""{FEATS_CTE_BODY}, {nb_scored_ctes(held_only=False)}, ok AS (
+      SELECT b.doc_id, b.text, b.t FROM base b JOIN scored s USING (doc_id)
+      WHERE s.score_nano > 0
+    )"""
+
+
+def nb_quality_gate(docs: DataFrame) -> DataFrame:
+    """Supervised gate: keep docs the C166 NB model (trained on the
+    even-doc_id half) classifies positive — Spark twin of _nb_ok()."""
+    from kafka_clickhouse_implementation_spark.operators.nb_quality import (
+        nb_scores,
+    )
+
+    keep = (
+        nb_scores(docs, held_only=False)
+        .filter(F.col("score_nano") > 0)
+        .select("doc_id")
+    )
+    return docs.join(keep, "doc_id", "left_semi")
+
+
+@query("q_corpus_clean_nb", oracle=_clean_oracle(ok_cte=_nb_ok()))
+def q_corpus_clean_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C169: the composed clean with the quality stage replaced by the
+    SUPERVISED NB classifier gate — trained quality model → exact dedup
+    → portable MinHash-LSH near-dup → connected components → keep one
+    per cluster, all HASH-CHECKED against one DuckDB replay sharing the
+    clean template and the C166 model CTEs."""
+    return _clean_counts(load(spark, sf_dir, "documents"), gate=nb_quality_gate)

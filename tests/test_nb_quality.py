@@ -6,17 +6,29 @@ construction."""
 from __future__ import annotations
 
 import collections
+import hashlib
 import math
 
 import pyarrow.parquet as pq
 
 from kafka_clickhouse_implementation_spark.functions.portable_math import pln_py
+from kafka_clickhouse_implementation_spark.operators.dsir import N_BUCKETS
 from kafka_clickhouse_implementation_spark.operators.nb_quality import (
     nb_scores,
     q_nb_quality,
 )
-from kafka_clickhouse_implementation_spark.operators.dsir import N_BUCKETS
 from tests.test_dsir import _bucket_py
+
+_HEX = "0123456789abcdef"
+
+
+def _is_train(doc_id: int) -> bool:
+    return _HEX.index(hashlib.md5(str(doc_id).encode()).hexdigest()[0]) <= 7
+
+
+def _neg256(doc_id: int) -> int:
+    h = hashlib.md5((str(doc_id) + "_neg").encode()).hexdigest()
+    return _HEX.index(h[0]) * 16 + _HEX.index(h[1])
 
 
 def _feats(text: str) -> collections.Counter:
@@ -31,25 +43,30 @@ def _feats(text: str) -> collections.Counter:
     return c
 
 
-def _replay(rows):
+def _replay(rows, held_only=True):
     """rows: (doc_id, source, text). Returns {doc_id: (score_nano,
-    n_feats)} for odd held-out docs with >= 1 feature."""
+    n_feats)} for held-out (or all) docs whose features hit the trained
+    bucket set."""
     tgt_src = min(src for _, src, _t in rows)
     dfc = {d: _feats(text) for d, _src, text in rows}
+    pos_train = [
+        d for d, src, _t in rows if _is_train(d) and src == tgt_src
+    ]
+    neg_all = [d for d, src, _t in rows if _is_train(d) and src != tgt_src]
+    np_, nn = len(pos_train), len(neg_all)
+    k = max((256 * np_) // nn, 1)
+    neg_train = [d for d in neg_all if _neg256(d) < k]
     cpos: collections.Counter = collections.Counter()
     cneg: collections.Counter = collections.Counter()
-    npos = nneg = 0
-    for d, src, _t in rows:
-        if d % 2 != 0 or not dfc[d]:
-            continue
-        tgt = src == tgt_src
+    for d in pos_train:
         for b, n in dfc[d].items():
-            (cpos if tgt else cneg)[b] += n
-        if tgt:
-            npos += 1
-        else:
-            nneg += 1
-    tpos, tneg, ntr = sum(cpos.values()), sum(cneg.values()), npos + nneg
+            cpos[b] += n
+    for d in neg_train:
+        for b, n in dfc[d].items():
+            cneg[b] += n
+    tpos, tneg = sum(cpos.values()), sum(cneg.values())
+    npos, nneg = len(pos_train), len(neg_train)
+    ntr = npos + nneg
     prior = math.floor(
         (
             pln_py(float(npos + 1) / float(ntr + 2))
@@ -70,10 +87,12 @@ def _replay(rows):
     }
     out = {}
     for d, _src, _t in rows:
-        if d % 2 != 1 or not dfc[d]:
+        if held_only and _is_train(d):
             continue
-        # held features in buckets absent from the train model have no
-        # llr row (inner join on both engines) and contribute nothing
+        if not dfc[d]:
+            continue
+        # features in buckets absent from the train model have no llr
+        # row (inner join on both engines) and contribute nothing
         hit = [(b, n) for b, n in dfc[d].items() if b in llr]
         if not hit:
             continue
@@ -95,28 +114,31 @@ def test_nb_matches_python_replay(spark, sf_dir):
             tbl.column("text").to_pylist(),
         )
     )
-    want = _replay(rows)
     from kafka_clickhouse_implementation_spark.io import load
 
-    got = {
-        r.doc_id: (r.score_nano, r.n_feats)
-        for r in nb_scores(load(spark, sf_dir, "documents")).collect()
-    }
-    assert got == want
+    docs = load(spark, sf_dir, "documents")
+    for held_only in (True, False):
+        want = _replay(rows, held_only=held_only)
+        got = {
+            r.doc_id: (r.score_nano, r.n_feats)
+            for r in nb_scores(docs, held_only=held_only).collect()
+        }
+        assert got == want, held_only
 
 
 def test_nb_separates_synthetic_domains(spark):
-    """Classes that differ by construction must be separated on the
-    held-out split: target docs score positive, off-target negative."""
+    """Classes that differ by construction must be separated: target
+    docs score positive, off-target negative (scoring the whole corpus
+    — the C169 gate view — so split randomness cannot empty a class)."""
     rows = []
-    for i in range(40):
-        # 'aaa' vocabulary for the target class, 'zzz' for the rest
+    for i in range(80):
         if i % 4 == 0:
             rows.append((i, "a_src", "alpha beta gamma " * 5))
         else:
             rows.append((i, "z_src", "omega psi chi " * 5))
     docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
-    scored = {r.doc_id: r.score_nano for r in nb_scores(docs).collect()}
+    scored = {r.doc_id: r.score_nano for r in nb_scores(docs, held_only=False).collect()}
+    assert scored
     for d, s in scored.items():
         if d % 4 == 0:
             assert s > 0, (d, s)
@@ -125,10 +147,14 @@ def test_nb_separates_synthetic_domains(spark):
 
 
 def test_nb_rollup_counts_partition_held_docs(spark, sf_dir):
-    """Per-source n_docs must sum to the held-out scored-doc count and
-    n_pred_target <= n_docs everywhere."""
+    """Per-source n_docs must cover held docs only, n_pred_target <=
+    n_docs everywhere, and the held split must contain BOTH classes
+    (the md5 split exists precisely because a parity split left no
+    held-out positives)."""
     out = q_nb_quality(spark, sf_dir).collect()
     assert sum(r.n_docs for r in out) > 0
+    assert any(r.is_target == 1 for r in out)
+    assert any(r.is_target == 0 for r in out)
     for r in out:
         assert 0 <= r.n_pred_target <= r.n_docs
         assert r.min_score <= r.max_score

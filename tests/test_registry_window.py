@@ -19,56 +19,56 @@ from kafka_clickhouse_implementation_spark.registry import (
 )
 
 WINDOW_50 = [
-    "q_substring_clip",  # changed/new
+    "q_corpus_export",  # changed/new
+    "q_nb_quality",  # changed/new
+    "q_ann_ivfpq",  # changed/new
+    "q_stream_bm25_upsert",  # changed/new
+    "q_asof_join",  # changed/new
+    "q_corpus_clean_nb",  # changed/new
+    "q_stream_bm25",  # changed/new
+    "q_stream_dsir",  # changed/new
+    "q_stream_proximity",  # changed/new
+    "q_dsir_weights",  # changed/new
+    "q_dsir_tiers",  # changed/new
+    "q_stream_semantic_dedup",  # changed/new
+    "q_bm25_rank",  # changed/new
+    "q_pq_quantize",  # changed/new
+    "q_corpus_clean_portable",  # changed/new
+    "q_corpus_clean_sampled",  # changed/new
     "q_corpus_clean_scored",  # changed/new
     "q_corpus_clean_clipped",  # changed/new
-    "q_unigram_train",  # changed/new
-    "q_unigram_tokenize",  # changed/new
-    "q_stream_unigram",  # changed/new
-    "q_skew_kurt",  # changed/new
-    "q_linreg",  # changed/new
-    "q_stream_linreg",  # changed/new
-    "q_anova",  # changed/new
-    "q_geo_distance",  # changed/new
-    "q_welch_ttest",  # changed/new
-    "q_student_ttest",  # changed/new
-    "q_rank_corr",  # changed/new
-    "q_entropy",  # changed/new
-    "q_stream_entropy",  # changed/new
-    "q_corr_matrix",  # changed/new
-    "q_exp_decay",  # changed/new
-    "q_kn_quality",  # changed/new
-    "q_bm25_rank",  # never checked (new r10)
-    "q_corpus_clean_clipped_sampled",  # never checked (new r10)
-    "q_dsir_tiers",  # never checked (new r10)
-    "q_dsir_weights",  # never checked (new r10)
-    "q_hard_negatives",  # never checked (new r10)
-    "q_histogram_eqw",  # never checked (new r10)
-    "q_hybrid_rank",  # never checked (new r10)
-    "q_mmr_diversify",  # never checked (new r10)
-    "q_proximity_search",  # never checked (new r10)
-    "q_retention_triangle",  # never checked (new r10)
-    "q_stream_bm25",  # never checked (new r10)
-    "q_stream_dsir",  # never checked (new r10)
-    "q_stream_proximity",  # never checked (new r10)
-    "q_stream_semantic_dedup",  # never checked (new r10)
-    "q_tukey_outliers",  # never checked (new r10)
-    "q_uniq_upto",  # never checked (new r10)
-    "q_stream_sessions",  # last green r4
-    "q_stream_sum_map",  # last green r4
-    "q_sum_map",  # last green r4
-    "q_token_packing",  # last green r4
-    "q_top_weighted",  # last green r4
-    "q_unigram_surprisal",  # last green r4
-    "q_unpivot_measures",  # last green r4
-    "q_window_distribution",  # last green r4
-    "q_window_funnel",  # last green r4
-    "q_bigram_surprisal",  # last green r5
-    "q_bloom_filter",  # last green r5
-    "q_bounding_ratio",  # last green r5
-    "q_corpus_clean_sampled",  # last green r5
-    "q_cramers_v",  # last green r5
-    "q_dedup_docs",  # last green r5
+    "q_corpus_clean_clipped_sampled",  # changed/new
+    "q_mmr_diversify",  # changed/new
+    "q_hybrid_rank",  # changed/new
+    "q_dict_get",  # last green r5
+    "q_ema",  # last green r5
+    "q_gap_fill_interpolate",  # last green r5
+    "q_ingest_roundtrip",  # last green r5
+    "q_ip_funcs",  # last green r5
+    "q_jaccard_pairs",  # last green r5
+    "q_lttb",  # last green r5
+    "q_max_intersections",  # last green r5
+    "q_min_max_map",  # last green r5
+    "q_multimodal_adpcm",  # last green r5
+    "q_multimodal_gif",  # last green r5
+    "q_multimodal_jpeg",  # last green r5
+    "q_multimodal_jpeg420",  # last green r5
+    "q_multimodal_jpeg_color",  # last green r5
+    "q_multimodal_mulaw",  # last green r5
+    "q_multimodal_png",  # last green r5
+    "q_select_modifiers",  # last green r5
+    "q_sequence_next_node",  # last green r5
+    "q_stream_bloom",  # last green r5
+    "q_stream_cms",  # last green r5
+    "q_stream_dict_get",  # last green r5
+    "q_stream_ema",  # last green r5
+    "q_stream_kmv",  # last green r5
+    "q_tpch_q11_shape",  # last green r5
+    "q_tpch_q20_shape",  # last green r5
+    "q_tpch_q2_shape",  # last green r5
+    "q_tpch_q9_shape",  # last green r5
+    "q_udaf_geomean",  # last green r5
+    "q_udf_domain",  # last green r5
 ]
 
 
