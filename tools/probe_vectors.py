@@ -214,7 +214,13 @@ def measure_recall(spark, out_dir: str, asgf, cents) -> dict:
 _PQ_SAMPLE_EVERY = 100  # PQ codebooks train on vec_id % 100 == 0 (the
 # FAISS convention — PQ models are tiny and training on a sample is
 # standard practice; encode + ADC then cover ALL n vectors)
-_PQ_SHORT_R = 30  # ADC shortlist exactly re-ranked (the C167 setting)
+_PQ_SHORT_R = 30  # ADC shortlist floor (the C167 setting at nprobe=2)
+# The shortlist must SCALE with the probed candidate volume: a fixed
+# 30-deep reorder floods as nprobe grows (measured at 10M vectors:
+# recall@10 0.94 / 0.58 / 0.52 at nprobe 4/16/64 with fixed 30) — the
+# FAISS k_factor lesson. 8*nprobe keeps the re-rank ~3% of candidates.
+def _pq_short_r(nprobe: int) -> int:
+    return max(_PQ_SHORT_R, 8 * nprobe)
 
 
 def measure_pq(spark, out_dir: str, asgf, cents, gt_sets, qids, qmat) -> dict:
@@ -355,7 +361,7 @@ def measure_pq(spark, out_dir: str, asgf, cents, gt_sets, qids, qmat) -> dict:
         w = W.partitionBy("qid").orderBy("dist", "vec_id")
         short = (
             approx.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= _PQ_SHORT_R)
+            .filter(F.col("rn") <= _pq_short_r(nprobe))
             .select("qid", "vec_id")
         )
         eqn = _eq_arrays(spark, out_dir)
@@ -388,10 +394,10 @@ def measure_pq(spark, out_dir: str, asgf, cents, gt_sets, qids, qmat) -> dict:
             for q in gt_sets
         ) / len(gt_sets)
         out[f"recall_at_{_RECALL_K}_pq_nprobe_{nprobe}"] = round(rec, 4)
+        out[f"short_r_nprobe_{nprobe}"] = _pq_short_r(nprobe)
     return {
         "pq_sub": PQ_SUB,
         "pq_k": PQ_K16,
-        "short_r": _PQ_SHORT_R,
         "train_sample": int(len(sample)),
         "embeddings_bytes_per_vector": round(emb_bytes / n, 1),
         "pq_code_bytes_per_vector": round(code_bytes / n, 1),
