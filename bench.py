@@ -170,6 +170,8 @@ HEADLINE = [
     "q_stream_bm25_upsert",
     "q_asof_join",
     "q_corpus_clean_nb",
+    "q_stream_proximity_upsert",
+    "q_retrieval_ndcg",
 ]
 
 

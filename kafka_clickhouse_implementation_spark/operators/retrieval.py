@@ -332,11 +332,13 @@ def q_stream_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------
 
 
-def stream_tf_upsert(spark: SparkSession, sf_dir: str) -> str:
-    """Run the document wire through stateful dedup + the shared doc_tf
-    projection in UPDATE mode, foreachBatch-appending changed rows as
-    (doc_id, token, tf, version) into a versioned parquet upsert table.
-    Returns the table path (rebuilt per call — streaming queries stay
+def stream_index_upsert(spark: SparkSession, sf_dir: str, project, tag: str) -> str:
+    """Run the document wire through stateful dedup + ``project`` (an
+    aggregated streaming projection — the SAME helper the batch twin
+    uses) in UPDATE mode, foreachBatch-appending the changed rows as
+    (key..., version=epoch) parquet versions. ONE implementation for
+    every upsert-maintained index (tf C168, positional C170); returns
+    the table path (rebuilt per call — streaming queries stay
     re-runnable)."""
     import os
     import shutil
@@ -350,8 +352,8 @@ def stream_tf_upsert(spark: SparkSession, sf_dir: str) -> str:
     )
 
     wire, base = document_wire(spark, sf_dir)
-    path = os.path.join(base, "bm25_tf_upsert")
-    ckpt = os.path.join(base, "ckpt_bm25_tf_upsert")
+    path = os.path.join(base, f"{tag}_upsert")
+    ckpt = os.path.join(base, f"ckpt_{tag}_upsert")
     shutil.rmtree(path, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     deduped = (
@@ -367,7 +369,7 @@ def stream_tf_upsert(spark: SparkSession, sf_dir: str) -> str:
         )
 
     q = (
-        doc_tf(deduped)
+        project(deduped)
         .writeStream.outputMode("update")
         .foreachBatch(upsert_batch)
         .option("checkpointLocation", ckpt)
@@ -376,8 +378,14 @@ def stream_tf_upsert(spark: SparkSession, sf_dir: str) -> str:
     )
     if not q.awaitTermination(600):
         q.stop()
-        raise TimeoutError("tf upsert stream did not drain in 600s")
+        raise TimeoutError(f"{tag} upsert stream did not drain in 600s")
     return path
+
+
+def stream_tf_upsert(spark: SparkSession, sf_dir: str) -> str:
+    """The C168 tf-index upsert: shared doc_tf projection, keyed
+    (doc_id, token)."""
+    return stream_index_upsert(spark, sf_dir, doc_tf, "bm25_tf")
 
 
 @query("q_stream_bm25_upsert", oracle=_BM25_ORACLE)
@@ -624,6 +632,34 @@ def q_stream_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     post = spark.table("stream_prox_postings").select(
         "doc_id", "pos", "token", "arr"
     ).localCheckpoint()
+    return proximity_from_postings(post)
+
+
+@query("q_stream_proximity_upsert", oracle=_PROX_ORACLE)
+def q_stream_proximity_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C170: proximity search over the UPDATE-MODE UPSERT-MAINTAINED
+    positional index — the C168 recipe applied to the positional state
+    (keyed (doc_id, token, pos)), closing the last 'declared upsert
+    path' docstring (C162): update-mode emission of changed postings →
+    versioned keyed parquet upsert → latest-per-key read → the shared
+    proximity core, checked against the batch oracle VERBATIM. With
+    C168 this makes the upsert path a reusable component
+    (stream_index_upsert), not a one-off."""
+    from kafka_clickhouse_implementation_spark.plans.upsert import read_latest
+
+    def project(deduped: DataFrame) -> DataFrame:
+        return (
+            positional_postings(deduped)
+            .groupBy("doc_id", "token", "pos")
+            .agg(F.sum("arr").cast("long").alias("arr"))
+        )
+
+    path = stream_index_upsert(spark, sf_dir, project, "prox_pos")
+    post = (
+        read_latest(spark, path, ("doc_id", "token", "pos"), "version")
+        .select("doc_id", "pos", "token", "arr")
+        .localCheckpoint()
+    )
     return proximity_from_postings(post)
 
 
@@ -1130,5 +1166,176 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").alias("neg_doc"),
             F.col("cos_nano").alias("neg_cos_nano"),
             "neg_lex_rnk",
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# Retrieval-quality evaluation — round 11 (C171): nDCG@N_EVAL of the
+# LEXICAL (BM25) list vs the HYBRID (RRF-fused) list, per query — the
+# standard IR evaluation (Järvelin & Kekäläinen 2002) closing the
+# retrieval tier's loop: C150/C154 produce rankings, this operator
+# MEASURES them, against graded relevance DERIVED from the certified
+# dense arm (no human labels exist in synthetic data; the dense cosine
+# ranking is the natural silver standard and is itself hash-certified
+# in C154): grade 3 for dense ranks 1-2, 2 for 3-4, 1 for 5-8, 0
+# otherwise.
+#
+# Portability: position discounts 1/log2(i+1) are baked as MICRO-unit
+# integer literals computed ONCE in Python and interpolated into BOTH
+# engines' SQL (the dlit/LN_COEFFS precedent — no cross-engine libm
+# call); DCG/IDCG are then exact BIGINT sums (<= 3 * N_EVAL * 1e6),
+# and ndcg_nano = dcg * 1e9 div idcg is exact integer division
+# (numerator <= 1.5e16, far inside int64). IDCG comes from each
+# query's own grade pool (top-N_EVAL grades, (grade DESC, doc_id)
+# order) — not a global constant — so degenerate pools degrade
+# honestly.
+#
+# Scale shape: everything up to the eval lists is the certified C154
+# plan; the eval itself joins two <=N_EVAL-per-query lists against an
+# 8-per-query grade table and finishes with per-qid rollups. Windows
+# partition on qid.
+# ---------------------------------------------------------------------
+
+N_EVAL = 5  # nDCG cutoff
+
+import math as _math  # noqa: E402
+
+# micro-quantized 1/log2(pos+1) for pos = 1..N_EVAL — ONE Python
+# computation interpolated into both engines (never a runtime log)
+_DISC_MICRO = {
+    i: int(_math.floor(1e6 / _math.log2(i + 1))) for i in range(1, N_EVAL + 1)
+}
+_DISC_CASE = (
+    "CASE pos "
+    + " ".join(f"WHEN {i} THEN {d}" for i, d in _DISC_MICRO.items())
+    + " ELSE 0 END"
+)
+_GRADE_SQL = (
+    "CASE WHEN dense_rnk <= 2 THEN 3 WHEN dense_rnk <= 4 THEN 2"
+    " WHEN dense_rnk <= 8 THEN 1 ELSE 0 END"
+)
+
+_NDCG_ORACLE = f"""
+WITH {_BM25_CTE_BODY}, {_DENSE_CTE_BODY}, dense AS (
+  SELECT qid, doc_id, dense_rnk FROM dense_ranked
+), lex AS (
+  SELECT qid, doc_id, rnk AS lex_rnk FROM ranked
+), fused AS (
+  SELECT qid, doc_id,
+         CAST(coalesce({10**9} // ({RRF_K} + lex_rnk), 0)
+            + coalesce({10**9} // ({RRF_K} + dense_rnk), 0) AS BIGINT)
+           AS rrf_nano
+  FROM lex FULL JOIN dense USING (qid, doc_id)
+), hyb5 AS (
+  SELECT qid, doc_id, CAST(rn AS BIGINT) AS pos FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY qid ORDER BY rrf_nano DESC, doc_id) AS rn
+    FROM fused
+  ) WHERE rn <= {N_EVAL}
+), lex5 AS (
+  SELECT qid, doc_id, CAST(lex_rnk AS BIGINT) AS pos
+  FROM lex WHERE lex_rnk <= {N_EVAL}
+), grades AS (
+  SELECT qid, doc_id, CAST({_GRADE_SQL} AS BIGINT) AS grade FROM dense
+), dcg AS (
+  SELECT 'lex' AS arm, l.qid,
+         CAST(sum(coalesce(g.grade, 0) * ({_DISC_CASE})) AS BIGINT) AS dcg_micro
+  FROM lex5 l LEFT JOIN grades g USING (qid, doc_id)
+  GROUP BY l.qid
+  UNION ALL
+  SELECT 'hyb' AS arm, h.qid,
+         CAST(sum(coalesce(g.grade, 0) * ({_DISC_CASE})) AS BIGINT) AS dcg_micro
+  FROM hyb5 h LEFT JOIN grades g USING (qid, doc_id)
+  GROUP BY h.qid
+), ideal AS (
+  SELECT qid, CAST(sum(grade * ({_DISC_CASE})) AS BIGINT) AS idcg_micro
+  FROM (
+    SELECT qid, grade, CAST(row_number() OVER (
+             PARTITION BY qid ORDER BY grade DESC, doc_id) AS BIGINT) AS pos
+    FROM grades
+  ) WHERE pos <= {N_EVAL}
+  GROUP BY qid
+)
+SELECT d.qid,
+       CAST(max(CASE WHEN arm = 'lex' THEN dcg_micro END) AS BIGINT)
+         AS dcg_lex_micro,
+       CAST(max(CASE WHEN arm = 'hyb' THEN dcg_micro END) AS BIGINT)
+         AS dcg_hyb_micro,
+       CAST(max(i.idcg_micro) AS BIGINT) AS idcg_micro,
+       CAST(max(CASE WHEN arm = 'lex' THEN dcg_micro END)
+            * {10**9} // max(i.idcg_micro) AS BIGINT) AS ndcg_lex_nano,
+       CAST(max(CASE WHEN arm = 'hyb' THEN dcg_micro END)
+            * {10**9} // max(i.idcg_micro) AS BIGINT) AS ndcg_hyb_nano
+FROM dcg d JOIN ideal i USING (qid)
+GROUP BY d.qid
+"""
+
+
+def _dcg(eval_list: DataFrame, grades: DataFrame) -> DataFrame:
+    """(qid, dcg_micro) of a (qid, doc_id, pos<=N_EVAL) list under the
+    micro-quantized discounts."""
+    return (
+        eval_list.join(grades, ["qid", "doc_id"], "left")
+        .selectExpr(
+            "qid",
+            f"coalesce(grade, 0) * ({_DISC_CASE}) AS c",
+        )
+        .groupBy("qid")
+        .agg(F.sum("c").cast("long").alias("dcg_micro"))
+    )
+
+
+@query("q_retrieval_ndcg", oracle=_NDCG_ORACLE)
+def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C171: per-query nDCG@N_EVAL of the BM25 list and the hybrid
+    RRF list against dense-derived graded relevance. One hash
+    certifies the whole C154 machinery plus the grading, both DCGs,
+    the per-query ideal, and the exact-integer normalization."""
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    ranked = _bm25_ranked(docs)
+    dense = dense_ranked(ranked, quantized_components(emb)).select(
+        "qid", "doc_id", "dense_rnk"
+    ).localCheckpoint()  # feeds grades + fusion + ideal
+    lex = ranked.select("qid", "doc_id", F.col("rnk").alias("lex_rnk"))
+    hyb5 = (
+        rrf_fuse(lex, dense, fuse_k=N_EVAL)
+        .select("qid", "doc_id", F.col("fused_rnk").alias("pos"))
+    )
+    lex5 = lex.filter(F.col("lex_rnk") <= N_EVAL).select(
+        "qid", "doc_id", F.col("lex_rnk").cast("long").alias("pos")
+    )
+    grades = dense.selectExpr(
+        "qid", "doc_id", f"CAST({_GRADE_SQL} AS BIGINT) AS grade"
+    )
+    ideal = (
+        grades.withColumn(
+            "pos",
+            F.row_number()
+            .over(W.partitionBy("qid").orderBy(F.desc("grade"), "doc_id"))
+            .cast("long"),
+        )
+        .filter(F.col("pos") <= N_EVAL)
+        .selectExpr("qid", f"grade * ({_DISC_CASE}) AS c")
+        .groupBy("qid")
+        .agg(F.sum("c").cast("long").alias("idcg_micro"))
+    )
+    dl = _dcg(lex5, grades).withColumnRenamed("dcg_micro", "dcg_lex_micro")
+    dh = _dcg(hyb5, grades).withColumnRenamed("dcg_micro", "dcg_hyb_micro")
+    return (
+        dl.join(dh, "qid")
+        .join(ideal, "qid")
+        .selectExpr(
+            "qid",
+            "dcg_lex_micro",
+            "dcg_hyb_micro",
+            "idcg_micro",
+            f"CAST(dcg_lex_micro * {10**9} div idcg_micro AS BIGINT)"
+            " AS ndcg_lex_nano",
+            f"CAST(dcg_hyb_micro * {10**9} div idcg_micro AS BIGINT)"
+            " AS ndcg_hyb_nano",
         )
     )

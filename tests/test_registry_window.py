@@ -25,6 +25,8 @@ WINDOW_50 = [
     "q_stream_bm25_upsert",  # changed/new
     "q_asof_join",  # changed/new
     "q_corpus_clean_nb",  # changed/new
+    "q_stream_proximity_upsert",  # changed/new
+    "q_retrieval_ndcg",  # changed/new
     "q_stream_bm25",  # changed/new
     "q_stream_dsir",  # changed/new
     "q_stream_proximity",  # changed/new
@@ -67,8 +69,6 @@ WINDOW_50 = [
     "q_tpch_q20_shape",  # last green r5
     "q_tpch_q2_shape",  # last green r5
     "q_tpch_q9_shape",  # last green r5
-    "q_udaf_geomean",  # last green r5
-    "q_udf_domain",  # last green r5
 ]
 
 

@@ -677,3 +677,31 @@ def test_tf_upsert_idempotent_and_equals_batch(spark, sf_dir):
     append_versions(replay, path)
     assert spark.read.parquet(path).count() > n_before  # append really landed
     assert resolved() == want
+
+
+def test_ndcg_bounds_and_hybrid_dominance(spark, sf_dir):
+    """C171: nDCG invariants — every score in [0, 1e9], dcg <= idcg
+    (the ideal is ideal), the discount constants are exactly the
+    micro-floor of 1/log2(pos+1), and the HYBRID arm (whose fusion
+    includes the very ranking the grades derive from) must dominate
+    the lexical arm on mean nDCG."""
+    import math
+
+    from kafka_clickhouse_implementation_spark.operators.retrieval import (
+        _DISC_MICRO,
+        N_EVAL,
+        q_retrieval_ndcg,
+    )
+
+    for i in range(1, N_EVAL + 1):
+        assert _DISC_MICRO[i] == int(math.floor(1e6 / math.log2(i + 1)))
+    rows = q_retrieval_ndcg(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.ndcg_lex_nano <= 10**9
+        assert 0 <= r.ndcg_hyb_nano <= 10**9
+        assert r.dcg_lex_micro <= r.idcg_micro
+        assert r.dcg_hyb_micro <= r.idcg_micro
+    mean_lex = sum(r.ndcg_lex_nano for r in rows) / len(rows)
+    mean_hyb = sum(r.ndcg_hyb_nano for r in rows) / len(rows)
+    assert mean_hyb >= mean_lex
