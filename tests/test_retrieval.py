@@ -705,3 +705,36 @@ def test_ndcg_bounds_and_hybrid_dominance(spark, sf_dir):
     mean_lex = sum(r.ndcg_lex_nano for r in rows) / len(rows)
     mean_hyb = sum(r.ndcg_hyb_nano for r in rows) / len(rows)
     assert mean_hyb >= mean_lex
+
+
+def test_tf_upsert_compaction_preserves_reads(spark, sf_dir):
+    """C168 + plans/upsert compaction: compacting the versioned tf
+    table must leave the latest-per-key read IDENTICAL while reducing
+    the stored row-version count to exactly one per key (the
+    ReplacingMergeTree background-merge contract on the REAL index
+    table, not a toy frame)."""
+    from kafka_clickhouse_implementation_spark.operators.retrieval import (
+        stream_tf_upsert,
+    )
+    from kafka_clickhouse_implementation_spark.plans.upsert import (
+        compact_versions,
+        read_latest,
+    )
+
+    path = stream_tf_upsert(spark, sf_dir)
+
+    def resolved():
+        return {
+            (r.doc_id, r.token): r.tf
+            for r in read_latest(
+                spark, path, ("doc_id", "token"), "version"
+            ).collect()
+        }
+
+    before = resolved()
+    n_versions_before = spark.read.parquet(path).count()
+    compact_versions(spark, path, ("doc_id", "token"), "version")
+    assert resolved() == before
+    n_after = spark.read.parquet(path).count()
+    assert n_after == len(before)
+    assert n_after <= n_versions_before
