@@ -172,6 +172,7 @@ HEADLINE = [
     "q_corpus_clean_nb",
     "q_stream_proximity_upsert",
     "q_retrieval_ndcg",
+    "q_partition_detach",
 ]
 
 

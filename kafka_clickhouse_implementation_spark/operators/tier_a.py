@@ -225,3 +225,50 @@ def q_default_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("props_state")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "q_partition_detach",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-15'
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_detached_read,
+           CAST(count(*) AS BIGINT) AS n_reattached
+    FROM events
+    """,
+)
+def q_partition_detach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-tier operations parity (round 11, C172): ClickHouse ``ALTER
+    TABLE ... DETACH / ATTACH PARTITION`` over the day-partitioned fact
+    layout — detach one day (an O(1) rename into ``_detached/``, which
+    Spark readers skip, exactly ClickHouse's detached/ contract), prove
+    reads exclude it, re-attach, prove reads are whole again. The three
+    counts are materialized IN SEQUENCE around the renames (the
+    mid-detach read must observe the detached state, so this result is
+    assembled from three bounded scalars — model-sized by
+    construction). A dedicated layout copy keeps q_partition_prune's
+    shared fact cache untouched, and the attach runs in a finally so a
+    failed run cannot leave the layout torn."""
+    from kafka_clickhouse_implementation_spark.cachedirs import source_tagged_dir
+    from kafka_clickhouse_implementation_spark.plans.layout import (
+        attach_partition,
+        detach_partition,
+        write_day_partitioned,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    path = source_tagged_dir("fact_ops", sf_dir, "events")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_day_partitioned(ev, path, ts_col="ts", sort_keys=("user_id",))
+    day = "20240115"
+    n_total = spark.read.parquet(path).count()
+    detach_partition(path, day)
+    try:
+        n_detached_read = spark.read.parquet(path).count()
+    finally:
+        attach_partition(path, day)
+    n_reattached = spark.read.parquet(path).count()
+    return spark.createDataFrame(
+        [(n_total, n_detached_read, n_reattached)],
+        "n_total long, n_detached_read long, n_reattached long",
+    )

@@ -282,3 +282,33 @@ def expire_partitions(path: str, keep_from, partition_col: str = "event_date") -
             shutil.rmtree(os.path.join(path, name))
             dropped.append(name[len(prefix):])
     return dropped
+
+
+def detach_partition(path: str, value, partition_col: str = "event_date") -> str:
+    """ClickHouse ``ALTER TABLE ... DETACH PARTITION`` analogue: move
+    the partition directory into the table's ``_detached/`` subdir —
+    Spark readers skip underscore-prefixed directories, so the
+    partition disappears from every read WITHOUT a scan or rewrite
+    (exactly ClickHouse's detached/ semantics: an O(1) rename). Returns
+    the detached directory name. Raises FileNotFoundError if the
+    partition does not exist."""
+    name = f"{partition_col}={value}"
+    src = os.path.join(path, name)
+    if not os.path.isdir(src):
+        raise FileNotFoundError(src)
+    dst_root = os.path.join(path, "_detached")
+    os.makedirs(dst_root, exist_ok=True)
+    os.rename(src, os.path.join(dst_root, name))
+    return name
+
+
+def attach_partition(path: str, value, partition_col: str = "event_date") -> str:
+    """``ALTER TABLE ... ATTACH PARTITION``: move a previously detached
+    partition back into the table — again one rename, no data
+    movement."""
+    name = f"{partition_col}={value}"
+    src = os.path.join(path, "_detached", name)
+    if not os.path.isdir(src):
+        raise FileNotFoundError(src)
+    os.rename(src, os.path.join(path, name))
+    return name

@@ -279,3 +279,40 @@ def test_expire_partitions_is_partition_level_ttl(spark, tmp_path):
     after = read_day_partitioned(spark, path)
     assert after.count() == expected_keep
     assert sorted(r.event_date for r in after.select("event_date").distinct().collect()) == days[5:]
+
+
+def test_detach_attach_partition_roundtrip(spark, tmp_path):
+    """C172: DETACH makes a day invisible to readers (one rename, no
+    rewrite), ATTACH restores it byte-identically; detaching a missing
+    partition raises instead of silently no-opping."""
+    import os
+
+    import pyspark.sql.functions as F
+    import pytest
+
+    from kafka_clickhouse_implementation_spark.plans.layout import (
+        attach_partition,
+        detach_partition,
+        write_day_partitioned,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{15 + i % 2:02d} 00:00:0{i % 10}") for i in range(20)],
+        "user_id long, ts_s string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    path = str(tmp_path / "fact")
+    write_day_partitioned(df, path, ts_col="ts", sort_keys=("user_id",))
+    full = spark.read.parquet(path).count()
+    day15 = (
+        spark.read.parquet(path).filter(F.col("event_date") == "20240115").count()
+    )
+    assert full == 20 and 0 < day15 < 20
+    detach_partition(path, "20240115")
+    assert spark.read.parquet(path).count() == full - day15
+    assert os.path.isdir(os.path.join(path, "_detached", "event_date=20240115"))
+    attach_partition(path, "20240115")
+    assert spark.read.parquet(path).count() == full
+    with pytest.raises(FileNotFoundError):
+        detach_partition(path, "19990101")
+    with pytest.raises(FileNotFoundError):
+        attach_partition(path, "19990101")

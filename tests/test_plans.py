@@ -292,7 +292,7 @@ def test_welch_and_student_share_one_scan_shape(spark):
 # would dominate suite time) and the ones that WRITE layouts/files as
 # part of their contract.
 _AUDIT_SKIP_PREFIXES = ("q_stream_",)
-_AUDIT_SKIP = {"q_ingest_roundtrip", "q_partition_prune", "q_csv_roundtrip", "q_orc_roundtrip"}
+_AUDIT_SKIP = {"q_ingest_roundtrip", "q_partition_prune", "q_partition_detach", "q_csv_roundtrip", "q_orc_roundtrip"}
 
 # Queries whose ONLY unpartitioned window ranks a frame already cut by
 # orderBy().limit(k) (k <= QT_TOTAL / TOP_N / 2*QP_PAIRS — constant,

@@ -27,6 +27,7 @@ WINDOW_50 = [
     "q_corpus_clean_nb",  # changed/new
     "q_stream_proximity_upsert",  # changed/new
     "q_retrieval_ndcg",  # changed/new
+    "q_partition_detach",  # changed/new
     "q_stream_bm25",  # changed/new
     "q_stream_dsir",  # changed/new
     "q_stream_proximity",  # changed/new
@@ -68,7 +69,6 @@ WINDOW_50 = [
     "q_tpch_q11_shape",  # last green r5
     "q_tpch_q20_shape",  # last green r5
     "q_tpch_q2_shape",  # last green r5
-    "q_tpch_q9_shape",  # last green r5
 ]
 
 
