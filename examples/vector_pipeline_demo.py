@@ -71,6 +71,19 @@ def main() -> None:
 
     ing = {r.list_id: r.n_vecs for r in q_stream_ivf_ingest(spark, sf_dir).collect()}
     print(f"[6] streamed IVF ingest: per-list counts {dict(sorted(ing.items()))}")
+
+    # round 11: the composition a production store runs — coarse probe,
+    # PQ asymmetric-distance shortlist, exact re-rank
+    from kafka_clickhouse_implementation_spark.operators.clustering import q_ann_ivfpq
+
+    ivfpq = q_ann_ivfpq(spark, sf_dir)
+    flat_set = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    pq_set = {(r.query_id, r.neighbor_id) for r in ivfpq.collect()}
+    rec = len(flat_set & pq_set) / max(len(flat_set), 1)
+    print(
+        f"[7] IVF-PQ: ADC shortlist + exact re-rank, recall vs flat IVF "
+        f"{rec:.2f} at 64x code compression"
+    )
     print("done — every stage above is also an oracle-hash-checked query")
 
 
