@@ -173,6 +173,8 @@ HEADLINE = [
     "q_stream_proximity_upsert",
     "q_retrieval_ndcg",
     "q_partition_detach",
+    "q_quantile_timing",
+    "q_ann_ivfpq_residual",
 ]
 
 

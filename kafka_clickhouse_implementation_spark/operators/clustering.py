@@ -1013,27 +1013,12 @@ GROUP BY a.cid"""
     )
 
 
-def _pq_train(spark: SparkSession, sf_dir: str, pq_k: int = PQ_K):
-    """The C116 PQ training loop, factored so the IVF-PQ composition
-    (C167) trains the identical codebooks: ALL subspaces train jointly
-    — every aggregation keys on (sub, …) so one Spark job per Lloyd
-    round covers the 8 independent runs (semantically identical to 8
-    separate loops — the oracle replays them separately — but 8× fewer
-    jobs and one shared shuffle). Returns (pts, asg, cdf): the
-    localCheckpointed (sub, vec_id, dim, x) long table, the final-round
-    code assignment (sub, vec_id, cid), and the POST-final-update
-    codebook (sub, cid, dim, c) — the 'final codebook' every consumer
-    (C116's err, C167's ADC tables) measures against."""
-    pts = (
-        _pts_long(spark, sf_dir)
-        .select(
-            (F.col("dim") / PQ_SUBDIM).cast("int").alias("sub"),
-            "vec_id",
-            (F.col("dim") % PQ_SUBDIM).alias("dim"),
-            "x",
-        )
-        .localCheckpoint()
-    )
+def _pq_train_pts(spark: SparkSession, pts: DataFrame, pq_k: int = PQ_K):
+    """The C116 joint-subspace Lloyd loop over an ALREADY-SPLIT
+    (sub, vec_id, dim, x) long frame — shared by raw-vector PQ (C116/
+    C167) and residual PQ (C174, where x is the coarse residual).
+    Returns (asg, cdf): the final-round code assignment and the
+    post-final-update codebook."""
     cents = [
         (int(r.sub), int(r.cid), int(r.dim), int(r.x))
         for r in pts.filter(F.col("vec_id") < pq_k)
@@ -1071,6 +1056,37 @@ def _pq_train(spark: SparkSession, sf_dir: str, pq_k: int = PQ_K):
             (int(r.sub), int(r.cid), int(r.dim), int(r.x)) for r in newc.collect()
         ]
     cdf = spark.createDataFrame(cents, schema="sub INT, cid LONG, dim INT, c LONG")
+    return asg, cdf
+
+
+def _split_subspaces(pts_long: DataFrame) -> DataFrame:
+    """(vec_id, dim, x) -> (sub, vec_id, dim, x) with dim re-based per
+    8-dim subspace, localCheckpointed (the frame feeds every Lloyd
+    round)."""
+    return (
+        pts_long.select(
+            (F.col("dim") / PQ_SUBDIM).cast("int").alias("sub"),
+            "vec_id",
+            (F.col("dim") % PQ_SUBDIM).alias("dim"),
+            "x",
+        )
+        .localCheckpoint()
+    )
+
+
+def _pq_train(spark: SparkSession, sf_dir: str, pq_k: int = PQ_K):
+    """The C116 PQ training loop, factored so the IVF-PQ composition
+    (C167) trains the identical codebooks: ALL subspaces train jointly
+    — every aggregation keys on (sub, …) so one Spark job per Lloyd
+    round covers the 8 independent runs (semantically identical to 8
+    separate loops — the oracle replays them separately — but 8× fewer
+    jobs and one shared shuffle). Returns (pts, asg, cdf): the
+    localCheckpointed (sub, vec_id, dim, x) long table, the final-round
+    code assignment (sub, vec_id, cid), and the POST-final-update
+    codebook (sub, cid, dim, c) — the 'final codebook' every consumer
+    (C116's err, C167's ADC tables) measures against."""
+    pts = _split_subspaces(_pts_long(spark, sf_dir))
+    asg, cdf = _pq_train_pts(spark, pts, pq_k)
     return pts, asg, cdf
 
 
@@ -1283,6 +1299,228 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     adc = (
         cand.join(codes.select(F.col("vec_id").alias("nid"), "sub", "cid"), "nid")
         .join(F.broadcast(lut), ["qid", "sub", "cid"])
+        .groupBy("qid", "nid")
+        .agg(F.sum("d").cast("long").alias("dist2_pq"))
+    )
+    short = adc.withColumn(
+        "sr",
+        F.row_number().over(Window.partitionBy("qid").orderBy("dist2_pq", "nid")),
+    ).filter(F.col("sr") <= SHORT_R)
+    exact = (
+        short.join(
+            eq.select(F.col("vec_id").alias("qid"), F.col("eq").alias("ea")), "qid"
+        )
+        .join(eq.select(F.col("vec_id").alias("nid"), F.col("eq").alias("eb")), "nid")
+        .select("qid", "nid", "dist2_pq", _dist2_arrays("ea", "eb").alias("dist2"))
+    )
+    return (
+        exact.withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("qid").orderBy("dist2", "nid")),
+        )
+        .filter(F.col("rk") <= TOPK)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("rk").cast("long").alias("rank"),
+            F.col("nid").alias("neighbor_id"),
+            "dist2",
+            "dist2_pq",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# C174 — RESIDUAL-encoded IVF-PQ (round 11, second pass): FAISS's
+# by_residual=true DEFAULT (Jégou et al. 2011 §V.B): PQ trains on and
+# encodes (vector − its coarse centroid) instead of the raw vector, so
+# the codebooks spend their 32 bits on the WITHIN-CELL geometry the
+# coarse quantizer cannot express — the configuration every production
+# IVFADC index actually ships. C167 (raw-vector PQ, by_residual=false)
+# stays registered beside it; the pair certifies both public
+# configurations.
+#
+# The one structural difference from C167: the query-side ADC table is
+# keyed PER PROBED LIST — the query's residual depends on which list's
+# centroid it is measured against — so the LUT is n_q × NPROBE × 8 × 16
+# rows (still model-sized) and ADC joins on (qid, cid, sub, code),
+# where cid is the candidate's own coarse cell. Everything stays
+# exact-integer: residuals are differences of micro-quantized BIGINTs,
+# so every Lloyd round, LUT entry, ADC sum and rank is replayed
+# bit-exactly by the oracle.
+#
+# Scale shape: identical to C167 plus one residual subtraction join
+# against the k·d coarse-codebook broadcast.
+# --------------------------------------------------------------------------
+
+
+def _ivfpq_res_oracle() -> str:
+    blocks = [_PTS_CTE]
+    blocks.append(f"""kval AS (
+  SELECT greatest({K}, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) AS k
+  FROM embeddings
+)""")
+    blocks.append(_lloyd_rounds("(SELECT k FROM kval)", ITERS, "vq", "pts"))
+    blocks.append(_EQ_CTE)
+    # residuals vs the codebook that PRODUCED the final assignment
+    blocks.append(f"""rpts AS MATERIALIZED (
+  SELECT p.vec_id, p.dim, p.x - c.x AS x
+  FROM pts p
+  JOIN asgvq{_LAST} a USING (vec_id)
+  JOIN centvq{_LAST} c ON c.cid = a.cid AND c.dim = p.dim
+)""")
+    for s in range(PQ_SUB):
+        lo, hi = s * PQ_SUBDIM, (s + 1) * PQ_SUBDIM
+        blocks.append(f"""p{s} AS (
+  SELECT vec_id, dim - {lo} AS dim, x FROM rpts WHERE dim >= {lo} AND dim < {hi}
+)""")
+        blocks.append(_lloyd_rounds(PQ_K16, PQ_ITERS, f"r{s}_", f"p{s}"))
+    last = PQ_ITERS - 1
+    codes_union = "\n  UNION ALL\n  ".join(
+        f"SELECT {s} AS sub, vec_id, cid FROM asgr{s}_{last}"
+        for s in range(PQ_SUB)
+    )
+    cbook_union = "\n  UNION ALL\n  ".join(
+        f"SELECT {s} AS sub, cid, dim, x FROM centr{s}_{PQ_ITERS}"
+        for s in range(PQ_SUB)
+    )
+    body = ",\n".join(blocks)
+    return f"""
+WITH {body},
+probe AS (
+  SELECT vec_id AS qid, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM dvq{_LAST}
+  WHERE vec_id % {Q_EVERY} = 0
+),
+cand AS (
+  SELECT p.qid, p.cid, g.vec_id AS nid
+  FROM probe p JOIN asgvq{_LAST} g ON p.cid = g.cid
+  WHERE p.rn <= {NPROBE} AND g.vec_id <> p.qid
+),
+codesq AS MATERIALIZED (
+  {codes_union}
+),
+cbook AS MATERIALIZED (
+  {cbook_union}
+),
+qres AS (
+  SELECT pr.qid, pr.cid, CAST(p.dim // {PQ_SUBDIM} AS INTEGER) AS sub,
+         p.dim % {PQ_SUBDIM} AS dim8, p.x - c.x AS x
+  FROM (SELECT qid, cid FROM probe WHERE rn <= {NPROBE}) pr
+  JOIN pts p ON p.vec_id = pr.qid
+  JOIN centvq{_LAST} c ON c.cid = pr.cid AND c.dim = p.dim
+),
+lut AS MATERIALIZED (
+  SELECT q.qid, q.cid, cb.sub, cb.cid AS code,
+         CAST(sum((q.x - cb.x) * (q.x - cb.x)) AS BIGINT) AS d
+  FROM qres q JOIN cbook cb ON cb.sub = q.sub AND cb.dim = q.dim8
+  GROUP BY q.qid, q.cid, cb.sub, cb.cid
+),
+adc AS MATERIALIZED (
+  SELECT c.qid, c.nid, CAST(sum(l.d) AS BIGINT) AS dist2_pq
+  FROM cand c
+  JOIN codesq k2 ON k2.vec_id = c.nid
+  JOIN lut l ON l.qid = c.qid AND l.cid = c.cid
+           AND l.sub = k2.sub AND l.code = k2.cid
+  GROUP BY c.qid, c.nid
+),
+short AS (
+  SELECT qid, nid, dist2_pq,
+         row_number() OVER (PARTITION BY qid ORDER BY dist2_pq, nid) AS sr
+  FROM adc
+),
+exact AS (
+  SELECT s.qid, s.nid, s.dist2_pq, CAST({_PAIR_DIST} AS BIGINT) AS dist2
+  FROM short s
+  JOIN eq a ON a.vec_id = s.qid
+  JOIN eq b ON b.vec_id = s.nid
+  WHERE s.sr <= {SHORT_R}
+)
+SELECT qid AS query_id, CAST(rk AS BIGINT) AS rank, nid AS neighbor_id,
+       dist2, dist2_pq
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist2, nid) AS rk
+  FROM exact
+) WHERE rk <= {TOPK}
+"""
+
+
+@query("q_ann_ivfpq_residual", oracle=_ivfpq_res_oracle())
+def q_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C174: residual-encoded IVF-PQ with exact re-rank — the FAISS
+    by_residual=true default. One hash certifies the coarse model, the
+    residual subtraction, the 8 residual codebooks, every per-probed-
+    list ADC table entry, the shortlist cut, and the final ranking."""
+    emb = load(spark, sf_dir, "embeddings")
+    k = ivf_k(emb.count())
+    eq = _eq_arrays(spark, sf_dir).localCheckpoint()
+    asg, asg_carr, _ = _lloyd_arrays(spark, eq, k, ITERS)
+    qd = _code_points(eq.filter(F.col("vec_id") % Q_EVERY == 0), asg_carr)
+    probe = (
+        qd.select(F.col("vec_id").alias("qid"), F.explode("dists").alias("s"))
+        .select(
+            "qid",
+            F.col("s.c").cast("long").alias("cid"),
+            F.col("s.d").alias("dist"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("qid").orderBy("dist", "cid")),
+        )
+        .filter(F.col("rn") <= NPROBE)
+        .select("qid", "cid")
+    )
+    cand = (
+        probe.join(asg, "cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "cid", F.col("vec_id").alias("nid"))
+    )
+    # residual long frame vs the assignment-producing coarse codebook
+    ccdf = spark.createDataFrame(
+        [(cid, d, x) for cid, arr in asg_carr for d, x in enumerate(arr)],
+        schema="cid LONG, dim INT, cx LONG",
+    )
+    pts = _pts_long(spark, sf_dir)
+    rpts = _split_subspaces(
+        pts.join(asg, "vec_id")
+        .join(F.broadcast(ccdf), ["cid", "dim"])
+        .select("vec_id", "dim", (F.col("x") - F.col("cx")).alias("x"))
+    )
+    codes, cdf = _pq_train_pts(spark, rpts, pq_k=PQ_K16)
+    qres = (
+        probe.join(
+            pts.filter(F.col("vec_id") % Q_EVERY == 0).withColumnRenamed(
+                "vec_id", "qid"
+            ),
+            "qid",
+        )
+        .join(F.broadcast(ccdf), ["cid", "dim"])
+        .select(
+            "qid",
+            "cid",
+            (F.col("dim") / PQ_SUBDIM).cast("int").alias("sub"),
+            (F.col("dim") % PQ_SUBDIM).alias("dim8"),
+            (F.col("x") - F.col("cx")).alias("x"),
+        )
+    )
+    cbook = cdf.withColumnRenamed("dim", "dim8").withColumnRenamed("cid", "code")
+    lut = (
+        qres.join(F.broadcast(cbook), ["sub", "dim8"])
+        .groupBy("qid", "cid", "sub", "code")
+        .agg(
+            F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))
+            .cast("long")
+            .alias("d")
+        )
+    )
+    adc = (
+        cand.join(
+            codes.select(
+                F.col("vec_id").alias("nid"), "sub", F.col("cid").alias("code")
+            ),
+            "nid",
+        )
+        .join(F.broadcast(lut), ["qid", "cid", "sub", "code"])
         .groupBy("qid", "nid")
         .agg(F.sum("d").cast("long").alias("dist2_pq"))
     )

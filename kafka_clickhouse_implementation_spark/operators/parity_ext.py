@@ -829,3 +829,90 @@ def q_histogram_eqw(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "bin", "lo", "hi")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------
+# C173 — quantileTiming (round 11): ClickHouse's fixed-resolution
+# timing quantile (the sketch latency dashboards actually run): exact
+# to 1 unit below 1024, rounded DOWN to a multiple of 16 from 1024 to
+# the 30000 cap, everything above counted AS the cap — the documented
+# TimingCounter binning. Because the binning is pure integer
+# arithmetic, the whole sketch is ORACLE-EXACT here (unlike
+# quantileTDigest, which stays rows-only by design): states are
+# (bin, count) tables — mergeable map-side partials bounded by ~3k
+# bins — and the quantile is the smallest bin whose cumulative count
+# reaches ceil(q * n), i.e. the discrete (lower) quantile ClickHouse's
+# timing family returns.
+#
+# Timing values are synthesized from the events fact: centi-units of
+# `value` (CAST(floor(value * 100) AS BIGINT)) — non-negative
+# integers spanning all three resolution regimes at every test SF.
+#
+# Scale shape: one scan → per-(type, bin) counts with map-side
+# combine (bin cardinality <= 1024 + 1813 + 1); the cumulative scan is
+# a per-type window over those bins. At 100 TB this is the same
+# profile as any grouped count.
+# ---------------------------------------------------------------------
+
+_TIMING_V = "CAST(floor(value * 100) AS BIGINT)"
+_TIMING_BIN = (
+    f"CASE WHEN {_TIMING_V} < 1024 THEN {_TIMING_V}"
+    f" WHEN {_TIMING_V} <= 30000 THEN ({_TIMING_V} // 16) * 16"
+    " ELSE 30000 END"
+)
+_TIMING_QS = (50, 90, 99)  # percent levels reported
+
+
+@query(
+    "q_quantile_timing",
+    oracle=f"""
+    WITH bins AS (
+      SELECT event_type, CAST({_TIMING_BIN} AS BIGINT) AS b,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, b,
+             sum(c) OVER (PARTITION BY event_type ORDER BY b) AS cc,
+             sum(c) OVER (PARTITION BY event_type) AS n
+      FROM bins
+    )
+    SELECT event_type,
+           {", ".join(
+               f"CAST(min(CASE WHEN cc * 100 >= {q} * n THEN b END) AS BIGINT)"
+               f" AS p{q}_timing" for q in _TIMING_QS)},
+           CAST(max(n) AS BIGINT) AS n
+    FROM cum GROUP BY event_type
+    """,
+)
+def q_quantile_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C173: quantileTiming(0.5/0.9/0.99) per event type over
+    centi-unit timings — the ClickHouse TimingCounter binning (exact
+    < 1024, 16-unit steps to the 30000 cap, cap above) replayed
+    bin-exactly: the hash certifies the binning rules, the mergeable
+    counts, and the discrete cumulative-threshold quantile (cc*100 >=
+    q*n — pure integer compare, no float anywhere)."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    # Spark div for the 16-step (values are non-negative, so div == //)
+    bin_sql = _TIMING_BIN.replace("//", "div")
+    bins = (
+        ev.selectExpr("event_type", f"CAST({bin_sql} AS BIGINT) AS b")
+        .groupBy("event_type", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wc = W.partitionBy("event_type").orderBy("b")
+    wn = W.partitionBy("event_type")
+    cum = bins.select(
+        "event_type",
+        "b",
+        F.sum("c").over(wc).alias("cc"),
+        F.sum("c").over(wn).alias("n"),
+    )
+    aggs = [
+        F.min(F.when(F.col("cc") * 100 >= q * F.col("n"), F.col("b")))
+        .cast("long")
+        .alias(f"p{q}_timing")
+        for q in _TIMING_QS
+    ]
+    return cum.groupBy("event_type").agg(*aggs, F.max("n").cast("long").alias("n"))

@@ -28,6 +28,9 @@ WINDOW_50 = [
     "q_stream_proximity_upsert",  # changed/new
     "q_retrieval_ndcg",  # changed/new
     "q_partition_detach",  # changed/new
+    "q_quantile_timing",  # changed/new
+    "q_ann_ivfpq_residual",  # changed/new
+    "q_pq_quantize",  # changed/new
     "q_stream_bm25",  # changed/new
     "q_stream_dsir",  # changed/new
     "q_stream_proximity",  # changed/new
@@ -35,7 +38,6 @@ WINDOW_50 = [
     "q_dsir_tiers",  # changed/new
     "q_stream_semantic_dedup",  # changed/new
     "q_bm25_rank",  # changed/new
-    "q_pq_quantize",  # changed/new
     "q_corpus_clean_portable",  # changed/new
     "q_corpus_clean_sampled",  # changed/new
     "q_corpus_clean_scored",  # changed/new
@@ -67,8 +69,6 @@ WINDOW_50 = [
     "q_stream_ema",  # last green r5
     "q_stream_kmv",  # last green r5
     "q_tpch_q11_shape",  # last green r5
-    "q_tpch_q20_shape",  # last green r5
-    "q_tpch_q2_shape",  # last green r5
 ]
 
 
