@@ -142,18 +142,18 @@ def _oracle_sql(rounds: int = BPE_ROUNDS, final_select: str | None = None) -> st
     for r in range(1, rounds + 1):
         prev = f"w{r - 1}"
         ctes.append(
-            f"p{r} AS MATERIALIZED (\n"
+            f"mp{r} AS MATERIALIZED (\n"
             f"  SELECT a, b, CAST(sum(f) AS BIGINT) AS cnt FROM (\n"
             f"    SELECT unnest(l[1:len(l) - 1]) AS a,"
             f" unnest(l[2:len(l)]) AS b, f\n"
             f"    FROM (SELECT string_split(trim(s), ' ') AS l, f"
-            f" FROM {prev}) t{r}) pp{r}\n"
+            f" FROM {prev}) t{r}) mpp{r}\n"
             f"  GROUP BY a, b\n"
             f")"
         )
         ctes.append(
-            f"s{r} AS MATERIALIZED (SELECT a AS wa, b AS wb, cnt"
-            f" FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1)"
+            f"ms{r} AS MATERIALIZED (SELECT a AS wa, b AS wb, cnt"
+            f" FROM mp{r} ORDER BY cnt DESC, a, b LIMIT 1)"
         )
         ctes.append(
             f"w{r} AS MATERIALIZED (\n"
@@ -164,16 +164,16 @@ def _oracle_sql(rounds: int = BPE_ROUNDS, final_select: str | None = None) -> st
             f"           THEN substr(acc, 1, len(acc) - len(wa) - 1)"
             f" || wa || wb || ' '\n"
             f"           ELSE acc || x || ' ' END) AS s, f\n"
-            f"  FROM {prev}, s{r}\n"
+            f"  FROM {prev}, ms{r}\n"
             f")"
         )
         selects.append(
             f"SELECT CAST({r} AS INT) AS merge_rank, wa AS left_sym,"
             f" wb AS right_sym,\n"
             f"       wa || wb AS merged, cnt AS pair_count,\n"
-            f"       (SELECT CAST(sum(cnt) AS BIGINT) FROM p{r})"
+            f"       (SELECT CAST(sum(cnt) AS BIGINT) FROM mp{r})"
             f" + (SELECT wsum FROM tot) AS syms_before\n"
-            f"FROM s{r}"
+            f"FROM ms{r}"
         )
     if final_select is not None:
         return "WITH " + ",\n".join(ctes) + "\n" + final_select.format(

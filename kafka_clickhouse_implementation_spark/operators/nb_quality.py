@@ -161,8 +161,11 @@ def nb_scored_ctes(held_only: bool) -> str:
   SELECT (SELECT CAST(count(*) AS BIGINT) FROM posd) AS np,
          (SELECT CAST(count(*) AS BIGINT) FROM negall) AS nn
 ), negd AS (
+  -- greatest(nn, 1): a corpus whose train split has ZERO negatives
+  -- (single source) must degrade identically on both engines (empty
+  -- negd), not error on division by zero in one of them (r11 advisory)
   SELECT n.doc_id FROM negall n, bcnt
-  WHERE n.nb256 < greatest((256 * np) // nn, 1)
+  WHERE n.nb256 < greatest((256 * np) // greatest(nn, 1), 1)
 ), bal AS (
   SELECT doc_id, 1 AS is_target FROM posd
   UNION ALL
@@ -261,7 +264,12 @@ def nb_scores(docs: DataFrame, held_only: bool = True) -> DataFrame:
     the balanced model trained on the md5-split train half, for every
     >=1-feature document of the held split (``held_only``, the C166
     evaluation) or of the WHOLE corpus (the C169 gate)."""
-    dfc = doc_features(docs)
+    # pin the hashed-feature explode ONCE: it feeds both the training
+    # join (trn) and the scoring join (held) — without the checkpoint
+    # the 4096-bucket explode over the whole corpus runs twice per
+    # invocation (the r11 verdict's one visible win in the heaviest
+    # query, q_corpus_clean_nb)
+    dfc = doc_features(docs).localCheckpoint()
     lbl = nb_label(docs)
     posd = lbl.filter("is_train = 1 AND is_target = 1").select("doc_id")
     negall = lbl.filter("is_train = 1 AND is_target = 0").select(
@@ -273,7 +281,10 @@ def nb_scores(docs: DataFrame, held_only: bool = True) -> DataFrame:
     )
     negd = (
         negall.crossJoin(F.broadcast(bcnt))
-        .filter(F.col("nb256") < F.expr("greatest((256 * np) div nn, 1)"))
+        .filter(
+            F.col("nb256")
+            < F.expr("greatest((256 * np) div greatest(nn, 1), 1)")
+        )
         .select("doc_id")
     )
     bal = posd.withColumn("is_target", F.lit(1)).unionByName(
@@ -324,6 +335,87 @@ def nb_scores(docs: DataFrame, held_only: bool = True) -> DataFrame:
             "CAST(prior_nano + s AS BIGINT) AS score_nano",
             "n_feats",
         )
+    )
+
+
+# ---------------------------------------------------------------------
+# C175 — NB threshold calibration (round 12): the PR curve the r11
+# verdict asked for. One pass over the held-out scores (the C23
+# conditional-aggregation recipe: explode a LITERAL threshold ladder,
+# group by threshold) emitting exact confusion counts per integer
+# nano-threshold, so an operating point can be CHOSEN from data instead
+# of hard-coding score_nano > 0. Precision/recall stay exact-integer
+# rationals (tp, fp, fn, tn) — the consumer divides; no float surface.
+#
+# The ladder is geometric around 0 (nano log-odds units): NB scores are
+# prior + sum(cnt·llr) with |llr_nano| up to ~2.5e10, so per-doc scores
+# at the bench corpora live in the ±1e11 band; the ladder spans it.
+#
+# Scale shape: the scored frame is one row per held-out doc; the
+# explode multiplies it by the 13-row ladder (a constant), and the
+# rollup is a 13-group aggregate with map-side partials.
+# ---------------------------------------------------------------------
+
+# integer nano-log-odds ladder: 0 ± {1,5,10,50,100,500} × 1e8
+NB_THRESH_NANOS = sorted(
+    {0}
+    | {s * m * 10**8 for s in (-1, 1) for m in (1, 5, 10, 50, 100, 500)}
+)
+
+# C169's gate operating point, CHOSEN from the sf1-equivalent PR curve
+# (tools/make_scale_data corpus, 25,001 held-out docs — see ROUNDLOG
+# round 12): Youden's J peaks at t = -1e8 (recall 0.797 / FPR 0.298 /
+# J 0.499) vs the previously hard-coded t = 0 (recall 0.770 / FPR
+# 0.283 / J 0.487) — a pure-recall gain at equal discrimination, which
+# is what a KEEP gate wants. The constant is the single knob both
+# engines share; re-picking it from a new curve moves the gate on both
+# sides at once.
+NB_GATE_NANO = -100_000_000
+
+_PR_ORACLE = f"""
+WITH {FEATS_CTE_BODY}, {nb_scored_ctes(held_only=True)},
+thr(thr_nano) AS (
+  VALUES {", ".join(f"(CAST({t} AS BIGINT))" for t in NB_THRESH_NANOS)}
+)
+SELECT t.thr_nano,
+       CAST(sum(CASE WHEN s.score_nano > t.thr_nano AND l.is_target = 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       CAST(sum(CASE WHEN s.score_nano > t.thr_nano AND l.is_target = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       CAST(sum(CASE WHEN s.score_nano <= t.thr_nano AND l.is_target = 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       CAST(sum(CASE WHEN s.score_nano <= t.thr_nano AND l.is_target = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS tn
+FROM scored s JOIN lbl l USING (doc_id) CROSS JOIN thr t
+GROUP BY t.thr_nano
+ORDER BY t.thr_nano
+"""
+
+
+@query("q_nb_pr_curve", oracle=_PR_ORACLE)
+def q_nb_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C175: exact confusion counts for the C166 classifier at every
+    rung of the NB_THRESH_NANOS ladder over the held-out split — the
+    calibration sweep that justifies NB_GATE_NANO. One scored pass,
+    one 13-group conditional rollup; every count is an exact BIGINT."""
+    docs = load(spark, sf_dir, "documents")
+    lbl = nb_label(docs)
+    scored = nb_scores(docs).join(lbl.select("doc_id", "is_target"), "doc_id")
+    thr = F.explode(
+        F.array(*[F.lit(t).cast("long") for t in NB_THRESH_NANOS])
+    ).alias("thr_nano")
+    pred = F.col("score_nano") > F.col("thr_nano")
+    pos = F.col("is_target") == 1
+    return (
+        scored.select("score_nano", "is_target", thr)
+        .groupBy("thr_nano")
+        .agg(
+            F.sum(F.when(pred & pos, 1).otherwise(0)).cast("long").alias("tp"),
+            F.sum(F.when(pred & ~pos, 1).otherwise(0)).cast("long").alias("fp"),
+            F.sum(F.when(~pred & pos, 1).otherwise(0)).cast("long").alias("fn"),
+            F.sum(F.when(~pred & ~pos, 1).otherwise(0)).cast("long").alias("tn"),
+        )
+        .orderBy("thr_nano")
     )
 
 

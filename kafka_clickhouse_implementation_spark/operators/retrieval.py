@@ -298,10 +298,7 @@ def q_stream_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     # which the memory-sink view otherwise shares across both sides
     # (Spark "conflicting references in Join" internal error).
     tf = spark.table("stream_bm25_tf").localCheckpoint()
-    n_docs_df = tf.select("doc_id").distinct().agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs")
-    )
-    return bm25_from_tf(tf, n_docs_df)
+    return bm25_from_tf(tf, _wire_doc_count(spark, wire))
 
 
 # ---------------------------------------------------------------------
@@ -330,6 +327,27 @@ def q_stream_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the index); the read-side rank shuffles once on the key; compaction
 # (plans/upsert.compact_versions) bounds growth off-peak.
 # ---------------------------------------------------------------------
+
+
+def _wire_doc_count(spark: SparkSession, wire: str) -> DataFrame:
+    """1-row ``n_docs`` frame counting DISTINCT doc ids delivered on
+    the document wire — the same population the streaming dedup state
+    resolves, INCLUDING documents whose text tokenizes to nothing
+    (deriving n_docs from the tf index's key set silently undercounts
+    on a corpus with an empty/whitespace-only document and diverges
+    from the oracle's count(*) FROM documents — r11 advisory). The
+    wire is at-least-once, so distinct-over-the-files is exact."""
+    from kafka_clickhouse_implementation_spark.streaming.corpus_stream import (
+        _DOC_WIRE_SCHEMA,
+    )
+
+    return (
+        spark.read.schema(_DOC_WIRE_SCHEMA)
+        .json(wire)
+        .select("doc_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
 
 
 def stream_index_upsert(spark: SparkSession, sf_dir: str, project, tag: str) -> str:
@@ -395,17 +413,18 @@ def q_stream_bm25_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed upsert + latest-per-key read == the batch index == the
     independent DuckDB replay."""
     from kafka_clickhouse_implementation_spark.plans.upsert import read_latest
+    from kafka_clickhouse_implementation_spark.streaming.corpus_stream import (
+        document_wire,
+    )
 
     path = stream_tf_upsert(spark, sf_dir)
+    wire, _base = document_wire(spark, sf_dir)  # idempotent — reuses the wire
     tf = (
         read_latest(spark, path, ("doc_id", "token"), "version")
         .select("doc_id", "token", "tf")
         .localCheckpoint()
     )
-    n_docs_df = tf.select("doc_id").distinct().agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs")
-    )
-    return bm25_from_tf(tf, n_docs_df)
+    return bm25_from_tf(tf, _wire_doc_count(spark, wire))
 
 
 # ---------------------------------------------------------------------

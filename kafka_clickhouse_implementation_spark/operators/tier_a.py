@@ -261,6 +261,13 @@ def q_partition_detach(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         write_day_partitioned(ev, path, ts_col="ts", sort_keys=("user_id",))
     day = "20240115"
+    # self-heal (r11 advisory): a hard kill between detach and the
+    # finally-attach of a PREVIOUS run leaves the day parked in
+    # _detached/ while _SUCCESS still exists, so the layout is never
+    # rebuilt and detach_partition would fail forever — mirror
+    # compact_versions' _recover_swap convention and re-attach first
+    if os.path.isdir(os.path.join(path, "_detached", f"event_date={day}")):
+        attach_partition(path, day)
     n_total = spark.read.parquet(path).count()
     detach_partition(path, day)
     try:

@@ -294,30 +294,55 @@ def test_welch_and_student_share_one_scan_shape(spark):
 _AUDIT_SKIP_PREFIXES = ("q_stream_",)
 _AUDIT_SKIP = {"q_ingest_roundtrip", "q_partition_prune", "q_partition_detach", "q_csv_roundtrip", "q_orc_roundtrip"}
 
-# Queries whose ONLY unpartitioned window ranks a frame already cut by
-# orderBy().limit(k) (k <= QT_TOTAL / TOP_N / 2*QP_PAIRS — constant,
-# data-independent): the single window partition holds <= k rows BY
-# CONSTRUCTION, so there is no scale cliff for the detector's pattern
-# to flag. The exemption is a MATCHED COUNT, not a blanket pass: every
-# bare window in the plan must be paired with a TakeOrderedAndProject
-# node (count equality — a limit-cut subtree that the planner
-# duplicates N times carries N TOAPs alongside its N window copies),
-# so removing a limit OR adding a second, genuinely unbounded window
-# to an exempted query breaks the pairing and re-flags it.
-_BOUNDED_WINDOW_OK = {"q_bm25_rank", "q_dsir_weights", "q_proximity_search"}
+def _bare_window_line(line: str) -> bool:
+    """True if the plan line holds a windowspecdefinition(...) whose
+    args before specifiedwindowframe are ALL ordering expressions
+    (ASC/DESC) — i.e., no partition key: the single-task 'No Partition
+    Defined' cliff."""
+    import re
+
+    for m in re.finditer(
+        r"windowspecdefinition\(([^()]*?)specifiedwindowframe", line
+    ):
+        args = [a.strip() for a in m.group(1).split(",") if a.strip()]
+        if not any(a for a in args if " ASC" not in a and " DESC" not in a):
+            return True
+    return False
+
+
+def _tree_depth(line: str) -> int:
+    """Indentation depth of a node line in executedPlan().toString()'s
+    tree drawing (prefix alphabet: spaces, ':', '+', '-')."""
+    i = 0
+    while i < len(line) and line[i] in " :+-":
+        i += 1
+    return i
 
 
 def _bare_windows(plan: str) -> list[str]:
-    """windowspecdefinition(...) whose args before specifiedwindowframe
-    are ALL ordering expressions (ASC/DESC) — i.e., no partition key:
-    the single-task 'No Partition Defined' cliff."""
-    import re
-
+    """Unpartitioned windows NOT bounded by a limit cut in their OWN
+    subtree. A bare window is exempt iff a TakeOrderedAndProject (or
+    GlobalLimit) node appears among its plan-tree DESCENDANTS — the
+    frame the window ranks is then <= k rows by construction. This is
+    per-window structural pairing (the r11 advisory): an unrelated
+    TOAP elsewhere in the plan does not excuse an unbounded window,
+    and the optimizer collapsing/duplicating limit subtrees cannot
+    flip the audit the way the old count-equality proxy could."""
+    lines = plan.splitlines()
     out = []
-    for m in re.finditer(r"windowspecdefinition\(([^()]*?)specifiedwindowframe", plan):
-        args = [a.strip() for a in m.group(1).split(",") if a.strip()]
-        if not any(a for a in args if " ASC" not in a and " DESC" not in a):
-            out.append(m.group(0)[:120])
+    for i, line in enumerate(lines):
+        if not _bare_window_line(line):
+            continue
+        d = _tree_depth(line)
+        bounded = False
+        for sub in lines[i + 1 :]:
+            if _tree_depth(sub) <= d:
+                break
+            if "TakeOrderedAndProject" in sub or "GlobalLimit" in sub:
+                bounded = True
+                break
+        if not bounded:
+            out.append(line.strip()[:120])
     return out
 
 
@@ -340,11 +365,7 @@ def test_registry_wide_plan_audit(spark):
             offenders["cartesian"].append(name)
         if "BatchEvalPython" in plan:
             offenders["batch_python"].append(name)
-        bare = _bare_windows(plan)
-        if bare and not (
-            name in _BOUNDED_WINDOW_OK
-            and len(bare) == plan.count("TakeOrderedAndProject")
-        ):
+        if _bare_windows(plan):
             offenders["bare_window"].append(name)
     assert offenders == {"cartesian": [], "batch_python": [], "bare_window": []}
 
