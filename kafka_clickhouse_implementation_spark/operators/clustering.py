@@ -1017,8 +1017,12 @@ def _pq_train_pts(spark: SparkSession, pts: DataFrame, pq_k: int = PQ_K):
     """The C116 joint-subspace Lloyd loop over an ALREADY-SPLIT
     (sub, vec_id, dim, x) long frame — shared by raw-vector PQ (C116/
     C167) and residual PQ (C174, where x is the coarse residual).
-    Returns (asg, cdf): the final-round code assignment and the
-    post-final-update codebook."""
+    Returns (asg, cdf, acdf): the final-round code assignment, the
+    post-final-update codebook (what ADC tables measure against), and
+    the ASSIGNMENT codebook — the centroids that PRODUCED asg (pre-
+    final-update, the _lloyd_arrays asg_carr convention) — which is
+    what an out-of-band coder (the C178 streaming index maintainer)
+    must code against to reproduce asg exactly."""
     cents = [
         (int(r.sub), int(r.cid), int(r.dim), int(r.x))
         for r in pts.filter(F.col("vec_id") < pq_k)
@@ -1026,7 +1030,9 @@ def _pq_train_pts(spark: SparkSession, pts: DataFrame, pq_k: int = PQ_K):
         .collect()
     ]
     asg = None
+    asg_cents = cents
     for _ in range(PQ_ITERS):
+        asg_cents = cents
         cdf = spark.createDataFrame(
             cents, schema="sub INT, cid LONG, dim INT, c LONG"
         )
@@ -1056,7 +1062,10 @@ def _pq_train_pts(spark: SparkSession, pts: DataFrame, pq_k: int = PQ_K):
             (int(r.sub), int(r.cid), int(r.dim), int(r.x)) for r in newc.collect()
         ]
     cdf = spark.createDataFrame(cents, schema="sub INT, cid LONG, dim INT, c LONG")
-    return asg, cdf
+    acdf = spark.createDataFrame(
+        asg_cents, schema="sub INT, cid LONG, dim INT, c LONG"
+    )
+    return asg, cdf, acdf
 
 
 def _split_subspaces(pts_long: DataFrame) -> DataFrame:
@@ -1084,10 +1093,11 @@ def _pq_train(spark: SparkSession, sf_dir: str, pq_k: int = PQ_K):
     localCheckpointed (sub, vec_id, dim, x) long table, the final-round
     code assignment (sub, vec_id, cid), and the POST-final-update
     codebook (sub, cid, dim, c) — the 'final codebook' every consumer
-    (C116's err, C167's ADC tables) measures against."""
+    (C116's err, C167's ADC tables) measures against — plus the
+    assignment codebook acdf (see _pq_train_pts)."""
     pts = _split_subspaces(_pts_long(spark, sf_dir))
-    asg, cdf = _pq_train_pts(spark, pts, pq_k)
-    return pts, asg, cdf
+    asg, cdf, acdf = _pq_train_pts(spark, pts, pq_k)
+    return pts, asg, cdf, acdf
 
 
 @query("q_pq_quantize", oracle=_pq_oracle())
@@ -1106,7 +1116,7 @@ def q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     training is the same broadcast-join/map-side-agg profile as C110
     on one-eighth the columns; the 8 runs share one localCheckpointed
     scan."""
-    pts, asg, cdf = _pq_train(spark, sf_dir)
+    pts, asg, cdf, _acdf = _pq_train(spark, sf_dir)
     err = (
         pts.join(F.broadcast(cdf), ["sub", "dim"])
         .groupBy("sub", "vec_id", "cid")
@@ -1251,18 +1261,30 @@ FROM (
 """
 
 
-@query("q_ann_ivfpq", oracle=_ivfpq_oracle())
-def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C167: IVF-PQ ANN with exact re-rank — coarse probe (C112's
-    quantizer verbatim), PQ asymmetric-distance shortlist (C116's
-    trainer at k = PQ_K16, per-query integer LUTs), exact integer re-rank
-    of the SHORT_R survivors. One hash certifies both trained models,
-    the probe routing, every ADC table entry, the shortlist cut, and
-    the final ranking."""
-    emb = load(spark, sf_dir, "embeddings")
-    k = ivf_k(emb.count())
-    eq = _eq_arrays(spark, sf_dir).localCheckpoint()
-    asg, asg_carr, _ = _lloyd_arrays(spark, eq, k, ITERS)
+def _ivfpq_search(
+    spark: SparkSession,
+    eq: DataFrame,
+    pts: DataFrame,
+    asg_carr,
+    asg: DataFrame,
+    codes: DataFrame,
+    cdf: DataFrame,
+) -> DataFrame:
+    """The C167 IVF-PQ search plan over GIVEN models and coded tables
+    — shared by q_ann_ivfpq (models trained in-query, the
+    certification path) and the C178 persisted/streaming-maintained
+    index (models loaded from the index product, codes resolved from
+    the upsert table): coarse probe → per-query integer ADC LUTs →
+    SHORT_R exact re-rank → top-k.
+
+    eq        (vec_id, eq array) quantized vectors (queries + re-rank);
+    pts       (sub, vec_id, dim, x) subspace-split long points
+              (query-side LUT input);
+    asg_carr  coarse ASSIGNMENT codebook [(cid, [x..])];
+    asg       (vec_id, cid) coarse assignment of every base vector;
+    codes     (sub, vec_id, cid) PQ codes of every base vector;
+    cdf       (sub, cid, dim, c) PQ ADC codebook (post-final-update).
+    """
     qd = _code_points(eq.filter(F.col("vec_id") % Q_EVERY == 0), asg_carr)
     probe = (
         qd.select(F.col("vec_id").alias("qid"), F.explode("dists").alias("s"))
@@ -1283,7 +1305,6 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", F.col("vec_id").alias("nid"))
     )
-    pts, codes, cdf = _pq_train(spark, sf_dir, pq_k=PQ_K16)
     qsub = pts.filter(F.col("vec_id") % Q_EVERY == 0).select(
         F.col("vec_id").alias("qid"), "sub", "dim", "x"
     )
@@ -1327,6 +1348,24 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dist2_pq",
         )
     )
+
+
+@query("q_ann_ivfpq", oracle=_ivfpq_oracle())
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C167: IVF-PQ ANN with exact re-rank — coarse probe (C112's
+    quantizer verbatim), PQ asymmetric-distance shortlist (C116's
+    trainer at k = PQ_K16, per-query integer LUTs), exact integer re-rank
+    of the SHORT_R survivors. One hash certifies both trained models,
+    the probe routing, every ADC table entry, the shortlist cut, and
+    the final ranking. Models are trained IN-QUERY (the certification
+    path); the C178 index product persists the same trained models and
+    searches them via the shared _ivfpq_search plan."""
+    emb = load(spark, sf_dir, "embeddings")
+    k = ivf_k(emb.count())
+    eq = _eq_arrays(spark, sf_dir).localCheckpoint()
+    asg, asg_carr, _ = _lloyd_arrays(spark, eq, k, ITERS)
+    pts, codes, cdf, _acdf = _pq_train(spark, sf_dir, pq_k=PQ_K16)
+    return _ivfpq_search(spark, eq, pts, asg_carr, asg, codes, cdf)
 
 
 # --------------------------------------------------------------------------
@@ -1486,7 +1525,7 @@ def q_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(ccdf), ["cid", "dim"])
         .select("vec_id", "dim", (F.col("x") - F.col("cx")).alias("x"))
     )
-    codes, cdf = _pq_train_pts(spark, rpts, pq_k=PQ_K16)
+    codes, cdf, _acdf = _pq_train_pts(spark, rpts, pq_k=PQ_K16)
     qres = (
         probe.join(
             pts.filter(F.col("vec_id") % Q_EVERY == 0).withColumnRenamed(

@@ -341,3 +341,222 @@ def q_stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_drop",
         "min_dist2",
     )
+
+
+# ---------------------------------------------------------------------
+# Persisted + streaming-maintained IVF-PQ index — round 12 (C178): the
+# r11 verdict's "missing #3". q_ann_ivfpq retrains its models inside
+# every invocation (deterministic — that IS the certification path);
+# at 100 TB the index is an ARTIFACT: trained models written once (the
+# FAISS index-file analogue), searches LOAD them, and the coded-vector
+# table is MAINTAINED as vectors arrive — the C168 upsert recipe
+# applied to the codes.
+#
+# Product layout (one source-tagged root):
+#   coarse_asg_book/  (cid, dim, x)        — coarse ASSIGNMENT codebook
+#                                            (_lloyd_arrays' asg_carr:
+#                                            pre-final-update, what
+#                                            coding/probing ranks
+#                                            against);
+#   pq_asg_book/      (sub, cid, dim, c)   — PQ assignment codebook
+#                                            (the centroids that
+#                                            produced the training
+#                                            assignment — what an
+#                                            arriving vector must be
+#                                            coded against to equal
+#                                            the batch codes);
+#   pq_adc_book/      (sub, cid, dim, c)   — PQ ADC codebook
+#                                            (post-final-update, what
+#                                            query LUTs measure
+#                                            against);
+#   + the coded-vector table maintained by the STREAM as (vec_id, sub,
+#     cid, version) parquet row versions under plans/upsert.py
+#     (sub = -1 carries the coarse cell; 0..7 the PQ codes).
+#
+# The stream is the duplicate-injecting embedding wire (C151's) →
+# stateful vec_id dedup → a STATELESS coding projection against the
+# LOADED books (literal argmin below LIT_MAX centroids, the C119
+# pattern; numpy matmul above — both streaming-safe) → foreachBatch
+# append of (key, version=epoch) rows. Idempotency: a replayed batch
+# appends byte-identical versions and latest-per-key resolution is
+# unchanged (pinned by tests/test_vector_stream.py double-append).
+#
+# Certification: the search runs the SHARED _ivfpq_search plan over the
+# loaded books + the upsert-resolved codes, against the UNCHANGED C167
+# oracle — one hash certifies persisted models == in-query trained
+# models AND streaming-maintained codes == batch training assignment.
+#
+# Scale shape: per-trigger write volume is the arriving keys' 9 rows
+# each, never the index; the read-side rank shuffles once on (vec_id,
+# sub); compaction is plans/upsert.compact_versions, off-peak.
+# ---------------------------------------------------------------------
+
+from kafka_clickhouse_implementation_spark.operators.clustering import (  # noqa: E402
+    PQ_K16,
+    PQ_SUBDIM,
+    _ivfpq_oracle,
+    _ivfpq_search,
+    _pq_train,
+    _pts_long,
+    _split_subspaces,
+    ivf_k,
+)
+
+
+def ann_index_product(spark: SparkSession, sf_dir: str) -> str:
+    """Train (once per testdata identity) and persist the C167 models;
+    returns the product root. Searches LOAD these — no retraining."""
+    from kafka_clickhouse_implementation_spark.cachedirs import source_tagged_dir
+
+    root = source_tagged_dir("ann_index", sf_dir, "embeddings")
+    marker = os.path.join(root, "_MODELS_READY")
+    if not os.path.exists(marker):
+        eq = _eq_arrays(spark, sf_dir).localCheckpoint()
+        k = ivf_k(eq.count())
+        _asg, asg_carr, _cents = _lloyd_arrays(spark, eq, k, ITERS)
+        coarse = spark.createDataFrame(
+            [(cid, d, x) for cid, arr in asg_carr for d, x in enumerate(arr)],
+            schema="cid LONG, dim INT, x LONG",
+        )
+        _pts, _codes, cdf, acdf = _pq_train(spark, sf_dir, pq_k=PQ_K16)
+        coarse.write.mode("overwrite").parquet(
+            os.path.join(root, "coarse_asg_book")
+        )
+        acdf.write.mode("overwrite").parquet(os.path.join(root, "pq_asg_book"))
+        cdf.write.mode("overwrite").parquet(os.path.join(root, "pq_adc_book"))
+        with open(marker, "w"):
+            pass
+    return root
+
+
+def _load_coarse_book(spark: SparkSession, root: str):
+    """coarse_asg_book parquet -> the [(cid, [x..])] driver-side form
+    _code_points/_assign_np take (model-sized collect)."""
+    by_cid: dict[int, dict[int, int]] = {}
+    for r in spark.read.parquet(os.path.join(root, "coarse_asg_book")).collect():
+        by_cid.setdefault(int(r.cid), {})[int(r.dim)] = int(r.x)
+    return sorted(
+        (cid, [dims[d] for d in sorted(dims)]) for cid, dims in by_cid.items()
+    )
+
+
+def _pq_code_rows(vecs: DataFrame, pq_book) -> DataFrame:
+    """(vec_id, sub, cid): code each vector's 8 subvectors against the
+    loaded PQ assignment codebook — one stateless projection (the C119
+    literal-argmin pattern per subspace; the book is 8 x 16 x 8 ints,
+    far below LIT_MAX x DIM), ties -> smallest cid, exactly
+    _pq_train_pts' min(struct(dist, cid))."""
+    by_sub: dict[int, dict[int, dict[int, int]]] = {}
+    for sub, cid, dim, c in pq_book:
+        by_sub.setdefault(int(sub), {}).setdefault(int(cid), {})[int(dim)] = int(c)
+    structs = []
+    for sub in sorted(by_sub):
+        cids = sorted(by_sub[sub])
+        arrs = ", ".join(
+            "array("
+            + ", ".join(f"{by_sub[sub][c][d]}L" for d in sorted(by_sub[sub][c]))
+            + ")"
+            for c in cids
+        )
+        cid_arr = "array(" + ", ".join(str(c) for c in cids) + ")"
+        lo = sub * PQ_SUBDIM + 1
+        structs.append(
+            f"named_struct('sub', CAST({sub} AS BIGINT), 'cid', "
+            f"array_min(zip_with(array({arrs}), {cid_arr}, (ca, c) -> "
+            f"named_struct('d', aggregate(zip_with(slice(eq, {lo}, {PQ_SUBDIM}),"
+            " ca, (p, q) -> (p - q) * (p - q)), 0L, (s, v) -> s + v),"
+            " 'c', c))).c)"
+        )
+    return vecs.select(
+        "vec_id", F.explode(F.expr("array(" + ", ".join(structs) + ")")).alias("s")
+    ).select(
+        "vec_id",
+        F.col("s.sub").cast("long").alias("sub"),
+        F.col("s.cid").cast("long").alias("cid"),
+    )
+
+
+def _coded_index_rows(vecs: DataFrame, coarse_carr, pq_book) -> DataFrame:
+    """The full per-vector index contribution: the coarse cell as
+    sub = -1 plus the 8 PQ code rows — all stateless projections."""
+    if len(coarse_carr) <= LIT_MAX:
+        coarse = _code_points(vecs, coarse_carr)
+    else:
+        coarse = _assign_np(vecs, coarse_carr)
+    coarse_rows = coarse.select(
+        "vec_id", F.lit(-1).cast("long").alias("sub"), F.col("cid").cast("long")
+    )
+    return coarse_rows.unionByName(_pq_code_rows(vecs, pq_book))
+
+
+def stream_ann_index_upsert(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Run the duplicate-injecting embedding wire through stateful
+    dedup + the loaded-book coding projection in UPDATE mode,
+    foreachBatch-appending (vec_id, sub, cid, version=epoch) parquet
+    row versions — the C168 recipe on the coded-vector table. Returns
+    (index product root, coded-table path)."""
+    import shutil
+
+    from kafka_clickhouse_implementation_spark.plans.upsert import (
+        append_versions,
+    )
+
+    root = ann_index_product(spark, sf_dir)
+    coarse_carr = _load_coarse_book(spark, root)
+    pq_book = [
+        (int(r.sub), int(r.cid), int(r.dim), int(r.c))
+        for r in spark.read.parquet(os.path.join(root, "pq_asg_book")).collect()
+    ]
+    wire, base = embedding_wire_dup(spark, sf_dir)
+    path = os.path.join(base, "ann_codes_upsert")
+    ckpt = os.path.join(base, "ckpt_ann_codes_upsert")
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    deduped = (
+        spark.readStream.schema("vec_id long, eq array<long>")
+        .option("maxFilesPerTrigger", "1")
+        .json(wire)
+        .dropDuplicates(["vec_id"])
+    )
+
+    def upsert_batch(bdf: DataFrame, epoch_id: int) -> None:
+        append_versions(
+            bdf.withColumn("version", F.lit(epoch_id).cast("long")), path
+        )
+
+    q = (
+        _coded_index_rows(deduped, coarse_carr, pq_book)
+        .writeStream.outputMode("update")
+        .foreachBatch(upsert_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("ann index upsert stream did not drain in 600s")
+    return root, path
+
+
+@query("q_ann_index_upsert", oracle=_ivfpq_oracle())
+def q_ann_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C178: IVF-PQ search over the PERSISTED index product with its
+    coded-vector table STREAMING-MAINTAINED via keyed upsert — models
+    loaded from disk (never retrained in the search), codes resolved
+    latest-per-key from the versioned table the wire maintained, the
+    shared _ivfpq_search plan, and the UNCHANGED C167 oracle: one hash
+    certifies persisted == trained, maintained == batch-coded, and the
+    whole search end to end."""
+    from kafka_clickhouse_implementation_spark.plans.upsert import read_latest
+
+    root, path = stream_ann_index_upsert(spark, sf_dir)
+    latest = read_latest(spark, path, ("vec_id", "sub"), "version").localCheckpoint()
+    asg = latest.filter(F.col("sub") == -1).select("vec_id", "cid")
+    codes = latest.filter(F.col("sub") >= 0).select(
+        F.col("sub").cast("int").alias("sub"), "vec_id", "cid"
+    )
+    cdf = spark.read.parquet(os.path.join(root, "pq_adc_book"))
+    coarse_carr = _load_coarse_book(spark, root)
+    eq = _eq_arrays(spark, sf_dir).localCheckpoint()
+    pts = _split_subspaces(_pts_long(spark, sf_dir))
+    return _ivfpq_search(spark, eq, pts, coarse_carr, asg, codes, cdf)

@@ -70,3 +70,80 @@ def test_stream_semantic_dedup_drop_set_matches_batch(spark):
         for r in q_semantic_dedup(spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_ann_index_upsert_idempotent_and_equals_batch_codes(spark):
+    """C178: the streaming-maintained coded-vector table must (a)
+    equal the batch training assignment exactly after latest-per-key
+    resolution (coarse cells AND all 8 PQ codes per vector), and (b)
+    be IDEMPOTENT under batch re-delivery — re-appending an epoch's
+    byte-identical (key, version) rows leaves the resolved read-back
+    unchanged. (a) is what the driver's unchanged C167 oracle
+    certifies end to end; (b) is the exactly-once-from-at-least-once
+    property the versioned upsert exists for."""
+    from kafka_clickhouse_implementation_spark.operators.clustering import (
+        PQ_K16,
+        _pq_train,
+        ivf_k,
+    )
+    from kafka_clickhouse_implementation_spark.plans.upsert import (
+        append_versions,
+        read_latest,
+    )
+    from kafka_clickhouse_implementation_spark.streaming.vector_stream import (
+        stream_ann_index_upsert,
+    )
+
+    _root, path = stream_ann_index_upsert(spark, SF_DIR)
+
+    def resolved():
+        return {
+            (r.vec_id, r.sub): r.cid
+            for r in read_latest(
+                spark, path, ("vec_id", "sub"), "version"
+            ).collect()
+        }
+
+    got = resolved()
+    eq = _eq_arrays(spark, SF_DIR).localCheckpoint()
+    asg, _carr, _cents = _lloyd_arrays(spark, eq, ivf_k(eq.count()), ITERS)
+    want = {(r.vec_id, -1): r.cid for r in asg.collect()}
+    _pts, codes, _cdf, _acdf = _pq_train(spark, SF_DIR, pq_k=PQ_K16)
+    want.update({(r.vec_id, r.sub): r.cid for r in codes.collect()})
+    assert got == want
+
+    versions = spark.read.parquet(path)
+    v0 = versions.agg(F.min("version").alias("v")).head()["v"]
+    n_before = versions.count()
+    append_versions(versions.filter(F.col("version") == v0), path)
+    assert spark.read.parquet(path).count() > n_before
+    assert resolved() == want
+
+
+def test_ann_index_product_loads_without_retraining(spark):
+    """C178: once the product exists, ann_index_product is a pure
+    path lookup (the _MODELS_READY marker gates training), and the
+    persisted books round-trip to the exact in-query trained models."""
+    import os
+
+    from kafka_clickhouse_implementation_spark.operators.clustering import (
+        PQ_K16,
+        _pq_train,
+        ivf_k,
+    )
+    from kafka_clickhouse_implementation_spark.streaming.vector_stream import (
+        _load_coarse_book,
+        ann_index_product,
+    )
+
+    root = ann_index_product(spark, SF_DIR)
+    assert os.path.exists(os.path.join(root, "_MODELS_READY"))
+    eq = _eq_arrays(spark, SF_DIR).localCheckpoint()
+    _asg, asg_carr, _cents = _lloyd_arrays(spark, eq, ivf_k(eq.count()), ITERS)
+    assert _load_coarse_book(spark, root) == asg_carr
+    _pts, _codes, cdf, acdf = _pq_train(spark, SF_DIR, pq_k=PQ_K16)
+    for name, frame in (("pq_adc_book", cdf), ("pq_asg_book", acdf)):
+        disk = sorted(
+            map(tuple, spark.read.parquet(os.path.join(root, name)).collect())
+        )
+        assert disk == sorted(map(tuple, frame.collect())), name
