@@ -258,19 +258,29 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     n_blocks = 8
-    emb = load(spark, sf_dir, "embeddings")
-    base = emb.select(
-        "vec_id",
-        "embedding",
-        F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int").alias("blk"),
-    )
-    left = base.select(
+
+    # Each cogroup side gets its OWN scan (fresh attribute ids): when
+    # both sides derive from the same parent, the left and right data
+    # attributes share expr ids and Spark's relation deduplication can
+    # strip the RIGHT group frames down to the grouping keys only —
+    # the Python function then sees rpdf without vec_id/embedding
+    # (observed round 12: session-state-dependent, green in one
+    # process and KeyError in the next). Two scans of the same parquet
+    # cost one extra columnar read and make the plan deterministic.
+    def _blocked() -> DataFrame:
+        return load(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            "embedding",
+            F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int").alias("blk"),
+        )
+
+    left = _blocked().select(
         F.col("blk").alias("blk_a"),
         F.explode(F.sequence(F.col("blk"), F.lit(n_blocks - 1))).alias("blk_b"),
         "vec_id",
         "embedding",
     )
-    right = base.select(
+    right = _blocked().select(
         F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("blk_a"),
         F.col("blk").alias("blk_b"),
         "vec_id",
