@@ -175,6 +175,14 @@ HEADLINE = [
     "q_partition_detach",
     "q_quantile_timing",
     "q_ann_ivfpq_residual",
+    # round 12: the packed-training-shard deliverable (clean -> BPE
+    # tokenize -> prefix-sum pack -> sharded write + read-back), the
+    # NB threshold-calibration sweep, the full-corpus export mode, and
+    # the persisted IVF-PQ index maintained by streaming upsert
+    "q_token_shards",
+    "q_nb_pr_curve",
+    "q_corpus_export_full",
+    "q_ann_index_upsert",
 ]
 
 

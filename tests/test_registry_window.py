@@ -19,56 +19,56 @@ from kafka_clickhouse_implementation_spark.registry import (
 )
 
 WINDOW_50 = [
-    "q_corpus_export",  # changed/new
-    "q_nb_quality",  # changed/new
-    "q_ann_ivfpq",  # changed/new
-    "q_stream_bm25_upsert",  # changed/new
-    "q_asof_join",  # changed/new
+    "q_token_shards",  # changed/new
+    "q_nb_pr_curve",  # changed/new
+    "q_corpus_export_full",  # changed/new
+    "q_ann_index_upsert",  # changed/new
     "q_corpus_clean_nb",  # changed/new
-    "q_stream_proximity_upsert",  # changed/new
-    "q_retrieval_ndcg",  # changed/new
+    "q_nb_quality",  # changed/new
+    "q_stream_bm25",  # changed/new
+    "q_stream_bm25_upsert",  # changed/new
     "q_partition_detach",  # changed/new
-    "q_quantile_timing",  # changed/new
+    "q_embedding_near_dup",  # changed/new
+    "q_bpe_train",  # changed/new
+    "q_bpe_tokenize",  # changed/new
+    "q_stream_bpe",  # changed/new
+    "q_ann_ivfpq",  # changed/new
     "q_ann_ivfpq_residual",  # changed/new
     "q_pq_quantize",  # changed/new
-    "q_stream_bm25",  # changed/new
-    "q_stream_dsir",  # changed/new
-    "q_stream_proximity",  # changed/new
-    "q_dsir_weights",  # changed/new
-    "q_dsir_tiers",  # changed/new
-    "q_stream_semantic_dedup",  # changed/new
-    "q_bm25_rank",  # changed/new
-    "q_corpus_clean_portable",  # changed/new
-    "q_corpus_clean_sampled",  # changed/new
-    "q_corpus_clean_scored",  # changed/new
-    "q_corpus_clean_clipped",  # changed/new
-    "q_corpus_clean_clipped_sampled",  # changed/new
-    "q_mmr_diversify",  # changed/new
-    "q_hybrid_rank",  # changed/new
-    "q_dict_get",  # last green r5
-    "q_ema",  # last green r5
-    "q_gap_fill_interpolate",  # last green r5
-    "q_ingest_roundtrip",  # last green r5
-    "q_ip_funcs",  # last green r5
-    "q_jaccard_pairs",  # last green r5
-    "q_lttb",  # last green r5
-    "q_max_intersections",  # last green r5
-    "q_min_max_map",  # last green r5
-    "q_multimodal_adpcm",  # last green r5
-    "q_multimodal_gif",  # last green r5
-    "q_multimodal_jpeg",  # last green r5
-    "q_multimodal_jpeg420",  # last green r5
-    "q_multimodal_jpeg_color",  # last green r5
-    "q_multimodal_mulaw",  # last green r5
-    "q_multimodal_png",  # last green r5
-    "q_select_modifiers",  # last green r5
-    "q_sequence_next_node",  # last green r5
-    "q_stream_bloom",  # last green r5
-    "q_stream_cms",  # last green r5
-    "q_stream_dict_get",  # last green r5
-    "q_stream_ema",  # last green r5
-    "q_stream_kmv",  # last green r5
-    "q_tpch_q11_shape",  # last green r5
+    "q_corpus_export",  # changed/new
+    "q_tpch_q20_shape",  # last green r5
+    "q_tpch_q2_shape",  # last green r5
+    "q_tpch_q9_shape",  # last green r5
+    "q_udaf_geomean",  # last green r5
+    "q_udf_domain",  # last green r5
+    "q_udtf_tokenize",  # last green r5
+    "q_uniq_up_to",  # last green r5
+    "q_weighted_median",  # last green r5
+    "q_window_funnel_dedup",  # last green r5
+    "q_window_funnel_strict",  # last green r5
+    "q_agg_suite",  # last green r6
+    "q_argmax_segment",  # last green r6
+    "q_argmin_first_event",  # last green r6
+    "q_array_funcs",  # last green r6
+    "q_case_bucket",  # last green r6
+    "q_cond_agg",  # last green r6
+    "q_corr_cov",  # last green r6
+    "q_cross_join",  # last green r6
+    "q_cte_reuse",  # last green r6
+    "q_cube",  # last green r6
+    "q_date_funcs",  # last green r6
+    "q_default_coalesce",  # last green r6
+    "q_distinct_users",  # last green r6
+    "q_enum_encode",  # last green r6
+    "q_exact_distinct",  # last green r6
+    "q_exists_correlated",  # last green r6
+    "q_full_outer",  # last green r6
+    "q_having",  # last green r6
+    "q_in_subquery",  # last green r6
+    "q_interval_length_sum",  # last green r6
+    "q_join_broadcast_nation",  # last green r6
+    "q_join_orders_customer",  # last green r6
+    "q_left_join_orders",  # last green r6
 ]
 
 

@@ -42,14 +42,14 @@ from kafka_clickhouse_implementation_spark.session import get_spark  # noqa: E40
 COPIES = 10
 
 
-def build_docs10(spark, src: str, out: str) -> None:
-    """10x-replicated documents table: per-copy doc_id offset + a
+def build_docs10(spark, src: str, out: str, n_copies: int = COPIES) -> None:
+    """N-replicated documents table: per-copy doc_id offset + a
     per-copy suffix token (the make_scale_data.py text mutation — keeps
     fingerprints distinct while leaving every long gram duplicated
     across copies, which is the adversarial property)."""
     docs = load(spark, src, "documents")
     span = docs.agg(F.max("doc_id")).first()[0] + 1
-    copies = spark.range(COPIES).select(F.col("id").cast("long").alias("k"))
+    copies = spark.range(n_copies).select(F.col("id").cast("long").alias("k"))
     big = (
         docs.crossJoin(copies)
         .withColumn("doc_id", F.col("doc_id") + F.col("k") * F.lit(span))
@@ -62,7 +62,11 @@ def build_docs10(spark, src: str, out: str) -> None:
     big.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
 
 
-def time_stages(spark, sf_dir: str) -> dict:
+def time_stages(spark, sf_dir: str, heavy_only: bool = False) -> dict:
+    """``heavy_only`` times just the two corpus-sized stages (clip,
+    kn) — the third scale point (round-12 verdict item 8) exists to
+    extend THEIR trend line; the middle stages are sub-second and
+    already measured flat at 10x."""
     from kafka_clickhouse_implementation_spark.operators.components import (
         connected_components,
     )
@@ -90,6 +94,12 @@ def time_stages(spark, sf_dir: str) -> dict:
     )
     out["clip_sec"] = round(time.monotonic() - t0, 1)
     out["n_clipped"] = clipped.count()
+
+    if heavy_only:
+        t0 = time.monotonic()
+        out["n_kn_kept"] = kn_quality_gate(docs).count()
+        out["kn_sec"] = round(time.monotonic() - t0, 1)
+        return out
 
     t0 = time.monotonic()
     gated = quality_filter(clipped).localCheckpoint()
@@ -121,6 +131,10 @@ def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_scale/sf1"
     out_json = sys.argv[2] if len(sys.argv) > 2 else "docs/CORPUS_SCALE.json"
     ten_dir = "/tmp/spark_graft_scale/sf10_docs"
+    # optional THIRD scale point (round-12 verdict item 8): replicate
+    # this many copies and time the two corpus-sized stages only, so
+    # the clip/kn ratios become a trend line rather than one interval
+    third = int(os.environ.get("SPARK_GRAFT_THIRD_POINT", "0"))
 
     spark = get_spark("corpus_scale_probe")
     build_docs10(spark, src, ten_dir)
@@ -140,6 +154,18 @@ def main() -> None:
         **runs,
         "sf10_over_sf1": ratios,
     }
+    if third:
+        third_dir = f"/tmp/spark_graft_scale/sf{third}_docs"
+        build_docs10(spark, src, third_dir, n_copies=third)
+        runs[f"sf{third}"] = time_stages(spark, third_dir, heavy_only=True)
+        artifact[f"sf{third}"] = runs[f"sf{third}"]
+        artifact[f"sf{third}_over_sf1"] = {
+            k.replace("_sec", "_ratio"): round(
+                runs[f"sf{third}"][k] / max(runs["sf1"][k], 0.1), 2
+            )
+            for k in runs[f"sf{third}"]
+            if k.endswith("_sec")
+        }
     with open(out_json, "w") as f:
         json.dump(artifact, f, indent=1)
         f.write("\n")
