@@ -183,6 +183,8 @@ HEADLINE = [
     "q_nb_pr_curve",
     "q_corpus_export_full",
     "q_ann_index_upsert",
+    "q_stream_token_shards",
+    "q_shard_mixture",
 ]
 
 

@@ -95,11 +95,32 @@ _EOS_WIDX = 2**31 - 1  # sorts after any real word index within a doc
 SHARD_SLICE_MOD = 10  # the C149 oracle-bounding doc_id slice
 
 
-def _shards_oracle() -> str:
+_DEFAULT_SHARD_FINAL = f""", seqsrc AS (
+  SELECT seq_id, string_agg(source, ',' ORDER BY source) AS sources
+  FROM (SELECT DISTINCT pos // {SEQ_LEN} AS seq_id, source FROM stream)
+  GROUP BY seq_id
+), seqs AS (
+  SELECT pos // {SEQ_LEN} AS seq_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(min(doc_id) AS BIGINT) AS first_doc,
+         CAST(max(doc_id) AS BIGINT) AS last_doc,
+         md5(string_agg(CAST(tok_id AS VARCHAR), ',' ORDER BY pos)) AS fp
+  FROM stream GROUP BY pos // {SEQ_LEN}
+)
+SELECT CAST(s.seq_id AS BIGINT) AS seq_id, s.n_tokens, s.n_docs,
+       s.first_doc, s.last_doc, x.sources, s.fp
+FROM seqs s JOIN seqsrc x USING (seq_id)
+"""
+
+
+def _shards_oracle(final_sql: str | None = None) -> str:
     """Independent DuckDB replay: the BPE chain (verbatim C135/C140
-    CTEs over the raw corpus) + the C149 clean CTEs + tokenize + pack.
-    Continues the BPE WITH-chain via final_select (w{BPE_ROUNDS} is
-    the final segmented vocab)."""
+    CTEs over the raw corpus) + the C149 clean CTEs + tokenize + the
+    global packing order, ending in ``final_sql`` (default: the
+    per-sequence shard rows — C180 swaps in the per-source mixture
+    rollup over the SAME stream CTE). Continues the BPE WITH-chain via
+    final_select (w{BPE_ROUNDS} is the final segmented vocab)."""
     from kafka_clickhouse_implementation_spark.pipelines.corpus import (
         _clean_ctes,
     )
@@ -148,39 +169,21 @@ keptdocs AS MATERIALIZED (
            CAST(1 AS BIGINT) AS pidx, '{EOS}' AS piece
     FROM keptdocs
   ) t JOIN vocab v USING (piece)
-), seqsrc AS (
-  SELECT seq_id, string_agg(source, ',' ORDER BY source) AS sources
-  FROM (SELECT DISTINCT pos // {SEQ_LEN} AS seq_id, source FROM stream)
-  GROUP BY seq_id
-), seqs AS (
-  SELECT pos // {SEQ_LEN} AS seq_id,
-         CAST(count(*) AS BIGINT) AS n_tokens,
-         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-         CAST(min(doc_id) AS BIGINT) AS first_doc,
-         CAST(max(doc_id) AS BIGINT) AS last_doc,
-         md5(string_agg(CAST(tok_id AS VARCHAR), ',' ORDER BY pos)) AS fp
-  FROM stream GROUP BY pos // {SEQ_LEN}
-)
-SELECT CAST(s.seq_id AS BIGINT) AS seq_id, s.n_tokens, s.n_docs,
-       s.first_doc, s.last_doc, x.sources, s.fp
-FROM seqs s JOIN seqsrc x USING (seq_id)
-"""
+){final_sql or _DEFAULT_SHARD_FINAL}"""
     )
 
 
-def clean_kept_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The C149 kept set WITH TEXT: doc_id % SHARD_SLICE_MOD slice →
+def clean_kept(docs: DataFrame) -> DataFrame:
+    """The C149 kept set WITH TEXT over a (doc_id, text, source) frame:
     clip → heuristic gate → exact dedup → LSH near-dup → CC →
-    keep-one. Returns (doc_id, text, source); gate and dedup outputs
-    pinned (the C148 funnel convention)."""
+    keep-one. Gate and dedup outputs pinned (the C148 funnel
+    convention). Shared by the batch slice (C177) and the drained
+    document wire (C179)."""
     from kafka_clickhouse_implementation_spark.pipelines.corpus import (
         exact_dedup,
         quality_filter,
     )
 
-    docs = load(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % SHARD_SLICE_MOD == 0
-    )
     clipped = (
         substring_clip(docs)
         .select("doc_id", "source", F.col("kept_text").alias("text"))
@@ -195,6 +198,16 @@ def clean_kept_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return exact.join(losers, "doc_id", "left_anti").select(
         "doc_id", "text", "source"
+    )
+
+
+def clean_kept_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clean_kept over the doc_id % SHARD_SLICE_MOD slice of the
+    corpus — the C149 oracle-bounding scope."""
+    return clean_kept(
+        load(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % SHARD_SLICE_MOD == 0
+        )
     )
 
 
@@ -229,15 +242,14 @@ def token_vocab(wpieces: DataFrame) -> DataFrame:
     )
 
 
-def pack_sequences(
+def positioned_stream(
     kept: DataFrame, wpieces: DataFrame, vocab: DataFrame
 ) -> DataFrame:
-    """Tokenize kept docs with the segmentation table, append EOS per
-    doc, assign global positions (ranged_prefix over the unique total
-    order (doc_id, widx, pidx)), and assemble SEQ_LEN-token sequences:
-    (seq_id, shard, tok_ids, n_tokens, n_docs, first_doc, last_doc,
-    sources)."""
-    spark = kept.sparkSession
+    """The packed token stream with exact global positions: tokenize
+    kept docs with the segmentation table, append EOS per doc, assign
+    positions via ranged_prefix over the unique total order (doc_id,
+    widx, pidx). Returns (doc_id, source, tok_id, pos); shared by the
+    sequence assembly (C177/C179) and the mixture rollup (C180)."""
     # vocabulary-factorized segmentation join — broadcast below the
     # C140 guard, shuffle above (a 100 TB vocabulary doesn't fit an
     # executor)
@@ -264,13 +276,22 @@ def pack_sequences(
         F.lit(EOS).alias("piece"),
     )
     stream = toks.unionByName(eos).join(vb, "piece")
-    positioned = ranged_prefix(
+    return ranged_prefix(
         stream,
         [F.col("doc_id"), F.col("widx"), F.col("pidx")],
         rn_col="rn",
     ).withColumn("pos", F.col("rn") - 1)
+
+
+def pack_sequences(
+    kept: DataFrame, wpieces: DataFrame, vocab: DataFrame
+) -> DataFrame:
+    """Assemble the positioned token stream into SEQ_LEN-token rows:
+    (seq_id, shard, tok_ids, n_tokens, n_docs, first_doc, last_doc,
+    sources)."""
     return (
-        positioned.withColumn("seq_id", F.expr(f"pos div {SEQ_LEN}"))
+        positioned_stream(kept, wpieces, vocab)
+        .withColumn("seq_id", F.expr(f"pos div {SEQ_LEN}"))
         .groupBy("seq_id")
         .agg(
             F.expr("transform(array_sort(collect_list(struct(pos, tok_id))),"
@@ -345,5 +366,133 @@ def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ",", F.expr("transform(tok_ids, t -> CAST(t AS STRING))")
                 ).cast("binary")
             ).alias("fp"),
+        )
+    )
+
+
+@query("q_stream_token_shards", oracle=_shards_oracle())
+def q_stream_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C179: the -State twin of C177 — the corpus arrives over the
+    duplicate-injecting DOCUMENT WIRE (the C152 mechanics: stateful
+    doc_id dedup carries digests across micro-batch boundaries), the
+    drained set takes the place of the parquet scan, and the IDENTICAL
+    clean → tokenize → pack pipeline runs downstream, checked against
+    the UNCHANGED C177 oracle. One hash certifies that shard content
+    built from streamed, duplicate-polluted ingest equals the batch
+    product bit for bit — document text rides the WIRE (a corrupted or
+    double-delivered payload changes clip/gate/dedup outcomes and
+    hash-fails loudly); only `source` (absent from the wire schema) is
+    joined back from the table by doc_id.
+
+    Scale shape: the streaming stages are the C152 dedup state + one
+    drain; everything downstream is the certified C177 plan."""
+    import os
+
+    from kafka_clickhouse_implementation_spark.streaming.corpus_stream import (
+        _DOC_WIRE_SCHEMA,
+        document_wire,
+    )
+    from kafka_clickhouse_implementation_spark.streaming.funnel import _drain
+
+    wire, base = document_wire(spark, sf_dir)
+    deduped = (
+        spark.readStream.schema(_DOC_WIRE_SCHEMA)
+        .option("maxFilesPerTrigger", "4")
+        .json(wire)
+        .filter(F.col("doc_id") % SHARD_SLICE_MOD == 0)
+        .dropDuplicates(["doc_id"])
+        .select("doc_id", "text")
+    )
+    _drain(
+        spark, deduped, "stream_shard_docs",
+        os.path.join(base, "ckpt_shard_docs"), mode="append",
+    )
+    src = load(spark, sf_dir, "documents").select("doc_id", "source")
+    docs = spark.table("stream_shard_docs").join(src, "doc_id").localCheckpoint()
+    kept = clean_kept(docs).localCheckpoint()
+    wpieces = bpe_piece_table(spark, sf_dir).localCheckpoint()
+    vocab = token_vocab(wpieces).localCheckpoint()
+    return (
+        pack_sequences(kept, wpieces, vocab)
+        .select(
+            "seq_id",
+            "n_tokens",
+            "n_docs",
+            "first_doc",
+            "last_doc",
+            "sources",
+            F.md5(
+                F.concat_ws(
+                    ",", F.expr("transform(tok_ids, t -> CAST(t AS STRING))")
+                ).cast("binary")
+            ).alias("fp"),
+        )
+    )
+
+
+# Per-source token targets for the SHARD mixture (C180) — reuses the
+# C47 permille convention over TOKENS (what a training job actually
+# budgets) instead of document counts.
+_SHARD_TARGET_PERMILLE = {
+    "src0": 300, "src1": 200, "src2": 100,
+    "src3": 50, "src4": 50, "src5": 50,
+}
+
+_MIXTURE_FINAL = f""", scounts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT pos // {SEQ_LEN}) AS BIGINT) AS n_seqs
+  FROM stream GROUP BY source
+), stotal AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM scounts
+), targets(source, permille) AS (
+  VALUES {", ".join(f"('{s}', {p})" for s, p in sorted(_SHARD_TARGET_PERMILLE.items()))}
+)
+SELECT c.source, c.n_tokens, c.n_seqs,
+       CAST(COALESCE(tg.permille, 0) AS BIGINT) AS target_permille,
+       CAST(COALESCE(tg.permille, 0) * t.total AS DOUBLE)
+         / CAST(1000 * c.n_tokens AS DOUBLE) AS weight
+FROM scounts c
+LEFT JOIN targets tg ON tg.source = c.source
+CROSS JOIN stotal t
+"""
+
+
+@query("q_shard_mixture", oracle=_shards_oracle(final_sql=_MIXTURE_FINAL))
+def q_shard_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C180: TOKEN-level mixture accounting over the packed shards —
+    the number a training job budgets against: per source, exact token
+    count in the shard stream (EOS attributed to its document), the
+    distinct sequences it touches, and the C47 resampling weight
+    computed over TOKENS (weight > 1 → upsample) as one IEEE division
+    of exact int64 products. Shares the C177 positioned stream and its
+    oracle CTE chain verbatim — only the final rollup differs, so the
+    two views of the product cannot drift.
+
+    Scale shape: the C177 stream plus one source-keyed rollup with
+    map-side partials and a constant broadcast target table."""
+    kept = clean_kept_slice(spark, sf_dir).localCheckpoint()
+    wpieces = bpe_piece_table(spark, sf_dir).localCheckpoint()
+    vocab = token_vocab(wpieces).localCheckpoint()
+    stream = positioned_stream(kept, wpieces, vocab)
+    counts = stream.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.count_distinct(F.expr(f"pos div {SEQ_LEN}")).cast("long").alias("n_seqs"),
+    )
+    total = counts.agg(F.sum("n_tokens").cast("long").alias("total"))
+    targets = spark.createDataFrame(
+        sorted(_SHARD_TARGET_PERMILLE.items()), "source string, permille long"
+    )
+    return (
+        counts.join(F.broadcast(targets), "source", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_tokens",
+            "n_seqs",
+            F.coalesce("permille", F.lit(0)).cast("long").alias("target_permille"),
+            (
+                (F.coalesce("permille", F.lit(0)) * F.col("total")).cast("double")
+                / (F.lit(1000) * F.col("n_tokens")).cast("double")
+            ).alias("weight"),
         )
     )

@@ -20,6 +20,8 @@ from kafka_clickhouse_implementation_spark.registry import (
 
 WINDOW_50 = [
     "q_token_shards",  # changed/new
+    "q_stream_token_shards",  # changed/new
+    "q_shard_mixture",  # changed/new
     "q_nb_pr_curve",  # changed/new
     "q_corpus_export_full",  # changed/new
     "q_ann_index_upsert",  # changed/new
@@ -67,8 +69,6 @@ WINDOW_50 = [
     "q_in_subquery",  # last green r6
     "q_interval_length_sum",  # last green r6
     "q_join_broadcast_nation",  # last green r6
-    "q_join_orders_customer",  # last green r6
-    "q_left_join_orders",  # last green r6
 ]
 
 

@@ -147,3 +147,42 @@ def test_ann_index_product_loads_without_retraining(spark):
             map(tuple, spark.read.parquet(os.path.join(root, name)).collect())
         )
         assert disk == sorted(map(tuple, frame.collect())), name
+
+
+def test_ann_coded_table_compaction_preserves_search(spark):
+    """C178: compacting the maintained coded-vector table (the
+    plans/upsert background-merge analogue) must leave the resolved
+    index — and therefore the search — exactly as before: same
+    latest-per-key codes, fewer rows on disk."""
+    from kafka_clickhouse_implementation_spark.plans.upsert import (
+        append_versions,
+        compact_versions,
+        read_latest,
+    )
+    from kafka_clickhouse_implementation_spark.streaming.vector_stream import (
+        stream_ann_index_upsert,
+    )
+
+    _root, path = stream_ann_index_upsert(spark, SF_DIR)
+    # inject stale versions so compaction has real work: re-append one
+    # epoch's rows at version -1 (older than everything)
+    versions = spark.read.parquet(path)
+    v0 = versions.agg(F.min("version").alias("v")).head()["v"]
+    stale = versions.filter(F.col("version") == v0).withColumn(
+        "version", F.lit(-1).cast("long")
+    )
+    append_versions(stale, path)
+
+    def resolved():
+        return sorted(
+            (r.vec_id, r.sub, r.cid)
+            for r in read_latest(
+                spark, path, ("vec_id", "sub"), "version"
+            ).collect()
+        )
+
+    before = resolved()
+    n_rows_before = spark.read.parquet(path).count()
+    compact_versions(spark, path, ("vec_id", "sub"), "version")
+    assert resolved() == before
+    assert spark.read.parquet(path).count() < n_rows_before
