@@ -47,7 +47,15 @@ def get_spark(app_name: str = "kafka_clickhouse_implementation_spark", shuffle_p
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # SPARK_GRAFT_BROADCAST_MAX: the sf30 scale probe showed the
+        # 64 MB default picks driver-killing broadcasts once a side
+        # scales past ~1M docs — a real cluster sizes this to executor
+        # memory; the probe drops it to force sort-merge at its
+        # largest point
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            os.environ.get("SPARK_GRAFT_BROADCAST_MAX", str(64 * 1024 * 1024)),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
@@ -58,6 +66,13 @@ def get_spark(app_name: str = "kafka_clickhouse_implementation_spark", shuffle_p
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # localCheckpoint of a wide text frame counts its materialized
+        # blocks against maxResultSize in local mode; the 1 GB default
+        # kills the sf30 scale probe's clip pin (observed round 12)
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_GRAFT_MAX_RESULT", "4g"),
+        )
         .config("spark.ui.enabled", "false")
     )
     store = os.environ.get("SPARK_GRAFT_STATE_STORE")

@@ -292,7 +292,10 @@ def test_welch_and_student_share_one_scan_shape(spark):
 # would dominate suite time) and the ones that WRITE layouts/files as
 # part of their contract.
 _AUDIT_SKIP_PREFIXES = ("q_stream_",)
-_AUDIT_SKIP = {"q_ingest_roundtrip", "q_partition_prune", "q_partition_detach", "q_csv_roundtrip", "q_orc_roundtrip"}
+# q_ann_index_upsert: runs a streaming upsert + writes the index
+# product before returning; its batch search tail is the SHARED
+# _ivfpq_search plan already audited via q_ann_ivfpq.
+_AUDIT_SKIP = {"q_ingest_roundtrip", "q_partition_prune", "q_partition_detach", "q_csv_roundtrip", "q_orc_roundtrip", "q_ann_index_upsert"}
 
 def _bare_window_line(line: str) -> bool:
     """True if the plan line holds a windowspecdefinition(...) whose
