@@ -463,16 +463,25 @@ def substring_clip(docs: DataFrame) -> DataFrame:
         )
         .select("doc_id", "o.pos", "o.h")
     )
+    # The digest-keyed tables below all scale WITH the corpus (grams,
+    # duplicated grams, first-occurrences), so their joins are hinted
+    # sort-merge: Catalyst's static size estimate on these aggregate
+    # subtrees undershoots badly, and the resulting auto-broadcast was
+    # measured as the clip stage's bottleneck (round 12, sf10 probe:
+    # 322.8 s with the 64 MB threshold vs 34.5 s sort-merge-only) and
+    # a driver OOM at sf30. Same-key joins share one hash partitioning
+    # anyway, so the hint costs nothing extra.
     dupg = g.groupBy("h").agg(
         F.countDistinct("doc_id").alias("nd")
-    ).filter(F.col("nd") > 1).select("h")
+    ).filter(F.col("nd") > 1).select("h").hint("merge")
     gd = g.join(dupg, "h")
-    fd = gd.groupBy("h").agg(F.min("doc_id").alias("fdoc"))
+    fd = gd.groupBy("h").agg(F.min("doc_id").alias("fdoc")).hint("merge")
     fp = (
         gd.join(fd, "h")
         .filter(F.col("doc_id") == F.col("fdoc"))
         .groupBy("h", "fdoc")
         .agg(F.min("pos").alias("fpos"))
+        .hint("merge")
     )
     clip = (
         gd.join(fp, "h")
