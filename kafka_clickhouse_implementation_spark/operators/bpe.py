@@ -270,6 +270,245 @@ def _train(spark: SparkSession, vocab: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# C182 — BATCHED BPE merge learning (round 13): one merge per
+# distributed round (C135) cannot reach a real 32k vocabulary — 32k
+# sequential Spark jobs. Per round, take the top-BATCH_N pair
+# candidates (one TakeOrdered, BATCH_N model rows to the driver),
+# greedily keep the subset whose symbol TRIOS {a, b, a||b} are
+# pairwise disjoint (deterministic rank order: count DESC, pair ASC),
+# and apply them all in ONE fold. Trio-disjointness is what makes the
+# batch order-independent AND count-exact: no kept rule consumes
+# another kept rule's input symbols (their pair counts are therefore
+# unchanged by earlier merges in the batch — merging (a,b) never
+# creates or destroys a (c,d) adjacency for c,d outside {a,b}) and no
+# rule's OUTPUT equals another rule's input (a pre-existing symbol
+# equal to a||b would otherwise let the fold merge freshly-created
+# symbols at stale counts). O(vocab) rounds become O(vocab / batch):
+# the road from 12 teaching merges to a production vocabulary.
+# ---------------------------------------------------------------------------
+
+BATCH_N = 6  # candidates fetched per round (merge batch upper bound)
+BATCH_ROUNDS = 4  # distributed rounds in the certified query
+
+
+def _select_batch(
+    cands: list[tuple[str, str, int]]
+) -> list[tuple[str, str, int]]:
+    """Greedy trio-disjoint subset of the ranked candidates — the
+    deterministic batch rule both engines replay."""
+    used: set[str] = set()
+    chosen = []
+    for a, b, cnt in cands:
+        trio = {a, b, a + b}
+        if used & trio:
+            continue
+        used |= trio
+        chosen.append((a, b, cnt))
+    return chosen
+
+
+def _fold_step_multi_sql(rules: list[tuple[str, str]]) -> str:
+    """One canonical-greedy fold step applying a trio-disjoint rule
+    batch: chained WHENs (at most one can fire — the b symbols are
+    pairwise distinct). Alphabet-validated like _fold_step_sql."""
+    whens = []
+    for wa, wb in rules:
+        for sym in (wa, wb):
+            if not sym or not all(
+                "a" <= c <= "z" or c == _EOW for c in sym
+            ):
+                raise ValueError(
+                    f"BPE symbol {sym!r} outside the SQL-literal-safe "
+                    f"[a-z{_EOW}] alphabet; refusing to interpolate"
+                )
+        whens.append(
+            f"WHEN x = '{wb}' AND endswith(acc, ' {wa} ') "
+            f"THEN concat(substring(acc, 1, length(acc) - {len(wa) + 1}), "
+            f"'{wa}{wb} ')"
+        )
+    return "CASE " + " ".join(whens) + " ELSE concat(acc, x, ' ') END"
+
+
+_BATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("merge_rank", T.LongType(), False),
+        T.StructField("round", T.IntegerType(), False),
+        T.StructField("left_sym", T.StringType(), False),
+        T.StructField("right_sym", T.StringType(), False),
+        T.StructField("merged", T.StringType(), False),
+        T.StructField("pair_count", T.LongType(), False),
+        T.StructField("syms_before", T.LongType(), False),
+    ]
+)
+
+
+def _train_batched_full(
+    spark: SparkSession,
+    vocab: DataFrame,
+    rounds: int = BATCH_ROUNDS,
+    batch_n: int = BATCH_N,
+) -> tuple[list[tuple], DataFrame]:
+    """The batched merge loop: per round ONE aggregate (symbol total)
+    + ONE TakeOrdered(batch_n) — driver traffic is batch_n model rows
+    per round instead of one, and the number of corpus-vocab Spark
+    jobs drops by the accepted-batch factor. Returns (trajectory rows,
+    final segmented vocab)."""
+    wsum = int(vocab.agg(F.sum("f")).first()[0])
+    out: list[tuple] = []
+    cur = vocab
+    rank = 0
+    for r in range(1, rounds + 1):
+        pf = _pair_frame(cur)
+        tot = pf.agg(F.sum("cnt").alias("tot")).first().tot
+        if tot is None:  # vocabulary fully merged
+            break
+        cands = [
+            (row.a, row.b, int(row.cnt))
+            for row in pf.orderBy(
+                F.col("cnt").desc(), "a", "b"
+            ).limit(batch_n).collect()
+        ]
+        chosen = _select_batch(cands)
+        syms_before = int(tot) + wsum
+        for a, b, cnt in chosen:
+            rank += 1
+            out.append((rank, r, a, b, a + b, cnt, syms_before))
+        cur = cur.withColumn(
+            "s",
+            F.expr(
+                f"aggregate(split(trim(s), ' '), ' ', "
+                f"(acc, x) -> {_fold_step_multi_sql([(a, b) for a, b, _ in chosen])})"
+            ),
+        ).localCheckpoint()  # each round nests a batch-wide CASE HOF
+    return out, cur
+
+
+def _oracle_sql_batched(
+    rounds: int = BATCH_ROUNDS, batch_n: int = BATCH_N
+) -> str:
+    """Independent DuckDB replay of the batched trainer: per unrolled
+    round, pair counts -> ranked top-batch_n -> an unrolled greedy
+    accept chain over VARCHAR[] state (used trios / rule lists) -> one
+    multi-rule list_reduce apply keyed by list_position on the b
+    symbol (b's are pairwise distinct by trio-disjointness, so the
+    position lookup is unambiguous)."""
+    ctes = [
+        "bw0 AS MATERIALIZED (\n"
+        "  SELECT w, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') || '"
+        + _EOW
+        + " ' AS s,\n"
+        "         CAST(count(*) AS BIGINT) AS f\n"
+        "  FROM (SELECT unnest(string_split(text, ' ')) AS w"
+        " FROM documents) u\n"
+        "  WHERE w <> '' GROUP BY w\n"
+        ")",
+        "btot AS MATERIALIZED (SELECT CAST(sum(f) AS BIGINT) AS wsum"
+        " FROM bw0)",
+    ]
+    selects = []
+    for r in range(1, rounds + 1):
+        prev = f"bw{r - 1}"
+        ctes.append(
+            f"bp{r} AS MATERIALIZED (\n"
+            f"  SELECT a, b, CAST(sum(f) AS BIGINT) AS cnt FROM (\n"
+            f"    SELECT unnest(l[1:len(l) - 1]) AS a,"
+            f" unnest(l[2:len(l)]) AS b, f\n"
+            f"    FROM (SELECT string_split(trim(s), ' ') AS l, f"
+            f" FROM {prev}) t{r}) bpp{r}\n"
+            f"  GROUP BY a, b\n"
+            f")"
+        )
+        ctes.append(
+            f"bc{r} AS MATERIALIZED (SELECT a, b, cnt,"
+            f" row_number() OVER (ORDER BY cnt DESC, a, b) AS rk"
+            f" FROM bp{r} ORDER BY cnt DESC, a, b LIMIT {batch_n})"
+        )
+        ctes.append(
+            f"bg{r}_0 AS (SELECT CAST([] AS VARCHAR[]) AS used,"
+            f" CAST([] AS VARCHAR[]) AS la, CAST([] AS VARCHAR[]) AS lb,"
+            f" CAST([] AS BIGINT[]) AS lc)"
+        )
+        for k in range(1, batch_n + 1):
+            acc = (
+                "c.a IS NOT NULL AND NOT list_has_any(g.used,"
+                " [c.a, c.b, c.a || c.b])"
+            )
+            ctes.append(
+                f"bg{r}_{k} AS (\n"
+                f"  SELECT CASE WHEN {acc} THEN list_concat(g.used,"
+                f" [c.a, c.b, c.a || c.b]) ELSE g.used END AS used,\n"
+                f"         CASE WHEN {acc} THEN list_append(g.la, c.a)"
+                f" ELSE g.la END AS la,\n"
+                f"         CASE WHEN {acc} THEN list_append(g.lb, c.b)"
+                f" ELSE g.lb END AS lb,\n"
+                f"         CASE WHEN {acc} THEN list_append(g.lc, c.cnt)"
+                f" ELSE g.lc END AS lc\n"
+                f"  FROM bg{r}_{k - 1} g LEFT JOIN"
+                f" (SELECT a, b, cnt FROM bc{r} WHERE rk = {k}) c ON true\n"
+                f")"
+            )
+        ctes.append(
+            f"br{r} AS MATERIALIZED (\n"
+            f"  SELECT CAST(u.i + 1 AS BIGINT) AS j,"
+            f" g.la[CAST(u.i + 1 AS INTEGER)] AS wa,"
+            f" g.lb[CAST(u.i + 1 AS INTEGER)] AS wb,"
+            f" g.lc[CAST(u.i + 1 AS INTEGER)] AS cnt\n"
+            f"  FROM bg{r}_{batch_n} g, unnest(range(len(g.la))) AS u(i)\n"
+            f")"
+        )
+        ctes.append(
+            f"bw{r} AS MATERIALIZED (\n"
+            f"  SELECT w, list_reduce(list_prepend(' ',"
+            f" string_split(trim(s), ' ')),\n"
+            f"    (acc, x) -> CASE WHEN list_position(lb, x) IS NOT NULL\n"
+            f"        AND suffix(acc, ' ' || la[list_position(lb, x)] || ' ')\n"
+            f"      THEN substr(acc, 1,"
+            f" len(acc) - len(la[list_position(lb, x)]) - 1)\n"
+            f"           || la[list_position(lb, x)] || x || ' '\n"
+            f"      ELSE acc || x || ' ' END) AS s, f\n"
+            f"  FROM {prev}, (SELECT la, lb FROM bg{r}_{batch_n}) rules{r}\n"
+            f")"
+        )
+        selects.append(
+            f"SELECT CAST({r} AS INT) AS round, j, wa, wb,"
+            f" wa || wb AS merged, cnt,\n"
+            f"       (SELECT CAST(sum(cnt) AS BIGINT) FROM bp{r})"
+            f" + (SELECT wsum FROM btot) AS syms_before\n"
+            f"FROM br{r}"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT"
+        " CAST(row_number() OVER (ORDER BY round, j) AS BIGINT)"
+        " AS merge_rank,\n"
+        "       round, wa AS left_sym, wb AS right_sym, merged,\n"
+        "       cnt AS pair_count, syms_before\nFROM (\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\n) ORDER BY merge_rank"
+    )
+
+
+@query("q_bpe_train_batched", oracle=_oracle_sql_batched())
+def q_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C182: batched BPE merge learning — BATCH_ROUNDS distributed
+    rounds, each applying up to BATCH_N trio-disjoint merges in one
+    fold. Output, one row per accepted merge: global merge_rank, the
+    round it landed in, the pair, its weighted count (exact at
+    application time — trio-disjointness, see the section comment),
+    and the round's pre-merge weighted symbol total. A pytest pins
+    batch_n=1 == C135's sequential trajectory exactly
+    (tests/test_bpe.py)."""
+    docs = load(spark, sf_dir, "documents")
+    vocab = _symbolized_vocab(
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter("w <> ''")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    out, _final = _train_batched_full(spark, vocab)
+    return spark.createDataFrame(out, _BATCH_SCHEMA).orderBy("merge_rank")
+
+
+# ---------------------------------------------------------------------------
 # C136 — KMV set-operation estimates (ClickHouse uniq-state set algebra;
 # the Theta-sketch-style intersection/Jaccard that ClickHouse itself
 # approximates by combining uniq states). Lives next to the BPE trainer

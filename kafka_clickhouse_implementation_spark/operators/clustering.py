@@ -1179,7 +1179,13 @@ SHORT_R = 30  # ADC shortlist re-ranked exactly (6x TOPK, the FAISS
 # probe list)
 
 
-def _ivfpq_oracle() -> str:
+def _ivfpq_oracle(survivor_pred: str | None = None) -> str:
+    """The C167 replay; ``survivor_pred`` (over ``g.vec_id``)
+    restricts the INDEX side to surviving vectors for the C183
+    delete-wave variant — candidates only; queries, codebooks and the
+    coarse assignment replay stay trained on the full set, the FAISS
+    remove_ids semantics (deletions drop list entries, never retrain
+    the quantizers)."""
     blocks = [_PTS_CTE]
     blocks.append(f"""kval AS (
   SELECT greatest({K}, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) AS k
@@ -1203,6 +1209,7 @@ def _ivfpq_oracle() -> str:
         for s in range(PQ_SUB)
     )
     body = ",\n".join(blocks)
+    _surv = f" AND {survivor_pred}" if survivor_pred else ""
     return f"""
 WITH {body},
 probe AS (
@@ -1214,7 +1221,7 @@ probe AS (
 cand AS (
   SELECT p.qid, g.vec_id AS nid
   FROM probe p JOIN asgvq{_LAST} g ON p.cid = g.cid
-  WHERE p.rn <= {NPROBE} AND g.vec_id <> p.qid
+  WHERE p.rn <= {NPROBE} AND g.vec_id <> p.qid{_surv}
 ),
 codesq AS MATERIALIZED (
   {codes_union}

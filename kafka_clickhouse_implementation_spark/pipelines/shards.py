@@ -242,20 +242,29 @@ def token_vocab(wpieces: DataFrame) -> DataFrame:
     )
 
 
-def positioned_stream(
+def token_rows(
     kept: DataFrame, wpieces: DataFrame, vocab: DataFrame
 ) -> DataFrame:
-    """The packed token stream with exact global positions: tokenize
-    kept docs with the segmentation table, append EOS per doc, assign
-    positions via ranged_prefix over the unique total order (doc_id,
-    widx, pidx). Returns (doc_id, source, tok_id, pos); shared by the
-    sequence assembly (C177/C179) and the mixture rollup (C180)."""
-    # vocabulary-factorized segmentation join — broadcast below the
+    """The UNPOSITIONED token multiset: tokenize kept docs with the
+    segmentation table and append EOS per doc. Returns (doc_id,
+    source, widx, pidx, tok_id) — the input both to the global
+    position assignment (positioned_stream) and to the base
+    per-source token counts the C181 resample weights need (counts
+    don't require positions, so the range Exchange is skipped
+    there)."""
+    # vocabulary-factorized segmentation joins — broadcast below the
     # C140 guard, shuffle above (a 100 TB vocabulary doesn't fit an
-    # executor)
-    small = vocab.count() <= BROADCAST_VOCAB_MAX
-    wp = F.broadcast(wpieces) if small else wpieces
-    vb = F.broadcast(vocab) if small else vocab
+    # executor). Each broadcast is gated on ITS OWN table's row count
+    # (r12 advisory): wpieces scales with the distinct-WORD vocabulary
+    # (words x pieces-per-word), while vocab is the distinct-PIECE
+    # table bounded by alphabet + BPE_ROUNDS merges — gating wpieces
+    # on vocab.count() would force-broadcast a corpus-scale word table.
+    wp = (
+        F.broadcast(wpieces)
+        if wpieces.count() <= BROADCAST_VOCAB_MAX
+        else wpieces
+    )
+    vb = F.broadcast(vocab) if vocab.count() <= BROADCAST_VOCAB_MAX else vocab
     words = (
         kept.select(
             "doc_id",
@@ -275,9 +284,23 @@ def positioned_stream(
         F.lit(1).cast("long").alias("pidx"),
         F.lit(EOS).alias("piece"),
     )
-    stream = toks.unionByName(eos).join(vb, "piece")
+    return (
+        toks.unionByName(eos)
+        .join(vb, "piece")
+        .select("doc_id", "source", "widx", "pidx", "tok_id")
+    )
+
+
+def positioned_stream(
+    kept: DataFrame, wpieces: DataFrame, vocab: DataFrame
+) -> DataFrame:
+    """The packed token stream with exact global positions: token_rows
+    plus positions via ranged_prefix over the unique total order
+    (doc_id, widx, pidx). Returns (doc_id, source, tok_id, pos, ...);
+    shared by the sequence assembly (C177/C179), the mixture rollup
+    (C180), and the resampled re-pack (C181)."""
     return ranged_prefix(
-        stream,
+        token_rows(kept, wpieces, vocab),
         [F.col("doc_id"), F.col("widx"), F.col("pidx")],
         rn_col="rn",
     ).withColumn("pos", F.col("rn") - 1)
@@ -455,6 +478,223 @@ FROM scounts c
 LEFT JOIN targets tg ON tg.source = c.source
 CROSS JOIN stotal t
 """
+
+
+# ---------------------------------------------------------------------
+# C181 — RESAMPLED shard mixture (round 13): the C180 weights APPLIED.
+# C180 ends at an accounting table ("source B should be resampled at
+# 1.37x"); this operator emits the resampled token stream itself — the
+# last step between accounting and a training-ready mixed dataset.
+#
+# Mechanics (one integer formula covers down- AND up-sampling):
+#   w_q      = (target_permille * 4096 * total_tokens)
+#                div (1000 * source_tokens)        -- the C180 weight,
+#                                                     quantized to 4096ths
+#   n_copies = w_q div 4096                        -- whole duplicates
+#            + (mix_hash_4096(doc_id) < w_q % 4096)-- fractional part via
+#                                                     the C18-style
+#                                                     deterministic
+#                                                     multiplicative hash
+# so a 0.3x source keeps ~30% of its docs (hash filter), a 1.8x source
+# keeps every doc plus ~80% duplicated — per-source token shares land
+# on target in expectation, deterministically, engine-replayably.
+# Copies become distinct doc INSTANCES (inst_id = doc_id*1000 + copy;
+# guarded below) and the instance stream re-packs through the
+# UNCHANGED C177 positioned stream.
+#
+# Scale: the weight table is |sources| rows (broadcast); the hash
+# filter/duplication is one stateless projection of the kept corpus;
+# the re-pack is the certified C177 plan. Int64 bound: the weight
+# product permille*4096*total stays in int64 up to ~2.2e12 tokens
+# (~10 TB text); past that, right-shift both token counts by a common
+# k before the product (weights are count ratios — a shared shift
+# changes the rate by <2^-40 relative at that scale).
+# ---------------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+_MIX_SALT = "_mix"
+# 4096-bucket multiplicative hash of the SALTED doc_id — 3 md5
+# nibbles, the nb_quality._NEG256_SQL recipe widened to 4096 (salt
+# decorrelates it from every other doc_id hash in the repo); the SQL
+# text is shared verbatim with the oracle.
+_MIX_HASH_SQL = (
+    f"((instr('{_HEX}', substr(md5(CAST(doc_id AS STRING) || '{_MIX_SALT}'), 1, 1)) - 1) * 256"
+    f" + (instr('{_HEX}', substr(md5(CAST(doc_id AS STRING) || '{_MIX_SALT}'), 2, 1)) - 1) * 16"
+    f" + (instr('{_HEX}', substr(md5(CAST(doc_id AS STRING) || '{_MIX_SALT}'), 3, 1)) - 1))"
+)
+
+# C181's own target table: the SHARD_SLICE corpus holds exactly src0
+# and src10 (doc ids are 10-strided within source blocks), so the C47
+# table above — src10 absent, weight 0 — would make the "mixture"
+# degenerate single-source. 700/300 exercises both directions: src0
+# upsamples (~1.4x: whole copy + fractional hash), src10 downsamples
+# (~0.6x: hash filter).
+_RESAMPLE_TARGET_PERMILLE = {"src0": 700, "src10": 300}
+
+_TARGETS_VALUES = ", ".join(
+    f"('{s}', {p})" for s, p in sorted(_RESAMPLE_TARGET_PERMILLE.items())
+)
+
+_RESAMPLE_FINAL = f""", scounts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_tokens
+  FROM stream GROUP BY source
+), stotal AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM scounts
+), targets(source, permille) AS (
+  VALUES {_TARGETS_VALUES}
+), wq AS (
+  SELECT c.source,
+         CAST((COALESCE(tg.permille, 0) * 4096 * t.total)
+              // (1000 * c.n_tokens) AS BIGINT) AS w_q
+  FROM scounts c
+  LEFT JOIN targets tg ON tg.source = c.source
+  CROSS JOIN stotal t
+), ncop AS (
+  SELECT kd.doc_id,
+         w.w_q // 4096
+           + CASE WHEN {_MIX_HASH_SQL} < w.w_q % 4096 THEN 1 ELSE 0 END
+           AS nc
+  FROM keptdocs kd JOIN wq w ON w.source = kd.source
+), inst AS MATERIALIZED (
+  SELECT CAST(n.doc_id * 1000 + u.c AS BIGINT) AS inst_id, n.doc_id
+  FROM ncop n, unnest(range(n.nc)) AS u(c)
+  WHERE n.nc > 0
+), stream2 AS MATERIALIZED (
+  SELECT i.inst_id, s.source, s.tok_id,
+         row_number() OVER (ORDER BY i.inst_id, s.pos) - 1 AS pos2
+  FROM stream s JOIN inst i ON i.doc_id = s.doc_id
+), rcounts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT pos2 // {SEQ_LEN}) AS BIGINT) AS n_seqs
+  FROM stream2 GROUP BY source
+), rtotal AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS total2 FROM rcounts
+)
+SELECT r.source, r.n_tokens, r.n_seqs,
+       CAST(COALESCE(tg.permille, 0) AS BIGINT) AS target_permille,
+       w.w_q AS weight_q4096,
+       CAST((1000000 * r.n_tokens) // t.total2 AS BIGINT)
+         AS achieved_permille_milli
+FROM rcounts r
+LEFT JOIN targets tg ON tg.source = r.source
+JOIN wq w ON w.source = r.source
+CROSS JOIN rtotal t
+"""
+
+
+def resample_weights(
+    kept: DataFrame, wpieces: DataFrame, vocab: DataFrame
+) -> DataFrame:
+    """(source, w_q): the C180 permille weight quantized to 4096ths,
+    from the UNPOSITIONED token counts (weights need totals only — no
+    range Exchange)."""
+    spark = kept.sparkSession
+    counts = (
+        token_rows(kept, wpieces, vocab)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"))
+    )
+    total = counts.agg(F.sum("n_tokens").cast("long").alias("total"))
+    targets = spark.createDataFrame(
+        sorted(_RESAMPLE_TARGET_PERMILLE.items()),
+        "source string, permille long",
+    )
+    return (
+        counts.join(F.broadcast(targets), "source", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            F.expr(
+                "CAST((COALESCE(permille, 0) * 4096 * total)"
+                " div (1000 * n_tokens) AS BIGINT)"
+            ).alias("w_q"),
+        )
+    )
+
+
+def resampled_instances(kept: DataFrame, wq: DataFrame) -> DataFrame:
+    """The resampled doc-instance corpus: per kept doc, n_copies from
+    the unified down/up-sampling formula; each copy becomes a distinct
+    instance (inst doc_id = doc_id*1000 + copy) carrying the original
+    text and source, ready for the C177 re-pack. Raises (in-plan) if
+    any weight implies >=1000 copies — widen the instance encoding
+    before that ever happens."""
+    ncop = kept.join(F.broadcast(wq), "source").withColumn(
+        "nc",
+        F.expr(
+            f"CASE WHEN w_q >= {4096 * 1000} THEN"
+            " CAST(raise_error('C181: resample copy count >= 1000;"
+            " widen the instance encoding') AS BIGINT)"
+            f" ELSE w_q div 4096"
+            f" + (CASE WHEN {_MIX_HASH_SQL} < w_q % 4096 THEN 1 ELSE 0 END)"
+            " END"
+        ),
+    )
+    return (
+        ncop.filter(F.col("nc") > 0)
+        .select(
+            "doc_id",
+            "text",
+            "source",
+            F.explode(F.expr("sequence(0, nc - 1)")).alias("c"),
+        )
+        .select(
+            (F.col("doc_id") * 1000 + F.col("c")).cast("long").alias("doc_id"),
+            "text",
+            "source",
+        )
+    )
+
+
+@query(
+    "q_shard_mixture_resampled",
+    oracle=_shards_oracle(final_sql=_RESAMPLE_FINAL),
+)
+def q_shard_mixture_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C181: the C180 mixture weights APPLIED — emit the resampled
+    shard stream and certify, per source, the resampled token count,
+    the sequences it touches in the re-packed stream, the applied
+    quantized weight, and the ACHIEVED token share (milli-permille,
+    exact integer division) against the target. The instance corpus
+    re-packs through the UNCHANGED C177 positioned stream (same
+    ranged-prefix total order, instance ids extending doc order), so
+    the oracle replays the identical resample predicate and packing
+    arithmetic end to end; tests/test_token_shards.py pins that the
+    achieved mixture moves to target from the C180 baseline."""
+    kept = clean_kept_slice(spark, sf_dir).localCheckpoint()
+    wpieces = bpe_piece_table(spark, sf_dir).localCheckpoint()
+    vocab = token_vocab(wpieces).localCheckpoint()
+    wq = resample_weights(kept, wpieces, vocab)
+    inst = resampled_instances(kept, wq)
+    stream2 = positioned_stream(inst, wpieces, vocab)
+    rcounts = stream2.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.count_distinct(F.expr(f"pos div {SEQ_LEN}"))
+        .cast("long")
+        .alias("n_seqs"),
+    )
+    rtotal = rcounts.agg(F.sum("n_tokens").cast("long").alias("total2"))
+    targets = spark.createDataFrame(
+        sorted(_RESAMPLE_TARGET_PERMILLE.items()),
+        "source string, permille long",
+    )
+    return (
+        rcounts.join(F.broadcast(targets), "source", "left")
+        .join(F.broadcast(wq), "source")
+        .crossJoin(F.broadcast(rtotal))
+        .select(
+            "source",
+            "n_tokens",
+            "n_seqs",
+            F.coalesce("permille", F.lit(0))
+            .cast("long")
+            .alias("target_permille"),
+            F.col("w_q").alias("weight_q4096"),
+            F.expr("CAST((1000000 * n_tokens) div total2 AS BIGINT)").alias(
+                "achieved_permille_milli"
+            ),
+        )
+    )
 
 
 @query("q_shard_mixture", oracle=_shards_oracle(final_sql=_MIXTURE_FINAL))

@@ -43,9 +43,21 @@ def read_latest(
 
 
 def compact_versions(
-    spark: SparkSession, path: str, key_cols: tuple[str, ...], version_col: str
+    spark: SparkSession,
+    path: str,
+    key_cols: tuple[str, ...],
+    version_col: str,
+    drop_keys: DataFrame | None = None,
+    drop_on: list[str] | None = None,
 ) -> None:
     """Background-merge analogue: materialize the winners and rewrite.
+
+    ``drop_keys`` (with join columns ``drop_on``, default the marker
+    frame's own columns) physically removes deleted keys during the
+    merge — the ClickHouse mutation-materialization semantics composed
+    onto the ReplacingMergeTree merge (C183): the read path applies
+    markers via broadcast anti-join until a compaction folds them in,
+    after which the plain read needs no marker join.
 
     Writes to a temporary sibling and renames it over the old path —
     never overwrites the directory its own plan reads from (cache() is
@@ -73,6 +85,12 @@ def compact_versions(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+    if drop_keys is not None:
+        latest = latest.join(
+            F.broadcast(drop_keys),
+            drop_on or list(drop_keys.columns),
+            "left_anti",
+        )
     _, tmp, _ = _swap_names(path)
     latest.write.mode("overwrite").parquet(tmp)
     _swap_in(path, tmp, folded=parked)

@@ -272,3 +272,78 @@ def test_tokenize_broadcast_guard(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert sorted(map(tuple, bc.collect())) == rows_sh
+
+
+def test_batched_n1_equals_sequential(spark):
+    """C182 equivalence pin: batch_n=1 over BPE_ROUNDS rounds must
+    reproduce the C135 sequential trajectory EXACTLY (rank == round,
+    same pairs, same counts, same symbol totals)."""
+    from kafka_clickhouse_implementation_spark.io import load
+    from kafka_clickhouse_implementation_spark.operators.bpe import (
+        _symbolized_vocab,
+        _train_batched_full,
+        _train_full,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load(spark, SF, "documents")
+    vocab = _symbolized_vocab(
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter("w <> ''")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    seq, _ = _train_full(spark, vocab)
+    bat, _ = _train_batched_full(
+        spark, vocab, rounds=BPE_ROUNDS, batch_n=1
+    )
+    assert [
+        (rk, rd, a, b, m, c, s) for rk, rd, a, b, m, c, s in bat
+    ] == [(r, r, a, b, m, c, s) for r, a, b, m, c, s in seq]
+
+
+def test_batched_rounds_are_trio_disjoint_and_nonvacuous(spark):
+    """Every round's accepted batch has pairwise-disjoint symbol trios
+    {a, b, a||b} (the order-independence condition), and at least one
+    round accepts >= 2 merges — otherwise the batching is vacuous at
+    this corpus and the constants need retuning."""
+    from kafka_clickhouse_implementation_spark.operators.bpe import (
+        q_bpe_train_batched,
+    )
+
+    rows = q_bpe_train_batched(spark, SF).collect()
+    by_round: dict[int, list] = {}
+    for r in rows:
+        by_round.setdefault(r["round"], []).append(r)
+    assert any(len(v) >= 2 for v in by_round.values())
+    for rnd, v in by_round.items():
+        used: set[str] = set()
+        for r in v:
+            trio = {r.left_sym, r.right_sym, r.merged}
+            assert not (used & trio), (rnd, r)
+            used |= trio
+    # global ranks are 1..n in (round, within-round) order
+    assert [r.merge_rank for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_select_batch_greedy_rule():
+    """Pure-Python pin of the greedy trio-disjoint selection: rank
+    order wins, overlapping candidates skipped, output-collision
+    candidates skipped (a candidate whose symbol equals an accepted
+    merge's OUTPUT must be rejected)."""
+    from kafka_clickhouse_implementation_spark.operators.bpe import (
+        _select_batch,
+    )
+
+    cands = [
+        ("a", "b", 10),   # accepted
+        ("b", "c", 9),    # rejected: b used
+        ("c", "d", 8),    # accepted
+        ("ab", "e", 7),   # rejected: 'ab' is an accepted OUTPUT
+        ("e", "f", 6),    # accepted
+    ]
+    assert _select_batch(cands) == [
+        ("a", "b", 10),
+        ("c", "d", 8),
+        ("e", "f", 6),
+    ]

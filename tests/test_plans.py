@@ -295,7 +295,7 @@ _AUDIT_SKIP_PREFIXES = ("q_stream_",)
 # q_ann_index_upsert: runs a streaming upsert + writes the index
 # product before returning; its batch search tail is the SHARED
 # _ivfpq_search plan already audited via q_ann_ivfpq.
-_AUDIT_SKIP = {"q_ingest_roundtrip", "q_partition_prune", "q_partition_detach", "q_csv_roundtrip", "q_orc_roundtrip", "q_ann_index_upsert"}
+_AUDIT_SKIP = {"q_ingest_roundtrip", "q_partition_prune", "q_partition_detach", "q_csv_roundtrip", "q_orc_roundtrip", "q_ann_index_upsert", "q_ann_index_delete"}
 
 def _bare_window_line(line: str) -> bool:
     """True if the plan line holds a windowspecdefinition(...) whose
@@ -323,14 +323,16 @@ def _tree_depth(line: str) -> int:
 
 
 def _bare_windows(plan: str) -> list[str]:
-    """Unpartitioned windows NOT bounded by a limit cut in their OWN
-    subtree. A bare window is exempt iff a TakeOrderedAndProject (or
-    GlobalLimit) node appears among its plan-tree DESCENDANTS — the
-    frame the window ranks is then <= k rows by construction. This is
-    per-window structural pairing (the r11 advisory): an unrelated
-    TOAP elsewhere in the plan does not excuse an unbounded window,
-    and the optimizer collapsing/duplicating limit subtrees cannot
-    flip the audit the way the old count-equality proxy could."""
+    """Unpartitioned windows NOT bounded by a limit cut on their
+    direct INPUT SPINE. A bare window is exempt iff a
+    TakeOrderedAndProject (or GlobalLimit) node appears on the
+    first-child chain below the window BEFORE any multi-input node
+    (join/union): only there does the limit bound the full frame row
+    count. This tightens the r11 per-window descendant pairing (r12
+    advisory): a limit on one branch of a join/union feeding the
+    window bounds that branch, not the join output, and must not
+    exempt a genuinely unbounded window (the old rule was fail-open
+    on exactly that shape)."""
     lines = plan.splitlines()
     out = []
     for i, line in enumerate(lines):
@@ -338,15 +340,79 @@ def _bare_windows(plan: str) -> list[str]:
             continue
         d = _tree_depth(line)
         bounded = False
+        cur_depth = d
         for sub in lines[i + 1 :]:
-            if _tree_depth(sub) <= d:
+            sd = _tree_depth(sub)
+            # pre-order: the first child of the current spine node is
+            # the next line at strictly greater depth; any line at
+            # <= cur_depth means we've left the unary input chain
+            # (a sibling branch of some ancestor — off-spine).
+            if sd <= cur_depth:
                 break
+            cur_depth = sd
             if "TakeOrderedAndProject" in sub or "GlobalLimit" in sub:
                 bounded = True
+                break
+            if any(
+                t in sub
+                for t in ("Join", "Union", "CartesianProduct")
+            ):
+                # below a multi-input node a limit bounds only one
+                # branch, never the window's frame — stop the walk
                 break
         if not bounded:
             out.append(line.strip()[:120])
     return out
+
+
+def _cogroup_shared_lineage(plan: str) -> list[str]:
+    """FlatMapCoGroupsInPandas nodes whose Python-lambda argument
+    binding draws NO expression ids from the right child's own
+    subtree — the r12 lineage-dedup trap: when both cogroup sides
+    come from one lineage, Spark re-aliases the right child's SUBTREE
+    (fresh expr ids) but binds the lambda's right-frame arguments to
+    the LEFT side's attrs (observed:
+    ``<lambda>(k#1L, v#2L, k#1L, v#2L)`` over children emitting
+    #1L/#2L and #7L/#8L), which is exactly the shape that strips the
+    right group's frames to the grouping keys
+    (session-state-dependent KeyError in the Python worker) — the bug
+    found and fixed in q_embedding_near_dup by giving each side its
+    own scan. This audit makes the fix structural: no future
+    self-cogroup can reintroduce the class unnoticed."""
+    import re
+
+    lines = plan.splitlines()
+    bad = []
+    for i, line in enumerate(lines):
+        if "FlatMapCoGroupsInPandas" not in line:
+            continue
+        lam = re.search(r"<lambda>\(([^)]*)\)", line)
+        if not lam:
+            continue
+        lam_ids = set(re.findall(r"#\d+", lam.group(1)))
+        d = _tree_depth(line)
+        subtree = []
+        for sub in lines[i + 1 :]:
+            if _tree_depth(sub) <= d:
+                break
+            subtree.append(sub)
+        if not subtree:
+            continue
+        child_depth = min(_tree_depth(s) for s in subtree)
+        groups: list[list[str]] = []
+        for s in subtree:
+            if _tree_depth(s) == child_depth:
+                groups.append([])
+            if groups:
+                groups[-1].append(s)
+        if len(groups) < 2:
+            continue
+        left_ids = set(re.findall(r"#\d+", "\n".join(groups[0])))
+        right_ids = set(re.findall(r"#\d+", "\n".join(groups[1])))
+        right_own = right_ids - left_ids
+        if right_own and not (lam_ids & right_own):
+            bad.append(line.strip()[:120])
+    return bad
 
 
 def test_registry_wide_plan_audit(spark):
@@ -359,7 +425,12 @@ def test_registry_wide_plan_audit(spark):
     scale arguments in docs/SCALE.md."""
     from kafka_clickhouse_implementation_spark.registry import all_queries as aq
 
-    offenders: dict[str, list[str]] = {"cartesian": [], "batch_python": [], "bare_window": []}
+    offenders: dict[str, list[str]] = {
+        "cartesian": [],
+        "batch_python": [],
+        "bare_window": [],
+        "cogroup_shared_lineage": [],
+    }
     for name, fn in aq().items():
         if name.startswith(_AUDIT_SKIP_PREFIXES) or name in _AUDIT_SKIP:
             continue
@@ -370,7 +441,14 @@ def test_registry_wide_plan_audit(spark):
             offenders["batch_python"].append(name)
         if _bare_windows(plan):
             offenders["bare_window"].append(name)
-    assert offenders == {"cartesian": [], "batch_python": [], "bare_window": []}
+        if _cogroup_shared_lineage(plan):
+            offenders["cogroup_shared_lineage"].append(name)
+    assert offenders == {
+        "cartesian": [],
+        "batch_python": [],
+        "bare_window": [],
+        "cogroup_shared_lineage": [],
+    }
 
 
 def test_bare_window_detector_catches_global_windows(spark):
@@ -386,6 +464,27 @@ def test_bare_window_detector_catches_global_windows(spark):
         " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s",
     )
     assert not _bare_windows(_plan(ok))
+
+
+def test_cogroup_lineage_detector_catches_self_cogroup(spark):
+    """Negative control: a SELF-cogroup (both sides from one lineage)
+    MUST trip the detector, and a cogroup of two independent scans
+    must not."""
+    df = spark.range(20).selectExpr("id % 3 AS k", "id AS v")
+    self_cg = (
+        df.groupBy("k")
+        .cogroup(df.groupBy("k"))
+        .applyInPandas(lambda lg, rg: lg, schema="k long, v long")
+    )
+    assert _cogroup_shared_lineage(_plan(self_cg))
+    a = spark.range(20).selectExpr("id % 3 AS k", "id AS v")
+    b = spark.range(30).selectExpr("id % 3 AS k", "id AS w")
+    indep = (
+        a.groupBy("k")
+        .cogroup(b.groupBy("k"))
+        .applyInPandas(lambda lg, rg: lg, schema="k long, v long")
+    )
+    assert not _cogroup_shared_lineage(_plan(indep))
 
 
 def test_asof_join_is_jvm_side(spark):

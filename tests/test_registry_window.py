@@ -19,56 +19,56 @@ from kafka_clickhouse_implementation_spark.registry import (
 )
 
 WINDOW_50 = [
+    "q_shard_mixture_resampled",  # changed/new
+    "q_bpe_train_batched",  # changed/new
+    "q_ann_index_delete",  # changed/new
+    "q_substring_clip",  # changed/new
+    "q_corpus_clean_clipped",  # changed/new
+    "q_corpus_clean_clipped_sampled",  # changed/new
+    "q_corpus_export",  # changed/new
+    "q_corpus_export_full",  # changed/new
     "q_token_shards",  # changed/new
     "q_stream_token_shards",  # changed/new
     "q_shard_mixture",  # changed/new
-    "q_nb_pr_curve",  # changed/new
-    "q_corpus_export_full",  # changed/new
-    "q_ann_index_upsert",  # changed/new
-    "q_corpus_clean_nb",  # changed/new
     "q_nb_quality",  # changed/new
-    "q_stream_bm25",  # changed/new
-    "q_stream_bm25_upsert",  # changed/new
-    "q_partition_detach",  # changed/new
-    "q_embedding_near_dup",  # changed/new
-    "q_bpe_train",  # changed/new
-    "q_bpe_tokenize",  # changed/new
-    "q_stream_bpe",  # changed/new
-    "q_ann_ivfpq",  # changed/new
-    "q_ann_ivfpq_residual",  # changed/new
-    "q_pq_quantize",  # changed/new
-    "q_corpus_export",  # changed/new
-    "q_tpch_q20_shape",  # last green r5
-    "q_tpch_q2_shape",  # last green r5
-    "q_tpch_q9_shape",  # last green r5
-    "q_udaf_geomean",  # last green r5
-    "q_udf_domain",  # last green r5
-    "q_udtf_tokenize",  # last green r5
-    "q_uniq_up_to",  # last green r5
-    "q_weighted_median",  # last green r5
-    "q_window_funnel_dedup",  # last green r5
-    "q_window_funnel_strict",  # last green r5
-    "q_agg_suite",  # last green r6
-    "q_argmax_segment",  # last green r6
-    "q_argmin_first_event",  # last green r6
-    "q_array_funcs",  # last green r6
-    "q_case_bucket",  # last green r6
-    "q_cond_agg",  # last green r6
-    "q_corr_cov",  # last green r6
-    "q_cross_join",  # last green r6
-    "q_cte_reuse",  # last green r6
-    "q_cube",  # last green r6
-    "q_date_funcs",  # last green r6
-    "q_default_coalesce",  # last green r6
-    "q_distinct_users",  # last green r6
-    "q_enum_encode",  # last green r6
-    "q_exact_distinct",  # last green r6
-    "q_exists_correlated",  # last green r6
-    "q_full_outer",  # last green r6
-    "q_having",  # last green r6
-    "q_in_subquery",  # last green r6
-    "q_interval_length_sum",  # last green r6
-    "q_join_broadcast_nation",  # last green r6
+    "q_nb_pr_curve",  # changed/new
+    "q_corpus_clean_nb",  # changed/new
+    "q_ann_index_upsert",  # changed/new
+    "q_join_orders_customer",  # last green r6
+    "q_left_join_orders",  # last green r6
+    "q_level_totals",  # last green r6
+    "q_math_funcs",  # last green r6
+    "q_null_funcs",  # last green r6
+    "q_opens_for_campaign",  # last green r6
+    "q_pagination",  # last green r6
+    "q_percentiles",  # last green r6
+    "q_pivot",  # last green r6
+    "q_regex_funcs",  # last green r6
+    "q_revenue_by_nation",  # last green r6
+    "q_rollup_day_type",  # last green r6
+    "q_scalar_subquery",  # last green r6
+    "q_schema_evolution",  # last green r6
+    "q_semi_anti",  # last green r6
+    "q_setops",  # last green r6
+    "q_stream_interval_length",  # last green r6
+    "q_string_funcs",  # last green r6
+    "q_summing_reaggregate",  # last green r6
+    "q_topk_spenders",  # last green r6
+    "q_tpch_q3",  # last green r6
+    "q_tpch_q6",  # last green r6
+    "q_union_by_name",  # last green r6
+    "q_window_analytics",  # last green r6
+    "q_window_lag",  # last green r6
+    "q_window_rank",  # last green r6
+    "q_window_runsum",  # last green r6
+    "q_ann_ivf_exact",  # last green r7
+    "q_avg_weighted",  # last green r7
+    "q_bitmap_ops",  # last green r7
+    "q_chunk_dedup",  # last green r7
+    "q_curriculum_schedule",  # last green r7
+    "q_docs_by_lang",  # last green r7
+    "q_fingerprint",  # last green r7
+    "q_jsonl_roundtrip",  # last green r7
 ]
 
 

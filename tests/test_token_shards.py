@@ -94,3 +94,48 @@ def test_vocab_ids_dense_with_reserved_eos(spark, product):
     pieces = [vocab[i] for i in ids[1:]]
     assert pieces == sorted(pieces)
     assert len(set(pieces)) == len(pieces)
+
+
+def test_resampled_mixture_moves_to_target(spark):
+    """C181 acceptance: for every targeted source, the ACHIEVED token
+    share of the resampled stream is at least as close to target as
+    the unresampled baseline share (small hash-noise slack at this
+    25-doc-per-source scale), and the total deviation strictly
+    improves."""
+    from kafka_clickhouse_implementation_spark.pipelines.shards import (
+        _RESAMPLE_TARGET_PERMILLE,
+        bpe_piece_table,
+        q_shard_mixture_resampled,
+        token_rows,
+        token_vocab,
+    )
+
+    kept = clean_kept_slice(spark, SF).localCheckpoint()
+    wpieces = bpe_piece_table(spark, SF).localCheckpoint()
+    vocab = token_vocab(wpieces).localCheckpoint()
+    base = {
+        r.source: r.n
+        for r in token_rows(kept, wpieces, vocab)
+        .groupBy("source")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    btot = sum(base.values())
+    got = {r.source: r for r in q_shard_mixture_resampled(spark, SF).collect()}
+    slack = 60.0  # permille; fractional-hash noise on ~25 docs/source
+    dev_base = dev_ach = 0.0
+    for src, target in _RESAMPLE_TARGET_PERMILLE.items():
+        base_pm = 1000.0 * base.get(src, 0) / btot
+        ach_pm = (
+            got[src].achieved_permille_milli / 1000.0 if src in got else 0.0
+        )
+        assert abs(ach_pm - target) <= abs(base_pm - target) + slack, (
+            src,
+            base_pm,
+            ach_pm,
+            target,
+        )
+        dev_base += abs(base_pm - target)
+        dev_ach += abs(ach_pm - target)
+    assert dev_ach < dev_base
