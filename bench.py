@@ -191,6 +191,7 @@ HEADLINE = [
     "q_shard_mixture_resampled",
     "q_bpe_train_batched",
     "q_ann_index_delete",
+    "q_token_shards_resampled",
 ]
 
 

@@ -589,7 +589,13 @@ def clip_prelude_sql(src: str = "documents") -> str:
 ), kt AS (
   SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS kept_text
   FROM piecesk GROUP BY doc_id
-), clipped AS (
+), clipped AS MATERIALIZED (
+  -- MATERIALIZED is load-bearing (r13, measured at sf1): the clean
+  -- template's final SELECT holds five scalar subqueries over
+  -- base/ok/kept/losers, and DuckDB's default inlining re-expands
+  -- the ENTIRE clip chain (g included) into each — the composed
+  -- replay blew 80+ GB of temp disk that way, while the whole
+  -- prelude materializes in ~3 s / ~1 M chars at sf1.
   SELECT d.doc_id, coalesce(k.kept_text, d.text) AS text
   FROM {src} d LEFT JOIN kt k USING (doc_id)
 ), """

@@ -307,21 +307,25 @@ def positioned_stream(
 
 
 def pack_sequences(
-    kept: DataFrame, wpieces: DataFrame, vocab: DataFrame
+    kept: DataFrame, wpieces: DataFrame, vocab: DataFrame,
+    doc_expr: str = "doc_id",
 ) -> DataFrame:
     """Assemble the positioned token stream into SEQ_LEN-token rows:
     (seq_id, shard, tok_ids, n_tokens, n_docs, first_doc, last_doc,
-    sources)."""
+    sources). ``doc_expr`` maps the stream's doc_id to the PROVENANCE
+    id — the C184 resampled pack passes ``doc_id div 1000`` so doc
+    spans report ORIGINAL documents, not instance encodings."""
     return (
         positioned_stream(kept, wpieces, vocab)
         .withColumn("seq_id", F.expr(f"pos div {SEQ_LEN}"))
+        .withColumn("pdoc", F.expr(doc_expr))
         .groupBy("seq_id")
         .agg(
             F.expr("transform(array_sort(collect_list(struct(pos, tok_id))),"
                    " x -> x.tok_id)").alias("tok_ids"),
-            F.count_distinct(F.col("doc_id")).cast("long").alias("n_docs"),
-            F.min("doc_id").cast("long").alias("first_doc"),
-            F.max("doc_id").cast("long").alias("last_doc"),
+            F.count_distinct(F.col("pdoc")).cast("long").alias("n_docs"),
+            F.min("pdoc").cast("long").alias("first_doc"),
+            F.max("pdoc").cast("long").alias("last_doc"),
             F.array_join(F.array_sort(F.collect_set("source")), ",").alias(
                 "sources"
             ),
@@ -535,7 +539,7 @@ _TARGETS_VALUES = ", ".join(
     f"('{s}', {p})" for s, p in sorted(_RESAMPLE_TARGET_PERMILLE.items())
 )
 
-_RESAMPLE_FINAL = f""", scounts AS (
+_RESAMPLE_CTES = f""", scounts AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n_tokens
   FROM stream GROUP BY source
 ), stotal AS (
@@ -560,10 +564,12 @@ _RESAMPLE_FINAL = f""", scounts AS (
   FROM ncop n, unnest(range(n.nc)) AS u(c)
   WHERE n.nc > 0
 ), stream2 AS MATERIALIZED (
-  SELECT i.inst_id, s.source, s.tok_id,
+  SELECT i.inst_id, i.doc_id, s.source, s.tok_id,
          row_number() OVER (ORDER BY i.inst_id, s.pos) - 1 AS pos2
   FROM stream s JOIN inst i ON i.doc_id = s.doc_id
-), rcounts AS (
+)"""
+
+_RESAMPLE_FINAL = _RESAMPLE_CTES + f""", rcounts AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
          CAST(count(DISTINCT pos2 // {SEQ_LEN}) AS BIGINT) AS n_seqs
   FROM stream2 GROUP BY source
@@ -579,6 +585,27 @@ FROM rcounts r
 LEFT JOIN targets tg ON tg.source = r.source
 JOIN wq w ON w.source = r.source
 CROSS JOIN rtotal t
+"""
+
+# C184 final: the per-sequence shard rows of the RESAMPLED stream —
+# _DEFAULT_SHARD_FINAL's shape over stream2, provenance in ORIGINAL
+# doc ids (inst_id div 1000).
+_RESAMPLED_SHARDS_FINAL = _RESAMPLE_CTES + f""", seqsrc2 AS (
+  SELECT seq_id, string_agg(source, ',' ORDER BY source) AS sources
+  FROM (SELECT DISTINCT pos2 // {SEQ_LEN} AS seq_id, source FROM stream2)
+  GROUP BY seq_id
+), seqs2 AS (
+  SELECT pos2 // {SEQ_LEN} AS seq_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(min(doc_id) AS BIGINT) AS first_doc,
+         CAST(max(doc_id) AS BIGINT) AS last_doc,
+         md5(string_agg(CAST(tok_id AS VARCHAR), ',' ORDER BY pos2)) AS fp
+  FROM stream2 GROUP BY pos2 // {SEQ_LEN}
+)
+SELECT CAST(s.seq_id AS BIGINT) AS seq_id, s.n_tokens, s.n_docs,
+       s.first_doc, s.last_doc, x.sources, s.fp
+FROM seqs2 s JOIN seqsrc2 x USING (seq_id)
 """
 
 
@@ -693,6 +720,63 @@ def q_shard_mixture_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST((1000000 * n_tokens) div total2 AS BIGINT)").alias(
                 "achieved_permille_milli"
             ),
+        )
+    )
+
+
+def write_resampled_shards(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the MIXED training product (C184): the resampled
+    instance corpus packed into SEQ_LEN sequences and written as
+    parquet shards (shard = seq_id % N_SHARDS), per-sequence
+    provenance in ORIGINAL doc ids. Idempotent per testdata identity;
+    returns the shards dir. The vocab table is C177's (the mixture
+    changes the data mix, never the tokenizer)."""
+    root = source_tagged_dir("token_shards_resampled", sf_dir, "documents")
+    shards_dir = os.path.join(root, "shards")
+    if not os.path.exists(os.path.join(shards_dir, "_SUCCESS")):
+        kept = clean_kept_slice(spark, sf_dir).localCheckpoint()
+        wpieces = bpe_piece_table(spark, sf_dir).localCheckpoint()
+        vocab = token_vocab(wpieces).localCheckpoint()
+        wq = resample_weights(kept, wpieces, vocab)
+        inst = resampled_instances(kept, wq).localCheckpoint()
+        (
+            pack_sequences(inst, wpieces, vocab, doc_expr="doc_id div 1000")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(shards_dir)
+        )
+    return shards_dir
+
+
+@query(
+    "q_token_shards_resampled",
+    oracle=_shards_oracle(final_sql=_RESAMPLED_SHARDS_FINAL),
+)
+def q_token_shards_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C184: the training-ready MIXED dataset certified FROM THE FILES
+    — C181's resampled instance stream written as parquet shards (the
+    C177 write/read-back recipe) and read back with n_tokens and the
+    per-sequence token fingerprint re-derived from the on-disk
+    arrays. One driver hash certifies the resample predicate, the
+    instance re-pack, every written sequence's exact token content,
+    and the original-doc provenance spans — i.e., the file set a
+    training job would actually mount, mixed to target."""
+    shards_dir = write_resampled_shards(spark, sf_dir)
+    return (
+        spark.read.option("basePath", shards_dir)
+        .parquet(shards_dir)
+        .select(
+            "seq_id",
+            F.size("tok_ids").cast("long").alias("n_tokens"),
+            "n_docs",
+            "first_doc",
+            "last_doc",
+            "sources",
+            F.md5(
+                F.concat_ws(
+                    ",", F.expr("transform(tok_ids, t -> CAST(t AS STRING))")
+                ).cast("binary")
+            ).alias("fp"),
         )
     )
 

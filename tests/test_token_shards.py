@@ -139,3 +139,33 @@ def test_resampled_mixture_moves_to_target(spark):
         dev_base += abs(base_pm - target)
         dev_ach += abs(ach_pm - target)
     assert dev_ach < dev_base
+
+
+def test_resampled_shards_product_shape(spark):
+    """C184: the written mixed product is structurally sound — every
+    sequence except the tail is exactly SEQ_LEN tokens, seq_ids are
+    dense from 0, shard == seq_id % N_SHARDS, and the total token
+    count equals the C181 rollup's total (the file set and the
+    accounting view of the same stream cannot disagree)."""
+    from kafka_clickhouse_implementation_spark.pipelines.shards import (
+        q_shard_mixture_resampled,
+        write_resampled_shards,
+    )
+
+    shards_dir = write_resampled_shards(spark, SF)
+    rows = (
+        spark.read.option("basePath", shards_dir)
+        .parquet(shards_dir)
+        .select("seq_id", "shard", F.size("tok_ids").alias("n"))
+        .orderBy("seq_id")
+        .collect()
+    )
+    assert [r.seq_id for r in rows] == list(range(len(rows)))
+    assert all(r.shard == r.seq_id % N_SHARDS for r in rows)
+    assert all(r.n == SEQ_LEN for r in rows[:-1])
+    assert 0 < rows[-1].n <= SEQ_LEN
+    total_files = sum(r.n for r in rows)
+    total_rollup = sum(
+        r.n_tokens for r in q_shard_mixture_resampled(spark, SF).collect()
+    )
+    assert total_files == total_rollup
