@@ -192,6 +192,7 @@ HEADLINE = [
     "q_bpe_train_batched",
     "q_ann_index_delete",
     "q_token_shards_resampled",
+    "q_stream_mixture_resampled",
 ]
 
 

@@ -781,6 +781,83 @@ def q_token_shards_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_stream_mixture_resampled",
+    oracle=_shards_oracle(final_sql=_RESAMPLE_FINAL),
+)
+def q_stream_mixture_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C185: the -State twin of C181 — the corpus arrives over the
+    duplicate-injecting DOCUMENT WIRE (the C179 mechanics: stateful
+    doc_id dedup carries state across micro-batch boundaries), the
+    drained set replaces the parquet scan, and the IDENTICAL
+    resample → re-pack → mixture rollup runs downstream, checked
+    against the UNCHANGED C181 oracle. One hash certifies that the
+    mixed dataset built from streamed, duplicate-polluted ingest
+    equals the batch resample bit for bit — a double-delivered or
+    corrupted document would change the weight table, the hash
+    filter's kept set, or the packed positions, and hash-fail.
+
+    Scale shape: the streaming stages are the C152 dedup state + one
+    drain; everything downstream is the certified C181 plan."""
+    from kafka_clickhouse_implementation_spark.streaming.corpus_stream import (
+        _DOC_WIRE_SCHEMA,
+        document_wire,
+    )
+    from kafka_clickhouse_implementation_spark.streaming.funnel import _drain
+
+    wire, base = document_wire(spark, sf_dir)
+    deduped = (
+        spark.readStream.schema(_DOC_WIRE_SCHEMA)
+        .option("maxFilesPerTrigger", "4")
+        .json(wire)
+        .filter(F.col("doc_id") % SHARD_SLICE_MOD == 0)
+        .dropDuplicates(["doc_id"])
+        .select("doc_id", "text")
+    )
+    _drain(
+        spark, deduped, "stream_resample_docs",
+        os.path.join(base, "ckpt_resample_docs"), mode="append",
+    )
+    src = load(spark, sf_dir, "documents").select("doc_id", "source")
+    docs = (
+        spark.table("stream_resample_docs").join(src, "doc_id").localCheckpoint()
+    )
+    kept = clean_kept(docs).localCheckpoint()
+    wpieces = bpe_piece_table(spark, sf_dir).localCheckpoint()
+    vocab = token_vocab(wpieces).localCheckpoint()
+    wq = resample_weights(kept, wpieces, vocab)
+    inst = resampled_instances(kept, wq)
+    stream2 = positioned_stream(inst, wpieces, vocab)
+    rcounts = stream2.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.count_distinct(F.expr(f"pos div {SEQ_LEN}"))
+        .cast("long")
+        .alias("n_seqs"),
+    )
+    rtotal = rcounts.agg(F.sum("n_tokens").cast("long").alias("total2"))
+    targets = spark.createDataFrame(
+        sorted(_RESAMPLE_TARGET_PERMILLE.items()),
+        "source string, permille long",
+    )
+    return (
+        rcounts.join(F.broadcast(targets), "source", "left")
+        .join(F.broadcast(wq), "source")
+        .crossJoin(F.broadcast(rtotal))
+        .select(
+            "source",
+            "n_tokens",
+            "n_seqs",
+            F.coalesce("permille", F.lit(0))
+            .cast("long")
+            .alias("target_permille"),
+            F.col("w_q").alias("weight_q4096"),
+            F.expr("CAST((1000000 * n_tokens) div total2 AS BIGINT)").alias(
+                "achieved_permille_milli"
+            ),
+        )
+    )
+
+
 @query("q_shard_mixture", oracle=_shards_oracle(final_sql=_MIXTURE_FINAL))
 def q_shard_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C180: TOKEN-level mixture accounting over the packed shards —

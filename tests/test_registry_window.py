@@ -20,6 +20,7 @@ from kafka_clickhouse_implementation_spark.registry import (
 
 WINDOW_50 = [
     "q_shard_mixture_resampled",  # changed/new
+    "q_stream_mixture_resampled",  # changed/new
     "q_token_shards_resampled",  # changed/new
     "q_bpe_train_batched",  # changed/new
     "q_ann_index_delete",  # changed/new
@@ -68,7 +69,6 @@ WINDOW_50 = [
     "q_chunk_dedup",  # last green r7
     "q_curriculum_schedule",  # last green r7
     "q_docs_by_lang",  # last green r7
-    "q_fingerprint",  # last green r7
 ]
 
 
