@@ -308,12 +308,15 @@ def nb_scores(docs: DataFrame, held_only: bool = True) -> DataFrame:
     evaluation) or of the WHOLE corpus (the C169 gate)."""
     # pin the hashed-feature explode ONCE: it feeds both the training
     # join (trn) and the scoring join (held). Strategy measured in
-    # round 13 (both arms, sf0.1 AND sf1 — the r12 verdict's ask after
-    # its sf1 numbers showed the eager localCheckpoint as a net loss
-    # on the heaviest caller): lazy persist keeps the compute-once
-    # property via InMemoryTableScan without the up-front
-    # materialization job; see docs/NB_CHECKPOINT.json for the
-    # three-arm timings that picked it.
+    # round 13 (both arms, sf0.1 AND sf1 — docs/NB_CHECKPOINT.json):
+    # the auto policy picks localCheckpoint for the held-out arm
+    # (held_only=True wins with it, sf1 5.9 s vs 10.7 unpinned) and NO
+    # pinning for the whole-corpus gate (held_only=False: materializing
+    # the ~4M-row feature frame costs more than the two pipelined
+    # evaluations it saves, 43.7 s vs 49.4). persist lost at sf1
+    # (12.78 s vs 5.95 checkpoint) and is never auto-selected — it
+    # remains only as an explicit SPARK_GRAFT_NB_PIN override for
+    # tools/measure_nb_checkpoint.py.
     dfc = _pin_features(_nb_features(docs), held_only)
     lbl = nb_label(docs)
     posd = lbl.filter("is_train = 1 AND is_target = 1").select("doc_id")

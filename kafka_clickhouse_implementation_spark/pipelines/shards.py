@@ -555,9 +555,12 @@ _RESAMPLE_CTES = f""", scounts AS (
   CROSS JOIN stotal t
 ), ncop AS (
   SELECT kd.doc_id,
-         w.w_q // 4096
-           + CASE WHEN {_MIX_HASH_SQL} < w.w_q % 4096 THEN 1 ELSE 0 END
-           AS nc
+         CASE WHEN w.w_q >= {4096 * 1000}
+              THEN CAST(error('C181: resample copy count >= 1000;'
+                              ' widen the instance encoding') AS BIGINT)
+              ELSE w.w_q // 4096
+                + CASE WHEN {_MIX_HASH_SQL} < w.w_q % 4096 THEN 1 ELSE 0 END
+         END AS nc
   FROM keptdocs kd JOIN wq w ON w.source = kd.source
 ), inst AS MATERIALIZED (
   SELECT CAST(n.doc_id * 1000 + u.c AS BIGINT) AS inst_id, n.doc_id

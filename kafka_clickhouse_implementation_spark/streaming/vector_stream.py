@@ -518,9 +518,29 @@ def stream_ann_index_upsert(spark: SparkSession, sf_dir: str) -> tuple[str, str]
     # bench row measures after the first build. Only a missing marker
     # (first build, or a crash mid-drain) triggers the from-scratch
     # rebuild.
+    #
+    # The marker is STAMPED with the index product's build identity
+    # (r13 advisory): the coded table's rows were produced by one
+    # specific set of trained books, so a rebuilt product under root
+    # (e.g. a manually cleared model cache retrained after this drain)
+    # must invalidate the codes — old-book codes searched against
+    # newly trained books would be silently wrong. The identity is the
+    # _MODELS_READY marker's mtime: ann_index_product touches it
+    # exactly once per product build.
+    books_identity = (
+        f"{root}|{os.stat(os.path.join(root, '_MODELS_READY')).st_mtime_ns}"
+    )
     marker = os.path.join(base, "ann_codes_upsert_DRAINED")
+
+    def _marker_current() -> bool:
+        try:
+            with open(marker) as f:
+                return f.read().strip() == books_identity
+        except OSError:
+            return False
+
     if not (
-        os.path.exists(marker)
+        _marker_current()
         and os.path.isdir(path)
         and os.path.isdir(ckpt)
     ):
@@ -552,7 +572,7 @@ def stream_ann_index_upsert(spark: SparkSession, sf_dir: str) -> tuple[str, str]
         q.stop()
         raise TimeoutError("ann index upsert stream did not drain in 600s")
     with open(marker, "w") as f:
-        f.write("drained\n")
+        f.write(books_identity + "\n")
     return root, path
 
 
