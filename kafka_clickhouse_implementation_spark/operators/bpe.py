@@ -384,14 +384,19 @@ def _train_batched_full(
 
 
 def _oracle_sql_batched(
-    rounds: int = BATCH_ROUNDS, batch_n: int = BATCH_N
+    rounds: int = BATCH_ROUNDS,
+    batch_n: int = BATCH_N,
+    final_select: str | None = None,
 ) -> str:
     """Independent DuckDB replay of the batched trainer: per unrolled
     round, pair counts -> ranked top-batch_n -> an unrolled greedy
     accept chain over VARCHAR[] state (used trios / rule lists) -> one
     multi-rule list_reduce apply keyed by list_position on the b
     symbol (b's are pairwise distinct by trio-disjointness, so the
-    position lookup is unambiguous)."""
+    position lookup is unambiguous). ``final_select`` continues the
+    WITH chain past the training rounds instead of emitting the
+    trajectory (the _oracle_sql convention — the shard/mixture oracles
+    tokenize with the final segmented vocab bw{rounds})."""
     ctes = [
         "bw0 AS MATERIALIZED (\n"
         "  SELECT w, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') || '"
@@ -475,6 +480,10 @@ def _oracle_sql_batched(
             f"       (SELECT CAST(sum(cnt) AS BIGINT) FROM bp{r})"
             f" + (SELECT wsum FROM btot) AS syms_before\n"
             f"FROM br{r}"
+        )
+    if final_select is not None:
+        return "WITH " + ",\n".join(ctes) + "\n" + final_select.format(
+            final=f"bw{rounds}"
         )
     return (
         "WITH " + ",\n".join(ctes) + "\nSELECT"

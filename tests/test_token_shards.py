@@ -96,6 +96,60 @@ def test_vocab_ids_dense_with_reserved_eos(spark, product):
     assert len(set(pieces)) == len(pieces)
 
 
+def test_segmentation_join_broadcast_gate(spark):
+    """The round-14 byte gate: at test scale the word-piece table is
+    broadcast (its estimated bytes are tiny); forcing the decision to
+    False must DROP the hint so the join shuffles — with identical
+    results (the gate changes the physical strategy only). Pin the
+    big-vocab physical plan by disabling auto-broadcast, like
+    test_tokenize_broadcast_guard."""
+    from kafka_clickhouse_implementation_spark.pipelines.shards import (
+        shard_inputs,
+        token_rows,
+        wpieces_fits_broadcast,
+    )
+
+    kept, wpieces, vocab = shard_inputs(spark, SF)
+    assert wpieces_fits_broadcast(wpieces) is True
+    bc = token_rows(kept, wpieces, vocab, wp_broadcast=True)
+    assert (
+        "BroadcastHashJoin"
+        in bc._jdf.queryExecution().executedPlan().toString()
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sh = token_rows(kept, wpieces, vocab, wp_broadcast=False)
+        plan = sh._jdf.queryExecution().executedPlan().toString()
+        # the vocab (piece -> tok_id) join stays broadcast even here:
+        # it is structurally model-sized. Only the WORD-keyed
+        # segmentation join must have shuffled.
+        assert "SortMergeJoin [w" in plan or "ShuffledHashJoin [w" in plan, plan
+        rows_sh = sorted(map(tuple, sh.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert sorted(map(tuple, bc.collect())) == rows_sh
+
+
+def test_shard_vocab_trained_at_production_budget(spark):
+    """The shipped token products ride the BATCHED trainer (r13
+    verdict #1): the persisted piece vocabulary must reflect more
+    merges than the 12-round teaching loop could ever produce, and
+    stay within the structural model bound (alphabet + merge budget)
+    that justifies the unconditional vocab broadcast."""
+    from kafka_clickhouse_implementation_spark.pipelines.shards import (
+        SHARD_BATCH_N,
+        SHARD_BPE_ROUNDS,
+        shard_inputs,
+    )
+
+    _kept, _wpieces, vocab = shard_inputs(spark, SF)
+    n_pieces = vocab.count() - 1  # minus EOS
+    # > alphabet + 12 singles ==> the batched trainer demonstrably ran
+    assert n_pieces > 27 + 12
+    assert n_pieces <= 27 + SHARD_BPE_ROUNDS * SHARD_BATCH_N
+
+
 def test_resampled_mixture_moves_to_target(spark):
     """C181 acceptance: for every targeted source, the ACHIEVED token
     share of the resampled stream is at least as close to target as
