@@ -1038,3 +1038,215 @@ def q_shard_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# C186 — STREAM-WRITTEN resampled shards (round 14, the r13 verdict's
+# #6): C185 stops at the mixture rollup; this operator lands the mixed
+# product ON DISK incrementally — the C168/C170 update-mode upsert
+# recipe applied to SEQUENCE rows. Per micro-batch: the arriving
+# (deduped) documents extend an accumulated corpus, the resample →
+# re-pack runs over it, and only sequences whose content CHANGED since
+# the last epoch are appended as (seq_id, version=epoch) row versions;
+# sequences that vanished (a newly arrived duplicate can evict a
+# previously kept doc through LSH/CC) get deleted=true tombstones.
+# Readers resolve latest-per-key and drop tombstones — the
+# ReplacingMergeTree read. Re-delivered batches append byte-identical
+# versions (or nothing: the diff against the already-updated table is
+# empty), so the writer is idempotent under replay — pinned by
+# tests/test_token_shards.py.
+#
+# Scale shape: the emission volume per trigger is the CHANGED sequence
+# set. Under log-ordered ingest (production: doc ids grow with time)
+# the global pack order only ever extends, so that set is the tail
+# sequence plus strictly new ones; this hermetic wire delivers files
+# in arbitrary doc order, so early epochs rewrite more — recorded
+# honestly, the mechanics are what the operator certifies. The diff
+# itself is one seq_id equi-join of the current pack against the
+# latest-per-key read — never driver-side state (a 100 TB pack's
+# fingerprint table is a table, not a dict).
+# ---------------------------------------------------------------------
+
+
+def _pack_with_fp(
+    kept: DataFrame, wpieces: DataFrame, vocab: DataFrame, wp_bc: bool
+) -> DataFrame:
+    """pack_sequences + the per-sequence content fingerprint (stored
+    alongside tok_ids so the epoch diff is one string compare; the
+    read-back STILL re-derives it from the arrays, so a corrupt write
+    hash-fails)."""
+    return pack_sequences(
+        kept, wpieces, vocab, doc_expr="doc_id div 1000", wp_broadcast=wp_bc
+    ).withColumn(
+        "fp",
+        F.md5(
+            F.concat_ws(
+                ",", F.expr("transform(tok_ids, t -> CAST(t AS STRING))")
+            ).cast("binary")
+        ),
+    )
+
+
+def stream_resampled_shards_upsert(
+    spark: SparkSession, sf_dir: str
+) -> str:
+    """Drain the duplicate-injecting document wire through stateful
+    dedup into an epoch-versioned sequence-shard table; returns the
+    upsert table path. Maintained across calls (the C178 marker
+    recipe, stamped with the tokenizer product's build identity): an
+    intact marker + table + checkpoint means the availableNow restart
+    below processes only unseen wire files — zero on an unchanged
+    wire."""
+    import shutil
+
+    from kafka_clickhouse_implementation_spark.plans.upsert import (
+        append_versions,
+        read_latest,
+    )
+    from kafka_clickhouse_implementation_spark.streaming.corpus_stream import (
+        _DOC_WIRE_SCHEMA,
+        document_wire,
+    )
+
+    _kept_unused, wpieces, vocab = shard_inputs(spark, sf_dir)
+    wpieces = wpieces.localCheckpoint()
+    vocab = vocab.localCheckpoint()
+    wp_bc = wpieces_fits_broadcast(wpieces)
+    inputs_root = source_tagged_dir(
+        f"shard_inputs_{_PRODUCT_TAG}", sf_dir, "documents"
+    )
+    books_identity = "{}|{}".format(
+        inputs_root,
+        os.stat(os.path.join(inputs_root, "vocab", "_SUCCESS")).st_mtime_ns,
+    )
+
+    wire, base = document_wire(spark, sf_dir)
+    path = os.path.join(base, "resampled_shards_upsert")
+    ckpt = os.path.join(base, "ckpt_resampled_shards_upsert")
+    docs_acc = os.path.join(base, "resampled_shards_docs_acc")
+    marker = os.path.join(base, "resampled_shards_upsert_DRAINED")
+
+    def _marker_current() -> bool:
+        try:
+            with open(marker) as f:
+                return f.read().strip() == books_identity
+        except OSError:
+            return False
+
+    if not (
+        _marker_current() and os.path.isdir(path) and os.path.isdir(ckpt)
+    ):
+        for d in (path, ckpt, docs_acc):
+            shutil.rmtree(d, ignore_errors=True)
+        if os.path.exists(marker):
+            os.remove(marker)
+
+    src = load(spark, sf_dir, "documents").select("doc_id", "source")
+
+    def upsert_batch(bdf: DataFrame, epoch_id: int) -> None:
+        bdf.select("doc_id", "text").write.mode("append").parquet(docs_acc)
+        docs = (
+            spark.read.parquet(docs_acc)
+            .join(src, "doc_id")
+            .localCheckpoint()
+        )
+        kept = clean_kept(docs).localCheckpoint()
+        wq = resample_weights(
+            kept, wpieces, vocab, _RESAMPLE_TARGET_PERMILLE, wp_bc
+        )
+        inst = resampled_instances(kept, wq)
+        cur = _pack_with_fp(inst, wpieces, vocab, wp_bc).localCheckpoint()
+        if os.path.isdir(path):
+            prev = read_latest(spark, path, ("seq_id",), "version")
+            prev_live = prev.filter(~F.col("deleted")).select(
+                "seq_id", F.col("fp").alias("prev_fp")
+            )
+        else:
+            prev_live = spark.createDataFrame(
+                [], "seq_id long, prev_fp string"
+            )
+        changed = (
+            cur.join(F.broadcast(prev_live), "seq_id", "left")
+            .filter(
+                F.col("prev_fp").isNull() | (F.col("prev_fp") != F.col("fp"))
+            )
+            .drop("prev_fp")
+            .withColumn("deleted", F.lit(False))
+        )
+        vanished = (
+            prev_live.join(cur.select("seq_id"), "seq_id", "left_anti")
+            .select("seq_id")
+            .withColumn("shard", F.lit(-1).cast("int"))
+            .withColumn("tok_ids", F.expr("CAST(array() AS ARRAY<BIGINT>)"))
+            .withColumn("n_tokens", F.lit(0).cast("long"))
+            .withColumn("n_docs", F.lit(0).cast("long"))
+            .withColumn("first_doc", F.lit(-1).cast("long"))
+            .withColumn("last_doc", F.lit(-1).cast("long"))
+            .withColumn("sources", F.lit(""))
+            .withColumn("fp", F.lit(""))
+            .withColumn("deleted", F.lit(True))
+        )
+        out = changed.unionByName(vanished.select(changed.columns)).withColumn(
+            "version", F.lit(epoch_id).cast("long")
+        )
+        append_versions(out, path)
+
+    deduped = (
+        spark.readStream.schema(_DOC_WIRE_SCHEMA)
+        .option("maxFilesPerTrigger", "2")
+        .json(wire)
+        .filter(F.col("doc_id") % SHARD_SLICE_MOD == 0)
+        .dropDuplicates(["doc_id"])
+        .select("doc_id", "text")
+    )
+    q = (
+        deduped.writeStream.outputMode("update")
+        .foreachBatch(upsert_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("resampled shard upsert stream did not drain in 600s")
+    with open(marker, "w") as f:
+        f.write(books_identity + "\n")
+    return path
+
+
+@query(
+    "q_stream_shards_upsert",
+    oracle=_shards_oracle(
+        final_sql=_resampled_shards_final(_RESAMPLE_TARGET_PERMILLE)
+    ),
+)
+def q_stream_shards_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C186: the stream-WRITTEN mixed training product — the document
+    wire drains through stateful dedup into an epoch-versioned
+    sequence table via update-mode keyed upsert (changed sequences
+    only, plus tombstones for vanished seq_ids), and the read resolves
+    latest-per-key, drops tombstones, and re-derives every sequence's
+    n_tokens and content fingerprint from the stored arrays — checked
+    against the UNCHANGED C184 oracle. One hash certifies that the
+    incrementally maintained file product equals the batch-written
+    mixed dataset bit for bit, including under the wire's duplicate
+    re-delivery."""
+    from kafka_clickhouse_implementation_spark.plans.upsert import read_latest
+
+    path = stream_resampled_shards_upsert(spark, sf_dir)
+    live = read_latest(spark, path, ("seq_id",), "version").filter(
+        ~F.col("deleted")
+    )
+    return live.select(
+        "seq_id",
+        F.size("tok_ids").cast("long").alias("n_tokens"),
+        "n_docs",
+        "first_doc",
+        "last_doc",
+        "sources",
+        F.md5(
+            F.concat_ws(
+                ",", F.expr("transform(tok_ids, t -> CAST(t AS STRING))")
+            ).cast("binary")
+        ).alias("fp"),
+    )

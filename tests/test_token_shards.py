@@ -195,6 +195,45 @@ def test_resampled_mixture_moves_to_target(spark):
     assert dev_ach < dev_base
 
 
+def test_stream_shards_upsert_idempotent_and_equals_batch(spark):
+    """C186 acceptance: (a) the stream-maintained sequence table
+    resolves to EXACTLY the batch-written C184 product's read-back;
+    (b) a second drain over the unchanged wire (marker + checkpoint
+    intact) leaves the resolved state bit-identical; (c) a crash-style
+    re-delivery — appending a byte-identical copy of the newest
+    version rows, which is what a replayed foreachBatch epoch does —
+    leaves the latest-per-key read unchanged."""
+    from kafka_clickhouse_implementation_spark.pipelines.shards import (
+        q_stream_shards_upsert,
+        q_token_shards_resampled,
+        stream_resampled_shards_upsert,
+    )
+    from kafka_clickhouse_implementation_spark.plans.upsert import (
+        append_versions,
+        read_latest,
+    )
+
+    rows1 = sorted(map(tuple, q_stream_shards_upsert(spark, SF).collect()))
+    batch = sorted(
+        map(tuple, q_token_shards_resampled(spark, SF).collect())
+    )
+    assert rows1 == batch
+    # (b) re-drain: the intact checkpoint sees zero unseen wire files
+    path = stream_resampled_shards_upsert(spark, SF)
+    rows2 = sorted(map(tuple, q_stream_shards_upsert(spark, SF).collect()))
+    assert rows2 == rows1
+    # (c) replayed-epoch append of identical versions
+    cur = spark.read.parquet(path)
+    vmax = cur.agg(F.max("version")).first()[0]
+    append_versions(cur.filter(F.col("version") == vmax), path)
+    resolved = read_latest(spark, path, ("seq_id",), "version").filter(
+        "NOT deleted"
+    )
+    assert resolved.count() == len(rows1)
+    rows3 = sorted(map(tuple, q_stream_shards_upsert(spark, SF).collect()))
+    assert rows3 == rows1
+
+
 def test_resampled_shards_product_shape(spark):
     """C184: the written mixed product is structurally sound — every
     sequence except the tail is exactly SEQ_LEN tokens, seq_ids are
