@@ -186,3 +186,34 @@ def test_ann_coded_table_compaction_preserves_search(spark):
     compact_versions(spark, path, ("vec_id", "sub"), "version")
     assert resolved() == before
     assert spark.read.parquet(path).count() < n_rows_before
+
+
+def test_retrain_epoch_wins_resolution_and_history_pins(spark):
+    """C188: after ann_index_retrain, (a) EVERY latest-per-key code row
+    carries the retrain version (the epoch-2 re-code won resolution
+    for every key), (b) the epoch-1 history remains resolvable under a
+    version pin, and (c) the epoch-1-pinned search (epoch-1 books +
+    pinned codes) equals the epoch-2 search on the un-drifted wire —
+    the deterministic trainer reproduced the geometry, so the rebuild
+    is lossless."""
+    from kafka_clickhouse_implementation_spark.plans.upsert import read_latest
+    from kafka_clickhouse_implementation_spark.streaming.vector_stream import (
+        RETRAIN_VERSION_BASE,
+        _search_maintained,
+        ann_index_retrain,
+        stream_ann_index_upsert,
+    )
+
+    ep2, path = ann_index_retrain(spark, SF_DIR)
+    latest = read_latest(spark, path, ("vec_id", "sub"), "version")
+    assert latest.filter(F.col("version") < RETRAIN_VERSION_BASE).count() == 0
+    assert latest.count() > 0
+    root, _ = stream_ann_index_upsert(spark, SF_DIR)
+    pinned = _search_maintained(
+        spark, SF_DIR, root, path, version_below=RETRAIN_VERSION_BASE
+    )
+    assert pinned.count() > 0
+    cur = _search_maintained(spark, SF_DIR, ep2, path)
+    assert sorted(map(tuple, pinned.collect())) == sorted(
+        map(tuple, cur.collect())
+    )
