@@ -85,9 +85,10 @@ from kafka_clickhouse_implementation_spark.functions.portable_math import (
 from kafka_clickhouse_implementation_spark.io import load
 from kafka_clickhouse_implementation_spark.operators.dsir import (
     FEATS_CTE_BODY,
+    FEATS_CTE_BODY_8K,
     FEATS_CTE_BODY_TRI,
-    N_BUCKETS,
     doc_features,
+    doc_features_8k,
     doc_features_tri,
 )
 from kafka_clickhouse_implementation_spark.registry import query
@@ -102,8 +103,19 @@ import os as _os
 # Default OFF: docs/NB_TRIGRAM_J.json records the measured Youden-J
 # comparison at the sf1-equivalent corpus that set this default.
 NB_TRIGRAMS = _os.environ.get("SPARK_GRAFT_NB_TRIGRAMS", "0") == "1"
-_FEATS_BODY = FEATS_CTE_BODY_TRI if NB_TRIGRAMS else FEATS_CTE_BODY
-_nb_features = doc_features_tri if NB_TRIGRAMS else doc_features
+# Round-14 feature experiment (r13 verdict item 8): the same features
+# in a DOUBLED hash space (8192 buckets) — isolates bucket collisions
+# as the variable after trigrams measured negative. Same import-time
+# flag protocol; the smoothing constant B follows the bucket count on
+# both engines. Default 4096: docs/NB_BUCKETS_J.json records the
+# measured comparison at the sf1-equivalent corpus.
+NB_BUCKETS = int(_os.environ.get("SPARK_GRAFT_NB_BUCKETS", "4096"))
+if NB_BUCKETS == 8192:
+    _FEATS_BODY = FEATS_CTE_BODY_8K
+    _nb_features = doc_features_8k
+else:
+    _FEATS_BODY = FEATS_CTE_BODY_TRI if NB_TRIGRAMS else FEATS_CTE_BODY
+    _nb_features = doc_features_tri if NB_TRIGRAMS else doc_features
 
 _HEX = "0123456789abcdef"
 # train iff the first md5 nibble of the doc_id string is 0-7 — splits
@@ -121,8 +133,8 @@ _NEG256_SQL = (
 # per-bucket smoothed class probabilities over the balanced train set —
 # identical +1/+B smoothing (and the same pln → nano dag) as C155's
 # target/source models, over bound columns (cpos, cneg, tpos, tneg)
-_PPOS_SQL = f"CAST(cpos + 1 AS DOUBLE) / CAST(tpos + {N_BUCKETS} AS DOUBLE)"
-_PNEG_SQL = f"CAST(cneg + 1 AS DOUBLE) / CAST(tneg + {N_BUCKETS} AS DOUBLE)"
+_PPOS_SQL = f"CAST(cpos + 1 AS DOUBLE) / CAST(tpos + {NB_BUCKETS} AS DOUBLE)"
+_PNEG_SQL = f"CAST(cneg + 1 AS DOUBLE) / CAST(tneg + {NB_BUCKETS} AS DOUBLE)"
 # add-1-smoothed class priors over balanced train DOC counts
 _PRPOS_SQL = "CAST(npos + 1 AS DOUBLE) / CAST(ntr + 2 AS DOUBLE)"
 _PRNEG_SQL = "CAST(nneg + 1 AS DOUBLE) / CAST(ntr + 2 AS DOUBLE)"
