@@ -204,8 +204,12 @@ HEADLINE = [
     "q_ann_index_delete",
     "q_token_shards_resampled",
     "q_stream_mixture_resampled",
-    # round 14: the second resample target config (inverse mixture)
+    # round 14: the second resample target config (inverse mixture),
+    # the stream-written resampled shard product, and the versioned
+    # ANN index re-train epoch
     "q_shard_mixture_resampled_alt",
+    "q_stream_shards_upsert",
+    "q_ann_index_retrain",
 ]
 
 SEGMENT_N = 8  # queries per probe-bracketed segment (r14)

@@ -540,8 +540,15 @@ def q_substring_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     total - clipped from pure interval arithmetic — a span-assembly
     bug on the Spark side therefore hash-FAILS instead of passing on
     bookkeeping alone (same adversarial-oracle stance as the CC
-    convergence probe in q_corpus_clean_portable)."""
-    out = substring_clip(load(spark, sf_dir, "documents"))
+    convergence probe in q_corpus_clean_portable). Reads the persisted
+    clip product (round 14 — built once per testdata identity; lazy
+    import to keep the operators -> pipelines edge out of module
+    import time)."""
+    from kafka_clickhouse_implementation_spark.pipelines.corpus import (
+        clipped_corpus,
+    )
+
+    out = clipped_corpus(spark, sf_dir, mod=1)
     return out.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.length("text")).cast("long").alias("total_chars"),

@@ -216,22 +216,16 @@ keptdocs AS MATERIALIZED (
     )
 
 
-def clean_kept(docs: DataFrame) -> DataFrame:
-    """The C149 kept set WITH TEXT over a (doc_id, text, source) frame:
-    clip → heuristic gate → exact dedup → LSH near-dup → CC →
-    keep-one. Gate and dedup outputs pinned (the C148 funnel
-    convention). Shared by the batch slice (C177) and the drained
-    document wire (C179)."""
+def _clean_kept_clipped(clipped: DataFrame) -> DataFrame:
+    """The post-clip half of clean_kept over an already-clipped
+    (doc_id, source, text) frame: heuristic gate → exact dedup → LSH
+    near-dup → CC → keep-one. Gate and dedup outputs pinned (the C148
+    funnel convention)."""
     from kafka_clickhouse_implementation_spark.pipelines.corpus import (
         exact_dedup,
         quality_filter,
     )
 
-    clipped = (
-        substring_clip(docs)
-        .select("doc_id", "source", F.col("kept_text").alias("text"))
-        .localCheckpoint()
-    )
     gated = quality_filter(clipped).localCheckpoint()
     exact = exact_dedup(gated).localCheckpoint()
     pairs = verified_pairs(exact.select("doc_id", "text"))
@@ -244,14 +238,32 @@ def clean_kept(docs: DataFrame) -> DataFrame:
     )
 
 
+def clean_kept(docs: DataFrame) -> DataFrame:
+    """The C149 kept set WITH TEXT over a (doc_id, text, source) frame:
+    clip → _clean_kept_clipped. Used by the drained document wires
+    (C179/C185/C186), whose input is a stream-deduped frame the
+    persisted clip product cannot stand in for."""
+    clipped = (
+        substring_clip(docs)
+        .select("doc_id", "source", F.col("kept_text").alias("text"))
+        .localCheckpoint()
+    )
+    return _clean_kept_clipped(clipped)
+
+
 def clean_kept_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """clean_kept over the doc_id % SHARD_SLICE_MOD slice of the
-    corpus — the C149 oracle-bounding scope."""
-    return clean_kept(
-        load(spark, sf_dir, "documents").filter(
-            F.col("doc_id") % SHARD_SLICE_MOD == 0
-        )
+    corpus — the C149 oracle-bounding scope, reading the PERSISTED
+    clip product (round 14: the slice clip is shared with
+    C149/C165's consumers, derived once per testdata identity)."""
+    from kafka_clickhouse_implementation_spark.pipelines.corpus import (
+        clipped_corpus,
     )
+
+    clipped = clipped_corpus(spark, sf_dir, mod=SHARD_SLICE_MOD).select(
+        "doc_id", "source", F.col("kept_text").alias("text")
+    )
+    return _clean_kept_clipped(clipped)
 
 
 def bpe_piece_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1165,8 +1177,12 @@ def stream_resampled_shards_upsert(
             prev_live = spark.createDataFrame(
                 [], "seq_id long, prev_fp string"
             )
+        # NO broadcast hint on prev_live: the live fingerprint set is
+        # pack-sized (corpus tokens / SEQ_LEN) — at 100 TB it is a
+        # table, not a broadcast; the seq_id equi-join shuffles ints +
+        # 32-char fps only, and AQE may still broadcast small cases.
         changed = (
-            cur.join(F.broadcast(prev_live), "seq_id", "left")
+            cur.join(prev_live, "seq_id", "left")
             .filter(
                 F.col("prev_fp").isNull() | (F.col("prev_fp") != F.col("fp"))
             )

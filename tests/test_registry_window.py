@@ -19,56 +19,56 @@ from kafka_clickhouse_implementation_spark.registry import (
 )
 
 WINDOW_50 = [
-    "q_shard_mixture_resampled",  # changed/new
-    "q_stream_mixture_resampled",  # changed/new
-    "q_token_shards_resampled",  # changed/new
-    "q_bpe_train_batched",  # changed/new
-    "q_ann_index_delete",  # changed/new
-    "q_substring_clip",  # changed/new
-    "q_corpus_clean_clipped",  # changed/new
-    "q_corpus_clean_clipped_sampled",  # changed/new
-    "q_corpus_export",  # changed/new
-    "q_corpus_export_full",  # changed/new
     "q_token_shards",  # changed/new
     "q_stream_token_shards",  # changed/new
     "q_shard_mixture",  # changed/new
-    "q_nb_quality",  # changed/new
-    "q_nb_pr_curve",  # changed/new
-    "q_corpus_clean_nb",  # changed/new
+    "q_shard_mixture_resampled",  # changed/new
+    "q_stream_mixture_resampled",  # changed/new
+    "q_token_shards_resampled",  # changed/new
+    "q_shard_mixture_resampled_alt",  # changed/new
+    "q_stream_shards_upsert",  # changed/new
+    "q_ann_index_retrain",  # changed/new
     "q_ann_index_upsert",  # changed/new
-    "q_join_orders_customer",  # last green r6
-    "q_left_join_orders",  # last green r6
-    "q_level_totals",  # last green r6
-    "q_math_funcs",  # last green r6
-    "q_null_funcs",  # last green r6
-    "q_opens_for_campaign",  # last green r6
-    "q_pagination",  # last green r6
-    "q_percentiles",  # last green r6
-    "q_pivot",  # last green r6
-    "q_regex_funcs",  # last green r6
-    "q_revenue_by_nation",  # last green r6
-    "q_rollup_day_type",  # last green r6
-    "q_scalar_subquery",  # last green r6
-    "q_schema_evolution",  # last green r6
-    "q_semi_anti",  # last green r6
-    "q_setops",  # last green r6
-    "q_stream_interval_length",  # last green r6
-    "q_string_funcs",  # last green r6
-    "q_summing_reaggregate",  # last green r6
-    "q_topk_spenders",  # last green r6
-    "q_tpch_q3",  # last green r6
-    "q_tpch_q6",  # last green r6
-    "q_union_by_name",  # last green r6
-    "q_window_analytics",  # last green r6
-    "q_window_lag",  # last green r6
-    "q_window_rank",  # last green r6
-    "q_window_runsum",  # last green r6
-    "q_ann_ivf_exact",  # last green r7
-    "q_avg_weighted",  # last green r7
-    "q_bitmap_ops",  # last green r7
-    "q_chunk_dedup",  # last green r7
-    "q_curriculum_schedule",  # last green r7
-    "q_docs_by_lang",  # last green r7
+    "q_ann_index_delete",  # changed/new
+    "q_fingerprint",  # last green r7
+    "q_jsonl_roundtrip",  # last green r7
+    "q_kmeans_semantic",  # last green r7
+    "q_ks_test",  # last green r7
+    "q_lang_id",  # last green r7
+    "q_lightweight_delete",  # last green r7
+    "q_mann_whitney",  # last green r7
+    "q_moving_sum",  # last green r7
+    "q_multi_search",  # last green r7
+    "q_multimodal_bytes",  # last green r7
+    "q_ngram_distance",  # last green r7
+    "q_ngram_jaccard",  # last green r7
+    "q_quality_score",  # last green r7
+    "q_roc_auc",  # last green r7
+    "q_rolling_hash",  # last green r7
+    "q_semantic_dedup",  # last green r7
+    "q_sparkbar",  # last green r7
+    "q_stream_chunk_dedup",  # last green r7
+    "q_stream_ivf_ingest",  # last green r7
+    "q_substring_dup",  # last green r7
+    "q_term_stats",  # last green r7
+    "q_tfidf_top_terms",  # last green r7
+    "q_token_count",  # last green r7
+    "q_token_count_bpe",  # last green r7
+    "q_tpch_q10_shape",  # last green r7
+    "q_tpch_q12_shape",  # last green r7
+    "q_tpch_q13_shape",  # last green r7
+    "q_tpch_q14_shape",  # last green r7
+    "q_tpch_q15_shape",  # last green r7
+    "q_tpch_q16_shape",  # last green r7
+    "q_tpch_q17_shape",  # last green r7
+    "q_tpch_q18_shape",  # last green r7
+    "q_tpch_q19_shape",  # last green r7
+    "q_update_mutation",  # last green r7
+    "q_url_funcs",  # last green r7
+    "q_window_range_frame",  # last green r7
+    "q_agg_state_merge",  # last green r8
+    "q_bigram_counts",  # last green r8
+    "q_bit_aggs",  # last green r8
 ]
 
 

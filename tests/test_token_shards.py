@@ -232,6 +232,23 @@ def test_stream_shards_upsert_idempotent_and_equals_batch(spark):
     assert resolved.count() == len(rows1)
     rows3 = sorted(map(tuple, q_stream_shards_upsert(spark, SF).collect()))
     assert rows3 == rows1
+    # (d) compaction: materialize the winners (dropping any tombstoned
+    # keys physically, the C183 recipe) and re-resolve — unchanged
+    from kafka_clickhouse_implementation_spark.plans.upsert import (
+        compact_versions,
+    )
+
+    tomb = (
+        read_latest(spark, path, ("seq_id",), "version")
+        .filter("deleted")
+        .select("seq_id")
+    )
+    compact_versions(
+        spark, path, ("seq_id",), "version",
+        drop_keys=tomb, drop_on=["seq_id"],
+    )
+    rows4 = sorted(map(tuple, q_stream_shards_upsert(spark, SF).collect()))
+    assert rows4 == rows1
 
 
 def test_resampled_shards_product_shape(spark):

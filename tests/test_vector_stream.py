@@ -196,6 +196,9 @@ def test_retrain_epoch_wins_resolution_and_history_pins(spark):
     pinned codes) equals the epoch-2 search on the un-drifted wire —
     the deterministic trainer reproduced the geometry, so the rebuild
     is lossless."""
+    import os
+    import shutil
+
     from kafka_clickhouse_implementation_spark.plans.upsert import read_latest
     from kafka_clickhouse_implementation_spark.streaming.vector_stream import (
         RETRAIN_VERSION_BASE,
@@ -204,6 +207,21 @@ def test_retrain_epoch_wins_resolution_and_history_pins(spark):
         stream_ann_index_upsert,
     )
 
+    # Own the table lifecycle: another test (test_upsert's C183
+    # compaction) may have folded the version history — legitimate for
+    # the table, but this test asserts ABOUT history, so force a fresh
+    # epoch-1 drain + retrain by clearing the drain/recode markers.
+    _root0, path0 = stream_ann_index_upsert(spark, SF_DIR)
+    base = os.path.dirname(path0)
+    for name in (
+        "ann_codes_upsert_DRAINED",
+        "ann_codes_recode_EPOCH2",
+    ):
+        p = os.path.join(base, name)
+        if os.path.exists(p):
+            os.remove(p)
+    shutil.rmtree(path0, ignore_errors=True)
+    shutil.rmtree(os.path.join(base, "ckpt_ann_codes_upsert"), ignore_errors=True)
     ep2, path = ann_index_retrain(spark, SF_DIR)
     latest = read_latest(spark, path, ("vec_id", "sub"), "version")
     assert latest.filter(F.col("version") < RETRAIN_VERSION_BASE).count() == 0
