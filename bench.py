@@ -210,6 +210,7 @@ HEADLINE = [
     "q_shard_mixture_resampled_alt",
     "q_stream_shards_upsert",
     "q_ann_index_retrain",
+    "q_token_shards_curriculum",
 ]
 
 SEGMENT_N = 8  # queries per probe-bracketed segment (r14)

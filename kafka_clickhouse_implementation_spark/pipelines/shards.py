@@ -428,8 +428,16 @@ def pack_sequences(
     sources). ``doc_expr`` maps the stream's doc_id to the PROVENANCE
     id — the C184 resampled pack passes ``doc_id div 1000`` so doc
     spans report ORIGINAL documents, not instance encodings."""
+    return _assemble_sequences(
+        positioned_stream(kept, wpieces, vocab, wp_broadcast), doc_expr
+    )
+
+
+def _assemble_sequences(stream: DataFrame, doc_expr: str) -> DataFrame:
+    """The shared sequence-assembly tail over any positioned token
+    stream (a ``pos`` column defines the pack order)."""
     return (
-        positioned_stream(kept, wpieces, vocab, wp_broadcast)
+        stream
         .withColumn("seq_id", F.expr(f"pos div {SEQ_LEN}"))
         .withColumn("pdoc", F.expr(doc_expr))
         .groupBy("seq_id")
@@ -662,7 +670,7 @@ def _targets_values(targets: dict[str, int]) -> str:
     return ", ".join(f"('{s}', {p})" for s, p in sorted(targets.items()))
 
 
-def _resample_ctes(targets: dict[str, int]) -> str:
+def _resample_base_ctes(targets: dict[str, int]) -> str:
     return f""", scounts AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n_tokens
   FROM stream GROUP BY source
@@ -690,7 +698,11 @@ def _resample_ctes(targets: dict[str, int]) -> str:
   SELECT CAST(n.doc_id * 1000 + u.c AS BIGINT) AS inst_id, n.doc_id
   FROM ncop n, unnest(range(n.nc)) AS u(c)
   WHERE n.nc > 0
-), stream2 AS MATERIALIZED (
+)"""
+
+
+def _resample_ctes(targets: dict[str, int]) -> str:
+    return _resample_base_ctes(targets) + """, stream2 AS MATERIALIZED (
   SELECT i.inst_id, i.doc_id, s.source, s.tok_id,
          row_number() OVER (ORDER BY i.inst_id, s.pos) - 1 AS pos2
   FROM stream s JOIN inst i ON i.doc_id = s.doc_id
@@ -1256,6 +1268,134 @@ def q_stream_shards_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return live.select(
         "seq_id",
         F.size("tok_ids").cast("long").alias("n_tokens"),
+        "n_docs",
+        "first_doc",
+        "last_doc",
+        "sources",
+        F.md5(
+            F.concat_ws(
+                ",", F.expr("transform(tok_ids, t -> CAST(t AS STRING))")
+            ).cast("binary")
+        ).alias("fp"),
+    )
+
+
+# ---------------------------------------------------------------------
+# C189 — CURRICULUM-ORDERED packed shards (round 14): the C121
+# stratified low-discrepancy interleave COMPOSED into the pack's total
+# order. C184's mixed product packs instances in doc-id order, so a
+# training job reading shard prefixes sees sources in id-block runs;
+# real pretraining orders the stream so every batch prefix carries the
+# target mixture (the data-ordering step C121 certifies standalone).
+# Here each resampled INSTANCE takes schedule key (2r-1)/(2*n_s) — r =
+# its rank within its source, n_s = the source's instance count — and
+# the token stream packs in (sched_key, source, inst, widx, pidx)
+# order via the same ranged-prefix pattern (a float key is fine: the
+# key is one IEEE division of exact integers, bit-identical on both
+# engines, and the tie-break chain makes the order total).
+#
+# Scale shape: one additional partitioned window over the INSTANCE
+# table (model-of-the-corpus-sized: one row per doc instance, never
+# tokens) + the unchanged ranged-prefix pack; the interleave adds no
+# corpus-sized shuffle beyond the position assignment that packing
+# already pays.
+# ---------------------------------------------------------------------
+
+_CURRICULUM_SHARDS_FINAL = _resample_base_ctes(
+    _RESAMPLE_TARGET_PERMILLE
+) + f""", ikey AS (
+  SELECT i.inst_id, i.doc_id, kd.source,
+         CAST(2 * row_number() OVER (PARTITION BY kd.source ORDER BY i.inst_id)
+              - 1 AS DOUBLE)
+           / CAST(2 * count(*) OVER (PARTITION BY kd.source) AS DOUBLE)
+           AS skey
+  FROM inst i JOIN keptdocs kd USING (doc_id)
+), stream3 AS MATERIALIZED (
+  SELECT k.inst_id, i.doc_id, s.source, s.tok_id,
+         row_number() OVER (ORDER BY k.skey, s.source, k.inst_id, s.pos) - 1
+           AS pos3
+  FROM stream s
+  JOIN inst i ON i.doc_id = s.doc_id
+  JOIN ikey k ON k.inst_id = i.inst_id
+), seqsrc3 AS (
+  SELECT seq_id, string_agg(source, ',' ORDER BY source) AS sources
+  FROM (SELECT DISTINCT pos3 // {SEQ_LEN} AS seq_id, source FROM stream3)
+  GROUP BY seq_id
+), seqs3 AS (
+  SELECT pos3 // {SEQ_LEN} AS seq_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(min(doc_id) AS BIGINT) AS first_doc,
+         CAST(max(doc_id) AS BIGINT) AS last_doc,
+         md5(string_agg(CAST(tok_id AS VARCHAR), ',' ORDER BY pos3)) AS fp
+  FROM stream3 GROUP BY pos3 // {SEQ_LEN}
+)
+SELECT CAST(s.seq_id AS BIGINT) AS seq_id, s.n_tokens, s.n_docs,
+       s.first_doc, s.last_doc, x.sources, s.fp
+FROM seqs3 s JOIN seqsrc3 x USING (seq_id)
+"""
+
+
+def curriculum_positioned_stream(
+    inst: DataFrame,
+    wpieces: DataFrame,
+    vocab: DataFrame,
+    wp_broadcast: bool | None = None,
+) -> DataFrame:
+    """The resampled instance stream positioned in CURRICULUM order:
+    per-instance schedule keys (the C121 interleave over the instance
+    table, one source-partitioned window) joined onto the token rows,
+    global positions via ranged_prefix over the total order
+    (skey, source, inst, widx, pidx)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("source").orderBy("doc_id")
+    ikey = inst.select(
+        "doc_id",
+        (
+            (2 * F.row_number().over(w) - 1).cast("double")
+            / (2 * F.count(F.lit(1)).over(W.partitionBy("source"))).cast(
+                "double"
+            )
+        ).alias("skey"),
+    )
+    toks = token_rows(inst, wpieces, vocab, wp_broadcast).join(ikey, "doc_id")
+    return ranged_prefix(
+        toks,
+        [
+            F.col("skey"),
+            F.col("source"),
+            F.col("doc_id"),
+            F.col("widx"),
+            F.col("pidx"),
+        ],
+        rn_col="rn",
+    ).withColumn("pos", F.col("rn") - 1)
+
+
+@query(
+    "q_token_shards_curriculum",
+    oracle=_shards_oracle(final_sql=_CURRICULUM_SHARDS_FINAL),
+)
+def q_token_shards_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C189: the mixed dataset packed in CURRICULUM order — the C121
+    stratified interleave applied to the resampled instance corpus, so
+    every prefix of the shard product carries the target source
+    mixture (what a training job's batch schedule actually consumes).
+    Per-sequence rows with provenance in original doc ids; the oracle
+    replays resample + schedule keys + curriculum pack + per-sequence
+    fingerprints end to end. tests/test_token_shards.py pins the
+    mixing property the ordering exists for: both sources appear
+    within the first few sequences, and the total token multiset
+    equals the doc-ordered C181 rollup's."""
+    kept, wpieces, vocab = shard_inputs(spark, sf_dir)
+    wp_bc = wpieces_fits_broadcast(wpieces)
+    wq = resample_weights(kept, wpieces, vocab, _RESAMPLE_TARGET_PERMILLE, wp_bc)
+    inst = resampled_instances(kept, wq).localCheckpoint()
+    stream = curriculum_positioned_stream(inst, wpieces, vocab, wp_bc)
+    return _assemble_sequences(stream, "doc_id div 1000").select(
+        "seq_id",
+        "n_tokens",
         "n_docs",
         "first_doc",
         "last_doc",

@@ -30,6 +30,12 @@ WINDOW_50 = [
     "q_ann_index_retrain",  # changed/new
     "q_ann_index_upsert",  # changed/new
     "q_ann_index_delete",  # changed/new
+    "q_token_shards_curriculum",  # changed/new
+    "q_substring_clip",  # changed/new
+    "q_corpus_clean_clipped",  # changed/new
+    "q_corpus_clean_clipped_sampled",  # changed/new
+    "q_corpus_export",  # changed/new
+    "q_corpus_export_full",  # changed/new
     "q_fingerprint",  # last green r7
     "q_jsonl_roundtrip",  # last green r7
     "q_kmeans_semantic",  # last green r7
@@ -63,12 +69,6 @@ WINDOW_50 = [
     "q_tpch_q17_shape",  # last green r7
     "q_tpch_q18_shape",  # last green r7
     "q_tpch_q19_shape",  # last green r7
-    "q_update_mutation",  # last green r7
-    "q_url_funcs",  # last green r7
-    "q_window_range_frame",  # last green r7
-    "q_agg_state_merge",  # last green r8
-    "q_bigram_counts",  # last green r8
-    "q_bit_aggs",  # last green r8
 ]
 
 

@@ -195,6 +195,32 @@ def test_resampled_mixture_moves_to_target(spark):
     assert dev_ach < dev_base
 
 
+def test_curriculum_pack_mixes_prefixes(spark):
+    """C189 acceptance: (a) the curriculum pack is a REORDERING — its
+    total token count and per-source token counts equal the
+    doc-ordered C181 rollup's exactly; (b) the ordering does what it
+    exists for — both targeted sources appear within the first
+    PREFIX_SEQS sequences (the doc-ordered pack, by contrast, runs
+    through id-blocks of one source first)."""
+    from kafka_clickhouse_implementation_spark.pipelines.shards import (
+        q_shard_mixture_resampled,
+        q_token_shards_curriculum,
+    )
+
+    rows = sorted(
+        q_token_shards_curriculum(spark, SF).collect(),
+        key=lambda r: r.seq_id,
+    )
+    rollup = q_shard_mixture_resampled(spark, SF).collect()
+    assert sum(r.n_tokens for r in rows) == sum(r.n_tokens for r in rollup)
+    targeted = {r.source for r in rollup if r.n_tokens > 0}
+    PREFIX_SEQS = 5
+    prefix_sources = {
+        s for r in rows[:PREFIX_SEQS] for s in r.sources.split(",")
+    }
+    assert targeted <= prefix_sources, (targeted, prefix_sources)
+
+
 def test_stream_shards_upsert_idempotent_and_equals_batch(spark):
     """C186 acceptance: (a) the stream-maintained sequence table
     resolves to EXACTLY the batch-written C184 product's read-back;
