@@ -399,9 +399,15 @@ def main() -> None:
             return {}
         try:
             with open(files[-1]) as f:
-                return json.load(f).get("queries", {}) or {}
+                prior_doc = json.load(f)
         except (OSError, ValueError):
             return {}
+        # only compare against a prior run AT THE SAME SCALE FACTOR —
+        # an sf1 run read against an sf0.1 artifact would flag every
+        # query as a 10x "outlier" and double the bench on re-runs
+        if prior_doc.get("sf") != sf:
+            return {}
+        return prior_doc.get("queries", {}) or {}
 
     prior = _prior_queries()
     outlier_reruns: dict[str, dict] = {}
