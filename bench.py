@@ -211,6 +211,7 @@ HEADLINE = [
     "q_stream_shards_upsert",
     "q_ann_index_retrain",
     "q_token_shards_curriculum",
+    "q_tokenizer_export",
 ]
 
 SEGMENT_N = 8  # queries per probe-bracketed segment (r14)

@@ -1406,3 +1406,72 @@ def q_token_shards_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("binary")
         ).alias("fp"),
     )
+
+
+# ---------------------------------------------------------------------
+# C190 — the TOKENIZER as a WRITTEN artifact (round 14): every other
+# pipeline product ships certified-from-files (shards C177/C184, vocab,
+# kept corpus, ANN books C178) — the merge TABLE, the thing a tokenizer
+# release actually is (merges.txt + vocab in every BPE distribution),
+# did not. write_tokenizer persists the batched trainer's full merge
+# trajectory at the production budget; the query reads it back and
+# certifies every row against the independent DuckDB replay of the
+# batched training loop — a corrupt, truncated, or stale merge file
+# hash-fails. Scale: the artifact is model-sized (one row per accepted
+# merge); training cost is shared with shard_inputs via the same
+# deterministic trainer.
+# ---------------------------------------------------------------------
+
+
+def write_tokenizer(spark: SparkSession, sf_dir: str) -> str:
+    """Persist the (merge_rank, round, left_sym, right_sym, merged,
+    pair_count, syms_before) trajectory once per testdata identity +
+    trainer config; returns the merges dir."""
+    from kafka_clickhouse_implementation_spark.operators.bpe import (
+        _BATCH_SCHEMA,
+    )
+
+    root = source_tagged_dir(f"tokenizer_{_PRODUCT_TAG}", sf_dir, "documents")
+    merges_dir = os.path.join(root, "merges")
+    if not os.path.exists(os.path.join(merges_dir, "_SUCCESS")):
+        raw = load(spark, sf_dir, "documents")
+        vocab_words = _symbolized_vocab(
+            raw.select(F.explode(F.split("text", " ")).alias("w"))
+            .filter("w <> ''")
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).cast("long").alias("f"))
+        )
+        traj, _final = _train_batched_full(
+            spark, vocab_words, rounds=SHARD_BPE_ROUNDS, batch_n=SHARD_BATCH_N
+        )
+        spark.createDataFrame(traj, _BATCH_SCHEMA).write.mode(
+            "overwrite"
+        ).parquet(merges_dir)
+    return merges_dir
+
+
+@query(
+    "q_tokenizer_export",
+    oracle=_oracle_sql_batched(
+        rounds=SHARD_BPE_ROUNDS, batch_n=SHARD_BATCH_N
+    ),
+)
+def q_tokenizer_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C190: the tokenizer merge table certified FROM THE FILES — the
+    batched trainer's trajectory at the production budget
+    (SHARD_BPE_ROUNDS x SHARD_BATCH_N) written once, read back, and
+    hash-checked row for row against the independent DuckDB replay of
+    the batched training loop (every accepted merge's rank, round,
+    pair, application-time count, and pre-merge symbol total). This is
+    the artifact a tokenizer RELEASE ships; the shard products
+    (C177/C184/C189) are its downstream consumers."""
+    merges_dir = write_tokenizer(spark, sf_dir)
+    return spark.read.parquet(merges_dir).select(
+        "merge_rank",
+        "round",
+        "left_sym",
+        "right_sym",
+        "merged",
+        "pair_count",
+        "syms_before",
+    ).orderBy("merge_rank")

@@ -585,8 +585,17 @@ def test_substring_clip_windows_stay_per_doc(spark):
     """C143 (r9): the interval-island merge must window PARTITION BY
     doc_id — a bare window would serialize every clip range through
     one task — and no shuffle may carry the text column (grams travel
-    as md5 digests; text rejoins only at the final per-doc assembly)."""
-    df = all_queries()["q_substring_clip"](spark, SF)
+    as md5 digests; text rejoins only at the final per-doc assembly).
+    Asserted on the clip BUILDER's plan (substring_clip over the raw
+    corpus — what clipped_corpus materializes); since round 14 the
+    registered query reads the persisted product, whose plan is a
+    parquet scan + one aggregate."""
+    from kafka_clickhouse_implementation_spark.io import load
+    from kafka_clickhouse_implementation_spark.operators.corpus_ext import (
+        substring_clip,
+    )
+
+    df = substring_clip(load(spark, SF, "documents"))
     plan = _plan(df)
     win_lines = [l for l in plan.splitlines() if "windowspecdefinition" in l]
     assert win_lines, plan

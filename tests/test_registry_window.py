@@ -31,6 +31,7 @@ WINDOW_50 = [
     "q_ann_index_upsert",  # changed/new
     "q_ann_index_delete",  # changed/new
     "q_token_shards_curriculum",  # changed/new
+    "q_tokenizer_export",  # changed/new
     "q_substring_clip",  # changed/new
     "q_corpus_clean_clipped",  # changed/new
     "q_corpus_clean_clipped_sampled",  # changed/new
@@ -68,7 +69,6 @@ WINDOW_50 = [
     "q_tpch_q16_shape",  # last green r7
     "q_tpch_q17_shape",  # last green r7
     "q_tpch_q18_shape",  # last green r7
-    "q_tpch_q19_shape",  # last green r7
 ]
 
 
