@@ -313,11 +313,29 @@ def _pin_features(dfc: DataFrame, held_only: bool = True) -> DataFrame:
     return dfc
 
 
-def nb_scores(docs: DataFrame, held_only: bool = True) -> DataFrame:
+def corpus_features(spark, sf_dir: str) -> DataFrame | None:
+    """The persisted full-corpus feature product — ONLY when the
+    default certified feature space is active; the flag-scoped
+    experiment variants (trigrams / 8192 buckets) derive inline so the
+    measurement tools keep working without variant products."""
+    if NB_BUCKETS == 4096 and not NB_TRIGRAMS:
+        from kafka_clickhouse_implementation_spark.operators.dsir import (
+            features_product,
+        )
+
+        return features_product(spark, sf_dir)
+    return None
+
+
+def nb_scores(
+    docs: DataFrame, held_only: bool = True, dfc: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, score_nano, n_feats) — exact-BIGINT NB log-odds under
     the balanced model trained on the md5-split train half, for every
     >=1-feature document of the held split (``held_only``, the C166
-    evaluation) or of the WHOLE corpus (the C169 gate)."""
+    evaluation) or of the WHOLE corpus (the C169 gate). ``dfc``
+    supplies the persisted feature product (round 14); default derives
+    features from ``docs`` inline under the measured pinning policy."""
     # pin the hashed-feature explode ONCE: it feeds both the training
     # join (trn) and the scoring join (held). Strategy measured in
     # round 13 (both arms, sf0.1 AND sf1 — docs/NB_CHECKPOINT.json):
@@ -329,7 +347,8 @@ def nb_scores(docs: DataFrame, held_only: bool = True) -> DataFrame:
     # (12.78 s vs 5.95 checkpoint) and is never auto-selected — it
     # remains only as an explicit SPARK_GRAFT_NB_PIN override for
     # tools/measure_nb_checkpoint.py.
-    dfc = _pin_features(_nb_features(docs), held_only)
+    if dfc is None:
+        dfc = _pin_features(_nb_features(docs), held_only)
     lbl = nb_label(docs)
     posd = lbl.filter("is_train = 1 AND is_target = 1").select("doc_id")
     negall = lbl.filter("is_train = 1 AND is_target = 0").select(
@@ -460,7 +479,9 @@ def q_nb_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     one 13-group conditional rollup; every count is an exact BIGINT."""
     docs = load(spark, sf_dir, "documents")
     lbl = nb_label(docs)
-    scored = nb_scores(docs).join(lbl.select("doc_id", "is_target"), "doc_id")
+    scored = nb_scores(docs, dfc=corpus_features(spark, sf_dir)).join(
+        lbl.select("doc_id", "is_target"), "doc_id"
+    )
     thr = F.explode(
         F.array(*[F.lit(t).cast("long") for t in NB_THRESH_NANOS])
     ).alias("thr_nano")
@@ -492,7 +513,7 @@ def q_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     lbl = nb_label(docs)
     return (
-        nb_scores(docs)
+        nb_scores(docs, dfc=corpus_features(spark, sf_dir))
         .join(lbl, "doc_id")
         .groupBy("source")
         .agg(

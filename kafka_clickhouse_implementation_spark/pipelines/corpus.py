@@ -812,18 +812,19 @@ def _nb_ok() -> str:
     )"""
 
 
-def nb_quality_gate(docs: DataFrame) -> DataFrame:
+def nb_quality_gate(docs: DataFrame, dfc: DataFrame | None = None) -> DataFrame:
     """Supervised gate: keep docs the C166 NB model (trained on the
     md5-split half) scores above NB_GATE_NANO — the operating point
     calibrated by the C175 PR curve (q_nb_pr_curve), not a hard-coded
-    zero. Spark twin of _nb_ok()."""
+    zero. Spark twin of _nb_ok(). ``dfc`` passes the persisted
+    feature product through to nb_scores (round 14)."""
     from kafka_clickhouse_implementation_spark.operators.nb_quality import (
         NB_GATE_NANO,
         nb_scores,
     )
 
     keep = (
-        nb_scores(docs, held_only=False)
+        nb_scores(docs, held_only=False, dfc=dfc)
         .filter(F.col("score_nano") > NB_GATE_NANO)
         .select("doc_id")
     )
@@ -836,5 +837,15 @@ def q_corpus_clean_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     SUPERVISED NB classifier gate — trained quality model → exact dedup
     → portable MinHash-LSH near-dup → connected components → keep one
     per cluster, all HASH-CHECKED against one DuckDB replay sharing the
-    clean template and the C166 model CTEs."""
-    return _clean_counts(load(spark, sf_dir, "documents"), gate=nb_quality_gate)
+    clean template and the C166 model CTEs. The gate scores the
+    persisted feature product (round 14) — the oracle still replays
+    extraction from raw parquet."""
+    from kafka_clickhouse_implementation_spark.operators.nb_quality import (
+        corpus_features,
+    )
+
+    dfc = corpus_features(spark, sf_dir)
+    return _clean_counts(
+        load(spark, sf_dir, "documents"),
+        gate=lambda d: nb_quality_gate(d, dfc=dfc),
+    )
