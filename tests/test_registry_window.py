@@ -37,6 +37,12 @@ WINDOW_50 = [
     "q_corpus_clean_clipped_sampled",  # changed/new
     "q_corpus_export",  # changed/new
     "q_corpus_export_full",  # changed/new
+    "q_dsir_weights",  # changed/new
+    "q_dsir_tiers",  # changed/new
+    "q_nb_quality",  # changed/new
+    "q_nb_pr_curve",  # changed/new
+    "q_corpus_clean_nb",  # changed/new
+    "q_stream_dsir",  # changed/new
     "q_fingerprint",  # last green r7
     "q_jsonl_roundtrip",  # last green r7
     "q_kmeans_semantic",  # last green r7
@@ -63,12 +69,6 @@ WINDOW_50 = [
     "q_token_count_bpe",  # last green r7
     "q_tpch_q10_shape",  # last green r7
     "q_tpch_q12_shape",  # last green r7
-    "q_tpch_q13_shape",  # last green r7
-    "q_tpch_q14_shape",  # last green r7
-    "q_tpch_q15_shape",  # last green r7
-    "q_tpch_q16_shape",  # last green r7
-    "q_tpch_q17_shape",  # last green r7
-    "q_tpch_q18_shape",  # last green r7
 ]
 
 
