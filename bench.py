@@ -1,6 +1,9 @@
 """Benchmark harness — runs the headline declared queries at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``local[$SPARK_GRAFT_CPUS]`` and prints a detailed JSON line
+(also written to docs/BENCH_last_run.json) followed by a COMPACT
+summary JSON as the LAST stdout line, padded to exactly fill the
+driver's 2000-char tail window:
 ``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
 
 Each query is forced to full materialization (collect for small
@@ -212,6 +215,11 @@ HEADLINE = [
     "q_ann_index_retrain",
     "q_token_shards_curriculum",
     "q_tokenizer_export",
+    # round 15: the unigram tokenizer release artifact, the streaming
+    # curriculum pack, and the sweep-tuned IVF-PQ search config
+    "q_unigram_tokenizer_export",
+    "q_stream_shards_curriculum",
+    "q_ann_ivfpq_tuned",
 ]
 
 SEGMENT_N = 8  # queries per probe-bracketed segment (r14)
@@ -432,35 +440,80 @@ def main() -> None:
         outlier_reruns[name] = info
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "fixture_builds": fixture_builds,
-                "runs_per_query": runs_per_query,
-                "probe": {
-                    "workload": "sum(id*2+1) over range(2e8, 32 slices)",
-                    "start_sec": probe_start,
-                    "end_sec": probe_end,
-                    "pass_pairs": probe_pairs,
-                },
-                "streaming_probe": {
-                    "workload": "same probe bracketing the dedicated"
-                    " streaming segment block",
-                    "start_sec": stream_probe_pairs[-1][0],
-                    "end_sec": stream_probe_pairs[-1][1],
-                    "pass_pairs": stream_probe_pairs,
-                },
-                "segment_n": SEGMENT_N,
-                "probe_ctx": probe_ctx,
-                "outlier_reruns": outlier_reruns,
-            }
-        )
-    )
+    detail = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "fixture_builds": fixture_builds,
+        "runs_per_query": runs_per_query,
+        "probe": {
+            "workload": "sum(id*2+1) over range(2e8, 32 slices)",
+            "start_sec": probe_start,
+            "end_sec": probe_end,
+            "pass_pairs": probe_pairs,
+        },
+        "streaming_probe": {
+            "workload": "same probe bracketing the dedicated"
+            " streaming segment block",
+            "start_sec": stream_probe_pairs[-1][0],
+            "end_sec": stream_probe_pairs[-1][1],
+            "pass_pairs": stream_probe_pairs,
+        },
+        "segment_n": SEGMENT_N,
+        "probe_ctx": probe_ctx,
+        "outlier_reruns": outlier_reruns,
+    }
+    print(json.dumps(detail))
+    # The detailed line above is also written beside the repo's bench
+    # twins so the full probe context is always on disk, not only in
+    # whatever stdout window the caller keeps.
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "docs", "BENCH_last_run.json"), "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
+
+    # LAST stdout line (r14 verdict #5): the driver's artifact keeps
+    # only the final 2000 characters of stdout, and since r9 the
+    # detailed line outgrew that window, so BENCH_r*.json stopped
+    # self-describing (parsed: null). Emit a COMPACT summary as the
+    # last line, left-padded so the line is exactly the tail window:
+    # whether the driver parses the whole tail, its first line, or its
+    # last line, it sees one complete JSON document with the totals
+    # and per-query times. If all per-query rows don't fit, the
+    # FASTEST queries collapse into omitted_{n,sec} (the slow ones
+    # carry the regression signal; the full map is on the detail line
+    # and in docs/BENCH_last_run.json).
+    tail_window = 2000  # driver-side stdout tail size
+    budget = tail_window - 1  # newline occupies the last byte
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "queries": dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])
+        ),
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > budget:
+        ordered = sorted(timings.items(), key=lambda kv: -kv[1])
+        keep = len(ordered)
+        while keep > 0:
+            kept = dict(ordered[:keep])
+            omitted = ordered[keep:]
+            compact["queries"] = kept
+            compact["omitted_n"] = len(omitted)
+            compact["omitted_sec"] = round(sum(v for _, v in omitted), 3)
+            line = json.dumps(compact, separators=(",", ":"))
+            if len(line) <= budget:
+                break
+            keep -= 1
+    print(" " * (budget - len(line)) + line)
 
 
 if __name__ == "__main__":

@@ -656,20 +656,22 @@ def q_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q_stream_bpe", oracle=_oracle_sql())
+@query("q_stream_bpe", oracle=_oracle_sql_batched())
 def q_stream_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C138: q_bpe_train with the vocabulary maintained INCREMENTALLY
+    """C138: BPE training with the vocabulary maintained INCREMENTALLY
     by the streaming engine — documents arrive over micro-batches on
     the duplicate-injecting corpus wire (corpus_stream.document_wire),
     pass through stateful doc_id dedup (the state store must remember
     ids across batches or duplicated files double every count), and a
     complete-mode groupBy(word) keeps the running frequencies. The
-    drained table feeds the SAME _train loop and the SAME DuckDB
-    oracle as the batch query, so one hash certifies
-    streaming-maintained vocab == batch vocab == independent replay.
-    Dedup state is linear in distinct doc ids (the C9/C123 guarantee,
-    measured in STREAM_THROUGHPUT.json); the word state is
-    vocabulary-sized."""
+    drained table feeds the BATCHED trainer (_train_batched_full — the
+    loop every shipped shard product rides, r14 verdict #1; the
+    sequential _train loop it replaced certified a trainer the
+    products no longer use) and the SAME batched DuckDB oracle as
+    C182, so one hash certifies streaming-maintained vocab == batch
+    vocab == independent batched replay. Dedup state is linear in
+    distinct doc ids (the C9/C123 guarantee, measured in
+    STREAM_THROUGHPUT.json); the word state is vocabulary-sized."""
     import os
 
     from kafka_clickhouse_implementation_spark.streaming.corpus_stream import (
@@ -693,7 +695,10 @@ def q_stream_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, vocab_counts, "bpe_vocab_stream",
         os.path.join(base, "ckpt_bpe_vocab"), mode="complete",
     )
-    return _train(spark, _symbolized_vocab(spark.table("bpe_vocab_stream")))
+    out, _final = _train_batched_full(
+        spark, _symbolized_vocab(spark.table("bpe_vocab_stream"))
+    )
+    return spark.createDataFrame(out, _BATCH_SCHEMA).orderBy("merge_rank")
 
 
 # ---------------------------------------------------------------------------

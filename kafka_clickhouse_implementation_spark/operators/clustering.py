@@ -1179,13 +1179,18 @@ SHORT_R = 30  # ADC shortlist re-ranked exactly (6x TOPK, the FAISS
 # probe list)
 
 
-def _ivfpq_oracle(survivor_pred: str | None = None) -> str:
+def _ivfpq_oracle(
+    survivor_pred: str | None = None,
+    nprobe: int = NPROBE,
+    short_r: int = SHORT_R,
+) -> str:
     """The C167 replay; ``survivor_pred`` (over ``g.vec_id``)
     restricts the INDEX side to surviving vectors for the C183
     delete-wave variant — candidates only; queries, codebooks and the
     coarse assignment replay stay trained on the full set, the FAISS
     remove_ids semantics (deletions drop list entries, never retrain
-    the quantizers)."""
+    the quantizers). ``nprobe``/``short_r`` replay a tuned search
+    config (C193)."""
     blocks = [_PTS_CTE]
     blocks.append(f"""kval AS (
   SELECT greatest({K}, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) AS k
@@ -1221,7 +1226,7 @@ probe AS (
 cand AS (
   SELECT p.qid, g.vec_id AS nid
   FROM probe p JOIN asgvq{_LAST} g ON p.cid = g.cid
-  WHERE p.rn <= {NPROBE} AND g.vec_id <> p.qid{_surv}
+  WHERE p.rn <= {nprobe} AND g.vec_id <> p.qid{_surv}
 ),
 codesq AS MATERIALIZED (
   {codes_union}
@@ -1257,7 +1262,7 @@ exact AS (
   FROM short s
   JOIN eq a ON a.vec_id = s.qid
   JOIN eq b ON b.vec_id = s.nid
-  WHERE s.sr <= {SHORT_R}
+  WHERE s.sr <= {short_r}
 )
 SELECT qid AS query_id, CAST(rk AS BIGINT) AS rank, nid AS neighbor_id,
        dist2, dist2_pq
@@ -1276,6 +1281,9 @@ def _ivfpq_search(
     asg: DataFrame,
     codes: DataFrame,
     cdf: DataFrame,
+    nprobe: int = NPROBE,
+    short_r: int = SHORT_R,
+    topk: int = TOPK,
 ) -> DataFrame:
     """The C167 IVF-PQ search plan over GIVEN models and coded tables
     — shared by q_ann_ivfpq (models trained in-query, the
@@ -1290,7 +1298,12 @@ def _ivfpq_search(
     asg_carr  coarse ASSIGNMENT codebook [(cid, [x..])];
     asg       (vec_id, cid) coarse assignment of every base vector;
     codes     (sub, vec_id, cid) PQ codes of every base vector;
-    cdf       (sub, cid, dim, c) PQ ADC codebook (post-final-update).
+    cdf       (sub, cid, dim, c) PQ ADC codebook (post-final-update);
+    nprobe/short_r/topk  search config — defaults are the certified
+              C167 point; the C193 tuned variant and the drift-probe
+              sweep pass their own (searches touch nprobe·n/k
+              candidates and re-rank short_r, so cost scales
+              linearly in both).
     """
     qd = _code_points(eq.filter(F.col("vec_id") % Q_EVERY == 0), asg_carr)
     probe = (
@@ -1304,7 +1317,7 @@ def _ivfpq_search(
             "rn",
             F.row_number().over(Window.partitionBy("qid").orderBy("dist", "cid")),
         )
-        .filter(F.col("rn") <= NPROBE)
+        .filter(F.col("rn") <= nprobe)
         .select("qid", "cid")
     )
     cand = (
@@ -1333,7 +1346,7 @@ def _ivfpq_search(
     short = adc.withColumn(
         "sr",
         F.row_number().over(Window.partitionBy("qid").orderBy("dist2_pq", "nid")),
-    ).filter(F.col("sr") <= SHORT_R)
+    ).filter(F.col("sr") <= short_r)
     exact = (
         short.join(
             eq.select(F.col("vec_id").alias("qid"), F.col("eq").alias("ea")), "qid"
@@ -1346,7 +1359,7 @@ def _ivfpq_search(
             "rk",
             F.row_number().over(Window.partitionBy("qid").orderBy("dist2", "nid")),
         )
-        .filter(F.col("rk") <= TOPK)
+        .filter(F.col("rk") <= topk)
         .select(
             F.col("qid").alias("query_id"),
             F.col("rk").cast("long").alias("rank"),
@@ -1373,6 +1386,53 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     asg, asg_carr, _ = _lloyd_arrays(spark, eq, k, ITERS)
     pts, codes, cdf, _acdf = _pq_train(spark, sf_dir, pq_k=PQ_K16)
     return _ivfpq_search(spark, eq, pts, asg_carr, asg, codes, cdf)
+
+
+# --------------------------------------------------------------------------
+# C193 — the TUNED IVF-PQ search config (round 15, the r14 verdict's
+# #4): the drift probe's nprobe x shortlist sweep (tools/
+# ann_drift_probe.py → docs/ANN_DRIFT.json) measured, on the shifted-
+# distribution corpus with retrained books, recall@5 moving 0.13 →
+# 0.24 on the shifted segment and 0.25 → 0.38 on the original at
+# (nprobe=4, short_r=60) — the best shifted-segment cell of the grid
+# (nprobe=8 probes past the 6 lists the shifted mass occupies and
+# dilutes the shortlist with near-miss original-segment candidates:
+# 0.21). RECORDED NEGATIVE, stated plainly: the verdict's 3x target
+# (>= 0.39 shifted recall@5) is NOT reached by any swept cell — the
+# residual gap is PQ-quantization- and list-geometry-bound (16-way
+# codebooks over 8 subspaces on micro-quantized vectors), not
+# search-parameter-bound; doubling both knobs buys ~1.85x. The tuned
+# point is still materially better everywhere, so it ships as an
+# oracle-checked variant: same in-query-trained models as C167, the
+# shared search plan at (NPROBE_TUNED, SHORT_R_TUNED), replayed by the
+# parameterized oracle. Cost shape: candidates scale linearly in
+# nprobe (2x) and the exact re-rank in short_r (2x) — both per-query
+# model-sized terms.
+# --------------------------------------------------------------------------
+
+NPROBE_TUNED = 4
+SHORT_R_TUNED = 60
+
+
+@query(
+    "q_ann_ivfpq_tuned",
+    oracle=_ivfpq_oracle(nprobe=NPROBE_TUNED, short_r=SHORT_R_TUNED),
+)
+def q_ann_ivfpq_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C193: C167's IVF-PQ search at the sweep-chosen config
+    (nprobe=4, short_r=60 — docs/ANN_DRIFT.json): one hash certifies
+    the probe routing, ADC tables, shortlist cut, and ranking at the
+    tuned operating point, so the config a drifted deployment should
+    run is itself a certified query, not a docstring suggestion."""
+    emb = load(spark, sf_dir, "embeddings")
+    k = ivf_k(emb.count())
+    eq = _eq_arrays(spark, sf_dir).localCheckpoint()
+    asg, asg_carr, _ = _lloyd_arrays(spark, eq, k, ITERS)
+    pts, codes, cdf, _acdf = _pq_train(spark, sf_dir, pq_k=PQ_K16)
+    return _ivfpq_search(
+        spark, eq, pts, asg_carr, asg, codes, cdf,
+        nprobe=NPROBE_TUNED, short_r=SHORT_R_TUNED,
+    )
 
 
 # --------------------------------------------------------------------------

@@ -321,7 +321,17 @@ def features_product(spark, sf_dir: str) -> DataFrame:
         source_tagged_dir,
     )
 
-    out = source_tagged_dir("feats4096", sf_dir, "documents")
+    # The flavor tag folds in the OPERATOR CONFIG (r15 advisory — the
+    # shard_inputs _PRODUCT_TAG rule): a change to the feature
+    # expression or bucket count must miss this cache, not serve a
+    # stale product that only surfaces as a downstream oracle
+    # hash-failure with no code at fault.
+    import hashlib
+
+    cfg = hashlib.md5(
+        f"{_FEATS_EXPR}|{_bucket('feat')}".encode()
+    ).hexdigest()[:8]
+    out = source_tagged_dir(f"feats{N_BUCKETS}_{cfg}", sf_dir, "documents")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         doc_features(load(spark, sf_dir, "documents")).write.mode(
             "overwrite"

@@ -151,10 +151,12 @@ def _substr_counts(cand: DataFrame) -> DataFrame:
     return cand.groupBy("piece").agg(F.sum("f").cast("long").alias("cnt"))
 
 
-def _prune(counts: DataFrame, singles: DataFrame) -> DataFrame:
+def _prune(
+    counts: DataFrame, singles: DataFrame, multi: int = UNI_MULTI
+) -> DataFrame:
     """V_{r+1} from recounts: every seed single char survives with
     count+1 (Laplace floor — keeps p > 0 and coverage total), plus the
-    top UNI_MULTI multi-char pieces by (cnt DESC, piece ASC)."""
+    top ``multi`` multi-char pieces by (cnt DESC, piece ASC)."""
     s = (
         singles.join(counts, "piece", "left")
         .select("piece", (F.coalesce("cnt", F.lit(0)) + 1).cast("long").alias("cnt"))
@@ -162,7 +164,7 @@ def _prune(counts: DataFrame, singles: DataFrame) -> DataFrame:
     m = (
         counts.filter(F.length("piece") >= 2)
         .orderBy(F.col("cnt").desc(), "piece")
-        .limit(UNI_MULTI)
+        .limit(multi)
     )
     return s.unionByName(m).localCheckpoint()
 
@@ -223,21 +225,27 @@ def _em_rounds(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Run UNI_ROUNDS of hard EM over `documents`. Returns (unioned
     per-round trajectory frame, final segmented vocab (w, f, segs, ll,
     npieces))."""
-    return _em_rounds_from_words(_seed_words(docs))
+    return _em_rounds_from_words(_seed_words(docs))[:2]
 
 
-def _em_rounds_from_words(words: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _em_rounds_from_words(
+    words: DataFrame,
+    rounds: int = UNI_ROUNDS,
+    multi: int = UNI_MULTI,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The EM loop proper, from any (w, f) word-frequency table — the
     batch query seeds it from one corpus pass, the streaming twin from
-    the drained complete-mode word state (C147)."""
+    the drained complete-mode word state (C147), the export product
+    (C191) at its own (rounds, multi) budget. Returns (trajectory,
+    final segmentation, final model (piece, cnt))."""
     cand = _candidates(words)
     sub0 = _substr_counts(cand)
     singles = sub0.filter(F.length("piece") == 1).select("piece").localCheckpoint()
-    v = _prune(sub0, singles)
+    v = _prune(sub0, singles, multi)
 
     traj: list[DataFrame] = []
     seg: DataFrame | None = None
-    for r in range(1, UNI_ROUNDS + 1):
+    for r in range(1, rounds + 1):
         model_stats = v.agg(
             F.count(F.lit(1)).cast("long").alias("n_pieces"),
             F.sum("cnt").cast("long").alias("t_total"),
@@ -262,13 +270,13 @@ def _em_rounds_from_words(words: DataFrame) -> tuple[DataFrame, DataFrame]:
                 "CAST(-((-sll) div 1000) AS BIGINT) AS ll_micro",
             )
         )
-        if r < UNI_ROUNDS:
-            v = _prune(_recount(seg), singles)
+        if r < rounds:
+            v = _prune(_recount(seg), singles, multi)
     out = traj[0]
     for t in traj[1:]:
         out = out.unionByName(t)
-    assert seg is not None  # UNI_ROUNDS >= 1
-    return out, seg
+    assert seg is not None  # rounds >= 1
+    return out, seg, v
 
 
 # ---------------------------------------------------------------------
@@ -372,18 +380,22 @@ seg{r} AS MATERIALIZED (
 )"""
 
 
-def _o_prune(src: str, out: str) -> str:
+def _o_prune(src: str, out: str, multi: int = UNI_MULTI) -> str:
     return f"""{out} AS MATERIALIZED (
   SELECT s.piece, CAST(coalesce(c.cnt, 0) + 1 AS BIGINT) AS cnt
   FROM singles s LEFT JOIN {src} c USING (piece)
   UNION ALL
   SELECT piece, cnt FROM (
     SELECT piece, cnt FROM {src} WHERE len(piece) >= 2
-    ORDER BY cnt DESC, piece LIMIT {UNI_MULTI}) m
+    ORDER BY cnt DESC, piece LIMIT {multi}) m
 )"""
 
 
-def _oracle(rounds: int = UNI_ROUNDS, final_select: str | None = None) -> str:
+def _oracle(
+    rounds: int = UNI_ROUNDS,
+    final_select: str | None = None,
+    multi: int = UNI_MULTI,
+) -> str:
     ctes = [
         f"""seed AS MATERIALIZED (
   SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
@@ -402,7 +414,7 @@ def _oracle(rounds: int = UNI_ROUNDS, final_select: str | None = None) -> str:
         """singles AS MATERIALIZED (
   SELECT piece FROM sub0 WHERE len(piece) = 1
 )""",
-        _o_prune("sub0", "v0"),
+        _o_prune("sub0", "v0", multi),
     ]
     selects = []
     for r in range(1, rounds + 1):
@@ -416,7 +428,7 @@ def _oracle(rounds: int = UNI_ROUNDS, final_select: str | None = None) -> str:
   GROUP BY piece
 )"""
             )
-            ctes.append(_o_prune(f"rc{r}", f"v{r}"))
+            ctes.append(_o_prune(f"rc{r}", f"v{r}", multi))
         selects.append(
             f"""SELECT CAST({r} AS INT) AS round,
   (SELECT CAST(count(*) AS BIGINT) FROM v{r - 1}) AS n_pieces,
@@ -499,7 +511,7 @@ def q_stream_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, vocab_counts, "unigram_vocab_stream",
         os.path.join(base, "ckpt_unigram_vocab"), mode="complete",
     )
-    traj, _seg = _em_rounds_from_words(spark.table("unigram_vocab_stream"))
+    traj, _seg, _v = _em_rounds_from_words(spark.table("unigram_vocab_stream"))
     return traj.orderBy("round")
 
 
@@ -560,4 +572,121 @@ def q_unigram_tokenize(
             "n_tokens",
             "CAST((1000 * n_tokens) div n_words AS BIGINT) AS fertility_milli",
         )
+    )
+
+
+# ---------------------------------------------------------------------
+# C191 — the unigram-LM tokenizer as a WRITTEN artifact (round 15, the
+# r14 verdict's #2): C190 ships the BPE merge table as a certified file
+# product; the SentencePiece-style sibling had no written form. A
+# unigram release is the PIECE table with scores (SentencePiece's
+# .model is exactly (piece, log-prob)); beside it we persist the final
+# per-word SEGMENTATION (the inference cache the C146 tokenize join
+# consumes). Both are written once per testdata identity + trainer
+# config at the EXPORT budget (one more EM round and a larger piece
+# inventory than the teaching trajectory — the converged model a
+# release would ship), read back, and certified row-for-row against
+# the independent unrolled-EM DuckDB replay: one hash covers every
+# piece's model count, its nano-quantized score, and its weighted
+# usage in the final segmentation — so a corrupt/truncated/stale
+# pieces OR segmentation file hash-fails. Scale: both artifacts are
+# model-sized (pieces: singles + UNI_EXPORT_MULTI rows; segmentation:
+# one row per distinct word — vocabulary-, never corpus-sized).
+# ---------------------------------------------------------------------
+
+UNI_EXPORT_ROUNDS = 4  # one past the teaching trajectory (converged)
+UNI_EXPORT_MULTI = 160  # production-shaped piece inventory
+
+
+def write_unigram_tokenizer(spark: SparkSession, sf_dir: str) -> str:
+    """Persist (pieces, seg) under one source-identity- AND
+    config-tagged root (the r15 product-tag rule: a budget change must
+    rebuild, not serve stale files); returns the root."""
+    import os
+
+    from kafka_clickhouse_implementation_spark.cachedirs import (
+        source_tagged_dir,
+    )
+
+    root = source_tagged_dir(
+        f"unitok_r{UNI_EXPORT_ROUNDS}m{UNI_EXPORT_MULTI}L{UNI_L}",
+        sf_dir,
+        "documents",
+    )
+    dirs = {n: os.path.join(root, n) for n in ("pieces", "seg")}
+    if not all(
+        os.path.exists(os.path.join(d, "_SUCCESS")) for d in dirs.values()
+    ):
+        words = _seed_words(load(spark, sf_dir, "documents"))
+        _traj, seg, model = _em_rounds_from_words(
+            words, rounds=UNI_EXPORT_ROUNDS, multi=UNI_EXPORT_MULTI
+        )
+        model.join(
+            _spark_scores(model).withColumnRenamed("sc", "score_nano"),
+            "piece",
+        ).write.mode("overwrite").parquet(dirs["pieces"])
+        seg.write.mode("overwrite").parquet(dirs["seg"])
+    return root
+
+
+def _export_oracle() -> str:
+    r = UNI_EXPORT_ROUNDS
+    final = f"""
+, pu AS MATERIALIZED (
+  SELECT p.piece, CAST(sum(s.f) AS BIGINT) AS seg_cnt,
+         CAST(count(DISTINCT p.w) AS BIGINT) AS n_words_using
+  FROM segp{r} p JOIN seed s ON s.w = p.w GROUP BY p.piece
+)
+SELECT v.piece, v.cnt, k.sc AS score_nano,
+       coalesce(u.seg_cnt, CAST(0 AS BIGINT)) AS seg_cnt,
+       coalesce(u.n_words_using, CAST(0 AS BIGINT)) AS n_words_using
+FROM v{r - 1} v JOIN sc{r} k USING (piece)
+LEFT JOIN pu u USING (piece)
+ORDER BY piece"""
+    return _oracle(
+        rounds=UNI_EXPORT_ROUNDS,
+        final_select=final,
+        multi=UNI_EXPORT_MULTI,
+    )
+
+
+@query("q_unigram_tokenizer_export", oracle=_export_oracle())
+def q_unigram_tokenizer_export(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """C191: the unigram-LM tokenizer certified FROM THE FILES — the
+    hard-EM trainer's final model at the export budget
+    (UNI_EXPORT_ROUNDS x UNI_EXPORT_MULTI) written once as (piece,
+    cnt, score_nano) plus the final per-word segmentation table, both
+    read back; each piece row joins its weighted usage (sum of word
+    frequencies over its occurrences in the stored segmentations) and
+    word coverage, and the whole table hash-checks against the
+    independent DuckDB replay of the full EM loop at the same budget.
+    Tokenizer-family parity with C190: both tokenizer tiers now ship
+    release artifacts, certified row-for-row."""
+    import os
+
+    root = write_unigram_tokenizer(spark, sf_dir)
+    pieces = spark.read.parquet(os.path.join(root, "pieces"))
+    seg = spark.read.parquet(os.path.join(root, "seg"))
+    use = (
+        seg.select("w", "f", F.explode("segs").alias("piece"))
+        .groupBy("piece")
+        .agg(
+            F.sum("f").cast("long").alias("seg_cnt"),
+            F.countDistinct("w").cast("long").alias("n_words_using"),
+        )
+    )
+    return (
+        pieces.join(use, "piece", "left")
+        .select(
+            "piece",
+            "cnt",
+            "score_nano",
+            F.coalesce("seg_cnt", F.lit(0).cast("long")).alias("seg_cnt"),
+            F.coalesce("n_words_using", F.lit(0).cast("long")).alias(
+                "n_words_using"
+            ),
+        )
+        .orderBy("piece")
     )

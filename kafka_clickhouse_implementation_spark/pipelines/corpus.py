@@ -302,7 +302,10 @@ def q_corpus_clean_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape is unchanged from the pieces: narrow maps, 16-byte-key
     shuffles, LSH-bucketed candidates, O(log n) CC rounds."""
-    return _clean_counts(load(spark, sf_dir, "documents"))
+    return _clean_counts(
+        load(spark, sf_dir, "documents"),
+        shared_pairs=neardup_pairs_product(spark, sf_dir),
+    )
 
 
 def kn_quality_gate(docs: DataFrame) -> DataFrame:
@@ -329,7 +332,77 @@ def kn_quality_gate(docs: DataFrame) -> DataFrame:
     return docs.join(keep, "doc_id", "left_semi")
 
 
-def _clean_counts(docs: DataFrame, gate=quality_filter) -> DataFrame:
+def neardup_pairs_product(
+    spark: SparkSession, sf_dir: str, mod: int = 0
+) -> DataFrame:
+    """The verified near-dup pair frame as a PERSISTED pipeline
+    product (round 15, the r14 verdict's #7): the LSH shingle →
+    signature → band → candidate → exact-verify chain is the single
+    most expensive stage of every composed clean, and the gate
+    variants re-derived it per query over their own kept sets. The
+    pair relation is RESTRICTION-STABLE — minhash signatures, band
+    keys, and the exact Jaccard of a pair are all pair-local, so for
+    any subset S of the corpus, pairs(S) = pairs(full) ∩ S×S — which
+    makes ONE full-corpus pair frame exactly reusable by every gate
+    variant via two id semi-joins (pinned by
+    tests/test_corpus_pipeline.py against a direct per-subset run).
+
+    ``mod`` selects the text flavor: 0 = raw documents (shared by the
+    heuristic/KN/NB cleans and the sampled twin), 1/10 = the clipped
+    corpus at that slice (each clip scope rewrites text, so each is
+    its own product; shared by the clip-cleans and the exports).
+    Correctness is unchanged — every consumer's oracle replays the
+    full LSH chain from raw parquet, so a stale or corrupt pair
+    product hash-fails.
+
+    Scale shape: built once per corpus identity + LSH config; the
+    frame is collision-bounded (banded candidates only, never n²) and
+    consumers shuffle (doc_a, doc_b, jaccard) triples against id
+    tables — never shingles or text."""
+    import os
+
+    from kafka_clickhouse_implementation_spark.cachedirs import (
+        source_tagged_dir,
+    )
+    from kafka_clickhouse_implementation_spark.operators.minhash_portable import (
+        BAND_ROWS,
+        JACCARD_T,
+        N_HASHES,
+    )
+
+    flavor = (
+        f"neardup_{N_HASHES}x{BAND_ROWS}_t{int(JACCARD_T * 100)}_m{mod}"
+    )
+    out = source_tagged_dir(flavor, sf_dir, "documents")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        if mod == 0:
+            docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+        else:
+            docs = clipped_corpus(spark, sf_dir, mod=mod).select(
+                "doc_id", F.col("kept_text").alias("text")
+            )
+        verified_pairs(docs).write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
+def _restrict_pairs(pairs: DataFrame, ids: DataFrame) -> DataFrame:
+    """pairs ∩ ids×ids — the restriction read of the pair product.
+    Column order re-normalized: semi-joins rotate the join key to the
+    front, and downstream selects are positional in tests."""
+    return (
+        pairs.join(
+            ids.select(F.col("doc_id").alias("doc_a")), "doc_a", "left_semi"
+        )
+        .join(ids.select(F.col("doc_id").alias("doc_b")), "doc_b", "left_semi")
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _clean_counts(
+    docs: DataFrame,
+    gate=quality_filter,
+    shared_pairs: DataFrame | None = None,
+) -> DataFrame:
     """Run the composed clean and emit the four funnel counts — shared
     by the full, sampled, and KN-scored variants (``gate`` swaps the
     quality stage, mirroring _clean_oracle's ok_cte parameter).
@@ -340,10 +413,18 @@ def _clean_counts(docs: DataFrame, gate=quality_filter) -> DataFrame:
     scoring in the scored variant) and the dedup semi-join once per
     consumer — up to 5 re-runs of the most expensive prefix. The pins
     hold the gated corpus (bounded by the input), exactly what the
-    Spark-ML clean_corpus variant cached."""
+    Spark-ML clean_corpus variant cached.
+
+    ``shared_pairs`` (round 15): the persisted neardup_pairs_product
+    for this corpus flavor; when given, the per-gate LSH chain is
+    replaced by the restriction read (two semi-joins) — exactly equal
+    by pair-locality, and the oracle still replays the full chain."""
     gated = gate(docs).localCheckpoint()
     exact = exact_dedup(gated).localCheckpoint()
-    pairs = verified_pairs(exact.select("doc_id", "text"))
+    if shared_pairs is not None:
+        pairs = _restrict_pairs(shared_pairs, exact.select("doc_id"))
+    else:
+        pairs = verified_pairs(exact.select("doc_id", "text"))
     comp = connected_components(pairs, src="doc_a", dst="doc_b")
     losers = comp.filter(F.col("id") != F.col("comp")).select(
         F.col("id").alias("doc_id")
@@ -377,7 +458,9 @@ def q_corpus_clean_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark side still exercises every stage — quality gate, exact
     dedup, LSH candidates, CC, keep-one — end to end at every scale."""
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
-    return _clean_counts(docs)
+    return _clean_counts(
+        docs, shared_pairs=neardup_pairs_product(spark, sf_dir)
+    )
 
 
 @query("q_corpus_clean_scored", oracle=_clean_oracle(ok_cte=_kn_ok()))
@@ -395,7 +478,11 @@ def q_corpus_clean_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-joins against the three model tables (never broadcast — the
     vocabulary scales with the corpus), one per-doc rollup, one
     semi-join. Everything downstream is unchanged."""
-    return _clean_counts(load(spark, sf_dir, "documents"), gate=kn_quality_gate)
+    return _clean_counts(
+        load(spark, sf_dir, "documents"),
+        gate=kn_quality_gate,
+        shared_pairs=neardup_pairs_product(spark, sf_dir),
+    )
 
 
 def clipped_corpus(spark: SparkSession, sf_dir: str, mod: int = 1) -> DataFrame:
@@ -419,7 +506,18 @@ def clipped_corpus(spark: SparkSession, sf_dir: str, mod: int = 1) -> DataFrame:
         substring_clip,
     )
 
-    out = source_tagged_dir(f"clipped_mod{mod}", sf_dir, "documents")
+    # Fold the clip's operator config into the flavor (r15 advisory —
+    # the shard_inputs _PRODUCT_TAG rule): a GRAM_LEN/GRAM_STRIDE
+    # change must rebuild the product, not serve stale clips into
+    # every downstream oracle.
+    from kafka_clickhouse_implementation_spark.operators.corpus_ext import (
+        GRAM_LEN,
+        GRAM_STRIDE,
+    )
+
+    out = source_tagged_dir(
+        f"clipped_g{GRAM_LEN}s{GRAM_STRIDE}_mod{mod}", sf_dir, "documents"
+    )
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         docs = load(spark, sf_dir, "documents")
         if mod != 1:
@@ -479,7 +577,9 @@ def q_corpus_clean_clipped(spark: SparkSession, sf_dir: str) -> DataFrame:
     clipped = clipped_corpus(spark, sf_dir, mod=1).select(
         "doc_id", F.col("kept_text").alias("text")
     )
-    return _clean_counts(clipped)
+    return _clean_counts(
+        clipped, shared_pairs=neardup_pairs_product(spark, sf_dir, mod=1)
+    )
 
 
 @query("q_corpus_clean_clipped_sampled", oracle=_clipped_oracle(sampled=True))
@@ -502,7 +602,9 @@ def q_corpus_clean_clipped_sampled(spark: SparkSession, sf_dir: str) -> DataFram
     clipped = clipped_corpus(spark, sf_dir, mod=10).select(
         "doc_id", F.col("kept_text").alias("text")
     )
-    return _clean_counts(clipped)
+    return _clean_counts(
+        clipped, shared_pairs=neardup_pairs_product(spark, sf_dir, mod=10)
+    )
 
 
 # ---------------------------------------------------------------------
@@ -649,8 +751,9 @@ def _corpus_export(
         .select("doc_id")
     )
     kept_exact = ok.join(winners, "doc_id", "left_semi")
-    pairs = verified_pairs(
-        kept_exact.select("doc_id", F.col("ctext").alias("text"))
+    pairs = _restrict_pairs(
+        neardup_pairs_product(spark, sf_dir, mod=mod),
+        kept_exact.select("doc_id"),
     )
     compdf = connected_components(pairs, src="doc_a", dst="doc_b").select(
         F.col("id").alias("doc_id"), "comp"
@@ -848,4 +951,5 @@ def q_corpus_clean_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _clean_counts(
         load(spark, sf_dir, "documents"),
         gate=lambda d: nb_quality_gate(d, dfc=dfc),
+        shared_pairs=neardup_pairs_product(spark, sf_dir),
     )

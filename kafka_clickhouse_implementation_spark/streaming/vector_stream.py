@@ -548,6 +548,14 @@ def stream_ann_index_upsert(spark: SparkSession, sf_dir: str) -> tuple[str, str]
         shutil.rmtree(ckpt, ignore_errors=True)
         if os.path.exists(marker):
             os.remove(marker)
+        # (r15 advisory) the epoch-2 recode marker describes rows in
+        # the table being invalidated — a surviving marker after this
+        # rebuild would make ann_index_retrain skip the re-code and
+        # search epoch-2 books against a table holding no epoch-2
+        # rows. Drop it with the table it certifies.
+        recode_marker = os.path.join(base, "ann_codes_recode_EPOCH2")
+        if os.path.exists(recode_marker):
+            os.remove(recode_marker)
     deduped = (
         spark.readStream.schema("vec_id long, eq array<long>")
         .option("maxFilesPerTrigger", "1")
@@ -571,8 +579,13 @@ def stream_ann_index_upsert(spark: SparkSession, sf_dir: str) -> tuple[str, str]
     if not q.awaitTermination(600):
         q.stop()
         raise TimeoutError("ann index upsert stream did not drain in 600s")
-    with open(marker, "w") as f:
-        f.write(books_identity + "\n")
+    # Preserve the marker's mtime on a no-op incremental drain: the
+    # mtime is the epoch-1 table's BUILD identity, folded into the
+    # recode marker's identity below (r15 advisory) — rewriting it
+    # every call would force a spurious epoch-2 re-code per run.
+    if not _marker_current():
+        with open(marker, "w") as f:
+            f.write(books_identity + "\n")
     return root, path
 
 
@@ -766,7 +779,16 @@ def ann_index_retrain(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     recode_marker = os.path.join(
         os.path.dirname(path), "ann_codes_recode_EPOCH2"
     )
-    ep2_identity = f"{ep2}|{os.stat(marker).st_mtime_ns}"
+    # The recode marker certifies epoch-2 rows IN one specific build of
+    # the epoch-1 coded table, so its identity folds in the DRAINED
+    # marker's mtime (stable across no-op incremental drains, new on
+    # every from-scratch rebuild) alongside the epoch-2 books' own
+    # identity (r15 advisory — belt to the invalidation-branch delete).
+    drained = os.path.join(os.path.dirname(path), "ann_codes_upsert_DRAINED")
+    ep2_identity = (
+        f"{ep2}|{os.stat(marker).st_mtime_ns}"
+        f"|{os.stat(drained).st_mtime_ns}"
+    )
 
     def _recode_current() -> bool:
         try:

@@ -171,3 +171,57 @@ def test_corpus_export_ships_exactly_the_kept_set(spark, sf_dir):
     ).join(audit.select("doc_id", "fp"), "doc_id")
     assert onfp.filter("fp_disk <> fp").count() == 0
     audit.unpersist()
+
+
+def test_pair_product_restriction_equals_direct(spark):
+    """r15 pair-product soundness: for the NB-gated kept set S, the
+    persisted full-corpus pair frame restricted to S×S equals the pair
+    frame computed directly over S — the pair-locality property the
+    shared product rests on (minhash signatures, band keys, and exact
+    Jaccard are all independent of which other docs exist)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from kafka_clickhouse_implementation_spark.io import load
+    from kafka_clickhouse_implementation_spark.operators.minhash_portable import (
+        verified_pairs,
+    )
+    from kafka_clickhouse_implementation_spark.operators.nb_quality import (
+        corpus_features,
+    )
+    from kafka_clickhouse_implementation_spark.pipelines.corpus import (
+        _restrict_pairs,
+        exact_dedup,
+        nb_quality_gate,
+        neardup_pairs_product,
+    )
+
+    from kafka_clickhouse_implementation_spark.pipelines.corpus import (
+        quality_filter,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    docs = load(spark, sf_dir, "documents")
+    product = neardup_pairs_product(spark, sf_dir)
+    assert product.count() > 0  # non-vacuous product
+    dfc = corpus_features(spark, sf_dir)
+    for gate in (
+        quality_filter,
+        lambda d: nb_quality_gate(d, dfc=dfc),
+    ):
+        kept = exact_dedup(gate(docs)).localCheckpoint()
+        direct = sorted(
+            map(tuple, verified_pairs(kept.select("doc_id", "text")).collect())
+        )
+        via_product = sorted(
+            map(
+                tuple,
+                _restrict_pairs(product, kept.select("doc_id")).collect(),
+            )
+        )
+        assert direct == via_product
+    # non-vacuous restriction: the heuristic-gated set keeps near-dup
+    # mass at this SF (the NB gate's kept set may legitimately have 0)
+    heur = exact_dedup(quality_filter(docs))
+    assert _restrict_pairs(product, heur.select("doc_id")).count() > 0

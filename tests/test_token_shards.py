@@ -305,3 +305,32 @@ def test_resampled_shards_product_shape(spark):
         r.n_tokens for r in q_shard_mixture_resampled(spark, SF).collect()
     )
     assert total_files == total_rollup
+
+
+def test_stream_curriculum_equals_batch_and_wire_has_dups(spark):
+    """C192 acceptance: (a) the streamed curriculum pack equals the
+    batch C189 pack row for row; (b) the document wire actually
+    re-delivers duplicate doc_ids (so the stateful dedup stage the
+    streamed path runs is load-bearing, not decorative)."""
+    from kafka_clickhouse_implementation_spark.pipelines.shards import (
+        SHARD_SLICE_MOD,
+        q_stream_shards_curriculum,
+        q_token_shards_curriculum,
+    )
+    from kafka_clickhouse_implementation_spark.streaming.corpus_stream import (
+        _DOC_WIRE_SCHEMA,
+        document_wire,
+    )
+
+    streamed = sorted(
+        map(tuple, q_stream_shards_curriculum(spark, SF).collect())
+    )
+    batch = sorted(map(tuple, q_token_shards_curriculum(spark, SF).collect()))
+    assert streamed == batch
+    wire, _base = document_wire(spark, SF)
+    raw = (
+        spark.read.schema(_DOC_WIRE_SCHEMA)
+        .json(wire)
+        .filter(F.col("doc_id") % SHARD_SLICE_MOD == 0)
+    )
+    assert raw.count() > raw.select("doc_id").distinct().count()

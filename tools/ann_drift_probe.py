@@ -1,8 +1,10 @@
 #!/usr/bin/env python
-"""ANN codebook-drift probe — the r13 verdict's #5, measurement half:
-quantify the recall decay a DISTRIBUTION SHIFT inflicts on an index
-searched with STALE codebooks, and the recovery a re-train (the C188
-path) buys.
+"""ANN codebook-drift probe + search-parameter SWEEP (r13 verdict #5
+measurement half; r14 verdict #4 tuning half): quantify the recall
+decay a DISTRIBUTION SHIFT inflicts on an index searched with STALE
+codebooks, the recovery a re-train (the C188 path) buys, and how the
+search config (nprobe x shortlist) moves recall on both the original
+and the shifted query segments.
 
 Setup: the original embeddings plus a SHIFTED segment (every vector
 displaced by a constant ±2·mean|x| per-dimension offset — a new region
@@ -13,10 +15,11 @@ corpus. Two indexes over the SAME combined corpus:
               in through C178 ingest: new vectors coded by old books);
   retrained — books trained on the COMBINED corpus (what C188's
               epoch-2 rebuild produces).
-Both searched with the shared _ivfpq_search plan; recall@TOPK measured
-against exact brute-force truth, split by query segment (original vs
-shifted queries). Also records how the shifted segment crowds the
-stale coarse lists (occupancy skew — the geometric cause of the decay).
+Each searched with the shared _ivfpq_search plan at every cell of
+NPROBE in {2,4,8} x SHORT_R in {30,60}; recall@5 and recall@10
+measured against exact brute-force truth, split by query segment.
+Also records how the shifted segment crowds the stale coarse lists
+(occupancy skew — the geometric cause of the decay).
 
 Usage: python tools/ann_drift_probe.py [sf_dir] [out_json]
 Writes docs/ANN_DRIFT.json.
@@ -37,6 +40,9 @@ from kafka_clickhouse_implementation_spark.session import get_spark  # noqa: E40
 
 SPAN = 10_000  # shifted-segment vec_id offset (multiple of Q_EVERY)
 DRIFT_DIR = "/tmp/spark_graft_scale/ann_drift"
+SWEEP_NPROBE = (2, 4, 8)
+SWEEP_SHORT_R = (30, 60)
+RECALL_KS = (5, 10)
 
 
 def build_combined(spark, src: str) -> str:
@@ -62,28 +68,35 @@ def build_combined(spark, src: str) -> str:
 
 
 def recalls(spark, search_df, truth) -> dict:
-    from kafka_clickhouse_implementation_spark.operators.clustering import TOPK
-
-    got = search_df.select("query_id", "neighbor_id")
-    hit = got.join(truth, ["query_id", "neighbor_id"]).groupBy(
-        "query_id"
-    ).agg(F.count(F.lit(1)).alias("h"))
-    per_q = (
-        truth.select("query_id").distinct()
-        .join(hit, "query_id", "left")
-        .select(
-            "query_id",
-            (F.coalesce("h", F.lit(0)) / float(TOPK)).alias("r"),
-        )
-    )
+    """recall@k for k in RECALL_KS, split orig/shifted. search_df must
+    carry (query_id, rank, neighbor_id) with rank up to max(RECALL_KS);
+    truth carries (query_id, neighbor_id, rk) up to the same depth."""
     out = {}
-    for label, pred in (("orig", f"query_id < {SPAN}"),
-                        ("shifted", f"query_id >= {SPAN}")):
-        row = per_q.filter(pred).agg(
-            F.avg("r").alias("r"), F.count(F.lit(1)).alias("n")
-        ).first()
-        out[f"recall_{label}"] = round(float(row.r), 4)
-        out[f"n_queries_{label}"] = int(row.n)
+    got = search_df.select("query_id", "rank", "neighbor_id").localCheckpoint()
+    for k in RECALL_KS:
+        hit = (
+            got.filter(F.col("rank") <= k)
+            .join(
+                truth.filter(F.col("rk") <= k), ["query_id", "neighbor_id"]
+            )
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("h"))
+        )
+        per_q = (
+            truth.select("query_id").distinct()
+            .join(hit, "query_id", "left")
+            .select(
+                "query_id",
+                (F.coalesce("h", F.lit(0)) / float(k)).alias("r"),
+            )
+        )
+        for label, pred in (("orig", f"query_id < {SPAN}"),
+                            ("shifted", f"query_id >= {SPAN}")):
+            row = per_q.filter(pred).agg(
+                F.avg("r").alias("r"), F.count(F.lit(1)).alias("n")
+            ).first()
+            out[f"recall{k}_{label}"] = round(float(row.r), 4)
+            out[f"n_queries_{label}"] = int(row.n)
     return out
 
 
@@ -94,7 +107,6 @@ def main() -> None:
 
     from kafka_clickhouse_implementation_spark.operators.clustering import (
         Q_EVERY,
-        TOPK,
         _dist2_arrays,
         _eq_arrays,
         _ivfpq_search,
@@ -111,6 +123,7 @@ def main() -> None:
     drift = build_combined(spark, src)
     eq = _eq_arrays(spark, drift).localCheckpoint()
     pts = _split_subspaces(_pts_long(spark, drift))
+    kmax = max(RECALL_KS)
 
     # exact brute-force truth for every query over the combined corpus
     q = eq.filter(F.col("vec_id") % Q_EVERY == 0).select(
@@ -128,12 +141,18 @@ def main() -> None:
                 Window.partitionBy("query_id").orderBy("d", "neighbor_id")
             ),
         )
-        .filter(F.col("rk") <= TOPK)
-        .select("query_id", "neighbor_id")
+        .filter(F.col("rk") <= kmax)
+        .select("query_id", "neighbor_id", "rk")
         .localCheckpoint()
     )
 
-    artifact: dict = {"source": src, "span": SPAN, "topk": TOPK}
+    artifact: dict = {
+        "source": src,
+        "span": SPAN,
+        "recall_ks": list(RECALL_KS),
+        "sweep_nprobe": list(SWEEP_NPROBE),
+        "sweep_short_r": list(SWEEP_SHORT_R),
+    }
 
     def run_index(label: str, books_src_dir: str) -> None:
         root = ann_index_product(spark, books_src_dir)
@@ -150,8 +169,17 @@ def main() -> None:
             F.col("sub").cast("int").alias("sub"), "vec_id", "cid"
         )
         cdf = spark.read.parquet(os.path.join(root, "pq_adc_book"))
-        res = _ivfpq_search(spark, eq, pts, coarse_carr, asg, codes, cdf)
-        artifact[label] = recalls(spark, res, truth)
+        cells = {}
+        for nprobe in SWEEP_NPROBE:
+            for short_r in SWEEP_SHORT_R:
+                res = _ivfpq_search(
+                    spark, eq, pts, coarse_carr, asg, codes, cdf,
+                    nprobe=nprobe, short_r=short_r, topk=kmax,
+                )
+                cells[f"nprobe{nprobe}_short{short_r}"] = recalls(
+                    spark, res, truth
+                )
+        artifact[label] = {"sweep": cells}
         # occupancy skew of the SHIFTED segment across coarse lists
         occ = (
             asg.filter(F.col("vec_id") >= SPAN)
@@ -176,8 +204,10 @@ def main() -> None:
         "stale_books = trained on the original corpus only, searching the"
         " combined corpus (the maintained-index-after-drift state);"
         " retrained_books = the C188 epoch-2 rebuild on the combined"
-        " corpus. recall_shifted under stale books is the decay the"
-        " retrain path exists to fix."
+        " corpus. recall*_shifted under stale books is the decay the"
+        " retrain path exists to fix; the sweep grid is the r14"
+        " verdict's nprobe x shortlist tuning pass — the certified"
+        " tuned config (C193 q_ann_ivfpq_tuned) is chosen from it."
     )
     with open(out_json, "w") as f:
         json.dump(artifact, f, indent=1)
