@@ -366,8 +366,20 @@ def nb_scores(
         )
         .select("doc_id")
     )
-    bal = posd.withColumn("is_target", F.lit(1)).unionByName(
-        negd.withColumn("is_target", F.lit(0))
+    # Pin the two MODEL-SIZED training frames (r15, the r14 verdict's
+    # #7 — the real q_corpus_clean_nb bottleneck): bal feeds cls AND
+    # the prior counts, cls feeds ctot AND llr, and each consumer sits
+    # under its own broadcast boundary, so the unpinned plan re-derives
+    # the whole train subtree (docs scan → label split → negative
+    # sample → feature join) 4-6x — measured 34.6 s vs 7.4 s pinned at
+    # sf0.1. Both pins are bounded by the model, never the corpus:
+    # bal is the balanced train-id set, cls is one row per feature
+    # bucket (NB_BUCKETS). The NB_PIN policy above governs the
+    # corpus-sized FEATURE frame and is unchanged.
+    bal = (
+        posd.withColumn("is_target", F.lit(1))
+        .unionByName(negd.withColumn("is_target", F.lit(0)))
+        .localCheckpoint()
     )
     trn = dfc.join(bal, "doc_id")
     cls = trn.groupBy("b").agg(
@@ -377,7 +389,7 @@ def nb_scores(
         F.sum(F.when(F.col("is_target") == 0, F.col("cnt")).otherwise(0))
         .cast("long")
         .alias("cneg"),
-    )
+    ).localCheckpoint()
     ctot = cls.agg(
         F.coalesce(F.sum("cpos"), F.lit(0)).cast("long").alias("tpos"),
         F.coalesce(F.sum("cneg"), F.lit(0)).cast("long").alias("tneg"),
@@ -387,15 +399,26 @@ def nb_scores(
         F.count(F.when(F.col("is_target") == 0, 1)).cast("long").alias("nneg"),
         F.count(F.lit(1)).cast("long").alias("ntr"),
     )
+    # llr/prior are pinned for a different reason than bal/cls: their
+    # pln-kernel stages stack selectExprs whose aliases are each
+    # referenced several times downstream, and Catalyst's projection
+    # collapse re-expands every reference — leaving them lazy made the
+    # SCORING plan's optimization itself the cost (measured: the keep
+    # set materialized in 27.7 s with the polynomial trees inlined,
+    # ~2 s against the pinned 4096-row/1-row tables).
     llr = _nano_stage_cols(
         cls.crossJoin(F.broadcast(ctot)).selectExpr(
             "b", f"{_PPOS_SQL} AS pt", f"{_PNEG_SQL} AS ps"
         ),
         ["b"],
+    ).localCheckpoint()
+    prior = (
+        _nano_stage_cols(
+            prct.selectExpr(f"{_PRPOS_SQL} AS pt", f"{_PRNEG_SQL} AS ps"), []
+        )
+        .withColumnRenamed("nano", "prior_nano")
+        .localCheckpoint()
     )
-    prior = _nano_stage_cols(
-        prct.selectExpr(f"{_PRPOS_SQL} AS pt", f"{_PRNEG_SQL} AS ps"), []
-    ).withColumnRenamed("nano", "prior_nano")
     held = (
         dfc.join(lbl.filter("is_train = 0").select("doc_id"), "doc_id")
         if held_only

@@ -926,10 +926,17 @@ def nb_quality_gate(docs: DataFrame, dfc: DataFrame | None = None) -> DataFrame:
         nb_scores,
     )
 
+    # Pin the kept-id set (r15, the r14 verdict's #7 — measured at
+    # sf0.1: the unpinned semi-join re-derives the whole scoring
+    # subtree under a serial broadcast chain, 41.6 s vs 8.1 s for one
+    # evaluation; the pinned id frame is doc-count-sized). This was
+    # q_corpus_clean_nb's actual bottleneck — the pair frame the r14
+    # verdict suspected reads in <1 s from the shared product.
     keep = (
         nb_scores(docs, held_only=False, dfc=dfc)
         .filter(F.col("score_nano") > NB_GATE_NANO)
         .select("doc_id")
+        .localCheckpoint()
     )
     return docs.join(keep, "doc_id", "left_semi")
 

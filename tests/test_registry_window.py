@@ -19,56 +19,56 @@ from kafka_clickhouse_implementation_spark.registry import (
 )
 
 WINDOW_50 = [
-    "q_token_shards",  # changed/new
-    "q_stream_token_shards",  # changed/new
-    "q_shard_mixture",  # changed/new
-    "q_shard_mixture_resampled",  # changed/new
-    "q_stream_mixture_resampled",  # changed/new
-    "q_token_shards_resampled",  # changed/new
-    "q_shard_mixture_resampled_alt",  # changed/new
-    "q_stream_shards_upsert",  # changed/new
-    "q_ann_index_retrain",  # changed/new
-    "q_ann_index_upsert",  # changed/new
-    "q_ann_index_delete",  # changed/new
-    "q_token_shards_curriculum",  # changed/new
-    "q_tokenizer_export",  # changed/new
-    "q_substring_clip",  # changed/new
-    "q_corpus_clean_clipped",  # changed/new
-    "q_corpus_clean_clipped_sampled",  # changed/new
-    "q_corpus_export",  # changed/new
-    "q_corpus_export_full",  # changed/new
-    "q_dsir_weights",  # changed/new
-    "q_dsir_tiers",  # changed/new
-    "q_nb_quality",  # changed/new
-    "q_nb_pr_curve",  # changed/new
-    "q_corpus_clean_nb",  # changed/new
-    "q_stream_dsir",  # changed/new
-    "q_fingerprint",  # last green r7
-    "q_jsonl_roundtrip",  # last green r7
-    "q_kmeans_semantic",  # last green r7
-    "q_ks_test",  # last green r7
-    "q_lang_id",  # last green r7
-    "q_lightweight_delete",  # last green r7
-    "q_mann_whitney",  # last green r7
-    "q_moving_sum",  # last green r7
-    "q_multi_search",  # last green r7
-    "q_multimodal_bytes",  # last green r7
-    "q_ngram_distance",  # last green r7
-    "q_ngram_jaccard",  # last green r7
-    "q_quality_score",  # last green r7
-    "q_roc_auc",  # last green r7
-    "q_rolling_hash",  # last green r7
-    "q_semantic_dedup",  # last green r7
-    "q_sparkbar",  # last green r7
-    "q_stream_chunk_dedup",  # last green r7
-    "q_stream_ivf_ingest",  # last green r7
-    "q_substring_dup",  # last green r7
-    "q_term_stats",  # last green r7
-    "q_tfidf_top_terms",  # last green r7
-    "q_token_count",  # last green r7
-    "q_token_count_bpe",  # last green r7
-    "q_tpch_q10_shape",  # last green r7
-    "q_tpch_q12_shape",  # last green r7
+    "q_stream_bpe",
+    "q_unigram_tokenizer_export",
+    "q_stream_shards_curriculum",
+    "q_ann_ivfpq_tuned",
+    "q_corpus_clean_nb",
+    "q_corpus_clean_portable",
+    "q_corpus_clean_sampled",
+    "q_corpus_clean_scored",
+    "q_corpus_clean_clipped",
+    "q_corpus_clean_clipped_sampled",
+    "q_corpus_export",
+    "q_corpus_export_full",
+    "q_stream_shards_upsert",
+    "q_ann_index_upsert",
+    "q_ann_index_delete",
+    "q_ann_index_retrain",
+    "q_dsir_weights",
+    "q_token_shards_curriculum",
+    "legacy_asof_cogroup",
+    "q_tpch_q13_shape",
+    "q_tpch_q14_shape",
+    "q_tpch_q15_shape",
+    "q_tpch_q16_shape",
+    "q_tpch_q17_shape",
+    "q_tpch_q18_shape",
+    "q_tpch_q19_shape",
+    "q_update_mutation",
+    "q_url_funcs",
+    "q_window_range_frame",
+    "q_agg_state_merge",
+    "q_bigram_counts",
+    "q_bit_aggs",
+    "q_cluster_prototypes",
+    "q_collect_tokens",
+    "q_collocations",
+    "q_corpus_funnel",
+    "q_delta_sum",
+    "q_doc_chunks",
+    "q_edit_distance",
+    "q_embedding_norms",
+    "q_embedding_quantize",
+    "q_event_paths",
+    "q_gap_fill",
+    "q_grouping_sets",
+    "q_heavy_hitters",
+    "q_histogram",
+    "q_hll_sketch_union",
+    "q_map_funcs",
+    "q_multimodal_flac",
+    "q_multimodal_flac_stereo",
 ]
 
 

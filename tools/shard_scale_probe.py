@@ -132,6 +132,60 @@ def time_chain(spark, sf_dir: str) -> dict:
     seqs.write.mode("overwrite").partitionBy("shard").parquet(wdir)
     out["write_sec"] = round(time.monotonic() - t0, 1)
     shutil.rmtree(wdir, ignore_errors=True)
+
+    # --- r15 extensions (the r14 verdict's #8): the two newest pack
+    # paths. Both ride the kept/instance tables, which the quality gate
+    # bounds to ~1% of the corpus at every scale here — recorded for
+    # the same reason weights/repack are: a superlinear step would
+    # still be a real cliff.
+    from kafka_clickhouse_implementation_spark.pipelines.shards import (
+        _assemble_sequences,
+        _pack_with_fp,
+        curriculum_positioned_stream,
+    )
+
+    # C189: the curriculum interleave (one instance-table window) +
+    # the schedule-ordered ranged-prefix pack
+    t0 = time.monotonic()
+    cstream = curriculum_positioned_stream(inst, wpieces, vocab, wp_bc)
+    out["n_curr_seqs"] = _assemble_sequences(
+        cstream, "doc_id div 1000"
+    ).count()
+    out["curriculum_sec"] = round(time.monotonic() - t0, 1)
+
+    # C186: one incremental upsert epoch — fingerprinted pack diffed
+    # against the previously written versioned table (latest-per-key
+    # rank + fp equi-join + tombstone anti-join), the per-trigger
+    # emission machinery of the stream-written product
+    from kafka_clickhouse_implementation_spark.plans.upsert import (
+        append_versions,
+        read_latest,
+    )
+
+    updir = os.path.join("/tmp/spark_graft_scale", "shard_probe_upsert")
+    shutil.rmtree(updir, ignore_errors=True)
+    cur = _pack_with_fp(inst, wpieces, vocab, wp_bc).localCheckpoint()
+    append_versions(
+        cur.withColumn("deleted", F.lit(False)).withColumn(
+            "version", F.lit(0).cast("long")
+        ),
+        updir,
+    )
+    t0 = time.monotonic()
+    prev_live = (
+        read_latest(spark, updir, ("seq_id",), "version")
+        .filter(~F.col("deleted"))
+        .select("seq_id", F.col("fp").alias("prev_fp"))
+    )
+    changed = (
+        cur.join(prev_live, "seq_id", "left")
+        .filter(F.col("prev_fp").isNull() | (F.col("prev_fp") != F.col("fp")))
+    )
+    vanished = prev_live.join(cur.select("seq_id"), "seq_id", "left_anti")
+    out["n_upsert_changed"] = changed.count()  # 0 by construction
+    out["n_upsert_vanished"] = vanished.count()
+    out["upsert_diff_sec"] = round(time.monotonic() - t0, 1)
+    shutil.rmtree(updir, ignore_errors=True)
     return out
 
 
