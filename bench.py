@@ -292,6 +292,37 @@ def main() -> None:
         builder(spark, sf_dir)
         fixture_builds[label + "_first_touch"] = round(time.time() - t0, 3)
 
+    # The shared near-dup pair products (r15): one LSH chain per text
+    # flavor, consumed by every composed clean/export via restriction
+    # semi-joins — a one-time corpus artifact, reported as its own
+    # fixture line so the headline slots time the operators.
+    from kafka_clickhouse_implementation_spark.pipelines.corpus import (
+        neardup_pairs_product,
+    )
+
+    for mod in (0, 1, 10):
+        t0 = time.time()
+        neardup_pairs_product(spark, sf_dir, mod=mod)
+        fixture_builds[f"neardup_pairs_m{mod}_first_touch"] = round(
+            time.time() - t0, 3
+        )
+
+    # The tokenizer-artifact products (C190/C191)
+    from kafka_clickhouse_implementation_spark.operators.unigram_lm import (
+        write_unigram_tokenizer,
+    )
+    from kafka_clickhouse_implementation_spark.pipelines.shards import (
+        write_tokenizer,
+    )
+
+    for label, builder in (
+        ("write_tokenizer", write_tokenizer),
+        ("write_unigram_tokenizer", write_unigram_tokenizer),
+    ):
+        t0 = time.time()
+        builder(spark, sf_dir)
+        fixture_builds[label + "_first_touch"] = round(time.time() - t0, 3)
+
     # Cold-scan warm-up for the wide columns the text/embedding tier
     # reads (q_jaccard_pairs' 5.2x r6 "regression" was first-touch
     # parquet page reads + codegen on untouched-since-r2 code — warm

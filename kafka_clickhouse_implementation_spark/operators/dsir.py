@@ -397,6 +397,10 @@ def dsir_scores_from_features(dfc: DataFrame, tgt: DataFrame) -> DataFrame:
         )
         .selectExpr("b", "et", "tt", "tt * tt AS tt2", "es", "ts", "ts * ts AS ts2")
         .selectExpr("b", f"{_LLR_NANO_SQL} AS llr_nano")
+        # pinned for the nb_quality llr reason (r15): the stacked pln
+        # stages re-expand under projection collapse inside every
+        # consumer plan; the table is N_BUCKETS rows — model-sized
+        .localCheckpoint()
     )
     return (
         dfc.join(F.broadcast(llr), "b")

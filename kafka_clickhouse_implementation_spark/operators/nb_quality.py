@@ -366,20 +366,28 @@ def nb_scores(
         )
         .select("doc_id")
     )
-    # Pin the two MODEL-SIZED training frames (r15, the r14 verdict's
-    # #7 — the real q_corpus_clean_nb bottleneck): bal feeds cls AND
-    # the prior counts, cls feeds ctot AND llr, and each consumer sits
-    # under its own broadcast boundary, so the unpinned plan re-derives
-    # the whole train subtree (docs scan → label split → negative
-    # sample → feature join) 4-6x — measured 34.6 s vs 7.4 s pinned at
-    # sf0.1. Both pins are bounded by the model, never the corpus:
-    # bal is the balanced train-id set, cls is one row per feature
-    # bucket (NB_BUCKETS). The NB_PIN policy above governs the
-    # corpus-sized FEATURE frame and is unchanged.
-    bal = (
+    # Pin the two MODEL-SIZED training frames ON THE GATE PATH ONLY
+    # (r15, the r14 verdict's #7 — the real q_corpus_clean_nb
+    # bottleneck): bal feeds cls AND the prior counts, cls feeds ctot
+    # AND llr, and each consumer sits under its own broadcast
+    # boundary, so the unpinned gate plan re-derived the whole train
+    # subtree (docs scan → label split → negative sample → feature
+    # join) 4-6x — measured 34.6 s vs 7.4 s pinned at sf0.1. Both
+    # pins are bounded by the model, never the corpus: bal is the
+    # balanced train-id set, cls is one row per feature bucket
+    # (NB_BUCKETS). The held-only evaluators (q_nb_quality /
+    # q_nb_pr_curve) evaluate the subtree ONCE, so for them the four
+    # eager materializations are pure overhead (measured sf1:
+    # q_nb_pr_curve 2.8 → 5.1 s pinned) — the pin keys off the same
+    # caller split the NB_PIN policy above uses; that policy (the
+    # corpus-sized FEATURE frame) is unchanged.
+    pin_model = not held_only
+    def _pin(df):
+        return df.localCheckpoint() if pin_model else df
+
+    bal = _pin(
         posd.withColumn("is_target", F.lit(1))
         .unionByName(negd.withColumn("is_target", F.lit(0)))
-        .localCheckpoint()
     )
     trn = dfc.join(bal, "doc_id")
     cls = trn.groupBy("b").agg(
@@ -389,7 +397,8 @@ def nb_scores(
         F.sum(F.when(F.col("is_target") == 0, F.col("cnt")).otherwise(0))
         .cast("long")
         .alias("cneg"),
-    ).localCheckpoint()
+    )
+    cls = _pin(cls)
     ctot = cls.agg(
         F.coalesce(F.sum("cpos"), F.lit(0)).cast("long").alias("tpos"),
         F.coalesce(F.sum("cneg"), F.lit(0)).cast("long").alias("tneg"),
@@ -406,18 +415,18 @@ def nb_scores(
     # SCORING plan's optimization itself the cost (measured: the keep
     # set materialized in 27.7 s with the polynomial trees inlined,
     # ~2 s against the pinned 4096-row/1-row tables).
-    llr = _nano_stage_cols(
-        cls.crossJoin(F.broadcast(ctot)).selectExpr(
-            "b", f"{_PPOS_SQL} AS pt", f"{_PNEG_SQL} AS ps"
-        ),
-        ["b"],
-    ).localCheckpoint()
-    prior = (
+    llr = _pin(
+        _nano_stage_cols(
+            cls.crossJoin(F.broadcast(ctot)).selectExpr(
+                "b", f"{_PPOS_SQL} AS pt", f"{_PNEG_SQL} AS ps"
+            ),
+            ["b"],
+        )
+    )
+    prior = _pin(
         _nano_stage_cols(
             prct.selectExpr(f"{_PRPOS_SQL} AS pt", f"{_PRNEG_SQL} AS ps"), []
-        )
-        .withColumnRenamed("nano", "prior_nano")
-        .localCheckpoint()
+        ).withColumnRenamed("nano", "prior_nano")
     )
     held = (
         dfc.join(lbl.filter("is_train = 0").select("doc_id"), "doc_id")
