@@ -220,6 +220,7 @@ HEADLINE = [
     "q_unigram_tokenizer_export",
     "q_stream_shards_curriculum",
     "q_ann_ivfpq_tuned",
+    "q_token_shards_unigram",
 ]
 
 SEGMENT_N = 8  # queries per probe-bracketed segment (r14)
@@ -315,9 +316,14 @@ def main() -> None:
         write_tokenizer,
     )
 
+    from kafka_clickhouse_implementation_spark.operators.unigram_lm import (
+        unigram_shards_product,
+    )
+
     for label, builder in (
         ("write_tokenizer", write_tokenizer),
         ("write_unigram_tokenizer", write_unigram_tokenizer),
+        ("unigram_shards_product", unigram_shards_product),
     ):
         t0 = time.time()
         builder(spark, sf_dir)

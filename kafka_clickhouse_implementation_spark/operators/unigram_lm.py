@@ -690,3 +690,166 @@ def q_unigram_tokenizer_export(
         )
         .orderBy("piece")
     )
+
+
+# ---------------------------------------------------------------------
+# C194 — UNIGRAM-tokenized packed shards (round 15): the r14 verdict's
+# missing-list #2 ended "...and no shard product can ride it". C191
+# ships the unigram tokenizer as files; this packs the corpus slice
+# THROUGH those files — the C177 recipe with the EM segmentation in
+# place of the BPE one, so both tokenizer families now back a written,
+# read-back-certified training product. The per-word ordered piece
+# table falls out of the persisted segmentation arrays (posexplode);
+# the oracle re-derives the SAME ordered pieces from its backtrack
+# recursion (start position = 127 - (enc % 128), rank by start), then
+# replays vocabulary ranking, the (doc_id, widx, pidx) global order,
+# EOS-per-doc, and the per-sequence rollup — the C177 oracle shape
+# verbatim over the EM chain.
+#
+# Scale shape: identical to C177 — the segmentation join is one
+# equi-join on the word (byte-gated broadcast), both global orders are
+# ranged_prefix, the shuffle carries (seq_id, pos, tok_id) ints. The
+# slice (doc_id % 10) bounds the ORACLE's stream volume, the Spark
+# side is the full packing plan.
+# ---------------------------------------------------------------------
+
+
+def unigram_shards_product(spark: SparkSession, sf_dir: str) -> str:
+    """Write the unigram-tokenized shard product under the C191 root
+    (shards/ partitioned by shard); returns the shards dir."""
+    import os
+
+    from kafka_clickhouse_implementation_spark.pipelines.shards import (
+        pack_sequences,
+        token_vocab,
+        wpieces_fits_broadcast,
+    )
+
+    root = write_unigram_tokenizer(spark, sf_dir)
+    shards_dir = os.path.join(root, "shards")
+    if not os.path.exists(os.path.join(shards_dir, "_SUCCESS")):
+        seg = spark.read.parquet(os.path.join(root, "seg"))
+        wpieces = seg.select(
+            "w", F.posexplode("segs").alias("pidx0", "piece")
+        ).select(
+            "w",
+            (F.col("pidx0") + 1).cast("long").alias("pidx"),
+            "piece",
+        )
+        vocab = token_vocab(wpieces)
+        docs = (
+            load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 10 == 0)
+            .select("doc_id", "source", "text")
+        )
+        (
+            pack_sequences(
+                docs, wpieces, vocab,
+                wp_broadcast=wpieces_fits_broadcast(wpieces),
+            )
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(shards_dir)
+        )
+    return shards_dir
+
+
+def _unigram_shards_oracle() -> str:
+    r = UNI_EXPORT_ROUNDS
+    eos = "</s>"
+    eos_widx = 2**31 - 1
+    seq_len = 128  # pipelines.shards.SEQ_LEN (kept literal: the oracle
+    # string is built at import time, before pipelines load)
+    final = f"""
+, pord AS MATERIALIZED (
+  SELECT b.w,
+         substring(b.w, CAST(127 - (t.enc % 128) AS INT) + 1,
+                   CAST(b.i - (127 - (t.enc % 128)) AS INT)) AS piece,
+         127 - (t.enc % 128) AS s
+  FROM btp{r} b JOIN dpt{r} t ON t.w = b.w AND t.i = b.i
+  WHERE b.i > 0
+), upieces AS MATERIALIZED (
+  SELECT w, piece,
+         CAST(row_number() OVER (PARTITION BY w ORDER BY s) AS BIGINT)
+           AS pidx
+  FROM pord
+), uvocab AS MATERIALIZED (
+  SELECT piece, CAST(row_number() OVER (ORDER BY piece) AS BIGINT) AS tok_id
+  FROM (SELECT DISTINCT piece FROM upieces)
+  UNION ALL
+  SELECT '{eos}' AS piece, CAST(0 AS BIGINT) AS tok_id
+), udocs AS MATERIALIZED (
+  SELECT doc_id, source, text FROM documents WHERE doc_id % 10 = 0
+), uwords AS (
+  SELECT doc_id, source, CAST(u.i + 1 AS BIGINT) AS widx,
+         l[CAST(u.i + 1 AS INTEGER)] AS w
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS l FROM udocs),
+       unnest(range(len(l))) AS u(i)
+), ustream AS MATERIALIZED (
+  SELECT t.doc_id, t.source, v.tok_id,
+         row_number() OVER (ORDER BY t.doc_id, t.widx, t.pidx) - 1 AS pos
+  FROM (
+    SELECT wo.doc_id, wo.source, wo.widx, up.pidx, up.piece
+    FROM (SELECT * FROM uwords WHERE w <> '') wo
+    JOIN upieces up USING (w)
+    UNION ALL
+    SELECT doc_id, source, CAST({eos_widx} AS BIGINT) AS widx,
+           CAST(1 AS BIGINT) AS pidx, '{eos}' AS piece
+    FROM udocs
+  ) t JOIN uvocab v USING (piece)
+), useqsrc AS (
+  SELECT seq_id, string_agg(source, ',' ORDER BY source) AS sources
+  FROM (SELECT DISTINCT pos // {seq_len} AS seq_id, source FROM ustream)
+  GROUP BY seq_id
+), useqs AS (
+  SELECT pos // {seq_len} AS seq_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(min(doc_id) AS BIGINT) AS first_doc,
+         CAST(max(doc_id) AS BIGINT) AS last_doc,
+         md5(string_agg(CAST(tok_id AS VARCHAR), ',' ORDER BY pos)) AS fp
+  FROM ustream GROUP BY pos // {seq_len}
+)
+SELECT CAST(s.seq_id AS BIGINT) AS seq_id, s.n_tokens, s.n_docs,
+       s.first_doc, s.last_doc, x.sources, s.fp
+FROM useqs s JOIN useqsrc x USING (seq_id)"""
+    return _oracle(
+        rounds=UNI_EXPORT_ROUNDS,
+        final_select=final,
+        multi=UNI_EXPORT_MULTI,
+    )
+
+
+@query("q_token_shards_unigram", oracle=_unigram_shards_oracle())
+def q_token_shards_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C194: packed training shards tokenized by the UNIGRAM-LM
+    release artifact — the corpus slice segmented through the
+    persisted C191 segmentation table, token ids from the ranked
+    distinct-piece vocabulary (EOS = 0), positions via ranged_prefix
+    over (doc_id, widx, pidx), SEQ_LEN rows written partitioned by
+    shard, read back with n_tokens and the content fingerprint
+    re-derived from the on-disk arrays. One hash certifies the EM
+    training, the stored segmentation, the token-id assignment, the
+    packing order, and the written files — the BPE pack's C177
+    certification, now on the second tokenizer family. Words longer
+    than {_MAX_WLEN} chars are outside the tokenizer's domain (module
+    docstring) and are skipped by both engines; every doc still
+    contributes its EOS."""
+    shards_dir = unigram_shards_product(spark, sf_dir)
+    return (
+        spark.read.option("basePath", shards_dir)
+        .parquet(shards_dir)
+        .select(
+            "seq_id",
+            F.size("tok_ids").cast("long").alias("n_tokens"),
+            "n_docs",
+            "first_doc",
+            "last_doc",
+            "sources",
+            F.md5(
+                F.concat_ws(
+                    ",", F.expr("transform(tok_ids, t -> CAST(t AS STRING))")
+                ).cast("binary")
+            ).alias("fp"),
+        )
+    )

@@ -19,6 +19,7 @@ from kafka_clickhouse_implementation_spark.registry import (
 )
 
 WINDOW_50 = [
+    "q_token_shards_unigram",
     "q_stream_bpe",
     "q_unigram_tokenizer_export",
     "q_stream_shards_curriculum",
@@ -36,6 +37,10 @@ WINDOW_50 = [
     "q_ann_index_delete",
     "q_ann_index_retrain",
     "q_dsir_weights",
+    "q_nb_quality",
+    "q_nb_pr_curve",
+    "q_stream_dsir",
+    "q_dsir_tiers",
     "q_token_shards_curriculum",
     "legacy_asof_cogroup",
     "q_tpch_q13_shape",
@@ -64,11 +69,6 @@ WINDOW_50 = [
     "q_gap_fill",
     "q_grouping_sets",
     "q_heavy_hitters",
-    "q_histogram",
-    "q_hll_sketch_union",
-    "q_map_funcs",
-    "q_multimodal_flac",
-    "q_multimodal_flac_stereo",
 ]
 
 

@@ -284,3 +284,60 @@ def test_em_converges_within_declared_rounds(spark, sf_dir):
     fixed = traj[UNI_ROUNDS - 1][1:]
     for row in traj[UNI_ROUNDS - 1 :]:
         assert row[1:] == fixed
+
+
+def test_unigram_shard_product_shape_and_detokenization(spark):
+    """C194 acceptance: (a) every stored segmentation concatenates
+    back to its word exactly (the pieces are a partition of w — the
+    detokenization guarantee); (b) the written shard product is
+    structurally sound: every sequence except the tail is SEQ_LEN
+    tokens, seq_ids dense from 0, shard == seq_id % N_SHARDS; (c) the
+    file total equals the per-doc accounting recomputed from the
+    segmentation table (sum of npieces over slice words + one EOS per
+    doc)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafka_clickhouse_implementation_spark.io import load
+    from kafka_clickhouse_implementation_spark.operators.unigram_lm import (
+        _MAX_WLEN,
+        unigram_shards_product,
+        write_unigram_tokenizer,
+    )
+    from kafka_clickhouse_implementation_spark.pipelines.shards import (
+        N_SHARDS,
+        SEQ_LEN,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    root = write_unigram_tokenizer(spark, sf)
+    seg = spark.read.parquet(os.path.join(root, "seg"))
+    bad = seg.filter(F.expr("array_join(segs, '') <> w")).count()
+    assert bad == 0
+
+    shards_dir = unigram_shards_product(spark, sf)
+    shards = spark.read.option("basePath", shards_dir).parquet(shards_dir)
+    rows = shards.select("seq_id", "shard", F.size("tok_ids").alias("n")).collect()
+    ids = sorted(r.seq_id for r in rows)
+    assert ids == list(range(len(ids)))
+    for r in rows:
+        assert r.shard == r.seq_id % N_SHARDS
+        if r.seq_id != ids[-1]:
+            assert r.n == SEQ_LEN
+        else:
+            assert 0 < r.n <= SEQ_LEN
+
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") % 10 == 0)
+    words = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(f"w <> '' AND length(w) <= {_MAX_WLEN}")
+    )
+    n_word_tokens = (
+        words.join(seg.select("w", "npieces"), "w")
+        .agg(F.sum("npieces"))
+        .first()[0]
+    )
+    n_eos = docs.count()
+    total_files = shards.agg(F.sum(F.size("tok_ids"))).first()[0]
+    assert total_files == int(n_word_tokens) + int(n_eos)
