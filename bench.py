@@ -221,6 +221,7 @@ HEADLINE = [
     "q_stream_shards_curriculum",
     "q_ann_ivfpq_tuned",
     "q_token_shards_unigram",
+    "q_stream_token_shards_unigram",
 ]
 
 SEGMENT_N = 8  # queries per probe-bracketed segment (r14)

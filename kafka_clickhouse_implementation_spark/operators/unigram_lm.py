@@ -714,6 +714,31 @@ def q_unigram_tokenizer_export(
 # ---------------------------------------------------------------------
 
 
+def _unigram_pack_inputs(
+    spark: SparkSession, root: str
+) -> tuple[DataFrame, DataFrame]:
+    """(wpieces, vocab) derived from the PERSISTED C191 segmentation
+    table — the ordered per-word piece rows fall out of the stored segs
+    arrays (posexplode), the vocabulary is the ranked distinct pieces.
+    Shared by the batch product (C194) and its streaming twin (C195) so
+    both certify the same release artifact."""
+    import os
+
+    from kafka_clickhouse_implementation_spark.pipelines.shards import (
+        token_vocab,
+    )
+
+    seg = spark.read.parquet(os.path.join(root, "seg"))
+    wpieces = seg.select(
+        "w", F.posexplode("segs").alias("pidx0", "piece")
+    ).select(
+        "w",
+        (F.col("pidx0") + 1).cast("long").alias("pidx"),
+        "piece",
+    )
+    return wpieces, token_vocab(wpieces)
+
+
 def unigram_shards_product(spark: SparkSession, sf_dir: str) -> str:
     """Write the unigram-tokenized shard product under the C191 root
     (shards/ partitioned by shard); returns the shards dir."""
@@ -721,22 +746,13 @@ def unigram_shards_product(spark: SparkSession, sf_dir: str) -> str:
 
     from kafka_clickhouse_implementation_spark.pipelines.shards import (
         pack_sequences,
-        token_vocab,
         wpieces_fits_broadcast,
     )
 
     root = write_unigram_tokenizer(spark, sf_dir)
     shards_dir = os.path.join(root, "shards")
     if not os.path.exists(os.path.join(shards_dir, "_SUCCESS")):
-        seg = spark.read.parquet(os.path.join(root, "seg"))
-        wpieces = seg.select(
-            "w", F.posexplode("segs").alias("pidx0", "piece")
-        ).select(
-            "w",
-            (F.col("pidx0") + 1).cast("long").alias("pidx"),
-            "piece",
-        )
-        vocab = token_vocab(wpieces)
+        wpieces, vocab = _unigram_pack_inputs(spark, root)
         docs = (
             load(spark, sf_dir, "documents")
             .filter(F.col("doc_id") % 10 == 0)
@@ -852,4 +868,91 @@ def q_token_shards_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("binary")
             ).alias("fp"),
         )
+    )
+
+
+# ---------------------------------------------------------------------
+# C195 — STREAMING-built unigram shards (round 15): the -State twin of
+# C194, closing the pattern every other shard product already carries
+# (C179 for the BPE pack, C185/C186 for the resampled mixture, C192
+# for the curriculum pack). The corpus slice arrives over the
+# duplicate-injecting document wire; the C152 stateful doc_id dedup
+# collapses redeliveries ACROSS micro-batch boundaries (the wire's
+# dup-*.json files land in later triggers by mtime order); the drained
+# set takes the parquet scan's place in the IDENTICAL segment→pack
+# plan over the PERSISTED C191 artifacts — checked against the
+# UNCHANGED C194 oracle. One hash certifies that unigram shard content
+# built from streamed, duplicate-polluted ingest equals the batch
+# product bit for bit. Document text rides the WIRE (a corrupted or
+# doubled payload changes segmentation coverage or packing order and
+# hash-fails loudly); only `source` — absent from the wire schema —
+# joins back from the table by doc_id, exactly the C179 convention.
+#
+# Scale shape: the streaming stages are the C152 dedup state (digests,
+# not text, in the state store) + one availableNow drain; everything
+# downstream is the certified C194 plan (one byte-gated broadcast
+# equi-join on the word, ranged_prefix global order, int-only shuffle).
+# ---------------------------------------------------------------------
+
+
+@query("q_stream_token_shards_unigram", oracle=_unigram_shards_oracle())
+def q_stream_token_shards_unigram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """C195: unigram-tokenized shards from streamed ingest — the C179
+    -State certification on the second tokenizer family. The wire
+    re-delivers every document; dropDuplicates state must carry across
+    micro-batches for the pack to equal the batch product (pytest pins
+    the dup-injection is live). The tokenizer artifacts are raw-corpus
+    products (train once, encode everything) and load from the C191
+    root; only the PACKED SLICE comes from the wire — that is what the
+    twin certifies."""
+    import os
+
+    from kafka_clickhouse_implementation_spark.pipelines.shards import (
+        pack_sequences,
+        wpieces_fits_broadcast,
+    )
+    from kafka_clickhouse_implementation_spark.streaming.corpus_stream import (
+        _DOC_WIRE_SCHEMA,
+        document_wire,
+    )
+    from kafka_clickhouse_implementation_spark.streaming.funnel import _drain
+
+    wire, base = document_wire(spark, sf_dir)
+    deduped = (
+        spark.readStream.schema(_DOC_WIRE_SCHEMA)
+        .option("maxFilesPerTrigger", "4")
+        .json(wire)
+        .filter(F.col("doc_id") % 10 == 0)  # the C194 slice
+        .dropDuplicates(["doc_id"])
+        .select("doc_id", "text")
+    )
+    _drain(
+        spark, deduped, "stream_unishard_docs",
+        os.path.join(base, "ckpt_unishard_docs"), mode="append",
+    )
+    src = load(spark, sf_dir, "documents").select("doc_id", "source")
+    docs = (
+        spark.table("stream_unishard_docs")
+        .join(src, "doc_id")
+        .localCheckpoint()
+    )
+    root = write_unigram_tokenizer(spark, sf_dir)
+    wpieces, vocab = _unigram_pack_inputs(spark, root)
+    return pack_sequences(
+        docs, wpieces, vocab,
+        wp_broadcast=wpieces_fits_broadcast(wpieces),
+    ).select(
+        "seq_id",
+        "n_tokens",
+        "n_docs",
+        "first_doc",
+        "last_doc",
+        "sources",
+        F.md5(
+            F.concat_ws(
+                ",", F.expr("transform(tok_ids, t -> CAST(t AS STRING))")
+            ).cast("binary")
+        ).alias("fp"),
     )

@@ -341,3 +341,38 @@ def test_unigram_shard_product_shape_and_detokenization(spark):
     n_eos = docs.count()
     total_files = shards.agg(F.sum(F.size("tok_ids"))).first()[0]
     assert total_files == int(n_word_tokens) + int(n_eos)
+
+
+def test_stream_unigram_shards_equal_batch_and_wire_has_dups(spark):
+    """C195 acceptance: (a) the streamed unigram pack equals the batch
+    C194 product row for row; (b) the document wire actually
+    re-delivers duplicate doc_ids within the packed slice, so the
+    stateful dedup stage the streamed path runs is load-bearing, not
+    decorative (the C192 acceptance shape on the second tokenizer
+    family)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafka_clickhouse_implementation_spark.operators.unigram_lm import (
+        q_stream_token_shards_unigram,
+        q_token_shards_unigram,
+    )
+    from kafka_clickhouse_implementation_spark.streaming.corpus_stream import (
+        _DOC_WIRE_SCHEMA,
+        document_wire,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    streamed = sorted(
+        map(tuple, q_stream_token_shards_unigram(spark, sf).collect())
+    )
+    batch = sorted(map(tuple, q_token_shards_unigram(spark, sf).collect()))
+    assert streamed == batch
+    wire, _base = document_wire(spark, sf)
+    raw = (
+        spark.read.schema(_DOC_WIRE_SCHEMA)
+        .json(wire)
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+    assert raw.count() > raw.select("doc_id").distinct().count()
