@@ -222,6 +222,7 @@ HEADLINE = [
     "q_ann_ivfpq_tuned",
     "q_token_shards_unigram",
     "q_stream_token_shards_unigram",
+    "q_ann_ivfsq8",
 ]
 
 SEGMENT_N = 8  # queries per probe-bracketed segment (r14)

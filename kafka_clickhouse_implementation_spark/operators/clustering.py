@@ -1655,3 +1655,237 @@ def q_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dist2_pq",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# C196 — IVF-SQ8: scalar-quantized inverted-file ANN (round 15). The
+# C193 sweep's RECORDED NEGATIVE diagnosed the drift-recall ceiling as
+# PQ-quantization noise: 32-bit codes rank the probe lists' candidates
+# so coarsely that widening nprobe DILUTES the shortlist (nprobe=8
+# scored 0.21 < nprobe=4's 0.24 — near-miss candidates with noisy ADC
+# scores displace true neighbors before the exact re-rank sees them).
+# The production answer to exactly that failure is FAISS's OTHER
+# quantizer family, IndexIVFScalarQuantizer (SQ8): 8 bits PER
+# DIMENSION instead of 32 bits per vector. Train = per-dim (min, max)
+# over the base set — a d-row model; encode = exact integer
+#   code = ((x − mn) · 255) div (mx − mn)            ∈ [0, 255]
+# (x, mn, mx are micro-quantized BIGINTs; operands nonnegative, so
+# Spark's truncating `div` ≡ DuckDB's flooring `//`); decode =
+#   recon = mn + (code · (mx − mn)) div 255
+# back in integer micro-units, so ADC distances are plain exact
+# integer squared-L2 against the reconstruction — every code, recon,
+# ADC sum and rank replays bit-exactly in the oracle.
+#
+# Trade vs PQ, stated honestly: the coded table is d bytes/vector
+# (64 B here) vs PQ's 4 B — 4x the raw-vector compression is given
+# back 16x — and ADC is O(d) adds per candidate vs O(SUB) lookups.
+# What it buys is near-exact candidate ranking: the ADC error per dim
+# is < (mx−mn)/255 ≪ the inter-point spacing, so the shortlist cut
+# keeps true neighbors and widening nprobe HELPS instead of hurting
+# (measured beside the PQ cells in docs/ANN_SQ8.json — the follow-up
+# the C193 negative asked for). At 100 TB the scan feeding ADC reads
+# 1/4 the bytes of raw vectors while behaving like the flat index.
+#
+# Scale shape: the dim-stats model is d rows (broadcast); coding is
+# one stateless projection; candidates are the C112 probe contract
+# (nprobe·n/k per query); ADC joins (qid, nid, dim) ints against the
+# broadcast d-row stats and the broadcast per-query point table
+# (n_q·d rows — the C167 LUT class); the exact re-rank touches
+# SHORT_R rows per query.
+# --------------------------------------------------------------------------
+
+
+def _sq8_train(pts_long: DataFrame) -> DataFrame:
+    """(dim, mn, mx) — the SQ8 model: per-dimension integer bounds
+    over the base vectors (d rows, model-sized)."""
+    return pts_long.groupBy("dim").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+
+
+def _sq8_codes(pts_long: DataFrame, dimstats: DataFrame) -> DataFrame:
+    """(vec_id, dim, code) — 8-bit codes via the exact integer
+    formula, CLAMPED to [0, 255] (FAISS SQ semantics: a vector outside
+    the trained bounds — the drift-ingest case, stale stats coding new
+    data — saturates instead of overflowing the code domain; for
+    in-bounds vectors, the certified path, the clamp is the identity).
+    The degenerate mx=mn dimension codes to 0 (decodes to mn,
+    error 0)."""
+    return pts_long.join(F.broadcast(dimstats), "dim").select(
+        "vec_id",
+        "dim",
+        F.expr(
+            "least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT),"
+            " CASE WHEN mx = mn THEN CAST(0 AS BIGINT)"
+            " ELSE ((x - mn) * 255) div (mx - mn) END))"
+        ).alias("code"),
+    )
+
+
+def _sq8_search(
+    spark: SparkSession,
+    eq: DataFrame,
+    pts_long: DataFrame,
+    asg_carr,
+    asg: DataFrame,
+    codes: DataFrame,
+    dimstats: DataFrame,
+    nprobe: int = NPROBE,
+    short_r: int = SHORT_R,
+    topk: int = TOPK,
+) -> DataFrame:
+    """The IVF-SQ8 search plan over GIVEN models and coded tables —
+    the _ivfpq_search contract with (codes, dimstats) in place of
+    (pq codes, adc book): coarse probe → decode-on-read integer ADC →
+    SHORT_R exact re-rank → top-k."""
+    qd = _code_points(eq.filter(F.col("vec_id") % Q_EVERY == 0), asg_carr)
+    probe = (
+        qd.select(F.col("vec_id").alias("qid"), F.explode("dists").alias("s"))
+        .select(
+            "qid",
+            F.col("s.c").cast("long").alias("cid"),
+            F.col("s.d").alias("dist"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("qid").orderBy("dist", "cid")),
+        )
+        .filter(F.col("rn") <= nprobe)
+        .select("qid", "cid")
+    )
+    cand = (
+        probe.join(asg, "cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("nid"))
+    )
+    recon = codes.join(F.broadcast(dimstats), "dim").select(
+        "vec_id",
+        "dim",
+        (F.col("mn") + F.expr("(code * (mx - mn)) div 255")).alias("r"),
+    )
+    qpts = pts_long.filter(F.col("vec_id") % Q_EVERY == 0).select(
+        F.col("vec_id").alias("qid"), "dim", "x"
+    )
+    adc = (
+        cand.join(recon.select(F.col("vec_id").alias("nid"), "dim", "r"), "nid")
+        .join(F.broadcast(qpts), ["qid", "dim"])
+        .groupBy("qid", "nid")
+        .agg(
+            F.sum((F.col("x") - F.col("r")) * (F.col("x") - F.col("r")))
+            .cast("long")
+            .alias("dist2_sq8")
+        )
+    )
+    short = adc.withColumn(
+        "sr",
+        F.row_number().over(Window.partitionBy("qid").orderBy("dist2_sq8", "nid")),
+    ).filter(F.col("sr") <= short_r)
+    exact = (
+        short.join(
+            eq.select(F.col("vec_id").alias("qid"), F.col("eq").alias("ea")), "qid"
+        )
+        .join(eq.select(F.col("vec_id").alias("nid"), F.col("eq").alias("eb")), "nid")
+        .select("qid", "nid", "dist2_sq8", _dist2_arrays("ea", "eb").alias("dist2"))
+    )
+    return (
+        exact.withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("qid").orderBy("dist2", "nid")),
+        )
+        .filter(F.col("rk") <= topk)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("rk").cast("long").alias("rank"),
+            F.col("nid").alias("neighbor_id"),
+            "dist2",
+            "dist2_sq8",
+        )
+    )
+
+
+def _ivfsq8_oracle(nprobe: int = NPROBE, short_r: int = SHORT_R) -> str:
+    blocks = [_PTS_CTE]
+    blocks.append(f"""kval AS (
+  SELECT greatest({K}, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) AS k
+  FROM embeddings
+)""")
+    blocks.append(_lloyd_rounds("(SELECT k FROM kval)", ITERS, "vq", "pts"))
+    blocks.append(_EQ_CTE)
+    body = ",\n".join(blocks)
+    return f"""
+WITH {body},
+dimstats AS MATERIALIZED (
+  SELECT dim, min(x) AS mn, max(x) AS mx FROM pts GROUP BY dim
+),
+sqrecon AS MATERIALIZED (
+  -- the clamp matches _sq8_codes: identity for in-bounds vectors (the
+  -- certified path), and it absorbs the one negative-operand case
+  -- where Spark div (truncate) and DuckDB // (floor) differ — both
+  -- land on 0 after greatest(0, ...)
+  SELECT p.vec_id, p.dim,
+         d.mn + (least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT),
+                 CASE WHEN d.mx = d.mn THEN CAST(0 AS BIGINT)
+                      ELSE ((p.x - d.mn) * 255) // (d.mx - d.mn) END))
+                 * (d.mx - d.mn)) // 255 AS r
+  FROM pts p JOIN dimstats d ON d.dim = p.dim
+),
+probe AS (
+  SELECT vec_id AS qid, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM dvq{_LAST}
+  WHERE vec_id % {Q_EVERY} = 0
+),
+cand AS (
+  SELECT p.qid, g.vec_id AS nid
+  FROM probe p JOIN asgvq{_LAST} g ON p.cid = g.cid
+  WHERE p.rn <= {nprobe} AND g.vec_id <> p.qid
+),
+qpts AS (
+  SELECT vec_id AS qid, dim, x FROM pts WHERE vec_id % {Q_EVERY} = 0
+),
+adc AS MATERIALIZED (
+  SELECT c.qid, c.nid, CAST(sum((q.x - r.r) * (q.x - r.r)) AS BIGINT) AS dist2_sq8
+  FROM cand c
+  JOIN sqrecon r ON r.vec_id = c.nid
+  JOIN qpts q ON q.qid = c.qid AND q.dim = r.dim
+  GROUP BY c.qid, c.nid
+),
+short AS (
+  SELECT qid, nid, dist2_sq8,
+         row_number() OVER (PARTITION BY qid ORDER BY dist2_sq8, nid) AS sr
+  FROM adc
+),
+exact AS (
+  SELECT s.qid, s.nid, s.dist2_sq8, CAST({_PAIR_DIST} AS BIGINT) AS dist2
+  FROM short s
+  JOIN eq a ON a.vec_id = s.qid
+  JOIN eq b ON b.vec_id = s.nid
+  WHERE s.sr <= {short_r}
+)
+SELECT qid AS query_id, CAST(rk AS BIGINT) AS rank, nid AS neighbor_id,
+       dist2, dist2_sq8
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist2, nid) AS rk
+  FROM exact
+) WHERE rk <= {TOPK}
+"""
+
+
+@query("q_ann_ivfsq8", oracle=_ivfsq8_oracle())
+def q_ann_ivfsq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C196: IVF-SQ8 ANN with exact re-rank — the C112 coarse probe
+    routing candidates to a SCALAR-quantized coded table (8 exact-
+    integer bits per dimension), decode-on-read integer ADC, SHORT_R
+    exact re-rank. One hash certifies the coarse trainer, the d-row
+    SQ model, every code, every reconstructed ADC distance, the
+    shortlist cut, and the final ranking. The quantizer family FAISS
+    deploys when PQ's code noise costs recall — the measured answer
+    to the C193 recorded negative (docs/ANN_SQ8.json)."""
+    emb = load(spark, sf_dir, "embeddings")
+    k = ivf_k(emb.count())
+    eq = _eq_arrays(spark, sf_dir).localCheckpoint()
+    asg, asg_carr, _ = _lloyd_arrays(spark, eq, k, ITERS)
+    pts = _pts_long(spark, sf_dir)
+    dimstats = _sq8_train(pts)
+    codes = _sq8_codes(pts, dimstats)
+    return _sq8_search(spark, eq, pts, asg_carr, asg, codes, dimstats)

