@@ -836,3 +836,195 @@ def q_ann_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     tools/ann_drift_probe.py (docs/ANN_DRIFT.json)."""
     ep2, path = ann_index_retrain(spark, sf_dir)
     return _search_maintained(spark, sf_dir, ep2, path)
+
+
+# ---------------------------------------------------------------------
+# C197 — the SQ8 index as a PERSISTED, STREAMING-MAINTAINED artifact
+# (round 15): C196 measured the scalar-quantizer family at its
+# probed-list ceiling (docs/ANN_SQ8.json) — a deployment acting on
+# that measurement ships SQ8 BOOKS, so the index-artifact tier (C178
+# persisted+upsert, C183 deletes, C188 re-train — all PQ) gets the new
+# family as a first-class product. Layout under its own source-tagged
+# root:
+#   coarse_asg_book/  (cid, dim, x)  — the coarse quantizer (the C178
+#                                      subdir convention, loadable by
+#                                      the shared _load_coarse_book);
+#   sq8_stats/        (dim, mn, mx)  — the d-row SQ8 model.
+# The stream is the duplicate-injecting embedding wire → stateful
+# vec_id dedup → a STATELESS coding projection against the LOADED
+# books (coarse cell via the literal-argmin pattern; the 8-bit code
+# ARRAY via one zip_with against the literal (mn, mx) arrays — each
+# embedded once), foreachBatch-appending (vec_id, cid, codes,
+# version=epoch) row versions keyed by vec_id. One row per vector —
+# the honest SQ8 write shape (FAISS stores the d-byte code block per
+# vector; PQ's 9-row shape carries per-subspace keys instead).
+#
+# Certification: the search resolves latest-per-key, explodes the
+# stored code arrays into the SHARED _sq8_search plan with the loaded
+# stats, against the UNCHANGED C196 oracle — one hash certifies
+# persisted models == trained models AND stream-maintained codes ==
+# batch codes, the C178 statement on the second quantizer family.
+# Incremental maintenance, marker identity, and invalidation follow
+# stream_ann_index_upsert line for line.
+# ---------------------------------------------------------------------
+
+from kafka_clickhouse_implementation_spark.operators.clustering import (  # noqa: E402
+    _ivfsq8_oracle,
+    _sq8_codes,
+    _sq8_search,
+    _sq8_train,
+)
+
+
+def ann_sq8_index_product(spark: SparkSession, sf_dir: str) -> str:
+    """Train (once per testdata identity) and persist the C196 models;
+    returns the product root."""
+    from kafka_clickhouse_implementation_spark.cachedirs import source_tagged_dir
+
+    root = source_tagged_dir("ann_sq8_index", sf_dir, "embeddings")
+    marker = os.path.join(root, "_MODELS_READY")
+    if not os.path.exists(marker):
+        eq = _eq_arrays(spark, sf_dir).localCheckpoint()
+        k = ivf_k(eq.count())
+        _asg, asg_carr, _cents = _lloyd_arrays(spark, eq, k, ITERS)
+        coarse = spark.createDataFrame(
+            [(cid, d, x) for cid, arr in asg_carr for d, x in enumerate(arr)],
+            schema="cid LONG, dim INT, x LONG",
+        )
+        stats = _sq8_train(_pts_long(spark, sf_dir))
+        coarse.write.mode("overwrite").parquet(
+            os.path.join(root, "coarse_asg_book")
+        )
+        stats.write.mode("overwrite").parquet(os.path.join(root, "sq8_stats"))
+        with open(marker, "w"):
+            pass
+    return root
+
+
+def _sq8_code_array_rows(
+    vecs: DataFrame, coarse_carr, stats_rows: list[tuple[int, int, int]]
+) -> DataFrame:
+    """(vec_id, cid, codes): each vector's coarse cell plus its d-long
+    8-bit code array, as ONE stateless projection against the loaded
+    books — the literal (mn, mx) arrays are embedded once each via a
+    nested zip_with, and the per-element formula is the _sq8_codes
+    clamped integer expression verbatim."""
+    mn_sql = "array(" + ",".join(
+        f"{mn}L" for _d, mn, _mx in sorted(stats_rows)
+    ) + ")"
+    mx_sql = "array(" + ",".join(
+        f"{mx}L" for _d, _mn, mx in sorted(stats_rows)
+    ) + ")"
+    code_expr = (
+        f"zip_with(zip_with(eq, {mn_sql}, (x, mn) ->"
+        " named_struct('x', x, 'mn', mn)),"
+        f" {mx_sql}, (s, mx) ->"
+        " least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT),"
+        " CASE WHEN mx = s.mn THEN CAST(0 AS BIGINT)"
+        " ELSE ((s.x - s.mn) * 255) div (mx - s.mn) END)))"
+    )
+    if len(coarse_carr) <= LIT_MAX:
+        coarse = _code_points(vecs, coarse_carr)
+    else:
+        coarse = _assign_np(vecs, coarse_carr)
+    return coarse.select("vec_id", "cid", F.expr(code_expr).alias("codes"))
+
+
+def _load_sq8_stats(spark: SparkSession, root: str) -> list[tuple[int, int, int]]:
+    return sorted(
+        (int(r.dim), int(r.mn), int(r.mx))
+        for r in spark.read.parquet(os.path.join(root, "sq8_stats")).collect()
+    )
+
+
+def stream_ann_sq8_upsert(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """The C178 upsert recipe on the SQ8 coded table: duplicate-
+    injecting embedding wire → stateful dedup → loaded-book coding →
+    foreachBatch append of (vec_id, cid, codes, version=epoch) row
+    versions. Returns (product root, coded-table path)."""
+    import shutil
+
+    from kafka_clickhouse_implementation_spark.plans.upsert import (
+        append_versions,
+    )
+
+    root = ann_sq8_index_product(spark, sf_dir)
+    coarse_carr = _load_coarse_book(spark, root)
+    stats_rows = _load_sq8_stats(spark, root)
+    wire, base = embedding_wire_dup(spark, sf_dir)
+    path = os.path.join(base, "ann_sq8_upsert")
+    ckpt = os.path.join(base, "ckpt_ann_sq8_upsert")
+    books_identity = (
+        f"{root}|{os.stat(os.path.join(root, '_MODELS_READY')).st_mtime_ns}"
+    )
+    marker = os.path.join(base, "ann_sq8_upsert_DRAINED")
+
+    def _marker_current() -> bool:
+        try:
+            with open(marker) as f:
+                return f.read().strip() == books_identity
+        except OSError:
+            return False
+
+    if not (
+        _marker_current()
+        and os.path.isdir(path)
+        and os.path.isdir(ckpt)
+    ):
+        shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        if os.path.exists(marker):
+            os.remove(marker)
+    deduped = (
+        spark.readStream.schema("vec_id long, eq array<long>")
+        .option("maxFilesPerTrigger", "1")
+        .json(wire)
+        .dropDuplicates(["vec_id"])
+    )
+
+    def upsert_batch(bdf: DataFrame, epoch_id: int) -> None:
+        append_versions(
+            bdf.withColumn("version", F.lit(epoch_id).cast("long")), path
+        )
+
+    q = (
+        _sq8_code_array_rows(deduped, coarse_carr, stats_rows)
+        .writeStream.outputMode("update")
+        .foreachBatch(upsert_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("ann sq8 upsert stream did not drain in 600s")
+    if not _marker_current():
+        with open(marker, "w") as f:
+            f.write(books_identity + "\n")
+    return root, path
+
+
+@query("q_ann_sq8_index", oracle=_ivfsq8_oracle())
+def q_ann_sq8_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C197: IVF-SQ8 search over the PERSISTED index product with its
+    coded table STREAMING-MAINTAINED via keyed upsert — coarse book
+    and d-row SQ8 stats loaded from disk (never retrained in the
+    search), code arrays resolved latest-per-key from the versioned
+    table the wire maintained, exploded into the SHARED _sq8_search
+    plan, and the UNCHANGED C196 oracle: one hash certifies
+    persisted == trained, maintained == batch-coded, and the whole
+    decode-on-read search end to end — the C178 artifact statement on
+    the quantizer family docs/ANN_SQ8.json measured at its ceiling."""
+    from kafka_clickhouse_implementation_spark.plans.upsert import read_latest
+
+    root, path = stream_ann_sq8_upsert(spark, sf_dir)
+    latest = read_latest(spark, path, ("vec_id",), "version").localCheckpoint()
+    asg = latest.select("vec_id", "cid")
+    codes_long = latest.select(
+        "vec_id", F.posexplode("codes").alias("dim", "code")
+    )
+    stats = spark.read.parquet(os.path.join(root, "sq8_stats"))
+    coarse_carr = _load_coarse_book(spark, root)
+    eq = _eq_arrays(spark, sf_dir).localCheckpoint()
+    pts = _pts_long(spark, sf_dir)
+    return _sq8_search(spark, eq, pts, coarse_carr, asg, codes_long, stats)

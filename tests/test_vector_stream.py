@@ -235,3 +235,59 @@ def test_retrain_epoch_wins_resolution_and_history_pins(spark):
     assert sorted(map(tuple, pinned.collect())) == sorted(
         map(tuple, cur.collect())
     )
+
+
+def test_sq8_index_upsert_idempotent_and_equals_batch_codes(spark):
+    """C197: the streaming-maintained SQ8 coded table must (a) equal
+    the batch coding exactly after latest-per-key resolution (coarse
+    cell AND the full d-long code array per vector), and (b) stay
+    idempotent under batch re-delivery — the C178 acceptance pair on
+    the scalar-quantizer family."""
+    from kafka_clickhouse_implementation_spark.operators.clustering import (
+        _pts_long,
+        _sq8_codes,
+        _sq8_train,
+        ivf_k,
+    )
+    from kafka_clickhouse_implementation_spark.plans.upsert import (
+        append_versions,
+        read_latest,
+    )
+    from kafka_clickhouse_implementation_spark.streaming.vector_stream import (
+        stream_ann_sq8_upsert,
+    )
+
+    _root, path = stream_ann_sq8_upsert(spark, SF_DIR)
+
+    def resolved():
+        return {
+            r.vec_id: (r.cid, tuple(r.codes))
+            for r in read_latest(spark, path, ("vec_id",), "version").collect()
+        }
+
+    got = resolved()
+    eq = _eq_arrays(spark, SF_DIR).localCheckpoint()
+    asg, _carr, _cents = _lloyd_arrays(spark, eq, ivf_k(eq.count()), ITERS)
+    pts = _pts_long(spark, SF_DIR)
+    codes = _sq8_codes(pts, _sq8_train(pts))
+    want_codes: dict[int, dict[int, int]] = {}
+    for r in codes.collect():
+        want_codes.setdefault(r.vec_id, {})[r.dim] = r.code
+    want = {
+        r.vec_id: (
+            r.cid,
+            tuple(
+                want_codes[r.vec_id][d]
+                for d in sorted(want_codes[r.vec_id])
+            ),
+        )
+        for r in asg.collect()
+    }
+    assert got == want
+
+    versions = spark.read.parquet(path)
+    v0 = versions.agg(F.min("version").alias("v")).head()["v"]
+    n_before = versions.count()
+    append_versions(versions.filter(F.col("version") == v0), path)
+    assert spark.read.parquet(path).count() > n_before
+    assert resolved() == want
