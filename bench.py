@@ -224,6 +224,7 @@ HEADLINE = [
     "q_stream_token_shards_unigram",
     "q_ann_ivfsq8",
     "q_ann_sq8_index",
+    "q_ann_sq8_delete",
 ]
 
 SEGMENT_N = 8  # queries per probe-bracketed segment (r14)

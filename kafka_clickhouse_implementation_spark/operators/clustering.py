@@ -1803,7 +1803,16 @@ def _sq8_search(
     )
 
 
-def _ivfsq8_oracle(nprobe: int = NPROBE, short_r: int = SHORT_R) -> str:
+def _ivfsq8_oracle(
+    nprobe: int = NPROBE,
+    short_r: int = SHORT_R,
+    survivor_pred: str | None = None,
+) -> str:
+    """The C196 replay; ``survivor_pred`` (over ``g.vec_id``)
+    restricts the INDEX side to surviving vectors for the C198
+    delete-wave variant — candidates only; queries, books and the
+    coarse assignment replay stay trained on the full set (the FAISS
+    remove_ids semantics, exactly the _ivfpq_oracle convention)."""
     blocks = [_PTS_CTE]
     blocks.append(f"""kval AS (
   SELECT greatest({K}, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) AS k
@@ -1812,6 +1821,7 @@ def _ivfsq8_oracle(nprobe: int = NPROBE, short_r: int = SHORT_R) -> str:
     blocks.append(_lloyd_rounds("(SELECT k FROM kval)", ITERS, "vq", "pts"))
     blocks.append(_EQ_CTE)
     body = ",\n".join(blocks)
+    _surv = f" AND {survivor_pred}" if survivor_pred else ""
     return f"""
 WITH {body},
 dimstats AS MATERIALIZED (
@@ -1838,7 +1848,7 @@ probe AS (
 cand AS (
   SELECT p.qid, g.vec_id AS nid
   FROM probe p JOIN asgvq{_LAST} g ON p.cid = g.cid
-  WHERE p.rn <= {nprobe} AND g.vec_id <> p.qid
+  WHERE p.rn <= {nprobe} AND g.vec_id <> p.qid{_surv}
 ),
 qpts AS (
   SELECT vec_id AS qid, dim, x FROM pts WHERE vec_id % {Q_EVERY} = 0

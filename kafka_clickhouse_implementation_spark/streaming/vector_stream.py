@@ -1028,3 +1028,38 @@ def q_ann_sq8_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     eq = _eq_arrays(spark, sf_dir).localCheckpoint()
     pts = _pts_long(spark, sf_dir)
     return _sq8_search(spark, eq, pts, coarse_carr, asg, codes_long, stats)
+
+
+@query(
+    "q_ann_sq8_delete",
+    oracle=_ivfsq8_oracle(
+        survivor_pred=f"g.vec_id % {DELETE_MOD} <> {DELETE_RES}"
+    ),
+)
+def q_ann_sq8_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C198: the C183 delete wave on the SQ8 index — the maintained
+    coded table read latest-per-key with the delete markers applied by
+    broadcast anti-join before the shared _sq8_search plan, checked
+    against the C196 oracle restricted to surviving candidates (FAISS
+    remove_ids semantics: list entries drop, the trained coarse book
+    and SQ stats are untouched). One hash certifies deleted vec_ids
+    leave the results while survivor ranking is bit-identical — the
+    delete-wave statement now holds on BOTH quantizer families."""
+    from kafka_clickhouse_implementation_spark.plans.upsert import read_latest
+
+    root, path = stream_ann_sq8_upsert(spark, sf_dir)
+    marks = index_delete_markers(spark, sf_dir)
+    latest = (
+        read_latest(spark, path, ("vec_id",), "version")
+        .join(F.broadcast(marks), "vec_id", "left_anti")
+        .localCheckpoint()
+    )
+    asg = latest.select("vec_id", "cid")
+    codes_long = latest.select(
+        "vec_id", F.posexplode("codes").alias("dim", "code")
+    )
+    stats = spark.read.parquet(os.path.join(root, "sq8_stats"))
+    coarse_carr = _load_coarse_book(spark, root)
+    eq = _eq_arrays(spark, sf_dir).localCheckpoint()
+    pts = _pts_long(spark, sf_dir)
+    return _sq8_search(spark, eq, pts, coarse_carr, asg, codes_long, stats)

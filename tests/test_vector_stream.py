@@ -291,3 +291,20 @@ def test_sq8_index_upsert_idempotent_and_equals_batch_codes(spark):
     append_versions(versions.filter(F.col("version") == v0), path)
     assert spark.read.parquet(path).count() > n_before
     assert resolved() == want
+
+
+def test_sq8_delete_wave_removes_marked_neighbors(spark):
+    """C198: no delete-marked vec_id survives into the search results
+    (as neighbor), and the result set is non-trivial — the anti-join
+    sits before the shortlist, so survivors re-rank rather than
+    leaving gaps (the oracle's survivor-restricted replay certifies
+    the full ranking; this pins the visible contract)."""
+    from kafka_clickhouse_implementation_spark.streaming.vector_stream import (
+        DELETE_MOD,
+        DELETE_RES,
+        q_ann_sq8_delete,
+    )
+
+    rows = q_ann_sq8_delete(spark, SF_DIR).collect()
+    assert rows
+    assert all(r.neighbor_id % DELETE_MOD != DELETE_RES for r in rows)
