@@ -303,14 +303,26 @@ def _lloyd_arrays(
             # large-k (or caller-hinted large n·k): numpy assignment
             coded = _assign_np(eq, carr)
         asg = coded.select("vec_id", "cid")
-        upd = coded.groupBy("cid").agg(
-            F.count(F.lit(1)).alias("n"),
-            *[F.sum(F.col("eq")[i]).alias(f"s{i}") for i in range(dim)],
+        # update step in LONG format: explode the coded rows to
+        # (cid, dim, x) and run ONE narrow 2-aggregate groupBy — the
+        # previous 65-column wide aggregate (count + 64 sums) spent
+        # ~0.7 s/round in driver-side planning + codegen of the wide
+        # plan alone (measured r15: 1.44 s → 0.75 s per round, output
+        # bit-identical; the Generate sits above the Project so the
+        # n·k coding expression still evaluates once per input row,
+        # not once per exploded row — guide §2.3 "shuffle fewer
+        # bytes" / §7.3 planning cost)
+        upd = (
+            coded.select("cid", F.posexplode("eq").alias("dim", "x"))
+            .groupBy("cid", "dim")
+            .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
         )
-        carr = sorted(
-            (int(r.cid), [int(r[f"s{i}"]) // int(r.n) for i in range(dim)])
-            for r in upd.collect()
-        )
+        by_cid: dict[int, list[int]] = {}
+        for r in upd.collect():
+            by_cid.setdefault(int(r.cid), [0] * dim)[int(r.dim)] = int(
+                r.sx
+            ) // int(r.n)
+        carr = sorted(by_cid.items())
     cents = [(cid, i, x) for cid, arr in carr for i, x in enumerate(arr)]
     # the final assignment feeds self-joins (SemDeDup pairs) and
     # candidate joins (IVF) — pin the n-row result so consumers don't
@@ -1029,38 +1041,76 @@ def _pq_train_pts(spark: SparkSession, pts: DataFrame, pq_k: int = PQ_K):
         .select("sub", F.col("vec_id").alias("cid"), "dim", "x")
         .collect()
     ]
+
+    # ARRAY-DOMAIN round loop (r15 optimization): the original
+    # long-format loop ran 4 shuffles + 2 driver collects per round
+    # over an n·d·pq_k distance intermediate (join on (sub, dim)
+    # fanned every point row out pq_k ways before re-aggregating).
+    # Pivot (sub, vec_id, dim, x) → (vec_id, sub, xa[8]) ONCE, then
+    # each round is the _lloyd_arrays shape: a stateless literal-
+    # codebook projection (zero joins/shuffles) + one narrow
+    # long-format partial aggregate (guide §2.3/§2.4) — one shuffle
+    # and one model-sized collect per round. Assignment tie rule is
+    # array_min over struct(d, c): lexicographic = min dist, then min
+    # cid ≡ the previous min(struct(dist, cid)) and the oracle's
+    # two-step; distances stay exact int64 HOF folds.
+    pax = (
+        pts.groupBy("vec_id", "sub")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, x))), s -> s.x)"
+            ).alias("xa")
+        )
+        .localCheckpoint()
+    )
+
+    def _coded(model: list[tuple[int, int, int, int]]) -> DataFrame:
+        by_sub: dict[int, dict[int, dict[int, int]]] = {}
+        for s, cid, d, x in model:
+            by_sub.setdefault(s, {}).setdefault(cid, {})[d] = x
+        n_sub = max(by_sub) + 1
+        cent3d = "array(" + ",".join(
+            "array(" + ",".join(
+                "array(" + ",".join(
+                    str(by_sub[s][c][d]) + "L" for d in sorted(by_sub[s][c])
+                ) + ")"
+                for c in sorted(by_sub.get(s, {}))
+            ) + ")"
+            for s in range(n_sub)
+        ) + ")"
+        cids2d = "array(" + ",".join(
+            "array(" + ",".join(
+                str(c) + "L" for c in sorted(by_sub.get(s, {}))
+            ) + ")"
+            for s in range(n_sub)
+        ) + ")"
+        return pax.withColumn(
+            "cid",
+            F.expr(
+                f"array_min(zip_with(element_at({cent3d}, sub + 1), "
+                f"element_at({cids2d}, sub + 1), (ca, c) -> named_struct("
+                "'d', aggregate(zip_with(xa, ca, (p, q) -> (p - q) * (p - q)), "
+                "0L, (s, v) -> s + v), 'c', c))).c"
+            ),
+        )
+
     asg = None
     asg_cents = cents
     for _ in range(PQ_ITERS):
         asg_cents = cents
-        cdf = spark.createDataFrame(
-            cents, schema="sub INT, cid LONG, dim INT, c LONG"
-        )
-        d = (
-            pts.join(F.broadcast(cdf), ["sub", "dim"])
-            .groupBy("sub", "vec_id", "cid")
-            .agg(
-                F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias(
-                    "dist"
-                )
-            )
-        )
-        asg = (
-            d.groupBy("sub", "vec_id")
-            .agg(F.min(F.struct("dist", "cid")).alias("m"))
-            .select("sub", "vec_id", F.col("m.cid").alias("cid"))
-        )
+        coded = _coded(cents)
+        asg = coded.select("sub", "vec_id", "cid")
         upd = (
-            pts.join(asg, ["sub", "vec_id"])
+            coded.select("sub", "cid", F.posexplode("xa").alias("dim", "x"))
             .groupBy("sub", "cid", "dim")
             .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
         )
-        newc = upd.select(
-            "sub", "cid", "dim", F.expr("(sx - (((sx % n) + n) % n)) div n").alias("x")
+        # Python // floors exactly like the previous Spark-side
+        # (sx - (((sx % n) + n) % n)) div n and DuckDB's //
+        cents = sorted(
+            (int(r.sub), int(r.cid), int(r.dim), int(r.sx) // int(r.n))
+            for r in upd.collect()
         )
-        cents = [
-            (int(r.sub), int(r.cid), int(r.dim), int(r.x)) for r in newc.collect()
-        ]
     cdf = spark.createDataFrame(cents, schema="sub INT, cid LONG, dim INT, c LONG")
     acdf = spark.createDataFrame(
         asg_cents, schema="sub INT, cid LONG, dim INT, c LONG"
@@ -1306,20 +1356,15 @@ def _ivfpq_search(
               linearly in both).
     """
     qd = _code_points(eq.filter(F.col("vec_id") % Q_EVERY == 0), asg_carr)
-    probe = (
-        qd.select(F.col("vec_id").alias("qid"), F.explode("dists").alias("s"))
-        .select(
-            "qid",
-            F.col("s.c").cast("long").alias("cid"),
-            F.col("s.d").alias("dist"),
-        )
-        .withColumn(
-            "rn",
-            F.row_number().over(Window.partitionBy("qid").orderBy("dist", "cid")),
-        )
-        .filter(F.col("rn") <= nprobe)
-        .select("qid", "cid")
-    )
+    # top-nprobe lists IN-ROW: the per-query distance array is already
+    # on the row, so array_sort (lexicographic (d, c) = dist then cid,
+    # exactly the old row_number() orderBy) + slice replaces an
+    # explode → Exchange(qid) → Sort → window chain with a stateless
+    # projection — one shuffle fewer (guide §2.4)
+    probe = qd.select(
+        F.col("vec_id").alias("qid"),
+        F.explode(F.expr(f"slice(array_sort(dists), 1, {nprobe})")).alias("s"),
+    ).select("qid", F.col("s.c").cast("long").alias("cid"))
     cand = (
         probe.join(asg, "cid")
         .filter(F.col("vec_id") != F.col("qid"))
@@ -1562,20 +1607,12 @@ def q_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     eq = _eq_arrays(spark, sf_dir).localCheckpoint()
     asg, asg_carr, _ = _lloyd_arrays(spark, eq, k, ITERS)
     qd = _code_points(eq.filter(F.col("vec_id") % Q_EVERY == 0), asg_carr)
-    probe = (
-        qd.select(F.col("vec_id").alias("qid"), F.explode("dists").alias("s"))
-        .select(
-            "qid",
-            F.col("s.c").cast("long").alias("cid"),
-            F.col("s.d").alias("dist"),
-        )
-        .withColumn(
-            "rn",
-            F.row_number().over(Window.partitionBy("qid").orderBy("dist", "cid")),
-        )
-        .filter(F.col("rn") <= NPROBE)
-        .select("qid", "cid")
-    )
+    # in-row top-NPROBE (array_sort = (dist, cid) order, ≡ the old
+    # row_number window) — see _ivfpq_search
+    probe = qd.select(
+        F.col("vec_id").alias("qid"),
+        F.explode(F.expr(f"slice(array_sort(dists), 1, {NPROBE})")).alias("s"),
+    ).select("qid", F.col("s.c").cast("long").alias("cid"))
     cand = (
         probe.join(asg, "cid")
         .filter(F.col("vec_id") != F.col("qid"))
@@ -1739,20 +1776,15 @@ def _sq8_search(
     (pq codes, adc book): coarse probe → decode-on-read integer ADC →
     SHORT_R exact re-rank → top-k."""
     qd = _code_points(eq.filter(F.col("vec_id") % Q_EVERY == 0), asg_carr)
-    probe = (
-        qd.select(F.col("vec_id").alias("qid"), F.explode("dists").alias("s"))
-        .select(
-            "qid",
-            F.col("s.c").cast("long").alias("cid"),
-            F.col("s.d").alias("dist"),
-        )
-        .withColumn(
-            "rn",
-            F.row_number().over(Window.partitionBy("qid").orderBy("dist", "cid")),
-        )
-        .filter(F.col("rn") <= nprobe)
-        .select("qid", "cid")
-    )
+    # top-nprobe lists IN-ROW: the per-query distance array is already
+    # on the row, so array_sort (lexicographic (d, c) = dist then cid,
+    # exactly the old row_number() orderBy) + slice replaces an
+    # explode → Exchange(qid) → Sort → window chain with a stateless
+    # projection — one shuffle fewer (guide §2.4)
+    probe = qd.select(
+        F.col("vec_id").alias("qid"),
+        F.explode(F.expr(f"slice(array_sort(dists), 1, {nprobe})")).alias("s"),
+    ).select("qid", F.col("s.c").cast("long").alias("cid"))
     cand = (
         probe.join(asg, "cid")
         .filter(F.col("vec_id") != F.col("qid"))

@@ -623,3 +623,55 @@ def test_sq8_unbounded_shortlist_reduces_to_flat_ivf(spark, sf_dir):
     got = sorted(map(tuple, sq8.collect()))
     want = sorted(map(tuple, flat.collect()))
     assert got == want
+
+
+def test_inrow_probe_equals_window_form(spark, sf_dir):
+    """r15 optimization guard: the coarse probe's in-row
+    slice(array_sort(dists), 1, nprobe) must reproduce the window form
+    it replaced (row_number over (dist, cid) <= nprobe) exactly —
+    array_sort on struct(d, c) orders lexicographically, which is the
+    same (dist ASC, cid ASC) total order."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kafka_clickhouse_implementation_spark.operators.clustering import (
+        ITERS,
+        Q_EVERY,
+        _code_points,
+        _eq_arrays,
+        _lloyd_arrays,
+        ivf_k,
+    )
+
+    eq = _eq_arrays(spark, sf_dir).localCheckpoint()
+    k = ivf_k(eq.count())
+    _asg, asg_carr, _ = _lloyd_arrays(spark, eq, k, ITERS)
+    qd = _code_points(
+        eq.filter(F.col("vec_id") % Q_EVERY == 0), asg_carr
+    ).localCheckpoint()
+    for nprobe in (1, 2, 4):
+        inrow = qd.select(
+            F.col("vec_id").alias("qid"),
+            F.explode(
+                F.expr(f"slice(array_sort(dists), 1, {nprobe})")
+            ).alias("s"),
+        ).select("qid", F.col("s.c").cast("long").alias("cid"))
+        window = (
+            qd.select(F.col("vec_id").alias("qid"), F.explode("dists").alias("s"))
+            .select(
+                "qid",
+                F.col("s.c").cast("long").alias("cid"),
+                F.col("s.d").alias("dist"),
+            )
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("qid").orderBy("dist", "cid")
+                ),
+            )
+            .filter(F.col("rn") <= nprobe)
+            .select("qid", "cid")
+        )
+        got = sorted(map(tuple, inrow.collect()))
+        want = sorted(map(tuple, window.collect()))
+        assert got == want, nprobe
