@@ -82,19 +82,28 @@ def connected_components(
     graph. Raises RuntimeError if `max_iter` rounds don't converge —
     silently returning partially-propagated labels would corrupt every
     downstream keep-one dedup decision."""
-    nodes = (
-        edges.select(F.col(src).alias("id"))
-        .union(edges.select(F.col(dst).alias("id")))
-        .distinct()
-    )
-    e = (
+    # Materialize the canonicalized edge set ONCE and derive both the
+    # node set and the loop edges from it: `edges` is usually a lazy
+    # expensive chain (the LSH near-dup pipeline), and deriving nodes
+    # from the raw frame re-evaluated that whole chain a second time
+    # when the final labeling materialized (r15 measurement: the
+    # chain, not the star rounds, dominated CC wall time). least/
+    # greatest permute the endpoint pair, so endpoints(e0) ==
+    # endpoints(edges) including self-loop nodes (lo == hi rows are
+    # kept in e0 and only filtered from the iteration).
+    e0 = (
         edges.select(
             F.least(src, dst).alias("lo"), F.greatest(src, dst).alias("hi")
         )
-        .filter(F.col("lo") != F.col("hi"))
         .distinct()
         .localCheckpoint()
     )
+    nodes = (
+        e0.select(F.col("lo").alias("id"))
+        .union(e0.select(F.col("hi").alias("id")))
+        .distinct()
+    )
+    e = e0.filter(F.col("lo") != F.col("hi")).localCheckpoint()
     n_e = e.count()
     for _ in range(max_iter):
         new_e = _small_star(_large_star(e)).localCheckpoint()

@@ -474,40 +474,65 @@ def substring_clip(docs: DataFrame) -> DataFrame:
     # 322.8 s with the 64 MB threshold vs 34.5 s sort-merge-only) and
     # a driver OOM at sf30. Same-key joins share one hash partitioning
     # anyway, so the hint costs nothing extra.
-    dupg = g.groupBy("h").agg(
-        F.countDistinct("doc_id").alias("nd")
-    ).filter(F.col("nd") > 1).select("h").hint("merge")
-    gd = g.join(dupg, "h")
-    fd = gd.groupBy("h").agg(F.min("doc_id").alias("fdoc")).hint("merge")
-    fp = (
-        gd.join(fd, "h")
-        .filter(F.col("doc_id") == F.col("fdoc"))
-        .groupBy("h", "fdoc")
-        .agg(F.min("pos").alias("fpos"))
+    # ONE per-hash aggregation replaces the previous dupg/fd/fp chain
+    # (three groupBys + three sort-merge joins on h): nd>1 is the same
+    # duplicated-gram gate, and min(struct(doc_id, pos)) IS (fdoc,
+    # fpos) — the lexicographic minimum is the smallest doc_id and,
+    # within it, the smallest pos, exactly the old two-step
+    # min(doc_id) -> min(pos | doc_id = fdoc). Two shuffle rounds
+    # removed from the corpus-scale clip path (guide §2.4); the
+    # surviving join keeps the measured-at-sf10 sort-merge hint.
+    hstats = (
+        g.groupBy("h")
+        .agg(
+            F.countDistinct("doc_id").alias("nd"),
+            F.min(F.struct("doc_id", "pos")).alias("first"),
+        )
+        .filter(F.col("nd") > 1)
+        .select("h", "first")
         .hint("merge")
     )
     clip = (
-        gd.join(fp, "h")
-        .filter(~((F.col("doc_id") == F.col("fdoc")) & (F.col("pos") == F.col("fpos"))))
+        g.join(hstats, "h")
+        .filter(
+            ~(
+                (F.col("doc_id") == F.col("first.doc_id"))
+                & (F.col("pos") == F.col("first.pos"))
+            )
+        )
         .select("doc_id", "pos", (F.col("pos") + F.lit(GRAM_LEN)).alias("end_"))
     )
-    from pyspark.sql import Window as W
-
-    w_prev = W.partitionBy("doc_id").orderBy("pos").rowsBetween(W.unboundedPreceding, -1)
-    w_run = W.partitionBy("doc_id").orderBy("pos").rowsBetween(W.unboundedPreceding, 0)
-    isl = clip.withColumn(
-        "new_island",
-        F.when(
-            F.coalesce(F.max("end_").over(w_prev), F.lit(-1)) < F.col("pos"), 1
-        ).otherwise(0),
-    ).withColumn("island", F.sum("new_island").over(w_run))
-    spans = isl.groupBy("doc_id", "island").agg(
-        F.min("pos").alias("s"), F.max("end_").alias("e")
+    # island merge IN-ROW: collect each doc's clip intervals once and
+    # fold the sorted array into merged spans — replaces two windows
+    # over (doc_id, pos) plus two groupBys (island labels, span
+    # bounds) with ONE groupBy + a bounded fold. Same-island rule is
+    # unchanged: an interval joins the current island iff its pos <=
+    # the running max end (the old "new island iff max(prev end_) <
+    # pos"), and the island's e is the running max end.
+    iv = clip.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "end_"))).alias("ivs")
     )
-    doc_clip = spans.groupBy("doc_id").agg(
-        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("spans"),
-        F.sum(F.col("e") - F.col("s")).cast("long").alias("clipped_chars"),
-        F.count(F.lit(1)).cast("long").alias("n_clip_spans"),
+    doc_clip = iv.select(
+        "doc_id",
+        F.expr(
+            "aggregate(ivs,"
+            " struct(CAST(array() AS ARRAY<STRUCT<s: BIGINT, e: BIGINT>>) AS sp,"
+            "        CAST(-1 AS BIGINT) AS cs, CAST(-1 AS BIGINT) AS ce),"
+            " (st, iv) -> CASE"
+            "   WHEN st.cs < 0 THEN struct(st.sp AS sp, iv.pos AS cs, iv.end_ AS ce)"
+            "   WHEN iv.pos <= st.ce THEN"
+            "     struct(st.sp AS sp, st.cs AS cs, greatest(st.ce, iv.end_) AS ce)"
+            "   ELSE struct(concat(st.sp, array(struct(st.cs AS s, st.ce AS e))) AS sp,"
+            "               iv.pos AS cs, iv.end_ AS ce) END,"
+            " st -> concat(st.sp, array(struct(st.cs AS s, st.ce AS e)))) AS spans"
+        ),
+    ).select(
+        "doc_id",
+        "spans",
+        F.expr(
+            "aggregate(spans, 0L, (a, x) -> a + (x.e - x.s))"
+        ).alias("clipped_chars"),
+        F.size("spans").cast("long").alias("n_clip_spans"),
     )
     return d.join(doc_clip, "doc_id", "left").select(
         "doc_id",

@@ -63,30 +63,42 @@ def minhash_candidate_pairs(docs: DataFrame, sh: DataFrame | None = None) -> Dat
     the verify stage."""
     if sh is None:
         sh = _shingles(docs)
-    hi = (
-        sh.select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("i"), "s")
-        .select(
-            "doc_id",
-            "i",
-            F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("s"))).alias("h"),
-        )
-        .groupBy("doc_id", "i")
-        .agg(F.min("h").alias("mh"))
+    # The 16-function signature as ONE aggregation: the previous form
+    # exploded every shingle 16 ways (16x the shuffle rows) and
+    # re-grouped twice ((doc, i) mins, then (doc, band) concat). All
+    # 16 per-(doc, i) minima are plain min() aggregates over the same
+    # shingle rows — computed with map-side partials in a single
+    # groupBy(doc_id), and the 4 band hashes are then pure row
+    # expressions (md5 of the i-ordered '|' concat, unchanged).
+    # 16x fewer shuffled rows, two shuffles fewer (guide §2.3).
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"m{i}")
+            for i in range(N_HASHES)
+        ]
     )
-    bands = (
-        hi.withColumn("band", F.expr(f"i div {BAND_ROWS}"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.transform(
-                        F.sort_array(F.collect_list(F.struct("i", "mh"))), lambda x: x["mh"]
-                    ),
-                )
-            ).alias("bh")
-        )
-    )
+    bands = mins.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("long").alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(f"m{b * BAND_ROWS + j}")
+                                    for j in range(BAND_ROWS)
+                                ],
+                            )
+                        ).alias("bh"),
+                    )
+                    for b in range(N_HASHES // BAND_ROWS)
+                ]
+            )
+        ).alias("o"),
+    ).select("doc_id", "o.band", "o.bh")
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

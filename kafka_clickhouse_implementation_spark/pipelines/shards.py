@@ -416,9 +416,18 @@ def positioned_stream(
     plus positions via ranged_prefix over the unique total order
     (doc_id, widx, pidx). Returns (doc_id, source, tok_id, pos, ...);
     shared by the sequence assembly (C177/C179), the mixture rollup
-    (C180), and the resampled re-pack (C181)."""
+    (C180), and the resampled re-pack (C181).
+
+    token_rows is checkpointed before the range Exchange: range
+    partitioning runs a separate SAMPLING job over its input to pick
+    the bounds, so an unpinned input re-evaluates the whole
+    explode + segmentation-join chain twice per pack (measured r15:
+    pack 3.8 s → 2.5 s at sf0.1). The materialized stream is the same
+    volume the range exchange itself moves, so this trades one
+    recompute of the join chain for one in-memory/disk block write —
+    the standard persist-before-range-partition recipe (guide §2.4)."""
     return ranged_prefix(
-        token_rows(kept, wpieces, vocab, wp_broadcast),
+        token_rows(kept, wpieces, vocab, wp_broadcast).localCheckpoint(),
         [F.col("doc_id"), F.col("widx"), F.col("pidx")],
         rn_col="rn",
     ).withColumn("pos", F.col("rn") - 1)
@@ -1390,7 +1399,13 @@ def curriculum_positioned_stream(
             )
         ).alias("skey"),
     )
-    toks = token_rows(inst, wpieces, vocab, wp_broadcast).join(ikey, "doc_id")
+    # checkpoint before the range Exchange — its bounds-sampling job
+    # would otherwise re-run the join chain (see positioned_stream)
+    toks = (
+        token_rows(inst, wpieces, vocab, wp_broadcast)
+        .join(ikey, "doc_id")
+        .localCheckpoint()
+    )
     return ranged_prefix(
         toks,
         [

@@ -47,3 +47,16 @@ def test_nonconvergence_raises_instead_of_wrong_labels(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iter=1)
+
+
+def test_self_loop_nodes_survive_single_edge_materialization(spark):
+    """r15 optimization guard: nodes are now derived from the ONE
+    materialized canonical edge set (so the expensive upstream edge
+    chain is evaluated once, not twice) — self-loop-only nodes must
+    still appear in the labeling with comp == id, and mixed self-loop
+    + real-edge nodes must keep their component."""
+    edges = spark.createDataFrame(
+        [(5, 5), (1, 2), (2, 2), (7, 7)], "src long, dst long"
+    )
+    got = {r["id"]: r["comp"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 5: 5, 7: 7}
