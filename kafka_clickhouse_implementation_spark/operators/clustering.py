@@ -472,31 +472,110 @@ FROM pairs GROUP BY cid
 """
 
 
-def _semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(cid, va, vb, dist2): every within-cluster pair under the
-    dynamic-k SemDeDup clustering — shared by the cluster-stat query
-    (C111) and the composed document-level clean (C129), so the two
-    can never drift in trajectory or pair semantics."""
+def _semdedup_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cid, vec_id, eq): cluster membership with the quantized arrays
+    under the dynamic-k SemDeDup clustering — the shared input of the
+    cluster-stat query (C111) and the composed document-level clean
+    (C129), so the two can never drift in trajectory or pair
+    semantics."""
     emb = load(spark, sf_dir, "embeddings")
     k = semdedup_k(emb.count())
     eq = _eq_arrays(spark, sf_dir).localCheckpoint()
     asg, _, _ = _lloyd_arrays(spark, eq, k, ITERS)
-    a = asg.alias("ga").join(
-        eq.select(F.col("vec_id").alias("va"), F.col("eq").alias("ea")),
-        F.col("ga.vec_id") == F.col("va"),
+    return asg.join(eq, "vec_id").select("cid", "vec_id", "eq")
+
+
+def _pair_block_stats(ids, x, thresh):
+    """Per-cluster pairwise stats over sorted ids / row-aligned x.
+    Returns (n_pairs, n_close, min_dist2, close_j bool mask over ids
+    marking every j that closes a pair with some i < j). Distances are
+    EXACT: every operand and partial sum is an integer below 2^53
+    (|eq| <= ~2e6 micro-units -> dist2 <= 64·(4e6)^2 ~ 1e15 < 2^53),
+    so the float64 x@xT form reproduces the integer zip_with fold bit
+    for bit — the _assign_np argument. Row slabs bound the dense
+    distance block to ~64 MB regardless of cluster size."""
+    import numpy as np
+
+    n = len(ids)
+    sq = (x * x).sum(axis=1)
+    close_j = np.zeros(n, dtype=bool)
+    n_close = 0
+    min_d = None
+    slab = max(1, 8_000_000 // max(1, n))
+    col_idx = np.arange(n)
+    for lo in range(0, n, slab):
+        hi = min(n, lo + slab)
+        d_blk = sq[lo:hi, None] + sq[None, :] - 2.0 * (x[lo:hi] @ x.T)
+        mask = col_idx[None, :] > np.arange(lo, hi)[:, None]
+        d = d_blk[mask]
+        if d.size:
+            m = d.min()
+            min_d = m if min_d is None or m < min_d else min_d
+            cl = (d_blk < thresh) & mask
+            n_close += int(cl.sum())
+            close_j |= cl.any(axis=0)
+    return n * (n - 1) // 2, n_close, min_d, close_j
+
+
+def _pair_stats_np(withq: DataFrame) -> DataFrame:
+    """(cid, n_pairs, n_close, n_drop, min_dist2) per cluster with
+    >= 2 members, from (cid, vec_id, eq) membership — the within-
+    cluster pair frame collapsed into one grouped numpy pass (guide
+    §4.2): the old explicit pair join materialized ~n·SEM_BLOCK/2
+    rows through a shuffle and ran an interpreted 64-dim HOF fold per
+    pair; here each cluster ships once and its pair block runs
+    through BLAS, exactly (see _pair_block_stats). n_drop counts
+    distinct LARGER ids in close pairs (ids sorted ascending, so
+    'exists i < j close' == the old count(DISTINCT vb | close))."""
+    import numpy as np
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                columns=["cid", "n_pairs", "n_close", "n_drop", "min_dist2"]
+            ).astype("int64")
+        ids = pdf["vec_id"].to_numpy()
+        x = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf["eq"]]
+        )
+        n_pairs, n_close, min_d, close_j = _pair_block_stats(
+            ids, x, DUP_THRESH
+        )
+        return pd.DataFrame(
+            {
+                "cid": [int(pdf["cid"].iloc[0])],
+                "n_pairs": [int(n_pairs)],
+                "n_close": [int(n_close)],
+                "n_drop": [int(close_j.sum())],
+                "min_dist2": [int(min_d)],
+            }
+        )
+
+    return withq.groupBy("cid").applyInPandas(
+        stats, "cid long, n_pairs long, n_close long, n_drop long, min_dist2 long"
     )
-    b = asg.alias("gb").join(
-        eq.select(F.col("vec_id").alias("vb"), F.col("eq").alias("eb")),
-        F.col("gb.vec_id") == F.col("vb"),
-    )
-    return a.join(
-        b, (F.col("ga.cid") == F.col("gb.cid")) & (F.col("va") < F.col("vb"))
-    ).select(
-        F.col("ga.cid").alias("cid"),
-        "va",
-        "vb",
-        _dist2_arrays("ea", "eb").alias("dist2"),
-    )
+
+
+def _close_drops_np(withq: DataFrame) -> DataFrame:
+    """(doc_id,): the keep-lowest-id drop set — every vec that closes
+    a within-cluster pair as the LARGER id. Same grouped numpy pass as
+    _pair_stats_np; rows are globally distinct because clusters
+    partition the ids and each j emits at most once per cluster."""
+    import numpy as np
+
+    def drops(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        if len(pdf) < 2:
+            return pd.DataFrame({"doc_id": []}).astype("int64")
+        ids = pdf["vec_id"].to_numpy()
+        x = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf["eq"]]
+        )
+        _np_, _nc, _md, close_j = _pair_block_stats(ids, x, DUP_THRESH)
+        return pd.DataFrame({"doc_id": ids[close_j]})
+
+    return withq.groupBy("cid").applyInPandas(drops, "doc_id long")
 
 
 @query("q_semantic_dedup", oracle=_SEMDEDUP_ORACLE)
@@ -520,17 +599,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     term under this rule; beyond ~10M vectors the production form is
     a two-level (coarse → fine) quantizer at n·2√k distances, the
     same oracle machinery applied twice."""
-    pairs = _semdedup_pairs(spark, sf_dir)
-    return pairs.groupBy("cid").agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.sum(F.when(F.col("dist2") < DUP_THRESH, 1).otherwise(0))
-        .cast("long")
-        .alias("n_close"),
-        F.countDistinct(F.when(F.col("dist2") < DUP_THRESH, F.col("vb"))).alias(
-            "n_drop"
-        ),
-        F.min("dist2").alias("min_dist2"),
-    ).select(
+    return _pair_stats_np(_semdedup_members(spark, sf_dir)).select(
         F.col("cid").alias("cluster_id"),
         "n_pairs",
         "n_close",
@@ -577,8 +646,9 @@ FROM d GROUP BY source
 def q_semantic_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed DOCUMENT-level SemDeDup clean (C129) — what the
     embedding-level machinery exists FOR: the keep-lowest-id drop set
-    from the dynamic-k within-cluster pairs (shared _semdedup_pairs,
-    so the trajectory can never drift from C111) is applied to the
+    from the dynamic-k within-cluster pairs (shared _semdedup_members
+    + _pair_block_stats, so the trajectory can never drift from C111)
+    is applied to the
     documents table (inner-joined on doc_id = vec_id — only the
     embedded subset participates, which is also the realistic shape:
     you embed what you're willing to semantically dedup), and the
@@ -587,12 +657,8 @@ def q_semantic_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-byte-key frame (bounded by close pairs), the document join is
     one digest-sized shuffle, and everything upstream is the C111
     linear-pair machinery."""
-    pairs = _semdedup_pairs(spark, sf_dir)
-    drops = (
-        pairs.filter(F.col("dist2") < DUP_THRESH)
-        .select(F.col("vb").alias("doc_id"))
-        .distinct()
-        .withColumn("dropped", F.lit(1))
+    drops = _close_drops_np(_semdedup_members(spark, sf_dir)).withColumn(
+        "dropped", F.lit(1)
     )
     emb_ids = load(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("doc_id")

@@ -174,6 +174,7 @@ from kafka_clickhouse_implementation_spark.operators.clustering import (  # noqa
     _assign_np,
     _code_points,
     _dist2_arrays,
+    _pair_stats_np,
     _eq_arrays,
     _lloyd_arrays,
     _lloyd_rounds,
@@ -273,9 +274,17 @@ def _stream_coded_members(
     wire, base = embedding_wire_dup(spark, sf_dir)
     suffix = "" if dedup else "_nodedup"
     ckpt = os.path.join(base, f"ckpt_semdedup{suffix}")
+    # maxFilesPerTrigger=4 (the C147/C179 dup-wire convention): the 4
+    # originals arrive in batch 0 and the 4 later-mtime dup-* files in
+    # batch 1, so every vector's duplicate still lands in a LATER
+    # micro-batch than its original and the cross-batch dedup state
+    # stays load-bearing (the necessity pytest still fails without
+    # it) — while the drain pays 2 state-commit rounds instead of 8
+    # (measured r15: each micro-batch costs ~1.2 s of mostly
+    # state-store commit + scheduling at bench scale).
     vecs = (
         spark.readStream.schema("vec_id long, eq array<long>")
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", "4")
         .json(wire)
     )
     if dedup:
@@ -307,25 +316,14 @@ def q_stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     load-bearing role via the oracle's literal-1 max_arrivals."""
     members = _stream_coded_members(spark, sf_dir).localCheckpoint()
     eq = _eq_arrays(spark, sf_dir).localCheckpoint()
-    a = members.select(F.col("cid"), F.col("vec_id").alias("va")).join(
-        eq.select(F.col("vec_id").alias("va"), F.col("eq").alias("ea")), "va"
+    # the identical within-cluster pair frame as batch q_semantic_dedup
+    # — the shared grouped-numpy pass (clustering._pair_stats_np)
+    # replaces the old explicit pair self-join + per-pair interpreted
+    # HOF distance (r15 optimization, results bit-identical)
+    withq = members.select("cid", "vec_id").join(eq, "vec_id").select(
+        "cid", "vec_id", "eq"
     )
-    b = members.select(F.col("cid"), F.col("vec_id").alias("vb")).join(
-        eq.select(F.col("vec_id").alias("vb"), F.col("eq").alias("eb")), "vb"
-    )
-    pairs = a.join(b, ["cid"]).filter(F.col("va") < F.col("vb")).select(
-        "cid", "va", "vb", _dist2_arrays("ea", "eb").alias("dist2")
-    )
-    pagg = pairs.groupBy("cid").agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.sum(F.when(F.col("dist2") < DUP_THRESH, 1).otherwise(0))
-        .cast("long")
-        .alias("n_close"),
-        F.countDistinct(F.when(F.col("dist2") < DUP_THRESH, F.col("vb"))).alias(
-            "n_drop"
-        ),
-        F.min("dist2").alias("min_dist2"),
-    )
+    pagg = _pair_stats_np(withq)
     mem = members.groupBy("cid").agg(
         F.count(F.lit(1)).cast("long").alias("n_members"),
         F.sum("vec_id").cast("long").alias("sum_vec_ids"),
