@@ -56,7 +56,10 @@ from kafka_clickhouse_implementation_spark.operators.sketches import (
     _nibble_value_sql,
 )
 from kafka_clickhouse_implementation_spark.registry import query
-from kafka_clickhouse_implementation_spark.streaming.funnel import _drain
+from kafka_clickhouse_implementation_spark.streaming.funnel import (
+    _drain,
+    _drain_many,
+)
 
 _WIRE_SCHEMA = T.StructType(
     [
@@ -120,16 +123,26 @@ def q_stream_agg_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.expr(_VM)).alias("s_min"),
         F.max(F.expr(_VM)).alias("s_max"),
     )
-    _drain(spark, nums, "agg_state_nums", os.path.join(base, "ckpt_nums"),
-           mode="complete")
-
     regs = stream.groupBy("day", "idx").agg(F.max("rho").alias("m"))
-    _drain(spark, regs, "agg_state_regs", os.path.join(base, "ckpt_regs"),
-           mode="complete")
-
     dig = stream.groupBy("day", "uh").agg(F.count(F.lit(1)).alias("n_seen"))
-    _drain(spark, dig, "agg_state_digests", os.path.join(base, "ckpt_digests"),
-           mode="complete")
+    # the three independent state maintainers drain CONCURRENTLY
+    # (guide §2.6) — each keeps its own checkpoint, state store and
+    # complete-mode output exactly as before; only the driver-side
+    # await order changed (r15: 3 sequential micro-batch lifecycles
+    # of wall time -> ~1)
+    _drain_many(
+        spark,
+        [
+            (nums, "agg_state_nums", os.path.join(base, "ckpt_nums"), "complete"),
+            (regs, "agg_state_regs", os.path.join(base, "ckpt_regs"), "complete"),
+            (
+                dig,
+                "agg_state_digests",
+                os.path.join(base, "ckpt_digests"),
+                "complete",
+            ),
+        ],
+    )
 
     hll = (
         spark.table("agg_state_regs")
