@@ -1091,7 +1091,12 @@ GROUP BY a.cid"""
     )
 
 
-def _pq_train_pts(spark: SparkSession, pts: DataFrame, pq_k: int = PQ_K):
+def _pq_train_pts(
+    spark: SparkSession,
+    pts: DataFrame,
+    pq_k: int = PQ_K,
+    pax: DataFrame | None = None,
+):
     """The C116 joint-subspace Lloyd loop over an ALREADY-SPLIT
     (sub, vec_id, dim, x) long frame — shared by raw-vector PQ (C116/
     C167) and residual PQ (C174, where x is the coarse residual).
@@ -1101,13 +1106,6 @@ def _pq_train_pts(spark: SparkSession, pts: DataFrame, pq_k: int = PQ_K):
     final-update, the _lloyd_arrays asg_carr convention) — which is
     what an out-of-band coder (the C178 streaming index maintainer)
     must code against to reproduce asg exactly."""
-    cents = [
-        (int(r.sub), int(r.cid), int(r.dim), int(r.x))
-        for r in pts.filter(F.col("vec_id") < pq_k)
-        .select("sub", F.col("vec_id").alias("cid"), "dim", "x")
-        .collect()
-    ]
-
     # ARRAY-DOMAIN round loop (r15 optimization): the original
     # long-format loop ran 4 shuffles + 2 driver collects per round
     # over an n·d·pq_k distance intermediate (join on (sub, dim)
@@ -1120,14 +1118,24 @@ def _pq_train_pts(spark: SparkSession, pts: DataFrame, pq_k: int = PQ_K):
     # array_min over struct(d, c): lexicographic = min dist, then min
     # cid ≡ the previous min(struct(dist, cid)) and the oracle's
     # two-step; distances stay exact int64 HOF folds.
-    pax = (
-        pts.groupBy("vec_id", "sub")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(dim, x))), s -> s.x)"
-            ).alias("xa")
+    #
+    # ``pax`` (vec_id, sub, xa[8]) may be supplied by the caller when
+    # it can be built without a shuffle (the raw path slices the
+    # embedding arrays in-row); otherwise pivot the long frame once.
+    if pax is None:
+        pax = (
+            pts.groupBy("vec_id", "sub")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(dim, x))), s -> s.x)"
+                ).alias("xa")
+            )
+            .localCheckpoint()
         )
-        .localCheckpoint()
+    cents = sorted(
+        (int(r.sub), int(r.vec_id), int(d), int(x))
+        for r in pax.filter(F.col("vec_id") < pq_k).collect()
+        for d, x in enumerate(r.xa)
     )
 
     def _coded(model: list[tuple[int, int, int, int]]) -> DataFrame:
@@ -1184,19 +1192,18 @@ def _pq_train_pts(spark: SparkSession, pts: DataFrame, pq_k: int = PQ_K):
     return asg, cdf, acdf
 
 
-def _split_subspaces(pts_long: DataFrame) -> DataFrame:
+def _split_subspaces(pts_long: DataFrame, ckpt: bool = True) -> DataFrame:
     """(vec_id, dim, x) -> (sub, vec_id, dim, x) with dim re-based per
-    8-dim subspace, localCheckpointed (the frame feeds every Lloyd
-    round)."""
-    return (
-        pts_long.select(
-            (F.col("dim") / PQ_SUBDIM).cast("int").alias("sub"),
-            "vec_id",
-            (F.col("dim") % PQ_SUBDIM).alias("dim"),
-            "x",
-        )
-        .localCheckpoint()
+    8-dim subspace. ``ckpt`` pins the frame when it feeds several
+    consumers (the residual path: training pivot + query LUT); the raw
+    path reads it exactly once and skips the materialization."""
+    out = pts_long.select(
+        (F.col("dim") / PQ_SUBDIM).cast("int").alias("sub"),
+        "vec_id",
+        (F.col("dim") % PQ_SUBDIM).alias("dim"),
+        "x",
     )
+    return out.localCheckpoint() if ckpt else out
 
 
 def _pq_train(spark: SparkSession, sf_dir: str, pq_k: int = PQ_K):
@@ -1211,8 +1218,26 @@ def _pq_train(spark: SparkSession, sf_dir: str, pq_k: int = PQ_K):
     codebook (sub, cid, dim, c) — the 'final codebook' every consumer
     (C116's err, C167's ADC tables) measures against — plus the
     assignment codebook acdf (see _pq_train_pts)."""
-    pts = _split_subspaces(_pts_long(spark, sf_dir))
-    asg, cdf, acdf = _pq_train_pts(spark, pts, pq_k)
+    # the subspace arrays slice out of the embedding arrays IN-ROW
+    # (posexplode of 8 slices) — zero shuffles, unlike the generic
+    # pivot _pq_train_pts would otherwise run; pts stays lazy (its
+    # only consumer is the query-side LUT projection, which filters
+    # to n/Q_EVERY rows before doing any work)
+    emb = load(spark, sf_dir, "embeddings")
+    eqa = emb.select(
+        "vec_id", F.expr(f"transform(embedding, x -> {_QUANT})").alias("eq")
+    )
+    pax = eqa.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {PQ_SUB - 1}),"
+                f" s -> slice(eq, s * {PQ_SUBDIM} + 1, {PQ_SUBDIM}))"
+            )
+        ).alias("sub", "xa"),
+    ).localCheckpoint()
+    pts = _split_subspaces(_pts_long(spark, sf_dir), ckpt=False)
+    asg, cdf, acdf = _pq_train_pts(spark, pts, pq_k, pax=pax)
     return pts, asg, cdf, acdf
 
 
@@ -1233,12 +1258,16 @@ def q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     on one-eighth the columns; the 8 runs share one localCheckpointed
     scan."""
     pts, asg, cdf, _acdf = _pq_train(spark, sf_dir)
-    err = (
-        pts.join(F.broadcast(cdf), ["sub", "dim"])
+    # attach the assignment FIRST, then the codebook on (sub, cid,
+    # dim): the error is only ever read for the assigned code, and the
+    # old (sub, dim) join fanned every point row out pq_k ways before
+    # the aggregate threw k-1 of them away (r15, guide §2.3)
+    coded = (
+        pts.join(asg, ["sub", "vec_id"])
+        .join(F.broadcast(cdf), ["sub", "cid", "dim"])
         .groupBy("sub", "vec_id", "cid")
         .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("err"))
     )
-    coded = asg.join(err, ["sub", "vec_id", "cid"])
     return (
         coded.groupBy("sub", "cid")
         .agg(

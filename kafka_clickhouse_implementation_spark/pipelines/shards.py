@@ -226,7 +226,12 @@ def _clean_kept_clipped(clipped: DataFrame) -> DataFrame:
         quality_filter,
     )
 
-    gated = quality_filter(clipped).localCheckpoint()
+    # the gate has exactly ONE consumer (exact_dedup), so it needs no
+    # checkpoint of its own — exact's checkpoint pins the gate+dedup
+    # outputs in one materialization (r15: one fewer eager pass; the
+    # C148 pinning convention only requires the MULTI-consumer stage,
+    # exact, to be frozen)
+    gated = quality_filter(clipped)
     exact = exact_dedup(gated).localCheckpoint()
     pairs = verified_pairs(exact.select("doc_id", "text"))
     comp = connected_components(pairs, src="doc_a", dst="doc_b")
@@ -243,10 +248,11 @@ def clean_kept(docs: DataFrame) -> DataFrame:
     clip → _clean_kept_clipped. Used by the drained document wires
     (C179/C185/C186), whose input is a stream-deduped frame the
     persisted clip product cannot stand in for."""
-    clipped = (
-        substring_clip(docs)
-        .select("doc_id", "source", F.col("kept_text").alias("text"))
-        .localCheckpoint()
+    # single consumer (the gate chain) — no checkpoint needed; the
+    # whole clip → gate → dedup prefix materializes once at exact's
+    # checkpoint inside _clean_kept_clipped
+    clipped = substring_clip(docs).select(
+        "doc_id", "source", F.col("kept_text").alias("text")
     )
     return _clean_kept_clipped(clipped)
 
