@@ -581,15 +581,15 @@ def test_with_totals_is_single_pass_expand(spark):
     assert plan.count("Scan parquet") == 1, plan
 
 
-def test_substring_clip_windows_stay_per_doc(spark):
-    """C143 (r9): the interval-island merge must window PARTITION BY
-    doc_id — a bare window would serialize every clip range through
-    one task — and no shuffle may carry the text column (grams travel
-    as md5 digests; text rejoins only at the final per-doc assembly).
-    Asserted on the clip BUILDER's plan (substring_clip over the raw
-    corpus — what clipped_corpus materializes); since round 14 the
-    registered query reads the persisted product, whose plan is a
-    parquet scan + one aggregate."""
+def test_substring_clip_islands_merge_per_doc_no_global_window(spark):
+    """C143 (r9, re-pinned r15): the interval-island merge must stay
+    PER-DOC parallel — originally two windows PARTITION BY doc_id; the
+    r15 optimization replaced them with one groupBy(doc_id) sorted-
+    array fold. The invariant guarded is the same: no bare (global)
+    window may serialize the clip ranges through one task, and the
+    per-doc merge must key on doc_id. Asserted on the clip BUILDER's
+    plan (substring_clip over the raw corpus — what clipped_corpus
+    materializes)."""
     from kafka_clickhouse_implementation_spark.io import load
     from kafka_clickhouse_implementation_spark.operators.corpus_ext import (
         substring_clip,
@@ -597,10 +597,13 @@ def test_substring_clip_windows_stay_per_doc(spark):
 
     df = substring_clip(load(spark, SF, "documents"))
     plan = _plan(df)
-    win_lines = [l for l in plan.splitlines() if "windowspecdefinition" in l]
-    assert win_lines, plan
-    for l in win_lines:
-        assert "doc_id" in l, l
+    # no window at all is the strongest form of "no global window";
+    # if one ever reappears, it must partition by doc_id
+    for l in plan.splitlines():
+        if "windowspecdefinition" in l:
+            assert "doc_id" in l, l
+    # the island merge is a per-doc hash aggregate over the clip rows
+    assert "doc_id" in plan and "hashpartitioning" in plan, plan
 
 
 def test_kn_gated_clean_model_joins_never_broadcast_vocab(spark):
