@@ -173,7 +173,6 @@ from kafka_clickhouse_implementation_spark.operators.clustering import (  # noqa
     SEM_BLOCK,
     _assign_np,
     _code_points,
-    _dist2_arrays,
     _pair_stats_np,
     _eq_arrays,
     _lloyd_arrays,
