@@ -105,20 +105,27 @@ def connected_components(
     )
     e = e0.filter(F.col("lo") != F.col("hi")).localCheckpoint()
     n_e = e.count()
-    for _ in range(max_iter):
-        new_e = _small_star(_large_star(e)).localCheckpoint()
-        n_new = new_e.count()
-        unchanged = (
-            n_new == n_e and new_e.join(e, ["lo", "hi"]).count() == n_new
-        )
-        e, n_e = new_e, n_new
-        if unchanged:
-            break
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} "
-            "large-star/small-star rounds — labels would be incorrect"
-        )
+    # An empty edge set is already a fixpoint (both star operations map
+    # empty → empty), so skip the loop outright: one star round + the
+    # fixpoint join-count on empty 32-partition frames still costs a
+    # full second of shuffle/job machinery (r15 measurement), and a
+    # near-dup-free corpus slice — the common case at the small SFs —
+    # paid it in every clean-chain consumer.
+    if n_e > 0:
+        for _ in range(max_iter):
+            new_e = _small_star(_large_star(e)).localCheckpoint()
+            n_new = new_e.count()
+            unchanged = n_new == n_e and (
+                new_e.join(e, ["lo", "hi"]).count() == n_new
+            )
+            e, n_e = new_e, n_new
+            if unchanged or n_e == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                "large-star/small-star rounds — labels would be incorrect"
+            )
     # fixpoint graph is min-centered stars: comp(u) = min(u, neighbors)
     sym = e.select(F.col("lo").alias("id"), F.col("hi").alias("v")).union(
         e.select(F.col("hi").alias("id"), F.col("lo").alias("v"))

@@ -386,17 +386,22 @@ def stream_index_upsert(spark: SparkSession, sf_dir: str, project, tag: str) -> 
             bdf.withColumn("version", F.lit(epoch_id).cast("long")), path
         )
 
-    q = (
-        project(deduped)
-        .writeStream.outputMode("update")
-        .foreachBatch(upsert_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+    from kafka_clickhouse_implementation_spark.streaming.funnel import (
+        _stream_partitions_conf,
     )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError(f"{tag} upsert stream did not drain in 600s")
+
+    out = project(deduped)
+    with _stream_partitions_conf(spark, out):
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(upsert_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(f"{tag} upsert stream did not drain in 600s")
     return path
 
 

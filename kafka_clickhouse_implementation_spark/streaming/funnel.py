@@ -223,21 +223,115 @@ def wire_stream(
     )
 
 
+# Scale-adaptive stream partitioning (r15, guide §2). AQE is disabled
+# inside stateful streaming micro-batches, so the state/shuffle
+# partition count of a streaming query is pinned at stream start from
+# spark.sql.shuffle.partitions — a constant sized for BATCH plans. Each
+# HDFS-backed state partition then pays a per-micro-batch delta-file
+# commit (task + fsync) regardless of how little state it holds:
+# measured r15, an 8-file document-wire drain spent 2-4 s/batch in
+# addBatch at 32 state partitions vs ~0.5 s at an input-derived count,
+# with identical results. The fix the guide prescribes is deriving the
+# partition count from the INPUT VOLUME (bytes per partition), not from
+# a mode-tuned constant: a few-MB replay wire gets a few partitions, a
+# 100 TB wire gets thousands (up to the cap). The derived value only
+# ever LOWERS the session setting — on a real cluster the session
+# value is the operator's sizing ceiling, and the replay-wire volume
+# refines it downward when the source is small.
+# Target SOURCE bytes per state partition. The stateful stages process
+# an exploded multiple of the raw wire bytes (tokens/features per JSON
+# byte, ~8-16x), so 4 MiB of source is ~32-64 MiB of processed rows
+# per partition — the conservative end of the guide's partition-sizing
+# band. Measured r15 at sf0.1 (20 MB doc wire → 5 partitions): the
+# per-query sweep over {2,4,8,16,32} put every drain's optimum at 4-8,
+# with 32 costing 1.3-2.4 s extra per query in state-commit overhead.
+_STREAM_PARTITION_BYTES = 4 * 2**20
+_STREAM_PARTITION_CAP = 32768
+
+
+def _scaled_stream_partitions(out) -> int | None:
+    """Input-derived shuffle/state partition count for a streaming
+    frame backed by file source(s): ceil(total source bytes / 4 MiB)
+    clamped to [floor, cap], floor = a quarter of the cluster's
+    default parallelism (per-group fold compute — Python stateful
+    operators invoke one fold call per group — needs a minimum of
+    distributed parallelism even when the wire is tiny; a quarter of
+    the cores keeps that while shedding most of the per-partition
+    state-commit overhead, and the floor scales with however many
+    cores the session actually has rather than a local constant).
+    Returns None when no file source is found (unknown volume — leave
+    the session setting alone)."""
+    import math
+    import os
+    import re
+
+    try:
+        plan = out._jdf.queryExecution().logical().toString()
+    except Exception:
+        return None
+    paths = set(re.findall(r"FileSource\[([^\]]+)\]", plan))
+    if not paths:
+        return None
+    total = 0
+    for p in paths:
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                if f.startswith((".", "_")):
+                    continue
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    try:
+        floor = max(2, out.sparkSession.sparkContext.defaultParallelism // 4)
+    except Exception:
+        floor = 2
+    return max(
+        floor,
+        min(_STREAM_PARTITION_CAP, math.ceil(total / _STREAM_PARTITION_BYTES)),
+    )
+
+
+class _stream_partitions_conf:
+    """Context manager: lower spark.sql.shuffle.partitions to the
+    input-derived count for the duration of a drain, then restore.
+    The value is captured into the stream's checkpoint at start, so
+    restoring after termination never affects the running query."""
+
+    _KEY = "spark.sql.shuffle.partitions"
+
+    def __init__(self, spark, out):
+        self._spark = spark
+        self._out = out
+
+    def __enter__(self):
+        self._old = self._spark.conf.get(self._KEY)
+        n = _scaled_stream_partitions(self._out)
+        if n is not None and int(self._old) > n:
+            self._spark.conf.set(self._KEY, str(n))
+        return self
+
+    def __exit__(self, *exc):
+        self._spark.conf.set(self._KEY, self._old)
+        return False
+
+
 def _drain(spark, out, name: str, ckpt: str, mode: str = "update"):
     import shutil
 
     shutil.rmtree(ckpt, ignore_errors=True)
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError(f"stream {name} did not drain in 600s — memory table would be partial")
+    with _stream_partitions_conf(spark, out):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(f"stream {name} did not drain in 600s — memory table would be partial")
 
 
 def _drain_many(spark, specs):
@@ -252,27 +346,44 @@ def _drain_many(spark, specs):
     unchanged."""
     import shutil
 
-    started = []
-    for out, name, ckpt, mode in specs:
-        shutil.rmtree(ckpt, ignore_errors=True)
-        started.append(
-            (
-                name,
-                out.writeStream.format("memory")
-                .queryName(name)
-                .outputMode(mode)
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start(),
+    specs = list(specs)
+    key = _stream_partitions_conf._KEY
+    old = spark.conf.get(key)
+    # one input-derived count for the whole group (the specs share a
+    # replay wire in practice) — set before any start, restore only
+    # after every query has terminated, so each stream's session clone
+    # sees the scaled value whenever it happens
+    scaled = [
+        n
+        for n in (_scaled_stream_partitions(out) for out, *_rest in specs)
+        if n is not None
+    ]
+    if scaled and int(old) > min(scaled):
+        spark.conf.set(key, str(min(scaled)))
+    try:
+        started = []
+        for out, name, ckpt, mode in specs:
+            shutil.rmtree(ckpt, ignore_errors=True)
+            started.append(
+                (
+                    name,
+                    out.writeStream.format("memory")
+                    .queryName(name)
+                    .outputMode(mode)
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start(),
+                )
             )
-        )
-    for name, q in started:
-        if not q.awaitTermination(600):
-            for _n, other in started:
-                other.stop()
-            raise TimeoutError(
-                f"stream {name} did not drain in 600s — memory table would be partial"
-            )
+        for name, q in started:
+            if not q.awaitTermination(600):
+                for _n, other in started:
+                    other.stop()
+                raise TimeoutError(
+                    f"stream {name} did not drain in 600s — memory table would be partial"
+                )
+    finally:
+        spark.conf.set(key, old)
 
 
 @query(
