@@ -807,6 +807,29 @@ def resample_weights(
     )
 
 
+# The per-doc copy count of the unified down/up-sampling formula, with
+# the >=1000-copies guard raised IN-PLAN (the oracle replays the same
+# guard). Applied to any frame carrying (doc_id, source) — the text
+# corpus (resampled_instances) or the tokenized rows
+# (resampled_token_stream); the hash depends on doc_id only, so both
+# applications agree per doc.
+_NC_SQL = (
+    f"CASE WHEN w_q >= {4096 * 1000} THEN"
+    " CAST(raise_error('C181: resample copy count >= 1000;"
+    " widen the instance encoding') AS BIGINT)"
+    f" ELSE w_q div 4096"
+    f" + (CASE WHEN {_MIX_HASH_SQL} < w_q % 4096 THEN 1 ELSE 0 END)"
+    " END"
+)
+
+
+def _with_copies(frame: DataFrame, wq: DataFrame) -> DataFrame:
+    """Join the (source, w_q) weight table and compute ``nc``."""
+    return frame.join(F.broadcast(wq), "source").withColumn(
+        "nc", F.expr(_NC_SQL)
+    )
+
+
 def resampled_instances(kept: DataFrame, wq: DataFrame) -> DataFrame:
     """The resampled doc-instance corpus: per kept doc, n_copies from
     the unified down/up-sampling formula; each copy becomes a distinct
@@ -814,17 +837,7 @@ def resampled_instances(kept: DataFrame, wq: DataFrame) -> DataFrame:
     text and source, ready for the C177 re-pack. Raises (in-plan) if
     any weight implies >=1000 copies — widen the instance encoding
     before that ever happens."""
-    ncop = kept.join(F.broadcast(wq), "source").withColumn(
-        "nc",
-        F.expr(
-            f"CASE WHEN w_q >= {4096 * 1000} THEN"
-            " CAST(raise_error('C181: resample copy count >= 1000;"
-            " widen the instance encoding') AS BIGINT)"
-            f" ELSE w_q div 4096"
-            f" + (CASE WHEN {_MIX_HASH_SQL} < w_q % 4096 THEN 1 ELSE 0 END)"
-            " END"
-        ),
-    )
+    ncop = _with_copies(kept, wq)
     return (
         ncop.filter(F.col("nc") > 0)
         .select(
@@ -841,6 +854,89 @@ def resampled_instances(kept: DataFrame, wq: DataFrame) -> DataFrame:
     )
 
 
+def resampled_instance_ids(kept: DataFrame, wq: DataFrame) -> DataFrame:
+    """(doc_id=instance id, source) — resampled_instances WITHOUT the
+    text payload, for consumers that only need the instance-id table
+    (curriculum schedule keys)."""
+    ncop = _with_copies(kept.select("doc_id", "source"), wq)
+    return (
+        ncop.filter(F.col("nc") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.expr("sequence(0, nc - 1)")).alias("c"),
+        )
+        .select(
+            (F.col("doc_id") * 1000 + F.col("c")).cast("long").alias("doc_id"),
+            "source",
+        )
+    )
+
+
+def resampled_token_stream(
+    kept: DataFrame,
+    wpieces: DataFrame,
+    vocab: DataFrame,
+    targets_permille: dict[str, int],
+    wp_broadcast: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """(wq, instance token rows) from ONE tokenize of the kept corpus.
+
+    The old shape tokenized twice: token_rows(kept) for the weight
+    counts, then token_rows(resampled_instances(kept)) for the re-pack
+    — but a doc's tokenization is deterministic and every instance
+    carries the doc's exact text, so the instance token rows are just
+    the kept token rows exploded by the per-doc copy count (guide §8:
+    decide on the small rows once, duplicate the decided rows, never
+    re-run the expensive derivation on duplicated input). One
+    segmentation-join pass instead of two; the checkpointed base also
+    absorbs ranged_prefix's bounds-sampling re-evaluation, so the
+    narrow copy-explode is the only thing evaluated twice."""
+    spark = kept.sparkSession
+    base = token_rows(kept, wpieces, vocab, wp_broadcast).localCheckpoint()
+    counts = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    total = counts.agg(F.sum("n_tokens").cast("long").alias("total"))
+    targets = spark.createDataFrame(
+        sorted(targets_permille.items()), "source string, permille long"
+    )
+    wq = (
+        counts.join(F.broadcast(targets), "source", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            F.expr(
+                "CAST((COALESCE(permille, 0) * 4096 * total)"
+                " div (1000 * n_tokens) AS BIGINT)"
+            ).alias("w_q"),
+        )
+        # |sources| rows, two consumers (instance expansion + the
+        # rollup's final join) — pin so each reads the tiny table
+        .localCheckpoint()
+    )
+    inst_rows = (
+        _with_copies(base, wq)
+        .filter(F.col("nc") > 0)
+        .select(
+            "doc_id",
+            "source",
+            "widx",
+            "pidx",
+            "tok_id",
+            F.explode(F.expr("sequence(0, nc - 1)")).alias("c"),
+        )
+        .select(
+            (F.col("doc_id") * 1000 + F.col("c")).cast("long").alias("doc_id"),
+            "source",
+            "widx",
+            "pidx",
+            "tok_id",
+        )
+    )
+    return wq, inst_rows
+
+
 def _resampled_mixture_rollup(
     kept: DataFrame,
     wpieces: DataFrame,
@@ -850,11 +946,18 @@ def _resampled_mixture_rollup(
 ) -> DataFrame:
     """The shared C181/C185/C187 finish: resample the kept corpus to
     ``targets_permille``, re-pack through the C177 positioned stream,
-    and roll up achieved vs target per source."""
+    and roll up achieved vs target per source. Weights and instance
+    token rows come from resampled_token_stream's single tokenize
+    (r15 — the old shape ran the segmentation joins twice)."""
     spark = kept.sparkSession
-    wq = resample_weights(kept, wpieces, vocab, targets_permille, wp_broadcast)
-    inst = resampled_instances(kept, wq)
-    stream2 = positioned_stream(inst, wpieces, vocab, wp_broadcast)
+    wq, inst_rows = resampled_token_stream(
+        kept, wpieces, vocab, targets_permille, wp_broadcast
+    )
+    stream2 = ranged_prefix(
+        inst_rows,
+        [F.col("doc_id"), F.col("widx"), F.col("pidx")],
+        rn_col="rn",
+    ).withColumn("pos", F.col("rn") - 1)
     rcounts = stream2.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         F.count_distinct(F.expr(f"pos div {SEQ_LEN}"))
@@ -1382,21 +1485,14 @@ FROM seqs3 s JOIN seqsrc3 x USING (seq_id)
 """
 
 
-def curriculum_positioned_stream(
-    inst: DataFrame,
-    wpieces: DataFrame,
-    vocab: DataFrame,
-    wp_broadcast: bool | None = None,
-) -> DataFrame:
-    """The resampled instance stream positioned in CURRICULUM order:
-    per-instance schedule keys (the C121 interleave over the instance
-    table, one source-partitioned window) joined onto the token rows,
-    global positions via ranged_prefix over the total order
-    (skey, source, inst, widx, pidx)."""
+def _curriculum_keys(inst_ids: DataFrame) -> DataFrame:
+    """Per-instance schedule keys — the C121 interleave over the
+    instance-id table (one source-partitioned window). ``inst_ids``
+    needs only (doc_id, source)."""
     from pyspark.sql import Window as W
 
     w = W.partitionBy("source").orderBy("doc_id")
-    ikey = inst.select(
+    return inst_ids.select(
         "doc_id",
         (
             (2 * F.row_number().over(w) - 1).cast("double")
@@ -1405,13 +1501,17 @@ def curriculum_positioned_stream(
             )
         ).alias("skey"),
     )
-    # checkpoint before the range Exchange — its bounds-sampling job
-    # would otherwise re-run the join chain (see positioned_stream)
-    toks = (
-        token_rows(inst, wpieces, vocab, wp_broadcast)
-        .join(ikey, "doc_id")
-        .localCheckpoint()
-    )
+
+
+def _curriculum_positioned_rows(
+    inst_ids: DataFrame, inst_rows: DataFrame
+) -> DataFrame:
+    """Position instance TOKEN rows in curriculum order: schedule keys
+    joined onto the (already tokenized) instance rows, global
+    positions via ranged_prefix over (skey, source, inst, widx,
+    pidx). The checkpoint before the range Exchange absorbs its
+    bounds-sampling job (see positioned_stream)."""
+    toks = inst_rows.join(_curriculum_keys(inst_ids), "doc_id").localCheckpoint()
     return ranged_prefix(
         toks,
         [
@@ -1423,6 +1523,23 @@ def curriculum_positioned_stream(
         ],
         rn_col="rn",
     ).withColumn("pos", F.col("rn") - 1)
+
+
+def curriculum_positioned_stream(
+    inst: DataFrame,
+    wpieces: DataFrame,
+    vocab: DataFrame,
+    wp_broadcast: bool | None = None,
+) -> DataFrame:
+    """The resampled instance stream positioned in CURRICULUM order,
+    tokenizing the given instance TEXT corpus (r15: the certified
+    queries now ride _curriculum_positioned_rows over the shared
+    single-tokenize resampled_token_stream instead; this text-level
+    form remains for direct callers)."""
+    return _curriculum_positioned_rows(
+        inst.select("doc_id", "source"),
+        token_rows(inst, wpieces, vocab, wp_broadcast),
+    )
 
 
 @query(
@@ -1442,9 +1559,12 @@ def q_token_shards_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     equals the doc-ordered C181 rollup's."""
     kept, wpieces, vocab = shard_inputs(spark, sf_dir)
     wp_bc = wpieces_fits_broadcast(wpieces)
-    wq = resample_weights(kept, wpieces, vocab, _RESAMPLE_TARGET_PERMILLE, wp_bc)
-    inst = resampled_instances(kept, wq).localCheckpoint()
-    stream = curriculum_positioned_stream(inst, wpieces, vocab, wp_bc)
+    wq, inst_rows = resampled_token_stream(
+        kept, wpieces, vocab, _RESAMPLE_TARGET_PERMILLE, wp_bc
+    )
+    stream = _curriculum_positioned_rows(
+        resampled_instance_ids(kept, wq), inst_rows
+    )
     return _assemble_sequences(stream, "doc_id div 1000").select(
         "seq_id",
         "n_tokens",
@@ -1589,9 +1709,12 @@ def q_stream_shards_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = clean_kept(docs).localCheckpoint()
     _kept_cached, wpieces, vocab = shard_inputs(spark, sf_dir)
     wp_bc = wpieces_fits_broadcast(wpieces)
-    wq = resample_weights(kept, wpieces, vocab, _RESAMPLE_TARGET_PERMILLE, wp_bc)
-    inst = resampled_instances(kept, wq).localCheckpoint()
-    stream = curriculum_positioned_stream(inst, wpieces, vocab, wp_bc)
+    wq, inst_rows = resampled_token_stream(
+        kept, wpieces, vocab, _RESAMPLE_TARGET_PERMILLE, wp_bc
+    )
+    stream = _curriculum_positioned_rows(
+        resampled_instance_ids(kept, wq), inst_rows
+    )
     return _assemble_sequences(stream, "doc_id div 1000").select(
         "seq_id",
         "n_tokens",

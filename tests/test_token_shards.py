@@ -334,3 +334,46 @@ def test_stream_curriculum_equals_batch_and_wire_has_dups(spark):
         .filter(F.col("doc_id") % SHARD_SLICE_MOD == 0)
     )
     assert raw.count() > raw.select("doc_id").distinct().count()
+
+
+def test_resampled_token_stream_equals_text_level_resample(spark):
+    """r15 optimization guard: the single-tokenize instance token rows
+    (copies exploded on the tokenized kept rows) are row-for-row the
+    token_rows of the text-level resampled instance corpus."""
+    from kafka_clickhouse_implementation_spark.pipelines.shards import (
+        _RESAMPLE_TARGET_PERMILLE,
+        resample_weights,
+        resampled_instance_ids,
+        resampled_instances,
+        resampled_token_stream,
+        shard_inputs,
+        token_rows,
+        wpieces_fits_broadcast,
+    )
+
+    kept, wpieces, vocab = shard_inputs(spark, SF)
+    wp_bc = wpieces_fits_broadcast(wpieces)
+
+    wq_new, inst_rows = resampled_token_stream(
+        kept, wpieces, vocab, _RESAMPLE_TARGET_PERMILLE, wp_bc
+    )
+    wq_old = resample_weights(
+        kept, wpieces, vocab, _RESAMPLE_TARGET_PERMILLE, wp_bc
+    )
+    assert sorted(map(tuple, wq_new.collect())) == sorted(
+        map(tuple, wq_old.collect())
+    )
+
+    inst_text = resampled_instances(kept, wq_old)
+    old_rows = token_rows(inst_text, wpieces, vocab, wp_bc)
+    new = sorted(map(tuple, inst_rows.collect()))
+    old = sorted(map(tuple, old_rows.collect()))
+    assert new == old and len(new) > 0
+
+    ids_new = sorted(
+        map(tuple, resampled_instance_ids(kept, wq_new).collect())
+    )
+    ids_old = sorted(
+        map(tuple, inst_text.select("doc_id", "source").collect())
+    )
+    assert ids_new == ids_old
