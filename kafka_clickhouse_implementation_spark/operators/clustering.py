@@ -1739,12 +1739,39 @@ def q_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="cid LONG, dim INT, cx LONG",
     )
     pts = _pts_long(spark, sf_dir)
-    rpts = _split_subspaces(
-        pts.join(asg, "vec_id")
-        .join(F.broadcast(ccdf), ["cid", "dim"])
-        .select("vec_id", "dim", (F.col("x") - F.col("cx")).alias("x"))
+    # Residual training input built IN-ROW from the eq ARRAYS (r15):
+    # residual = zip_with(eq, centroid array) on the row, then the 8
+    # subspace slices explode in-row — feeding _pq_train_pts its pax
+    # directly. The old shape exploded all n·d long rows, shuffled
+    # them through a join against asg + the codebook, materialized the
+    # split, and re-pivoted them back to arrays with another shuffle;
+    # every one of those exchanges carried the full point set (guide
+    # §2.3/§2.4). qres below still uses the long form — it touches
+    # query rows only (n / Q_EVERY).
+    cents_df = spark.createDataFrame(
+        [(cid, list(arr)) for cid, arr in asg_carr],
+        schema="cid LONG, ca ARRAY<BIGINT>",
     )
-    codes, cdf, _acdf = _pq_train_pts(spark, rpts, pq_k=PQ_K16)
+    sub_slices = ", ".join(
+        f"named_struct('sub', {s}, 'xa', slice(rz, {s * PQ_SUBDIM + 1},"
+        f" {PQ_SUBDIM}))"
+        for s in range(PQ_SUB)
+    )
+    rpax = (
+        eq.join(asg, "vec_id")
+        .join(F.broadcast(cents_df), "cid")
+        .select(
+            "vec_id",
+            F.expr("zip_with(eq, ca, (p, q) -> p - q)").alias("rz"),
+        )
+        .select(
+            "vec_id",
+            F.explode(F.expr(f"array({sub_slices})")).alias("o"),
+        )
+        .select("vec_id", "o.sub", "o.xa")
+        .localCheckpoint()
+    )
+    codes, cdf, _acdf = _pq_train_pts(spark, None, pq_k=PQ_K16, pax=rpax)
     qres = (
         probe.join(
             pts.filter(F.col("vec_id") % Q_EVERY == 0).withColumnRenamed(

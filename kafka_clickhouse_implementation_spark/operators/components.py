@@ -68,6 +68,47 @@ def _small_star(pairs: DataFrame) -> DataFrame:
     )
 
 
+# Edge-count gate for the driver union-find fast path: below it the
+# canonical edge set is collected (two longs per edge — ~1 MB at the
+# gate) and labeled with path-compressed union-find in O(E α) instead
+# of O(E log n) distributed star rounds, each of which costs a
+# checkpoint + count + (on the convergence round) a join-count of
+# job/shuffle machinery. The near-dup graphs of the clean chains are
+# thousands of edges at most; a graph past the gate takes the
+# unchanged distributed loop. Same (id, comp) result by construction:
+# components and their min labels are properties of the edge SET.
+CC_DRIVER_MAX_EDGES = 65536
+
+
+def _driver_components(rows) -> dict[int, int]:
+    """Min-label components of the collected (lo, hi) edges: standard
+    union-find with path compression, then one pass mapping every root
+    to the minimum node id of its component."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for lo, hi in rows:
+        for v in (lo, hi):
+            if v not in parent:
+                parent[v] = v
+        ra, rb = find(lo), find(hi)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict[int, int] = {}
+    for v in parent:
+        r = find(v)
+        if r not in comp_min or v < comp_min[r]:
+            comp_min[r] = v
+    return {v: comp_min[find(v)] for v in parent}
+
+
 def connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
 ) -> DataFrame:
@@ -111,26 +152,35 @@ def connected_components(
     # full second of shuffle/job machinery (r15 measurement), and a
     # near-dup-free corpus slice — the common case at the small SFs —
     # paid it in every clean-chain consumer.
-    if n_e > 0:
-        for _ in range(max_iter):
-            new_e = _small_star(_large_star(e)).localCheckpoint()
-            n_new = new_e.count()
-            unchanged = n_new == n_e and (
-                new_e.join(e, ["lo", "hi"]).count() == n_new
-            )
-            e, n_e = new_e, n_new
-            if unchanged or n_e == 0:
-                break
-        else:
-            raise RuntimeError(
-                f"connected_components did not converge in {max_iter} "
-                "large-star/small-star rounds — labels would be incorrect"
-            )
-    # fixpoint graph is min-centered stars: comp(u) = min(u, neighbors)
-    sym = e.select(F.col("lo").alias("id"), F.col("hi").alias("v")).union(
-        e.select(F.col("hi").alias("id"), F.col("lo").alias("v"))
-    )
-    nbr = sym.groupBy("id").agg(F.min("v").alias("mn"))
+    if 0 < n_e <= CC_DRIVER_MAX_EDGES:
+        labels = _driver_components(
+            (int(r.lo), int(r.hi)) for r in e.collect()
+        )
+        spark = e.sparkSession
+        nbr = spark.createDataFrame(
+            sorted(labels.items()), schema="id long, mn long"
+        )
+    else:
+        if n_e > 0:
+            for _ in range(max_iter):
+                new_e = _small_star(_large_star(e)).localCheckpoint()
+                n_new = new_e.count()
+                unchanged = n_new == n_e and (
+                    new_e.join(e, ["lo", "hi"]).count() == n_new
+                )
+                e, n_e = new_e, n_new
+                if unchanged or n_e == 0:
+                    break
+            else:
+                raise RuntimeError(
+                    f"connected_components did not converge in {max_iter} "
+                    "large-star/small-star rounds — labels would be incorrect"
+                )
+        # fixpoint graph is min-centered stars: comp(u) = min(u, nbrs)
+        sym = e.select(F.col("lo").alias("id"), F.col("hi").alias("v")).union(
+            e.select(F.col("hi").alias("id"), F.col("lo").alias("v"))
+        )
+        nbr = sym.groupBy("id").agg(F.min("v").alias("mn"))
     return nodes.join(nbr, "id", "left").select(
         "id", F.least("id", F.coalesce("mn", "id")).alias("comp")
     )

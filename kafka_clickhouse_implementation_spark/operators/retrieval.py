@@ -1049,71 +1049,71 @@ def candidate_pair_sims(cand: DataFrame, eq: DataFrame) -> DataFrame:
 
 def mmr_diversify(cand: DataFrame, psim: DataFrame, k: int = MMR_K) -> DataFrame:
     """Greedy MMR over a (qid, doc_id, cos_nano, dense_rnk) candidate
-    list with (qid, a, b, sim_nano) pairwise sims — k unrolled rounds,
-    each an exact-integer argmax via the one-agg min(struct) pattern."""
-    sel = cand.filter(F.col("dense_rnk") == 1).selectExpr(
-        "qid",
-        "CAST(1 AS BIGINT) AS step",
-        "doc_id",
-        "cos_nano AS rel_nano",
-        "CAST(0 AS BIGINT) AS maxsim_nano",
-        f"CAST({MMR_W_REL} * cos_nano AS BIGINT) AS mmr_nano",
-    )
-    allsel = sel
-    for step in range(2, k + 1):
-        m = (
-            psim.join(
-                allsel.select("qid", F.col("doc_id").alias("b")), ["qid", "b"]
-            )
-            .groupBy("qid", "a")
-            .agg(F.max("sim_nano").cast("long").alias("maxsim_nano"))
-        )
-        remaining = cand.join(
-            allsel.select("qid", "doc_id"), ["qid", "doc_id"], "left_anti"
-        )
-        scored = remaining.join(
-            m.withColumnRenamed("a", "doc_id"), ["qid", "doc_id"]
-        ).select(
-            "qid",
-            "doc_id",
-            F.col("cos_nano").alias("rel_nano"),
-            "maxsim_nano",
-            (
-                MMR_W_REL * F.col("cos_nano") - MMR_W_DIV * F.col("maxsim_nano")
-            )
-            .cast("long")
-            .alias("mmr_nano"),
-        )
-        pick = (
-            scored.groupBy("qid")
-            .agg(
-                F.min(
-                    F.struct(
-                        (-F.col("mmr_nano")).alias("neg"),
-                        F.col("doc_id").alias("d"),
-                        F.col("rel_nano").alias("r"),
-                        F.col("maxsim_nano").alias("ms"),
-                    )
-                ).alias("w")
-            )
-            .selectExpr(
-                "qid",
-                f"CAST({step} AS BIGINT) AS step",
-                "w.d AS doc_id",
-                "w.r AS rel_nano",
-                "w.ms AS maxsim_nano",
-                "CAST(-w.neg AS BIGINT) AS mmr_nano",
-            )
-        )
-        allsel = allsel.unionByName(pick)
-        # each round unions the pick frame back in, so the lazy plan
-        # grows O(k²); harmless at MMR_K = 4, but pin the accumulator
-        # every 4 rounds so a raised k cannot blow analysis time (the
-        # r10 verdict's residual-nit note, made structural)
-        if step % 4 == 0 and step < k:
-            allsel = allsel.localCheckpoint()
-    return allsel.select(
-        "qid", "step", "doc_id", "rel_nano", "maxsim_nano", "mmr_nano"
+    list with (qid, a, b, sim_nano) pairwise sims — k greedy rounds of
+    exact-integer argmax (max mmr_nano, tie → min doc_id), run on the
+    DRIVER over the collected candidate lists.
+
+    The inputs are MODEL-SIZED BY CONFIG, not corpus-sized: cand is at
+    most n_queries × DENSE_K rows and psim its pairwise square — the
+    same boundedness that lets the Lloyd loops collect their
+    centroids. The previous k-round unrolled DataFrame plan evaluated
+    each pick's subtree inside every later round's join (O(k²) tiny
+    shuffle stages for one action, ~1.5-2 s of pure stage overhead at
+    sf0.1 — r15 measurement); the greedy itself is inherently
+    sequential, so the driver loop IS the minimal plan. Semantics are
+    replicated exactly: step 1 takes dense_rnk == 1; a later step
+    scores only not-yet-selected candidates having at least one
+    pairwise-sim row against the selected set (the old inner join),
+    with maxsim = max over those rows and mmr = W_REL*rel − W_DIV*
+    maxsim in exact Python ints."""
+    spark = cand.sparkSession
+    crows = cand.select("qid", "doc_id", "cos_nano", "dense_rnk").collect()
+    prows = psim.select("qid", "a", "b", "sim_nano").collect()
+
+    by_q: dict[int, dict[int, int]] = {}
+    first: dict[int, int] = {}
+    for r in crows:
+        by_q.setdefault(r.qid, {})[r.doc_id] = r.cos_nano
+        if r.dense_rnk == 1:
+            first[r.qid] = r.doc_id
+    sims: dict[tuple[int, int, int], int] = {
+        (r.qid, r.a, r.b): r.sim_nano for r in prows
+    }
+
+    out: list[tuple[int, int, int, int, int, int]] = []
+    for qid in sorted(by_q):
+        if qid not in first:
+            continue
+        d0 = first[qid]
+        rel0 = by_q[qid][d0]
+        selected = [d0]
+        out.append((qid, 1, d0, rel0, 0, MMR_W_REL * rel0))
+        for step in range(2, k + 1):
+            best = None
+            for d, rel in by_q[qid].items():
+                if d in selected:
+                    continue
+                pair_sims = [
+                    sims[(qid, d, b)]
+                    for b in selected
+                    if (qid, d, b) in sims
+                ]
+                if not pair_sims:
+                    continue
+                ms = max(pair_sims)
+                mmr = MMR_W_REL * rel - MMR_W_DIV * ms
+                key = (-mmr, d)
+                if best is None or key < best[0]:
+                    best = (key, d, rel, ms, mmr)
+            if best is None:
+                continue
+            _key, d, rel, ms, mmr = best
+            selected.append(d)
+            out.append((qid, step, d, rel, ms, mmr))
+    return spark.createDataFrame(
+        out,
+        schema="qid long, step long, doc_id long, rel_nano long,"
+        " maxsim_nano long, mmr_nano long",
     )
 
 

@@ -26,10 +26,14 @@ def test_min_label_is_order_independent(spark):
     assert got == {1: 1, 3: 1, 7: 1, 9: 1, 5: 5, 6: 5}
 
 
-def test_adversarial_long_chain_converges_in_log_rounds(spark):
+def test_adversarial_long_chain_converges_in_log_rounds(spark, monkeypatch):
     """A 1000-node path graph is the worst case for plain min-label
     propagation (O(diameter) = 1000 rounds); large-star/small-star must
-    collapse it within a ≤20-round budget."""
+    collapse it within a ≤20-round budget. The driver union-find gate
+    is forced off so the DISTRIBUTED loop is what's exercised."""
+    from kafka_clickhouse_implementation_spark.operators import components
+
+    monkeypatch.setattr(components, "CC_DRIVER_MAX_EDGES", 0)
     n = 1000
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "src long, dst long"
@@ -39,14 +43,39 @@ def test_adversarial_long_chain_converges_in_log_rounds(spark):
     assert all(r["comp"] == 0 for r in got)
 
 
-def test_nonconvergence_raises_instead_of_wrong_labels(spark):
+def test_nonconvergence_raises_instead_of_wrong_labels(spark, monkeypatch):
     import pytest
 
+    from kafka_clickhouse_implementation_spark.operators import components
+
+    monkeypatch.setattr(components, "CC_DRIVER_MAX_EDGES", 0)
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(99)], "src long, dst long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iter=1)
+
+
+def test_driver_union_find_equals_distributed_loop(spark, monkeypatch):
+    """r15 optimization guard: the small-graph driver union-find path
+    and the distributed star loop label the same graph identically —
+    chains, stars, self-loops, isolated pairs, shuffled edge order."""
+    from kafka_clickhouse_implementation_spark.operators import components
+
+    raw = (
+        [(i, i + 1) for i in range(0, 40)]
+        + [(100, 100 + j) for j in range(1, 6)]
+        + [(201, 200), (202, 201), (300, 300), (401, 402)]
+    )
+    edges = spark.createDataFrame(raw[::-1], "src long, dst long")
+    fast = {
+        r["id"]: r["comp"] for r in connected_components(edges).collect()
+    }
+    monkeypatch.setattr(components, "CC_DRIVER_MAX_EDGES", 0)
+    slow = {
+        r["id"]: r["comp"] for r in connected_components(edges).collect()
+    }
+    assert fast == slow and len(fast) > 0
 
 
 def test_self_loop_nodes_survive_single_edge_materialization(spark):
