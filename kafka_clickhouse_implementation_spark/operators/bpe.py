@@ -102,6 +102,59 @@ def _fold_step_sql(wa: str, wb: str) -> str:
     )
 
 
+# Word-count gate for the driver trainer fast path (the CC union-find
+# recipe applied to BPE): below it the symbolized vocab is collected
+# (w, s, f — a few MB at the gate) and the merge loop runs in Python,
+# replicating _pair_frame / the canonical-greedy fold / the
+# (cnt DESC, a, b) winner order exactly in integer+string arithmetic.
+# Every round of the distributed loop costs 1-3 vocab-sized Spark jobs
+# whose data fits in L2 — pure scheduling/planning overhead at any SF
+# where the vocabulary is driver-sized; a corpus whose vocabulary
+# exceeds the gate takes the unchanged distributed loop.
+_DRIVER_VOCAB_MAX = 65536
+
+
+def _check_syms(*syms: str) -> None:
+    """The _fold_step_sql alphabet guard, shared by the driver path
+    (same failure mode for symbols outside [a-z_])."""
+    for sym in syms:
+        if not sym or not all("a" <= c <= "z" or c == _EOW for c in sym):
+            raise ValueError(
+                f"BPE symbol {sym!r} outside the SQL-literal-safe "
+                f"[a-z{_EOW}] alphabet; refusing to interpolate"
+            )
+
+
+def _driver_pair_stats(rows) -> tuple[dict, int]:
+    """_pair_frame in Python over [(w, s, f)]: adjacent-symbol pair
+    counts weighted by word frequency, plus their total."""
+    pc: dict[tuple[str, str], int] = {}
+    tot = 0
+    for _w, s, f in rows:
+        syms = s.strip().split(" ")
+        for i in range(len(syms) - 1):
+            k = (syms[i], syms[i + 1])
+            pc[k] = pc.get(k, 0) + f
+            tot += f
+    return pc, tot
+
+
+def _driver_fold(s: str, rules: list[tuple[str, str]]) -> str:
+    """The canonical-greedy left fold (_fold_step_sql /
+    _fold_step_multi_sql) in Python: acc starts ' ', each symbol either
+    completes the first rule whose wb it is while acc ends ' wa '
+    (drop the trailing 'wa ', append 'wawb ') or appends as 'x '."""
+    acc = " "
+    for x in s.strip().split(" "):
+        for wa, wb in rules:
+            if x == wb and acc.endswith(f" {wa} "):
+                acc = acc[: -(len(wa) + 1)] + wa + wb + " "
+                break
+        else:
+            acc = acc + x + " "
+    return acc
+
+
 def _pair_frame(cur: DataFrame) -> DataFrame:
     """Adjacent-symbol pair counts over the vocab, weighted by word
     frequency — zip_with over two slices (one evaluation per row; HOFs
@@ -230,7 +283,26 @@ def _train_full(
 ) -> tuple[list[tuple], DataFrame]:
     """The shared BPE_ROUNDS merge loop over a symbolized vocab.
     Returns (trajectory rows, final segmented vocab (w, s, f))."""
-    wsum = int(vocab.agg(F.sum("f")).first()[0])
+    stats = vocab.agg(
+        F.sum("f").alias("wf"), F.count(F.lit(1)).alias("n")
+    ).first()
+    wsum, n_words = int(stats.wf), int(stats.n)
+
+    if n_words <= _DRIVER_VOCAB_MAX:
+        rows = [(r.w, r.s, int(r.f)) for r in vocab.collect()]
+        out = []
+        for r in range(1, BPE_ROUNDS + 1):
+            pc, tot = _driver_pair_stats(rows)
+            if not pc:  # vocabulary fully merged
+                break
+            ncnt, wa, wb = min((-c, a, b) for (a, b), c in pc.items())
+            _check_syms(wa, wb)
+            out.append((r, wa, wb, wa + wb, -ncnt, tot + wsum))
+            rules = [(wa, wb)]
+            rows = [(w, _driver_fold(s, rules), f) for w, s, f in rows]
+        return out, spark.createDataFrame(
+            rows, schema="w string, s string, f long"
+        )
 
     out: list[tuple] = []
     cur = vocab
@@ -355,7 +427,33 @@ def _train_batched_full(
     final segmented vocab)."""
     from concurrent.futures import ThreadPoolExecutor
 
-    wsum = int(vocab.agg(F.sum("f")).first()[0])
+    stats = vocab.agg(
+        F.sum("f").alias("wf"), F.count(F.lit(1)).alias("n")
+    ).first()
+    wsum, n_words = int(stats.wf), int(stats.n)
+
+    if n_words <= _DRIVER_VOCAB_MAX:
+        rows = [(r.w, r.s, int(r.f)) for r in vocab.collect()]
+        out = []
+        rank = 0
+        for r in range(1, rounds + 1):
+            pc, tot = _driver_pair_stats(rows)
+            if not pc:  # vocabulary fully merged
+                break
+            ranked = sorted(((-c, a, b) for (a, b), c in pc.items()))
+            cands = [(a, b, -nc) for nc, a, b in ranked[:batch_n]]
+            chosen = _select_batch(cands)
+            syms_before = tot + wsum
+            for a, b, cnt in chosen:
+                _check_syms(a, b)
+                rank += 1
+                out.append((rank, r, a, b, a + b, cnt, syms_before))
+            rules = [(a, b) for a, b, _ in chosen]
+            rows = [(w, _driver_fold(s, rules), f) for w, s, f in rows]
+        return out, spark.createDataFrame(
+            rows, schema="w string, s string, f long"
+        )
+
     out: list[tuple] = []
     cur = vocab
     rank = 0

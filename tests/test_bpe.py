@@ -347,3 +347,37 @@ def test_select_batch_greedy_rule():
         ("c", "d", 8),
         ("e", "f", 6),
     ]
+
+
+def test_driver_trainer_equals_distributed(spark):
+    """r15 optimization guard: the size-gated driver merge loop and the
+    distributed loop produce identical trajectories and final segmented
+    vocabs, for both the sequential and the batched trainer."""
+    from pyspark.sql import functions as F
+
+    from kafka_clickhouse_implementation_spark.io import load
+    from kafka_clickhouse_implementation_spark.operators import bpe
+
+    vocab = bpe._symbolized_vocab(
+        load(spark, SF, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter("w <> ''")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+
+    def run_both(fn, *args, **kw):
+        fast = fn(spark, vocab, *args, **kw)
+        old = bpe._DRIVER_VOCAB_MAX
+        bpe._DRIVER_VOCAB_MAX = 0
+        try:
+            slow = fn(spark, vocab, *args, **kw)
+        finally:
+            bpe._DRIVER_VOCAB_MAX = old
+        assert fast[0] == slow[0] and len(fast[0]) > 0
+        f_rows = sorted(map(tuple, fast[1].collect()))
+        s_rows = sorted(map(tuple, slow[1].collect()))
+        assert f_rows == s_rows
+
+    run_both(bpe._train_full)
+    run_both(bpe._train_batched_full, rounds=3, batch_n=4)
