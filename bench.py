@@ -234,6 +234,25 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+
+    # COLD RESULT PRODUCTS (r15 verdict #1): computed pipeline products
+    # (near-dup pair frames, clipped corpora, feature tables, shard /
+    # tokenizer artifacts) are deleted at run start so every bench run
+    # pays — and reports, as `*_first_touch` fixture lines below — the
+    # cost of building them from the parquet inputs. Replay-wire
+    # fixtures (INPUT data) and the upsert-maintained persisted indexes
+    # (whose cross-run persistence is the certified incremental-
+    # maintenance semantic) stay cached. SPARK_GRAFT_WARM_PRODUCTS=1
+    # skips the purge for local iteration only.
+    from kafka_clickhouse_implementation_spark.cachedirs import (
+        purge_result_products,
+    )
+
+    if os.environ.get("SPARK_GRAFT_WARM_PRODUCTS") == "1":
+        purged_products: list[str] = []
+    else:
+        purged_products = purge_result_products(sf_dir)
+
     spark = get_spark("bench")
 
     qs = entrymod.queries()
@@ -277,6 +296,43 @@ def main() -> None:
         builder(spark, sf_dir)
         fixture_builds[label + "_first_touch"] = round(time.time() - t0, 3)
 
+    # The clipped-corpus products (the ExactSubstr clip over each slice
+    # flavor) feed the near-dup products, the shard inputs, and the
+    # exports; timed first so each later line times its own stage.
+    from kafka_clickhouse_implementation_spark.pipelines.corpus import (
+        clipped_corpus,
+        neardup_pairs_product,
+    )
+
+    for mod in (1, 10):
+        t0 = time.time()
+        clipped_corpus(spark, sf_dir, mod=mod)
+        fixture_builds[f"clipped_corpus_m{mod}_first_touch"] = round(
+            time.time() - t0, 3
+        )
+
+    # The shared near-dup pair products (r15): one LSH chain per text
+    # flavor, consumed by every composed clean/export via restriction
+    # semi-joins — a one-time corpus artifact, reported as its own
+    # fixture line so the headline slots time the operators.
+    for mod in (0, 1, 10):
+        t0 = time.time()
+        neardup_pairs_product(spark, sf_dir, mod=mod)
+        fixture_builds[f"neardup_pairs_m{mod}_first_touch"] = round(
+            time.time() - t0, 3
+        )
+
+    # The hashed feature table (DSIR/NB consumers read it back).
+    from kafka_clickhouse_implementation_spark.operators.dsir import (
+        features_product,
+    )
+
+    t0 = time.time()
+    features_product(spark, sf_dir)
+    fixture_builds["features_product_first_touch"] = round(
+        time.time() - t0, 3
+    )
+
     # The shard-pipeline PRODUCTS (r14): kept corpus + tokenizer tables
     # + the two written shard sets are one-time source-identity-keyed
     # artifacts (the persisted-ANN-index pattern); build them here so
@@ -296,21 +352,6 @@ def main() -> None:
         t0 = time.time()
         builder(spark, sf_dir)
         fixture_builds[label + "_first_touch"] = round(time.time() - t0, 3)
-
-    # The shared near-dup pair products (r15): one LSH chain per text
-    # flavor, consumed by every composed clean/export via restriction
-    # semi-joins — a one-time corpus artifact, reported as its own
-    # fixture line so the headline slots time the operators.
-    from kafka_clickhouse_implementation_spark.pipelines.corpus import (
-        neardup_pairs_product,
-    )
-
-    for mod in (0, 1, 10):
-        t0 = time.time()
-        neardup_pairs_product(spark, sf_dir, mod=mod)
-        fixture_builds[f"neardup_pairs_m{mod}_first_touch"] = round(
-            time.time() - t0, 3
-        )
 
     # The tokenizer-artifact products (C190/C191)
     from kafka_clickhouse_implementation_spark.operators.unigram_lm import (
@@ -332,6 +373,17 @@ def main() -> None:
         t0 = time.time()
         builder(spark, sf_dir)
         fixture_builds[label + "_first_touch"] = round(time.time() - t0, 3)
+
+    # The corpus-export products: the export queries write-if-absent
+    # and certify the read-back, so one untimed-slot invocation here
+    # both builds the product and reports its cost; the headline slot
+    # then times the certification read (the partition_prune recipe).
+    for qname in ("q_corpus_export", "q_corpus_export_full"):
+        t0 = time.time()
+        qs[qname](spark, sf_dir).collect()
+        fixture_builds[f"{qname}_product_first_touch"] = round(
+            time.time() - t0, 3
+        )
 
     # Cold-scan warm-up for the wide columns the text/embedding tier
     # reads (q_jaccard_pairs' 5.2x r6 "regression" was first-touch
@@ -488,6 +540,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "fixture_builds": fixture_builds,
+        "cold_products_purged": purged_products,
         "runs_per_query": runs_per_query,
         "probe": {
             "workload": "sum(id*2+1) over range(2e8, 32 slices)",
@@ -528,7 +581,10 @@ def main() -> None:
     # FASTEST queries collapse into omitted_{n,sec} (the slow ones
     # carry the regression signal; the full map is on the detail line
     # and in docs/BENCH_last_run.json).
-    tail_window = 2000  # driver-side stdout tail size
+    # Pad width follows the driver's tail size; overridable so a
+    # driver-side window change can't silently break parsing again
+    # (r15 verdict #8).
+    tail_window = int(os.environ.get("SPARK_GRAFT_TAIL_WINDOW", "2000"))
     budget = tail_window - 1  # newline occupies the last byte
     compact = {
         "metric": "headline_queries_total",
@@ -536,6 +592,7 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "n_queries": len(timings),
+        "fixtures_sec": round(sum(fixture_builds.values()), 3),
         "queries": dict(
             sorted(timings.items(), key=lambda kv: -kv[1])
         ),

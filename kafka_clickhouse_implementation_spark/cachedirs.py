@@ -33,3 +33,47 @@ def source_tagged_dir(flavor: str, sf_dir: str, table: str) -> str:
         "spark_graft_cache",
         f"{sf_name}_{table}_{flavor}_{tag}",
     )
+
+
+# Computed RESULT products (near-dup pair frames, clipped corpora,
+# feature tables, shard/tokenizer artifacts) live in their own
+# namespace, separate from replay-wire fixtures and the persisted
+# upsert-maintained indexes whose cross-run persistence is the
+# certified semantic (incremental maintenance). The split exists so a
+# bench run can prove it paid every result-product build itself
+# (r15 verdict #1): bench.py purges this namespace at run start and
+# reports each rebuild as its own timed fixture line, while wires —
+# INPUT data, not computed answers — stay cached.
+
+
+def product_dir(flavor: str, sf_dir: str, table: str) -> str:
+    """Like :func:`source_tagged_dir` but for computed RESULT products;
+    the returned dir sits under the purgeable ``result_products``
+    namespace."""
+    tagged = source_tagged_dir(flavor, sf_dir, table)
+    return os.path.join(
+        os.path.dirname(tagged), "result_products", os.path.basename(tagged)
+    )
+
+
+def purge_result_products(sf_dir: str | None = None) -> list[str]:
+    """Delete cached result products (all of them, or only those built
+    from ``sf_dir``'s tables) so the next touch rebuilds from parquet.
+    Returns the deleted dir names."""
+    import shutil
+
+    root = os.path.join(
+        tempfile.gettempdir(), "spark_graft_cache", "result_products"
+    )
+    if not os.path.isdir(root):
+        return []
+    prefix = None
+    if sf_dir is not None:
+        prefix = os.path.basename(os.path.realpath(sf_dir)) + "_"
+    purged = []
+    for name in sorted(os.listdir(root)):
+        if prefix is not None and not name.startswith(prefix):
+            continue
+        shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+        purged.append(name)
+    return purged

@@ -318,7 +318,7 @@ def features_product(spark, sf_dir: str) -> DataFrame:
     import os
 
     from kafka_clickhouse_implementation_spark.cachedirs import (
-        source_tagged_dir,
+        product_dir,
     )
 
     # The flavor tag folds in the OPERATOR CONFIG (r15 advisory — the
@@ -331,7 +331,7 @@ def features_product(spark, sf_dir: str) -> DataFrame:
     cfg = hashlib.md5(
         f"{_FEATS_EXPR}|{_bucket('feat')}".encode()
     ).hexdigest()[:8]
-    out = source_tagged_dir(f"feats{N_BUCKETS}_{cfg}", sf_dir, "documents")
+    out = product_dir(f"feats{N_BUCKETS}_{cfg}", sf_dir, "documents")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         doc_features(load(spark, sf_dir, "documents")).write.mode(
             "overwrite"

@@ -389,11 +389,11 @@ def stream_index_upsert(spark: SparkSession, sf_dir: str, project, tag: str) -> 
         )
 
     from kafka_clickhouse_implementation_spark.streaming.funnel import (
-        _stream_partitions_conf,
+        stream_partitions_conf,
     )
 
     out = project(deduped)
-    with _stream_partitions_conf(spark, out):
+    with stream_partitions_conf(spark, out):
         q = (
             out.writeStream.outputMode("update")
             .foreachBatch(upsert_batch)
@@ -960,6 +960,11 @@ def q_hybrid_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 MMR_K = 4  # diversified picks per query
 MMR_W_REL = 7  # LAM = 0.7 scaled by 10
 MMR_W_DIV = 3  # 1 - LAM scaled by 10
+# Driver-collect gate for the greedy loop (the CC_DRIVER_MAX_EDGES
+# convention): candidate rows are n_queries x DENSE_K by construction
+# (~40 at every SF); 65536 rows (a few MB collected) is far above any
+# config-bounded list and far below driver trouble.
+MMR_DRIVER_MAX_CANDIDATES = 65536
 
 
 def _mmr_round_cte(k: int) -> str:
@@ -1067,6 +1072,17 @@ def mmr_diversify(cand: DataFrame, psim: DataFrame, k: int = MMR_K) -> DataFrame
     with maxsim = max over those rows and mmr = W_REL*rel − W_DIV*
     maxsim in exact Python ints."""
     spark = cand.sparkSession
+    # Collect gate (r15 advisory — the CC_DRIVER_MAX_EDGES convention):
+    # the boundedness is a CONFIG property (n_queries × DENSE_K rows,
+    # psim ≤ its pairwise square); a future corpus-scaled caller must
+    # fail loudly here, not OOM the driver.
+    n_cand = cand.count()
+    if n_cand > MMR_DRIVER_MAX_CANDIDATES:
+        raise ValueError(
+            f"mmr_diversify: {n_cand} candidate rows exceed the driver "
+            f"gate ({MMR_DRIVER_MAX_CANDIDATES}); the greedy expects a "
+            "config-bounded candidate list (n_queries x DENSE_K)"
+        )
     crows = cand.select("qid", "doc_id", "cos_nano", "dense_rnk").collect()
     prows = psim.select("qid", "a", "b", "sim_nano").collect()
 

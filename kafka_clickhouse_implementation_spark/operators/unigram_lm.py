@@ -76,6 +76,7 @@ from kafka_clickhouse_implementation_spark.functions.portable_math import (
     ln_exp_case,
     ln_scale_case,
     pln,
+    pln_py,
 )
 from kafka_clickhouse_implementation_spark.io import load
 from kafka_clickhouse_implementation_spark.registry import query
@@ -88,6 +89,20 @@ _MAX_WLEN = 127  # backpointer packs into 7 bits
 _OFF = 2**50
 _SENT = -(2**49)
 _ENC0 = _OFF * 128
+
+# Word-count gate for the driver EM fast path (r16 — the P2.9/BPE
+# recipe applied to the unigram trainer, the r15 verdict's #3): below
+# it the (w, f) vocabulary is collected (a few MB at the gate) and the
+# whole hard-EM loop runs in Python, replicating candidate generation,
+# the prune order, the nano-quantized pln scores (pln_py IS the same
+# IEEE op sequence as the SQL kernel — CPython doubles are binary64
+# with the identical literal values), and the packed-BIGINT Viterbi DP
+# in exact integer arithmetic. Every distributed round cost ~14
+# vocab-sized Spark jobs of pure scheduling overhead at any SF where
+# the vocabulary is driver-sized; a corpus whose vocabulary exceeds
+# the gate takes the unchanged distributed loop. Equality is pinned by
+# tests/test_unigram.py::test_driver_em_equals_distributed.
+UNI_DRIVER_MAX_WORDS = 65536
 
 
 # ---------------------------------------------------------------------
@@ -221,6 +236,139 @@ def _recount(seg: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# Driver EM fast path (r16): the exact loop above in Python over the
+# collected vocabulary. Each step replicates its Spark twin's
+# arithmetic precisely — see the per-step notes.
+# ---------------------------------------------------------------------
+
+
+def _driver_scores(counts: dict[str, int]) -> dict[str, int]:
+    """_spark_scores in Python: sc = floor(pln(cnt / T) * 1e9) as an
+    exact int. pln_py executes the same finite IEEE op sequence as the
+    SQL kernel text (same literals, same Horner order, same ladder
+    branch choice), and CPython floats are binary64 — so the doubles,
+    and therefore the floors, are equal by construction."""
+    import math
+
+    t_total = float(sum(counts.values()))
+    return {
+        piece: int(math.floor(pln_py(float(cnt) / t_total) * 1.0e9))
+        for piece, cnt in counts.items()
+    }
+
+
+def _driver_viterbi(
+    w: str, sc: dict[str, int]
+) -> tuple[list[str], int, int]:
+    """The packed-BIGINT DP of _DP_SQL/_PATH_SQL/_SEGS_SQL in exact
+    Python ints: dp[i] = max over j in [max(0, i-UNI_L), i-1] of
+    (dp[j]'s score + score(w[j:i]) or SENT) packed with backptr
+    127 - j; ties impossible (distinct j = distinct low bits). All dp
+    values are positive (score + OFF > 0), so Python // == Spark div.
+    Returns (segs, ll, npieces)."""
+    n = len(w)
+    dp = [_ENC0]
+    for i in range(1, n + 1):
+        dp.append(
+            max(
+                (dp[j] // 128 - _OFF + sc.get(w[j:i], _SENT) + _OFF) * 128
+                + (127 - j)
+                for j in range(max(0, i - UNI_L), i)
+            )
+        )
+    path = [n]
+    while path[0] != 0:
+        path.insert(0, 127 - (dp[path[0]] % 128))
+    segs = [w[a:b] for a, b in zip(path[:-1], path[1:])]
+    return segs, dp[n] // 128 - _OFF, len(path) - 1
+
+
+def _driver_prune(
+    counts: dict[str, int], singles: list[str], multi: int
+) -> dict[str, int]:
+    """_prune in Python: singles survive with count+1 (Laplace floor),
+    plus the top ``multi`` multi-char pieces by (cnt DESC, piece ASC) —
+    Python str comparison is by code point, which equals Spark/DuckDB's
+    binary UTF-8 order (UTF-8 preserves code-point order)."""
+    v = {p: counts.get(p, 0) + 1 for p in singles}
+    m = sorted(
+        ((p, c) for p, c in counts.items() if len(p) >= 2),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:multi]
+    v.update(dict(m))
+    return v
+
+
+def _driver_em(
+    spark: SparkSession,
+    rows: list[tuple[str, int]],
+    rounds: int,
+    multi: int,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The full hard-EM loop on the driver over a collected (w, f)
+    vocabulary; returns the same (trajectory, final segmentation,
+    final model) frames as the distributed loop, bit-identically
+    (pinned by test_driver_em_equals_distributed)."""
+    # candidate substrings, counted once per (word, piece) like the
+    # array_distinct explode
+    cand: dict[str, set[str]] = {}
+    for w, _f in rows:
+        pieces = {
+            w[i : i + l]
+            for i in range(len(w))
+            for l in range(1, min(UNI_L, len(w) - i) + 1)
+        }
+        cand[w] = pieces
+    sub0: dict[str, int] = {}
+    for w, f in rows:
+        for p in cand[w]:
+            sub0[p] = sub0.get(p, 0) + f
+    singles = [p for p in sub0 if len(p) == 1]
+    v = _driver_prune(sub0, singles, multi)
+
+    traj: list[tuple] = []
+    seg_rows: list[tuple] = []
+    for r in range(1, rounds + 1):
+        n_pieces = len(v)
+        t_total = sum(v.values())
+        top_cnt, top_piece = min((-c, p) for p, c in v.items())
+        sc = _driver_scores(v)
+        seg_rows = []
+        for w, f in rows:
+            segs, ll, npieces = _driver_viterbi(w, sc)
+            seg_rows.append((w, f, segs, ll, npieces))
+        n_seg_tokens = sum(f * np for _w, f, _s, _ll, np in seg_rows)
+        sll = sum(f * ll for _w, f, _s, ll, _np in seg_rows)
+        # negate-divide-negate on exact ints: -sll >= 0 (scores are
+        # negative), so Python // == Spark's truncating div
+        ll_micro = -((-sll) // 1000)
+        traj.append(
+            (r, n_pieces, t_total, top_piece, -top_cnt, n_seg_tokens, ll_micro)
+        )
+        if r < rounds:
+            rc: dict[str, int] = {}
+            for _w, f, segs, _ll, _np in seg_rows:
+                for p in segs:
+                    rc[p] = rc.get(p, 0) + f
+            v = _driver_prune(rc, singles, multi)
+
+    traj_df = spark.createDataFrame(
+        traj,
+        schema="round int, n_pieces long, t_total long, top_piece string,"
+        " top_cnt long, n_seg_tokens long, ll_micro long",
+    )
+    seg_df = spark.createDataFrame(
+        seg_rows,
+        schema="w string, f long, segs array<string>, ll long,"
+        " npieces long",
+    )
+    v_df = spark.createDataFrame(
+        sorted(v.items()), schema="piece string, cnt long"
+    )
+    return traj_df, seg_df, v_df
+
+
 def _em_rounds(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Run UNI_ROUNDS of hard EM over `documents`. Returns (unioned
     per-round trajectory frame, final segmented vocab (w, f, segs, ll,
@@ -238,6 +386,14 @@ def _em_rounds_from_words(
     the drained complete-mode word state (C147), the export product
     (C191) at its own (rounds, multi) budget. Returns (trajectory,
     final segmentation, final model (piece, cnt))."""
+    head = words.limit(UNI_DRIVER_MAX_WORDS + 1).collect()
+    if len(head) <= UNI_DRIVER_MAX_WORDS:
+        return _driver_em(
+            words.sparkSession,
+            [(r.w, int(r.f)) for r in head],
+            rounds,
+            multi,
+        )
     cand = _candidates(words)
     sub0 = _substr_counts(cand)
     singles = sub0.filter(F.length("piece") == 1).select("piece").localCheckpoint()
@@ -605,10 +761,10 @@ def write_unigram_tokenizer(spark: SparkSession, sf_dir: str) -> str:
     import os
 
     from kafka_clickhouse_implementation_spark.cachedirs import (
-        source_tagged_dir,
+        product_dir,
     )
 
-    root = source_tagged_dir(
+    root = product_dir(
         f"unitok_r{UNI_EXPORT_ROUNDS}m{UNI_EXPORT_MULTI}L{UNI_L}",
         sf_dir,
         "documents",

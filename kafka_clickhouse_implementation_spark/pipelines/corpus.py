@@ -362,7 +362,7 @@ def neardup_pairs_product(
     import os
 
     from kafka_clickhouse_implementation_spark.cachedirs import (
-        source_tagged_dir,
+        product_dir,
     )
     from kafka_clickhouse_implementation_spark.operators.minhash_portable import (
         BAND_ROWS,
@@ -373,7 +373,7 @@ def neardup_pairs_product(
     flavor = (
         f"neardup_{N_HASHES}x{BAND_ROWS}_t{int(JACCARD_T * 100)}_m{mod}"
     )
-    out = source_tagged_dir(flavor, sf_dir, "documents")
+    out = product_dir(flavor, sf_dir, "documents")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         if mod == 0:
             docs = load(spark, sf_dir, "documents").select("doc_id", "text")
@@ -500,7 +500,7 @@ def clipped_corpus(spark: SparkSession, sf_dir: str, mod: int = 1) -> DataFrame:
     import os
 
     from kafka_clickhouse_implementation_spark.cachedirs import (
-        source_tagged_dir,
+        product_dir,
     )
     from kafka_clickhouse_implementation_spark.operators.corpus_ext import (
         substring_clip,
@@ -515,7 +515,7 @@ def clipped_corpus(spark: SparkSession, sf_dir: str, mod: int = 1) -> DataFrame:
         GRAM_STRIDE,
     )
 
-    out = source_tagged_dir(
+    out = product_dir(
         f"clipped_g{GRAM_LEN}s{GRAM_STRIDE}_mod{mod}", sf_dir, "documents"
     )
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
@@ -721,7 +721,7 @@ def _corpus_export(
     import os
 
     from kafka_clickhouse_implementation_spark.cachedirs import (
-        source_tagged_dir,
+        product_dir,
     )
     from kafka_clickhouse_implementation_spark.operators.quality_ext import (
         kn_score_bigrams,
@@ -762,7 +762,7 @@ def _corpus_export(
     kept_ids = kept_exact.join(losers, "doc_id", "left_anti").select("doc_id")
 
     # ---- the PRODUCT: kept docs + lineage, partitioned by source ----
-    out = source_tagged_dir(tag, sf_dir, "documents")
+    out = product_dir(tag, sf_dir, "documents")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         (
             flagged.join(kept_ids, "doc_id", "left_semi")

@@ -84,7 +84,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_clickhouse_implementation_spark.cachedirs import source_tagged_dir
+from kafka_clickhouse_implementation_spark.cachedirs import product_dir
 from kafka_clickhouse_implementation_spark.io import load
 from kafka_clickhouse_implementation_spark.operators.bpe import (
     _oracle_sql_batched,
@@ -305,7 +305,7 @@ def shard_inputs(
     tokenizer to compute a mixture rollup. Correctness is unchanged —
     the oracle replays the full chain from raw parquet, so these
     tables are certified on every read."""
-    root = source_tagged_dir(f"shard_inputs_{_PRODUCT_TAG}", sf_dir, "documents")
+    root = product_dir(f"shard_inputs_{_PRODUCT_TAG}", sf_dir, "documents")
     dirs = {n: os.path.join(root, n) for n in ("kept", "wpieces", "vocab")}
     if not all(
         os.path.exists(os.path.join(d, "_SUCCESS")) for d in dirs.values()
@@ -490,7 +490,7 @@ def write_token_shards(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     and vocab/ (piece, tok_id) under one source-tagged cache root.
     Idempotent per testdata identity (each write gated on its own
     _SUCCESS). Returns (shards_dir, vocab_dir)."""
-    root = source_tagged_dir(f"token_shards_{_PRODUCT_TAG}", sf_dir, "documents")
+    root = product_dir(f"token_shards_{_PRODUCT_TAG}", sf_dir, "documents")
     shards_dir = os.path.join(root, "shards")
     vocab_dir = os.path.join(root, "vocab")
     if not (
@@ -1040,7 +1040,7 @@ def write_resampled_shards(spark: SparkSession, sf_dir: str) -> str:
     provenance in ORIGINAL doc ids. Idempotent per testdata identity;
     returns the shards dir. The vocab table is C177's (the mixture
     changes the data mix, never the tokenizer)."""
-    root = source_tagged_dir(
+    root = product_dir(
         f"token_shards_resampled_{_PRODUCT_TAG}", sf_dir, "documents"
     )
     shards_dir = os.path.join(root, "shards")
@@ -1276,7 +1276,7 @@ def stream_resampled_shards_upsert(
     wpieces = wpieces.localCheckpoint()
     vocab = vocab.localCheckpoint()
     wp_bc = wpieces_fits_broadcast(wpieces)
-    inputs_root = source_tagged_dir(
+    inputs_root = product_dir(
         f"shard_inputs_{_PRODUCT_TAG}", sf_dir, "documents"
     )
     books_identity = "{}|{}".format(
@@ -1603,7 +1603,7 @@ def write_tokenizer(spark: SparkSession, sf_dir: str) -> str:
         _BATCH_SCHEMA,
     )
 
-    root = source_tagged_dir(f"tokenizer_{_PRODUCT_TAG}", sf_dir, "documents")
+    root = product_dir(f"tokenizer_{_PRODUCT_TAG}", sf_dir, "documents")
     merges_dir = os.path.join(root, "merges")
     if not os.path.exists(os.path.join(merges_dir, "_SUCCESS")):
         raw = load(spark, sf_dir, "documents")

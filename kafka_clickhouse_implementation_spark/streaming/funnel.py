@@ -282,6 +282,12 @@ def _scaled_stream_partitions(out) -> int | None:
                     total += os.path.getsize(os.path.join(root, f))
                 except OSError:
                     pass
+    if total == 0:
+        # No measurable local bytes — a URI-scheme / remote path that
+        # os.walk can't traverse, or a genuinely empty wire. Unknown
+        # volume → leave the session setting alone (r15 advisory: the
+        # floor must not be pinned onto a source we couldn't size).
+        return None
     try:
         floor = max(2, out.sparkSession.sparkContext.defaultParallelism // 4)
     except Exception:
@@ -292,11 +298,13 @@ def _scaled_stream_partitions(out) -> int | None:
     )
 
 
-class _stream_partitions_conf:
+class stream_partitions_conf:
     """Context manager: lower spark.sql.shuffle.partitions to the
     input-derived count for the duration of a drain, then restore.
     The value is captured into the stream's checkpoint at start, so
-    restoring after termination never affects the running query."""
+    restoring after termination never affects the running query.
+    Public shared helper (r15 advisory) — the index-upsert drains in
+    operators/retrieval.py wrap their stream starts in it too."""
 
     _KEY = "spark.sql.shuffle.partitions"
 
@@ -307,7 +315,13 @@ class _stream_partitions_conf:
     def __enter__(self):
         self._old = self._spark.conf.get(self._KEY)
         n = _scaled_stream_partitions(self._out)
-        if n is not None and int(self._old) > n:
+        try:
+            cur = int(self._old)
+        except (TypeError, ValueError):
+            # a non-integer session value (vendor 'auto' settings) —
+            # skip the lowering rather than abort the drain
+            return self
+        if n is not None and cur > n:
             self._spark.conf.set(self._KEY, str(n))
         return self
 
@@ -316,11 +330,15 @@ class _stream_partitions_conf:
         return False
 
 
+# backwards-compatible private alias (pre-r16 name)
+_stream_partitions_conf = stream_partitions_conf
+
+
 def _drain(spark, out, name: str, ckpt: str, mode: str = "update"):
     import shutil
 
     shutil.rmtree(ckpt, ignore_errors=True)
-    with _stream_partitions_conf(spark, out):
+    with stream_partitions_conf(spark, out):
         q = (
             out.writeStream.format("memory")
             .queryName(name)
@@ -347,23 +365,26 @@ def _drain_many(spark, specs):
     import shutil
 
     specs = list(specs)
-    key = _stream_partitions_conf._KEY
+    key = stream_partitions_conf._KEY
     old = spark.conf.get(key)
-    # one input-derived count for the whole group (the specs share a
-    # replay wire in practice) — set before any start, restore only
-    # after every query has terminated, so each stream's session clone
-    # sees the scaled value whenever it happens
-    scaled = [
-        n
-        for n in (_scaled_stream_partitions(out) for out, *_rest in specs)
-        if n is not None
-    ]
-    if scaled and int(old) > min(scaled):
-        spark.conf.set(key, str(min(scaled)))
+    try:
+        cur = int(old)
+    except (TypeError, ValueError):
+        cur = None  # non-integer session value — never lower it
     try:
         started = []
         for out, name, ckpt, mode in specs:
             shutil.rmtree(ckpt, ignore_errors=True)
+            # per-spec input-derived count, set immediately before THIS
+            # start (r15 advisory: each stream captures
+            # spark.sql.shuffle.partitions at .start(), so a group-wide
+            # minimum under-partitioned a large wire mixed with a tiny
+            # one)
+            n = _scaled_stream_partitions(out)
+            if cur is not None:
+                spark.conf.set(
+                    key, str(n) if n is not None and n < cur else old
+                )
             started.append(
                 (
                     name,

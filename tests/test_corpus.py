@@ -138,7 +138,7 @@ def test_corpus_export_ships_exactly_the_kept_set(spark, sf_dir):
     their text column."""
     import pyspark.sql.functions as F
 
-    from kafka_clickhouse_implementation_spark.cachedirs import source_tagged_dir
+    from kafka_clickhouse_implementation_spark.cachedirs import product_dir
     from kafka_clickhouse_implementation_spark.pipelines.corpus import (
         EXPORT_SLICE_MOD,
         q_corpus_clean_clipped_sampled,
@@ -161,7 +161,7 @@ def test_corpus_export_ships_exactly_the_kept_set(spark, sf_dir):
     assert audit.filter("reason = 'kept' AND (comp IS NULL OR comp > doc_id)").count() == 0
     assert audit.filter("reason IN ('quality', 'exact_dup') AND comp IS NOT NULL").count() == 0
     # the files themselves: only kept ids, fp(text-on-disk) matches the audit
-    out = source_tagged_dir("corpus_export", sf_dir, "documents")
+    out = product_dir("corpus_export", sf_dir, "documents")
     files = spark.read.option("basePath", out).parquet(out)
     kept_ids = {r["doc_id"] for r in audit.filter("reason = 'kept'").collect()}
     assert {r["doc_id"] for r in files.select("doc_id").collect()} == kept_ids

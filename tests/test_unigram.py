@@ -144,6 +144,51 @@ def test_unigram_replays_real_corpus(spark):
     _check(spark, docs)
 
 
+def test_driver_em_equals_distributed(spark):
+    """r16 optimization guard (the r15 BPE recipe): the size-gated
+    driver EM loop and the distributed loop produce identical
+    trajectories, final segmentations (incl. the segs arrays the
+    tokenizer export persists), and final models — on the real corpus
+    at both the teaching and the export (rounds, multi) budgets."""
+    from kafka_clickhouse_implementation_spark.io import load
+    from kafka_clickhouse_implementation_spark.operators import unigram_lm
+    from kafka_clickhouse_implementation_spark.operators.unigram_lm import (
+        UNI_EXPORT_MULTI,
+        UNI_EXPORT_ROUNDS,
+        _em_rounds_from_words,
+        _seed_words,
+    )
+
+    words = _seed_words(load(spark, SF_DIR, "documents")).localCheckpoint()
+
+    def run_both(rounds, multi):
+        fast = _em_rounds_from_words(words, rounds=rounds, multi=multi)
+        old = unigram_lm.UNI_DRIVER_MAX_WORDS
+        unigram_lm.UNI_DRIVER_MAX_WORDS = 0
+        try:
+            slow = _em_rounds_from_words(words, rounds=rounds, multi=multi)
+        finally:
+            unigram_lm.UNI_DRIVER_MAX_WORDS = old
+        f_traj = sorted(tuple(r) for r in fast[0].collect())
+        s_traj = sorted(tuple(r) for r in slow[0].collect())
+        assert f_traj == s_traj and len(f_traj) == rounds
+        f_seg = sorted(
+            (r.w, r.f, tuple(r.segs), r.ll, r.npieces)
+            for r in fast[1].collect()
+        )
+        s_seg = sorted(
+            (r.w, r.f, tuple(r.segs), r.ll, r.npieces)
+            for r in slow[1].collect()
+        )
+        assert f_seg == s_seg and len(f_seg) > 0
+        f_v = sorted(map(tuple, fast[2].collect()))
+        s_v = sorted(map(tuple, slow[2].collect()))
+        assert f_v == s_v and len(f_v) > 0
+
+    run_both(UNI_ROUNDS, UNI_MULTI)
+    run_both(UNI_EXPORT_ROUNDS, UNI_EXPORT_MULTI)
+
+
 def test_unigram_tokenize_matches_replay(spark, sf_dir, tmp_path):
     """C146 fertility accounting vs the replay's final segmentation."""
     from kafka_clickhouse_implementation_spark.registry import all_queries
