@@ -17,7 +17,7 @@ as one IEEE division of exact integer ratios (weight = target_permille
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_clickhouse_implementation_spark.io import load
@@ -282,17 +282,37 @@ def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("h"),
     )
-    cnt = g.groupBy("h").agg(F.countDistinct("doc_id").alias("n_docs"))
-    j = g.join(cnt, "h")
-    return j.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_positions"),
-        F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+    # r16 restructure (guide §2.4, §1.2): the r15 plan evaluated the
+    # md5-gram explode TWICE (once for the per-gram doc count, once as
+    # the join probe side) and shuffled the full position table into a
+    # gram-keyed join. Instead: ONE gram pass, pre-aggregated to
+    # distinct (h, doc) rows with the per-doc position count riding
+    # along, n_docs as a plain count over a WINDOW on h (no distinct
+    # needed — rows are per (h, doc) by construction; doc_id determines
+    # source, so grouping by (h, doc_id, source) is grouping by
+    # (h, doc_id)), and the same per-source totals reconstructed from
+    # the np weights: n_positions = sum(np), dup positions =
+    # sum(np where n_docs > 1), distinct grams unchanged. The explicit
+    # repartition("h") establishes the partitioning ONCE — the groupBy
+    # (clustering-subset rule) and the window both reuse it, so the
+    # gram rows cross exactly one exchange.
+    gd = (
+        g.repartition("h")
+        .groupBy("h", "doc_id", "source")
+        .agg(F.count(F.lit(1)).alias("np"))
+    )
+    gd = gd.withColumn("n_docs", F.count(F.lit(1)).over(Window.partitionBy("h")))
+    return gd.groupBy("source").agg(
+        F.sum("np").cast("long").alias("n_positions"),
+        F.sum(F.when(F.col("n_docs") > 1, F.col("np")).otherwise(0))
         .cast("long")
         .alias("n_dup_positions"),
         F.countDistinct("h").alias("n_distinct_grams"),
         (
-            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).cast("double")
-            / F.count(F.lit(1))
+            F.sum(F.when(F.col("n_docs") > 1, F.col("np")).otherwise(0)).cast(
+                "double"
+            )
+            / F.sum("np")
         ).alias("dup_ratio"),
     )
 

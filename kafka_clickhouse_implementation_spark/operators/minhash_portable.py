@@ -56,32 +56,30 @@ def _shingles(docs: DataFrame) -> DataFrame:
     ).distinct()
 
 
-def minhash_candidate_pairs(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
-    """(doc_a, doc_b) candidate pairs from 4x4 LSH banding over the
-    16-function portable MinHash signature. Pass a precomputed
-    ``_shingles`` frame to share the (expensive) shingle subtree with
-    the verify stage."""
-    if sh is None:
-        sh = _shingles(docs)
-    # The 16-function signature as ONE aggregation: the previous form
-    # exploded every shingle 16 ways (16x the shuffle rows) and
-    # re-grouped twice ((doc, i) mins, then (doc, band) concat). All
-    # 16 per-(doc, i) minima are plain min() aggregates over the same
-    # shingle rows — computed with map-side partials in a single
-    # groupBy(doc_id), and the 4 band hashes are then pure row
-    # expressions (md5 of the i-ordered '|' concat, unchanged).
-    # 16x fewer shuffled rows, two shuffles fewer (guide §2.3).
-    # expressions built as single parsed SQL strings: the expanded
-    # Column-by-Column form crossed py4j a few hundred times and cost
-    # ~0.4 s of driver-side plan construction PER CONSUMER (measured
-    # r15); one F.expr parse per aggregate/projection is the same
-    # expression tree for a handful of round trips
-    mins = sh.groupBy("doc_id").agg(
+def _signature_frame(sh: DataFrame) -> DataFrame:
+    """(doc_id, m0..m15, n): the 16-function signature AND the distinct
+    shingle count in ONE aggregation. The 16 per-(doc, i) minima are
+    plain min() aggregates with map-side partials in a single
+    groupBy(doc_id) (the r15 de-explode — guide §2.3), and folding the
+    ``sizes`` count into the same agg removes the separate
+    groupBy(doc_id) the verify stage ran over the same rows (one
+    shuffle + one corpus pass fewer — guide §2.4). Expressions stay
+    single parsed SQL strings: the Column-by-Column form cost ~0.4 s
+    of py4j plan construction per consumer (measured r15)."""
+    return sh.groupBy("doc_id").agg(
         *[
             F.expr(f"min(md5(concat('{i}:', s)))").alias(f"m{i}")
             for i in range(N_HASHES)
-        ]
+        ],
+        F.count("*").alias("n"),
     )
+
+
+def _band_pairs(mins: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) distinct candidate pairs from 4x4 LSH banding
+    over a precomputed signature frame: the 4 band hashes are pure row
+    expressions (md5 of the i-ordered '|' concat), then the
+    (band, bh) self-equi-join."""
     band_structs = ", ".join(
         "named_struct('band', CAST({b} AS BIGINT), 'bh', md5(concat_ws('|', {cols})))".format(
             b=b,
@@ -103,6 +101,16 @@ def minhash_candidate_pairs(docs: DataFrame, sh: DataFrame | None = None) -> Dat
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def minhash_candidate_pairs(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs from 4x4 LSH banding over the
+    16-function portable MinHash signature. Pass a precomputed
+    ``_shingles`` frame to share the (expensive) shingle subtree with
+    the verify stage."""
+    if sh is None:
+        sh = _shingles(docs)
+    return _band_pairs(_signature_frame(sh))
 
 
 def minhash_pairs_cte(src: str) -> str:
@@ -160,11 +168,24 @@ def verified_pairs(
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) near-dup pairs: LSH candidates verified
     by exact shingle-set Jaccard — the full portable pipeline, reusable
-    by any composition (q_minhash_portable, the corpus cleaner)."""
+    by any composition (q_minhash_portable, the corpus cleaner).
+
+    r16: the shingle frame feeds FOUR plan branches (signature, sizes,
+    and both sides of the verify intersection self-join) and the r15
+    plan re-evaluated the tokenize -> explode -> distinct chain for
+    every one of them — SIX corpus passes in the physical plan
+    (both sides of the band self-join re-derived the signature too).
+    Materialize the distinct shingles ONCE (localCheckpoint — the
+    repo's multi-consumer-node convention, guide §5) and the signature
+    frame once (three consumers: bands, na, nb; ``sizes`` now rides
+    the same aggregation as the mins), so every downstream branch
+    scans materialized rows instead of re-tokenizing the corpus."""
     if sh is None:
         sh = _shingles(docs)
-    cand = minhash_candidate_pairs(docs, sh=sh)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sh = sh.localCheckpoint()
+    mins = _signature_frame(sh).localCheckpoint()
+    cand = _band_pairs(mins)
+    sizes = mins.select("doc_id", "n")
     sa = sh.select(F.col("doc_id").alias("doc_a"), "s")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "s")
     inter = (
