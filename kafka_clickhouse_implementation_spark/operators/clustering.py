@@ -1091,6 +1091,62 @@ GROUP BY a.cid"""
     )
 
 
+def _pq_assign_np(
+    pax: DataFrame, model: list[tuple[int, int, int, int]]
+) -> DataFrame:
+    """(vec_id, sub, xa, cid): PQ coding of an (vec_id, sub, xa[8])
+    frame against a (sub, cid, dim, x) codebook as a vectorized numpy
+    assignment — one float64 matmul per (batch, subspace) group. Exact
+    (all operands/partials are integers < 2^53) and tie-equivalent to
+    the lexicographic struct(d, c) minimum: argmin returns the first
+    minimum and each subspace's cid rows are sorted ascending. The
+    model rides the closure (PQ_SUB·pq_k·PQ_SUBDIM ints)."""
+    import numpy as np
+
+    by_sub: dict[int, dict[int, dict[int, int]]] = {}
+    for s, cid, d, x in model:
+        by_sub.setdefault(int(s), {}).setdefault(int(cid), {})[int(d)] = int(x)
+    mats = {}
+    for s, cmap in by_sub.items():
+        cids = sorted(cmap)
+        cmat = np.asarray(
+            [[cmap[c][d] for d in sorted(cmap[c])] for c in cids],
+            dtype=np.float64,
+        )
+        mats[s] = (
+            np.asarray(cids, dtype=np.int64),
+            cmat,
+            (cmat * cmat).sum(axis=1),
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            xs = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["xa"]]
+            )
+            x2 = (xs * xs).sum(axis=1)
+            out_cid = np.empty(len(pdf), dtype=np.int64)
+            for s, idx in pdf.groupby("sub").indices.items():
+                cids, cmat, c2 = mats[int(s)]
+                x = xs[idx]
+                dist = x2[idx][:, None] + c2[None, :] - 2.0 * (x @ cmat.T)
+                out_cid[idx] = cids[dist.argmin(axis=1)]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "sub": pdf["sub"],
+                    "xa": pdf["xa"],
+                    "cid": out_cid,
+                }
+            )
+
+    return pax.mapInPandas(
+        run, schema="vec_id long, sub int, xa array<bigint>, cid long"
+    )
+
+
 def _pq_train_pts(
     spark: SparkSession,
     pts: DataFrame,
@@ -1139,34 +1195,17 @@ def _pq_train_pts(
     )
 
     def _coded(model: list[tuple[int, int, int, int]]) -> DataFrame:
-        by_sub: dict[int, dict[int, dict[int, int]]] = {}
-        for s, cid, d, x in model:
-            by_sub.setdefault(s, {}).setdefault(cid, {})[d] = x
-        n_sub = max(by_sub) + 1
-        cent3d = "array(" + ",".join(
-            "array(" + ",".join(
-                "array(" + ",".join(
-                    str(by_sub[s][c][d]) + "L" for d in sorted(by_sub[s][c])
-                ) + ")"
-                for c in sorted(by_sub.get(s, {}))
-            ) + ")"
-            for s in range(n_sub)
-        ) + ")"
-        cids2d = "array(" + ",".join(
-            "array(" + ",".join(
-                str(c) + "L" for c in sorted(by_sub.get(s, {}))
-            ) + ")"
-            for s in range(n_sub)
-        ) + ")"
-        return pax.withColumn(
-            "cid",
-            F.expr(
-                f"array_min(zip_with(element_at({cent3d}, sub + 1), "
-                f"element_at({cids2d}, sub + 1), (ca, c) -> named_struct("
-                "'d', aggregate(zip_with(xa, ca, (p, q) -> (p - q) * (p - q)), "
-                "0L, (s, v) -> s + v), 'c', c))).c"
-            ),
-        )
+        # r16: the literal-codebook HOF argmin (array_min over zip_with)
+        # is CodegenFallback — interpreted lambda evaluation over
+        # n·PQ_SUB·pq_k·PQ_SUBDIM elements measured ~3 s PER EVALUATION
+        # at sf1 (and it ran once per training round plus once per
+        # `codes` consumer). Same vectorized-numpy assignment as
+        # _assign_np / _assign_np_grouped, grouped by subspace: exact —
+        # every operand and partial sum is an integer < 2^53 (|xa| ≤
+        # ~2e6 micro-units → p·q ≤ 4e12, 8-dim sums ≤ 3.2e13) — and
+        # np.argmin takes the FIRST minimum over cids sorted ascending,
+        # ≡ the previous array_min over struct(d, c). Guide §4.2.
+        return _pq_assign_np(pax, model)
 
     asg = None
     asg_cents = cents
