@@ -184,12 +184,26 @@ def verified_pairs(
         sh = _shingles(docs)
     sh = sh.localCheckpoint()
     mins = _signature_frame(sh).localCheckpoint()
-    cand = _band_pairs(mins)
+    cand = _band_pairs(mins).localCheckpoint()
     sizes = mins.select("doc_id", "n")
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "s")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    # r16: the exact-verify intersection only ever touches shingles of
+    # documents that appear in some candidate pair — a small fraction
+    # of the corpus (LSH at 4x4 bands passes ~J^4 of pairs). Restrict
+    # the materialized shingle table ONCE with a broadcast semi-join on
+    # the candidate doc set, and broadcast the (small, checkpointed)
+    # pair list into the probe join, so the only shuffle left in the
+    # verify stage carries candidate-doc shingles, not the corpus
+    # (guide §3.2 — the semi-join form of Bloom pre-filtering).
+    pair_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    shp = sh.join(F.broadcast(pair_docs), "doc_id", "left_semi")
+    sa = shp.select(F.col("doc_id").alias("doc_a"), "s")
+    sb = shp.select(F.col("doc_id").alias("doc_b"), "s")
     inter = (
-        cand.join(sa, "doc_a")
+        sa.join(F.broadcast(cand), "doc_a")
         .join(sb, ["doc_b", "s"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_int"))
