@@ -481,7 +481,9 @@ def q_stream_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         _DOC_WIRE_SCHEMA,
         document_wire,
     )
-    from kafka_clickhouse_implementation_spark.streaming.funnel import _drain
+    from kafka_clickhouse_implementation_spark.streaming.funnel import (
+        _drain_files,
+    )
 
     wire, base = document_wire(spark, sf_dir)
     # the streaming frame runs through the SAME doc_features helper as
@@ -494,13 +496,23 @@ def q_stream_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["doc_id"])
     )
     feat_state = doc_features(deduped)
-    _drain(
-        spark, feat_state, "stream_dsir_dfc",
-        os.path.join(base, "ckpt_dsir_dfc"), mode="complete",
+    # UPDATE-mode FILE drain (r16, guide §5/§1.2): every (doc_id, b)
+    # key is finalized in exactly one micro-batch — the stateful dedup
+    # emits a document once, and its feature rows explode within that
+    # batch — so the union of per-trigger updated rows equals the
+    # final complete-mode state row-for-row, written by the executors
+    # as parquet instead of collected to the driver by the memory sink
+    # (3.8M rows at sf1). Cross-batch accumulation still runs through
+    # the same aggregation state store; the oracle hash pins equality.
+    dfc_path = _drain_files(
+        spark, feat_state,
+        os.path.join(base, "dsir_dfc_table"),
+        os.path.join(base, "ckpt_dsir_dfc"),
     )
     # the drained state feeds four plan branches (smodel, tmodel, tots,
-    # scoring) — pin it once (the C152 localCheckpoint rationale)
-    dfc = spark.table("stream_dsir_dfc").localCheckpoint()
+    # scoring) — pin it once (the C152 localCheckpoint rationale),
+    # executor-side from the parquet scan
+    dfc = spark.read.parquet(dfc_path).localCheckpoint()
     docs = load(spark, sf_dir, "documents")
     scored = dsir_scores_from_features(dfc, target_ids(docs))
     return _select_top(scored, docs)

@@ -278,7 +278,9 @@ def q_stream_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         _DOC_WIRE_SCHEMA,
         document_wire,
     )
-    from kafka_clickhouse_implementation_spark.streaming.funnel import _drain
+    from kafka_clickhouse_implementation_spark.streaming.funnel import (
+        _drain_files,
+    )
 
     wire, base = document_wire(spark, sf_dir)
     # the streaming frame runs through the SAME doc_tf helper as batch
@@ -290,16 +292,23 @@ def q_stream_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["doc_id"])
     )
     tf_state = doc_tf(deduped)
-    _drain(
-        spark, tf_state, "stream_bm25_tf",
-        os.path.join(base, "ckpt_bm25_tf"), mode="complete",
+    # UPDATE-mode FILE drain (r16): (doc_id, token) keys are doc-scoped
+    # and the stateful dedup emits each document in exactly one batch,
+    # so per-trigger updated rows union to the identical final state
+    # the complete-mode memory sink re-collected whole to the DRIVER
+    # every trigger (see q_stream_dsir). A dedup failure now surfaces
+    # as duplicate keys in the drained table — still a loud hash FAIL.
+    tf_path = _drain_files(
+        spark, tf_state,
+        os.path.join(base, "bm25_tf_table"),
+        os.path.join(base, "ckpt_bm25_tf"),
     )
     # localCheckpoint: the drained state feeds FOUR plan branches (dl,
     # sum_dl, df->qterms, and the scoring join) — pin it once; it also
     # gives the self-join (qterms derives from tf) fresh attribute ids,
-    # which the memory-sink view otherwise shares across both sides
+    # which a shared scan otherwise shares across both sides
     # (Spark "conflicting references in Join" internal error).
-    tf = spark.table("stream_bm25_tf").localCheckpoint()
+    tf = spark.read.parquet(tf_path).localCheckpoint()
     return bm25_from_tf(tf, _wire_doc_count(spark, wire))
 
 
@@ -635,7 +644,9 @@ def q_stream_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
         _DOC_WIRE_SCHEMA,
         document_wire,
     )
-    from kafka_clickhouse_implementation_spark.streaming.funnel import _drain
+    from kafka_clickhouse_implementation_spark.streaming.funnel import (
+        _drain_files,
+    )
 
     wire, base = document_wire(spark, sf_dir)
     # the streaming frame runs through the SAME positional_postings
@@ -654,11 +665,15 @@ def q_stream_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "token", "pos")
         .agg(F.sum("arr").cast("long").alias("arr"))
     )
-    _drain(
-        spark, pos_state, "stream_prox_postings",
-        os.path.join(base, "ckpt_prox_postings"), mode="complete",
+    # UPDATE-mode FILE drain (r16): (doc_id, token, pos) keys are
+    # doc-scoped behind the stateful dedup — same argument and same
+    # loud-fail posture as the tf drain above.
+    post_path = _drain_files(
+        spark, pos_state,
+        os.path.join(base, "prox_postings_table"),
+        os.path.join(base, "ckpt_prox_postings"),
     )
-    post = spark.table("stream_prox_postings").select(
+    post = spark.read.parquet(post_path).select(
         "doc_id", "pos", "token", "arr"
     ).localCheckpoint()
     return proximity_from_postings(post)

@@ -1073,7 +1073,9 @@ def q_stream_token_shards_unigram(
         _DOC_WIRE_SCHEMA,
         document_wire,
     )
-    from kafka_clickhouse_implementation_spark.streaming.funnel import _drain
+    from kafka_clickhouse_implementation_spark.streaming.funnel import (
+        _drain_files,
+    )
 
     wire, base = document_wire(spark, sf_dir)
     deduped = (
@@ -1084,13 +1086,15 @@ def q_stream_token_shards_unigram(
         .dropDuplicates(["doc_id"])
         .select("doc_id", "text")
     )
-    _drain(
-        spark, deduped, "stream_unishard_docs",
+    # append-mode FILE drain (r16): see q_stream_token_shards
+    docs_path = _drain_files(
+        spark, deduped,
+        os.path.join(base, "unishard_docs_table"),
         os.path.join(base, "ckpt_unishard_docs"), mode="append",
     )
     src = load(spark, sf_dir, "documents").select("doc_id", "source")
     docs = (
-        spark.table("stream_unishard_docs")
+        spark.read.parquet(docs_path)
         .join(src, "doc_id")
         .localCheckpoint()
     )

@@ -562,7 +562,9 @@ def q_stream_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         _DOC_WIRE_SCHEMA,
         document_wire,
     )
-    from kafka_clickhouse_implementation_spark.streaming.funnel import _drain
+    from kafka_clickhouse_implementation_spark.streaming.funnel import (
+        _drain_files,
+    )
 
     wire, base = document_wire(spark, sf_dir)
     deduped = (
@@ -573,12 +575,17 @@ def q_stream_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["doc_id"])
         .select("doc_id", "text")
     )
-    _drain(
-        spark, deduped, "stream_shard_docs",
+    # append-mode FILE drain (r16, guide §5): the memory sink collected
+    # every deduped document's TEXT to the driver and the downstream
+    # join re-parallelized it; the parquet drain writes the identical
+    # appended rows from the executors.
+    docs_path = _drain_files(
+        spark, deduped,
+        os.path.join(base, "shard_docs_table"),
         os.path.join(base, "ckpt_shard_docs"), mode="append",
     )
     src = load(spark, sf_dir, "documents").select("doc_id", "source")
-    docs = spark.table("stream_shard_docs").join(src, "doc_id").localCheckpoint()
+    docs = spark.read.parquet(docs_path).join(src, "doc_id").localCheckpoint()
     kept = clean_kept(docs).localCheckpoint()
     # the tokenizer products are raw-corpus artifacts (train once,
     # encode everything) — load them; only the KEPT SET must come from
@@ -1120,7 +1127,9 @@ def q_stream_mixture_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         _DOC_WIRE_SCHEMA,
         document_wire,
     )
-    from kafka_clickhouse_implementation_spark.streaming.funnel import _drain
+    from kafka_clickhouse_implementation_spark.streaming.funnel import (
+        _drain_files,
+    )
 
     wire, base = document_wire(spark, sf_dir)
     deduped = (
@@ -1131,13 +1140,15 @@ def q_stream_mixture_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["doc_id"])
         .select("doc_id", "text")
     )
-    _drain(
-        spark, deduped, "stream_resample_docs",
+    # append-mode FILE drain (r16): see q_stream_token_shards
+    docs_path = _drain_files(
+        spark, deduped,
+        os.path.join(base, "resample_docs_table"),
         os.path.join(base, "ckpt_resample_docs"), mode="append",
     )
     src = load(spark, sf_dir, "documents").select("doc_id", "source")
     docs = (
-        spark.table("stream_resample_docs").join(src, "doc_id").localCheckpoint()
+        spark.read.parquet(docs_path).join(src, "doc_id").localCheckpoint()
     )
     kept = clean_kept(docs).localCheckpoint()
     _kept_cached, wpieces, vocab = shard_inputs(spark, sf_dir)
@@ -1687,7 +1698,9 @@ def q_stream_shards_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         _DOC_WIRE_SCHEMA,
         document_wire,
     )
-    from kafka_clickhouse_implementation_spark.streaming.funnel import _drain
+    from kafka_clickhouse_implementation_spark.streaming.funnel import (
+        _drain_files,
+    )
 
     wire, base = document_wire(spark, sf_dir)
     deduped = (
@@ -1698,13 +1711,15 @@ def q_stream_shards_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["doc_id"])
         .select("doc_id", "text")
     )
-    _drain(
-        spark, deduped, "stream_resample_docs",
+    # append-mode FILE drain (r16): see q_stream_token_shards
+    docs_path = _drain_files(
+        spark, deduped,
+        os.path.join(base, "resample_docs_table"),
         os.path.join(base, "ckpt_resample_docs"), mode="append",
     )
     src = load(spark, sf_dir, "documents").select("doc_id", "source")
     docs = (
-        spark.table("stream_resample_docs").join(src, "doc_id").localCheckpoint()
+        spark.read.parquet(docs_path).join(src, "doc_id").localCheckpoint()
     )
     kept = clean_kept(docs).localCheckpoint()
     _kept_cached, wpieces, vocab = shard_inputs(spark, sf_dir)

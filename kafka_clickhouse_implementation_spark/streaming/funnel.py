@@ -352,6 +352,43 @@ def _drain(spark, out, name: str, ckpt: str, mode: str = "update"):
             raise TimeoutError(f"stream {name} did not drain in 600s — memory table would be partial")
 
 
+def _drain_files(spark, out, path: str, ckpt: str, mode: str = "update") -> str:
+    """Drain a stateful streaming frame to a PARQUET table instead of
+    the driver-held memory sink (r16, guide §5: the driver should do
+    almost no data work). For corpus-sized drained states (the dsir
+    feature table is 3.8M rows at sf1) the memory sink collects every
+    emitted row to the DRIVER, and downstream distributed use pays a
+    second driver→executor round-trip (the localCheckpoint pin).
+    foreachBatch appends each trigger's rows as parquet from the
+    executors; under the one-batch-per-key property (doc-scoped state
+    keys behind the stateful dedup) the union of update-mode emissions
+    equals the final complete-mode state row-for-row. The table and
+    checkpoint are deleted first — drains stay re-runnable and nothing
+    persists across invocations. Returns ``path``."""
+    import shutil
+
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(path, ignore_errors=True)
+
+    def _append(bdf, _epoch_id):
+        bdf.write.mode("append").parquet(path)
+
+    with stream_partitions_conf(spark, out):
+        q = (
+            out.writeStream.foreachBatch(_append)
+            .outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                f"file drain {path} did not finish in 600s — table would be partial"
+            )
+    return path
+
+
 def _drain_many(spark, specs):
     """Drain several INDEPENDENT streaming queries concurrently —
     ``specs`` is an iterable of (out, name, ckpt, mode). Spark runs

@@ -138,8 +138,16 @@ def test_stream_dsir_state_matches_batch_and_needs_dedup(spark):
     )
     from kafka_clickhouse_implementation_spark.streaming.funnel import _drain
 
-    q_stream_dsir(spark, SF_DIR)  # populates stream_dsir_dfc
-    got = sorted(map(tuple, spark.table("stream_dsir_dfc").collect()))
+    q_stream_dsir(spark, SF_DIR)  # writes the dsir_dfc_table file drain
+    _wire, _base = document_wire(spark, SF_DIR)
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(os.path.join(_base, "dsir_dfc_table"))
+            .select("doc_id", "b", "cnt")
+            .collect(),
+        )
+    )
     want = sorted(
         map(tuple, doc_features(load(spark, SF_DIR, "documents")).collect())
     )

@@ -160,8 +160,16 @@ def test_stream_bm25_state_matches_batch_and_needs_dedup(spark):
     )
     from kafka_clickhouse_implementation_spark.streaming.funnel import _drain
 
-    q_stream_bm25(spark, SF_DIR)  # populates stream_bm25_tf
-    got = sorted(map(tuple, spark.table("stream_bm25_tf").collect()))
+    q_stream_bm25(spark, SF_DIR)  # writes the bm25_tf_table file drain
+    _wire, _base = document_wire(spark, SF_DIR)
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(os.path.join(_base, "bm25_tf_table"))
+            .select("doc_id", "token", "tf")
+            .collect(),
+        )
+    )
     want = sorted(
         map(
             tuple,
@@ -587,11 +595,12 @@ def test_stream_proximity_state_matches_batch_and_needs_dedup(spark):
     )
     from kafka_clickhouse_implementation_spark.streaming.funnel import _drain
 
-    q_stream_proximity(spark, SF_DIR)  # populates stream_prox_postings
+    q_stream_proximity(spark, SF_DIR)  # writes the prox_postings_table drain
+    _wire, _base = document_wire(spark, SF_DIR)
     got = sorted(
         map(
             tuple,
-            spark.table("stream_prox_postings")
+            spark.read.parquet(os.path.join(_base, "prox_postings_table"))
             .select("doc_id", "pos", "token", "arr")
             .collect(),
         )
