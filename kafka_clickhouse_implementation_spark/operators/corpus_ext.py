@@ -486,36 +486,32 @@ def substring_clip(docs: DataFrame) -> DataFrame:
         )
         .select("doc_id", "o.pos", "o.h")
     )
-    # The digest-keyed tables below all scale WITH the corpus (grams,
-    # duplicated grams, first-occurrences), so their joins are hinted
-    # sort-merge: Catalyst's static size estimate on these aggregate
-    # subtrees undershoots badly, and the resulting auto-broadcast was
-    # measured as the clip stage's bottleneck (round 12, sf10 probe:
-    # 322.8 s with the 64 MB threshold vs 34.5 s sort-merge-only) and
-    # a driver OOM at sf30. Same-key joins share one hash partitioning
-    # anyway, so the hint costs nothing extra.
-    # ONE per-hash aggregation replaces the previous dupg/fd/fp chain
-    # (three groupBys + three sort-merge joins on h): nd>1 is the same
-    # duplicated-gram gate, and min(struct(doc_id, pos)) IS (fdoc,
-    # fpos) — the lexicographic minimum is the smallest doc_id and,
-    # within it, the smallest pos, exactly the old two-step
-    # min(doc_id) -> min(pos | doc_id = fdoc). Two shuffle rounds
-    # removed from the corpus-scale clip path (guide §2.4); the
-    # surviving join keeps the measured-at-sf10 sort-merge hint.
-    hstats = (
-        g.groupBy("h")
-        .agg(
-            F.countDistinct("doc_id").alias("nd"),
-            F.min(F.struct("doc_id", "pos")).alias("first"),
-        )
-        .filter(F.col("nd") > 1)
-        .select("h", "first")
-        .hint("merge")
+    # r16 (guide §2.4): the duplicated-gram gate as WINDOW functions
+    # over ONE gram-keyed exchange. The r15 shape evaluated the md5
+    # explode TWICE (the per-hash aggregate and the join probe side —
+    # md5 over every strided position is the clip stage's dominant
+    # CPU) and shuffled both sides into a sort-merge join on h (the
+    # hint that fixed the r12 auto-broadcast blowup: 322.8 s / driver
+    # OOM at sf10-30). The window form has NO join at all, so neither
+    # failure mode exists: nd = max(dense_rank by doc_id) over the h
+    # partition ≡ countDistinct(doc_id), first = the same
+    # min(struct(doc_id, pos)) lexicographic minimum, and the gram
+    # rows cross exactly one exchange, sorted once by (h, doc_id) —
+    # the unordered whole-partition max/min windows reuse it. The
+    # duplicated-gram gate and first-occurrence rule are byte-
+    # identical: keep a position iff its gram occurs in >1 distinct
+    # doc and it is not the (smallest doc_id, smallest pos) holder.
+    wh = Window.partitionBy("h")
+    who = Window.partitionBy("h").orderBy("doc_id")
+    ge = (
+        g.withColumn("dr", F.dense_rank().over(who))
+        .withColumn("nd", F.max("dr").over(wh))
+        .withColumn("first", F.min(F.struct("doc_id", "pos")).over(wh))
     )
     clip = (
-        g.join(hstats, "h")
-        .filter(
-            ~(
+        ge.filter(
+            (F.col("nd") > 1)
+            & ~(
                 (F.col("doc_id") == F.col("first.doc_id"))
                 & (F.col("pos") == F.col("first.pos"))
             )
