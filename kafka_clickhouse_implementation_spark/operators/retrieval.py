@@ -1090,7 +1090,11 @@ def mmr_diversify(cand: DataFrame, psim: DataFrame, k: int = MMR_K) -> DataFrame
     # Collect gate (r15 advisory — the CC_DRIVER_MAX_EDGES convention):
     # the boundedness is a CONFIG property (n_queries × DENSE_K rows,
     # psim ≤ its pairwise square); a future corpus-scaled caller must
-    # fail loudly here, not OOM the driver.
+    # fail loudly here, not OOM the driver. The candidate chain is
+    # pinned executor-side FIRST (disk-backed, never driver memory),
+    # so the gate count and the collect read the same materialization
+    # instead of each re-evaluating the chain (r16, guide §1.2).
+    cand = cand.select("qid", "doc_id", "cos_nano", "dense_rnk").localCheckpoint()
     n_cand = cand.count()
     if n_cand > MMR_DRIVER_MAX_CANDIDATES:
         raise ValueError(
@@ -1098,7 +1102,7 @@ def mmr_diversify(cand: DataFrame, psim: DataFrame, k: int = MMR_K) -> DataFrame
             f"gate ({MMR_DRIVER_MAX_CANDIDATES}); the greedy expects a "
             "config-bounded candidate list (n_queries x DENSE_K)"
         )
-    crows = cand.select("qid", "doc_id", "cos_nano", "dense_rnk").collect()
+    crows = cand.collect()
     prows = psim.select("qid", "a", "b", "sim_nano").collect()
 
     by_q: dict[int, dict[int, int]] = {}
